@@ -1,0 +1,129 @@
+"""Stable, oracle-reproducible hashing primitives for dedup & sketches.
+
+Spark's built-in ``F.hash`` is Murmur3-x86-32 and ``F.xxhash64`` is
+xxHash64 — both fast, but neither matches DuckDB's hash, so results built on
+them can't be value-checked by the ANSI-SQL oracle. For the dedup/sketch
+operators we instead derive integer hashes from **md5**, which every engine
+computes identically: ``md5_hash64(s)`` = first 16 hex chars of md5(s) read
+as an unsigned 64-bit int (we keep 63 bits so it fits signed BIGINT in both
+Spark and DuckDB).
+
+The equivalent DuckDB expression for the oracle is::
+
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+
+(15 hex chars = 60 bits, always positive in a signed 64-bit integer.)
+
+MinHash permutations use the standard universal-hash family
+``h_i(x) = (a_i * x + b_i) mod p`` with p = 2^61 - 1 (a Mersenne prime) and
+fixed odd constants, so signatures are deterministic and SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 60-bit md5-prefix hash: identical in Spark and DuckDB.
+MD5_PREFIX_HEX_CHARS = 15
+MERSENNE_P = (1 << 61) - 1
+
+# Fixed (a, b) parameters for the MinHash permutation family — generated
+# once from the digits of pi/e (public constants), NOT at runtime, so every
+# run and every engine derives identical signatures.
+_MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (
+        (31415926535897932 * (i + 1) + 2718281828459045) % MERSENNE_P | 1,
+        (16180339887498948 * (i + 1) + 14142135623730951) % MERSENNE_P,
+    )
+    for i in range(64)
+)
+
+
+def md5_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash of a string via md5 prefix."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, MD5_PREFIX_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def minhash_params(num_hashes: int) -> tuple[tuple[int, int], ...]:
+    if num_hashes > len(_MINHASH_PARAMS):
+        raise ValueError(f"at most {len(_MINHASH_PARAMS)} minhash functions supported")
+    return _MINHASH_PARAMS[:num_hashes]
+
+
+def minhash_signature(tokens: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint>) over a token/shingle array.
+
+    For each permutation i: min over tokens t of (a_i * md5h(t) + b_i) mod p.
+    Empty arrays get signature value p (sentinel max) per slot.
+
+    Pure higher-order expressions — the whole signature computes JVM-side.
+    The multiply is done in modular halves to avoid 64-bit overflow:
+    (a*x) mod p with a,x < 2^61 via split of x into hi/lo 30-bit parts.
+    To keep the expression (and its SQL oracle twin) simple we instead
+    reduce the token hash mod 2^31 first, so a*x fits in 63 bits exactly.
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    h31 = F.transform(c, lambda t: F.pmod(md5_hash64_expr(t), F.lit(1 << 31)))
+    sig = [
+        F.when(F.size(c) > 0, F.array_min(_permute(h31, a, b)))
+        .otherwise(F.lit(MERSENNE_P))
+        .cast("bigint")
+        for a, b in minhash_params(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def _permute(h31: Column, a: int, b: int) -> Column:
+    """(a*x + b) mod p over an array of 31-bit hashes (closure-safe)."""
+    a31 = a % (1 << 31)
+    return F.transform(h31, lambda x: F.pmod(F.lit(a31) * x + F.lit(b), F.lit(MERSENNE_P)))
+
+
+def md5_hash64_expr(c: Column) -> Column:
+    """Like ``md5_hash64`` but over an expression (for use inside lambdas)."""
+    return F.conv(F.substring(F.md5(c), 1, MD5_PREFIX_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash over a token array (unweighted).
+
+    bit_j(doc) = 1 if sum over tokens of (+1 if bit_j(h(t)) else -1) > 0.
+    We compute it with per-bit aggregates over the md5-based token hash —
+    still pure expressions. 60 bits (md5 prefix) are used.
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    hashes = F.transform(c, md5_hash64_expr)
+    out = F.lit(0).cast("bigint")
+    for j in range(MD5_PREFIX_HEX_CHARS * 4):
+        votes = _bit_votes(hashes, j)
+        out = out + F.when(votes > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def _bit_votes(hashes: Column, j: int) -> Column:
+    """Sum of ±1 votes for bit j across an array of hashes (closure-safe)."""
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit ints (bit_count of xor)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of a string (array of overlapping substrings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    shingles = F.transform(idx, lambda i: c.substr(i, F.lit(k)))
+    # sequence(1, m) counts DOWN when m < 1, so guard short strings
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))

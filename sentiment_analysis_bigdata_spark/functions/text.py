@@ -1,0 +1,239 @@
+"""Text expression library — all JVM-native Column expressions, zero UDFs.
+
+Reference parity (SURVEY §2.2 F1-F8, §2.6 M1/M2/M5):
+
+- ``clean_text``    — the 7-step tweet-cleaning chain, regexes frozen from
+  reference preprocessing.py:100-106.
+- ``tokenize``      — ML ``Tokenizer`` semantics (lowercase + split on
+  whitespace, reference model_logistic_regression.py:88-91) as a pure
+  ``F.split(F.lower(...))`` expression.
+- ``remove_stopwords`` — ML ``StopWordsRemover`` semantics with the exact
+  default 181-word English list serialized in the reference's persisted
+  model metadata (model/logistic_regression/stages/1_StopWordsRemover_*/
+  metadata/part-00000-*.txt).
+- ``ngrams``        — ML ``NGram`` semantics (space-joined sliding windows,
+  reference model_logistic_regression.py:124-129).
+
+LLM-pipeline extensions (north star): token counting, quality scoring,
+document fingerprinting, n-gram heuristic language ID. Everything here
+compiles into whole-stage-codegen'd Catalyst expressions, so the hot path
+stays in the JVM at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The exact default English stopword list the reference's StopWordsRemover
+# used, frozen from the serialized stage metadata (reference
+# model/logistic_regression/stages/1_StopWordsRemover_ff52d89af368/metadata).
+# This is Spark ML's public default english stop-word set.
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his", "himself",
+    "she", "her", "hers", "herself", "it", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom", "this",
+    "that", "these", "those", "am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against", "between",
+    "into", "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should", "now",
+    "i'll", "you'll", "he'll", "she'll", "we'll", "they'll", "i'd", "you'd",
+    "he'd", "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's",
+    "it's", "we're", "they're", "i've", "we've", "you've", "they've",
+    "isn't", "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't",
+    "don't", "doesn't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "mustn't", "can't", "couldn't", "cannot", "could", "here's", "how's",
+    "let's", "ought", "that's", "there's", "what's", "when's", "where's",
+    "who's", "why's", "would",
+)
+
+# Cleaning regexes frozen from reference preprocessing.py:101-105.
+RE_MENTION = r"@[A-Za-z0-9_]+"
+RE_URL = r"https?://\S+"
+RE_HASHMARK = r"#"
+RE_NON_LETTER = r"[^a-zA-Z\s]"
+RE_MULTISPACE = r"\s+"
+
+
+def clean_text(col: Column | str) -> Column:
+    """The reference's 7-step tweet clean chain (F1-F8) as one expression.
+
+    lower → strip @mentions → strip URLs → drop '#' → non-letters to space →
+    collapse whitespace → trim  (reference preprocessing.py:100-106).
+    Chained ``regexp_replace`` calls fuse into a single codegen stage.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, RE_MENTION, "")
+    c = F.regexp_replace(c, RE_URL, "")
+    c = F.regexp_replace(c, RE_HASHMARK, "")
+    c = F.regexp_replace(c, RE_NON_LETTER, " ")
+    c = F.regexp_replace(c, RE_MULTISPACE, " ")
+    return F.trim(c)
+
+
+def normalize_label(sentiment: Column | str, positive_value: int = 4) -> Column:
+    """Label normalization 0/4 → 0/1 (P5, reference preprocessing.py:93-96)."""
+    c = F.col(sentiment) if isinstance(sentiment, str) else sentiment
+    return F.when(c == positive_value, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+
+def tokenize(col: Column | str) -> Column:
+    """ML ``Tokenizer`` semantics: lowercase, split on ``\\s+`` (M1).
+
+    Edge-case fidelity (SURVEY §7.6): like ML's Tokenizer, an empty string
+    yields ``[""]``; callers filter empties downstream (the reference's
+    length filter at preprocessing.py:108 removes most such rows first).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), RE_MULTISPACE)
+
+
+def tokenize_nonempty(col: Column | str) -> Column:
+    """``tokenize`` with empty tokens removed — the oracle-friendly variant."""
+    return F.filter(tokenize(col), lambda t: t != F.lit(""))
+
+
+def remove_stopwords(
+    tokens: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+) -> Column:
+    """ML ``StopWordsRemover`` semantics (M2): case-insensitive drop, keeps
+    duplicates and order (unlike ``array_except``, which dedups — so we use
+    the higher-order ``filter``).
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    sw = F.lit(list(stopwords))
+    return F.filter(c, lambda t: ~F.array_contains(sw, F.lower(t)))
+
+
+def ngrams(tokens: Column | str, n: int) -> Column:
+    """ML ``NGram`` semantics (M5): space-joined sliding windows of length n.
+
+    Pure expression: for i in 0..len-n, join(tokens[i:i+n], ' ').
+    Arrays shorter than n yield an empty array (matches ML NGram).
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    idx = F.sequence(F.lit(1), F.size(c) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(c, i, n), " "))
+    # sequence(1, k) counts DOWN when k < 1, so guard short arrays explicitly
+    return F.when(F.size(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text analysis (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count — the cheap length signal for quality filters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(tokenize_nonempty(c)).cast("bigint")
+
+
+def word_like_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces and standalone punctuation.
+
+    A deterministic regex approximation of subword tokenizer output volume
+    (letters runs, digit runs, single punctuation marks each count once).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1] from length/punct/stopword ratios.
+
+    score = 0.4·len_score + 0.3·alpha_ratio + 0.3·stopword_presence, where
+    len_score saturates at 200 chars, alpha_ratio is the share of [a-z ]
+    characters, and stopword_presence is the share of tokens that are common
+    English stopwords (natural prose has some; keyword spam has none).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    toks = tokenize_nonempty(c)
+    n_tok = F.size(toks).cast("double")
+    sw = F.lit(list(ENGLISH_STOPWORDS))
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    sw_ratio = F.when(n_tok > 0, F.least(n_sw / n_tok * 3.0, F.lit(1.0))).otherwise(F.lit(0.0))
+    return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * sw_ratio
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Normalization = lowercase + collapse whitespace + trim, so texts that
+    differ only in case/spacing collide (the classic exact-dedup key).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), RE_MULTISPACE, " "))
+    return F.md5(norm)
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic — real deployments swap in
+# fastText/CLD3; the operator contract (score-per-language, argmax) is what
+# the engine provides.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"),
+}
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens appearing in a fixed marker list (closure-safe)."""
+    lst = F.lit(list(markers))
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, t))).cast("bigint")
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map of language → marker-token hit count over the document's tokens."""
+    toks = tokenize_nonempty(col)
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            _marker_hits(toks, markers).alias("hits"),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    return F.map_from_entries(F.array(*pairs))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by marker hits; 'und' when nothing matches.
+
+    Deterministic tie-break: higher hits first, then language code ascending.
+    """
+    toks = tokenize_nonempty(col)
+    entries = [
+        F.struct(
+            _marker_hits(toks, markers).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    # max hits wins; on ties the lexicographically smallest lang wins, so
+    # sort ascending by (hits, lang-reversed) and reverse:
+    arr = F.reverse(F.array_sort(F.array(*entries), lambda a, b: F.when(
+        a["hits"] < b["hits"], F.lit(-1)
+    ).when(a["hits"] > b["hits"], F.lit(1)).otherwise(
+        # equal hits: larger lang string sorts earlier so that after
+        # reverse() the smaller lang wins the tie
+        F.when(a["lang"] > b["lang"], F.lit(-1)).when(a["lang"] < b["lang"], F.lit(1)).otherwise(F.lit(0))
+    )))
+    best = arr[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

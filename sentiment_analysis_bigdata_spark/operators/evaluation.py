@@ -1,0 +1,171 @@
+"""Distributed model evaluation (SURVEY §2.3 A5-A9) — no sklearn, no
+unaggregated ``toPandas``.
+
+The reference collects the full test split (319 K rows) to the driver and
+runs sklearn ``confusion_matrix`` / ``roc_curve`` (reference
+model_logistic_regression.py:217-218,258-259,276-280). At 100 TB that's the
+workload's fatal anti-pattern (SURVEY §1.4). Every metric here is a pure
+DataFrame aggregation; only the final scalar / k-row result reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """A5 — long-form confusion counts: (label, prediction, n).
+
+    Distributed re-expression of sklearn ``confusion_matrix`` (reference
+    model_logistic_regression.py:218). One partial+final hash aggregation.
+    """
+    return (
+        df.groupBy(
+            F.col(label_col).cast("int").alias("label"),
+            F.col(pred_col).cast("int").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def confusion_matrix_pivot(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """A5 — wide 2×k confusion matrix via pivot (for display parity)."""
+    return (
+        df.groupBy(F.col(label_col).cast("int").alias("label"))
+        .pivot(pred_col)
+        .count()
+        .na.fill(0)
+        .orderBy("label")
+    )
+
+
+def accuracy(df: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> float:
+    """A6 — fraction correct, as one ``avg`` aggregation."""
+    row = df.agg(
+        F.avg((F.col(label_col) == F.col(pred_col)).cast("double")).alias("acc")
+    ).first()
+    return float(row["acc"])
+
+
+def classification_report(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """A7 — per-class precision/recall/F1 from the confusion counts.
+
+    Returns (label, tp, fp, fn, support, precision, recall, f1). All from a
+    single confusion aggregation joined three ways on tiny (k-row) frames —
+    the joins are driver-negligible broadcast joins.
+    """
+    cm = confusion_matrix(df, label_col, pred_col)
+    tp = cm.filter(F.col("label") == F.col("prediction")).select(
+        F.col("label"), F.col("n").alias("tp")
+    )
+    support = cm.groupBy("label").agg(F.sum("n").alias("support"))
+    predicted = cm.groupBy(F.col("prediction").alias("label")).agg(
+        F.sum("n").alias("predicted_n")
+    )
+    out = (
+        support.join(tp, "label", "left")
+        .join(predicted, "label", "left")
+        .na.fill({"tp": 0, "predicted_n": 0})
+        .withColumn("fp", F.col("predicted_n") - F.col("tp"))
+        .withColumn("fn", F.col("support") - F.col("tp"))
+        .withColumn(
+            "precision",
+            F.when(F.col("predicted_n") > 0, F.col("tp") / F.col("predicted_n")).otherwise(0.0),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+        .select("label", "tp", "fp", "fn", "support", "precision", "recall", "f1")
+    )
+    return out
+
+
+def weighted_f1(df: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> float:
+    """A7 — support-weighted F1 (parity with
+    MulticlassClassificationEvaluator(metricName='f1'), reference
+    model_logistic_regression.py:189-193)."""
+    rep = classification_report(df, label_col, pred_col)
+    row = rep.agg(
+        (F.sum(F.col("f1") * F.col("support")) / F.sum("support")).alias("wf1")
+    ).first()
+    return float(row["wf1"])
+
+
+def roc_auc(df: DataFrame, label_col: str = "label", score_col: str = "score") -> float:
+    """A8/A9 — exact ROC-AUC via the rank-sum (Mann-Whitney) identity,
+    fully distributed:
+
+        AUC = (Σ avg-rank(score) over positives − P(P+1)/2) / (P·N)
+
+    Average ranks handle score ties exactly like trapezoidal integration
+    over tie-grouped thresholds (the evaluator's semantics, SURVEY §7.4).
+    One global sort (rank window) + one aggregation; no driver collect.
+    The global rank window is a single-partition sort — at extreme scale
+    swap in a two-pass histogram AUC; exactness is kept here because the
+    evaluator parity target (BASELINE.md 4-decimal AUC) requires it.
+    """
+    w = Window.orderBy(F.col(score_col))
+    # average rank for ties = (min_rank + max_rank)/2; with rank() (min) and
+    # count over the tie group we get avg_rank = rank + (ties-1)/2
+    ranked = df.select(
+        F.col(label_col).cast("double").alias("y"),
+        F.rank().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(score_col)).alias("ties"),
+    ).withColumn("avg_rank", F.col("r") + (F.col("ties") - 1) / 2.0)
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("avg_rank"))).alias("pos_rank_sum"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("y") != 1.0, 1).otherwise(0)).alias("neg"),
+    ).first()
+    pos, neg = agg["pos"], agg["neg"]
+    if not pos or not neg:
+        return 0.0
+    return float((agg["pos_rank_sum"] - pos * (pos + 1) / 2.0) / (pos * neg))
+
+
+def roc_points(df: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """A9 — distributed ROC curve points (fpr, tpr) at each score threshold.
+
+    Window cumulative TP/FP over descending score (tie-grouped like
+    sklearn's ``roc_curve`` drop_intermediate=False on distinct thresholds).
+    """
+    w = Window.orderBy(F.col(score_col).desc())
+    totals = df.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("P"),
+        F.sum(F.when(F.col(label_col) != 1, 1).otherwise(0)).alias("N"),
+    ).first()
+    cum = (
+        df.select(
+            F.col(score_col).alias("score"),
+            F.when(F.col(label_col) == 1, 1).otherwise(0).alias("is_pos"),
+        )
+        .withColumn("cum_tp", F.sum("is_pos").over(w))
+        .withColumn("cum_n", F.count(F.lit(1)).over(w))
+        # collapse tied scores to the last (complete) row of each tie group
+        .groupBy("score")
+        .agg(F.max("cum_tp").alias("tp"), F.max("cum_n").alias("n"))
+        .withColumn("fp", F.col("n") - F.col("tp"))
+        .select(
+            "score",
+            (F.col("fp") / F.lit(float(totals["N"]))).alias("fpr"),
+            (F.col("tp") / F.lit(float(totals["P"]))).alias("tpr"),
+        )
+        .orderBy("score")
+    )
+    return cum

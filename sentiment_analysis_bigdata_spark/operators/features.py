@@ -1,0 +1,178 @@
+"""Feature-extraction operators (SURVEY §2.6 M3/M4/M6) in two forms:
+
+1. **MLlib form** — ``HashingTF`` / ``IDF`` / ``CountVectorizer`` stages used
+   inside the training pipelines (``operators.ml``), byte-compatible with
+   the reference's persisted models.
+2. **Oracle twins** — the same semantics as relational DataFrame programs
+   over ``array``/``map`` types, so the DuckDB harness can value-check them
+   (SURVEY §1.5, §5.4: VectorUDT is not oracle-comparable).
+
+The twins are also how a 100 TB run would *inspect* features (exploded
+long-form (doc, term, weight) is joinable/filterable; a 2^18-dim sparse
+vector is opaque).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Long-form TF: (doc_id, term, tf). The oracle twin of HashingTF (M3)
+    without the hash collision step — exact terms, exact counts.
+
+    explode → partial+final hash aggregation on (doc, term); Catalyst does
+    map-side combine automatically.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(term, df) — number of documents containing each term.
+
+    ``array_distinct`` before the explode avoids the distinct-shuffle a
+    naive ``explode → distinct → groupBy`` plan would pay: per-doc dedup is
+    a narrow op, then one aggregation. This is the scale-correct shape.
+    """
+    return (
+        docs.select(F.explode(F.array_distinct(F.col(tokens_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def idf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_doc_freq: int = 0,
+) -> DataFrame:
+    """(term, df, idf) with Spark ML's IDF formula (M4):
+
+        idf = log((m + 1) / (df + 1)),  0 when df < minDocFreq
+
+    m = total document count (reference model_logistic_regression.py:112-117,
+    minDocFreq=5). The count is computed once and folded in as a literal —
+    at scale this is one cheap count job, not a cross join.
+    """
+    m = docs.count()
+    dfreq = document_frequencies(docs, id_col, tokens_col)
+    idf = F.when(
+        F.col("df") >= min_doc_freq,
+        F.log((F.lit(float(m)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+    ).otherwise(F.lit(0.0))
+    return dfreq.withColumn("idf", idf)
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_doc_freq: int = 0,
+) -> DataFrame:
+    """Long-form TF-IDF: (doc_id, term, tf, idf, tf_idf) — M3×M4 composed.
+
+    The (term → idf) side is tiny relative to the corpus (vocab ≪ rows), so
+    we broadcast it: the big TF side never shuffles.
+    """
+    tf = term_frequencies(docs, id_col, tokens_col)
+    idf = idf_weights(docs, id_col, tokens_col, min_doc_freq)
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("tf_idf", F.col("tf").cast("double") * F.col("idf"))
+        .select("doc_id", "term", "tf", "idf", "tf_idf")
+    )
+
+
+def count_vectorizer_vocab(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    vocab_size: int = 10000,
+    min_df: int = 1,
+) -> DataFrame:
+    """CountVectorizer.fit's vocabulary (M6): top-``vocab_size`` terms by
+    total count with document-frequency ≥ min_df; deterministic tie-break
+    (count desc, term asc) per SURVEY §7.3. Returns (term, index).
+
+    Two aggregations + a global top-k (TakeOrderedAndProject — no total
+    sort). Reference params: vocabSize=10000, minDF=5
+    (model_logistic_regression.py:131-136).
+    """
+    counts = (
+        docs.select(F.explode(tokens_col).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    dfreq = document_frequencies(docs, tokens_col=tokens_col)
+    vocab = (
+        counts.join(dfreq, "term")
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    return vocab.withColumn("index", F.row_number().over(w) - 1).select(
+        "term", "index", "total", "df"
+    )
+
+
+def count_vectorize(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """CountVectorizer.transform twin: (doc_id, term_counts map<int,bigint>).
+
+    Broadcast the vocabulary (≤ vocab_size rows) so the corpus side is
+    shuffle-free up to the per-doc re-aggregation.
+    """
+    tf = term_frequencies(docs, id_col, tokens_col)
+    return (
+        tf.join(F.broadcast(vocab.select("term", "index")), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("index"), F.col("tf"))))
+            ).alias("term_counts")
+        )
+    )
+
+
+def hashing_tf_indices(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_features: int = 2**18,
+) -> DataFrame:
+    """HashingTF twin (M3): (doc_id, bucket, tf) with Spark's own Murmur3
+    term hashing (``F.hash`` is the same Murmur3-x86-32 the ML stage uses,
+    seed 42, non-negative mod num_features).
+
+    Not DuckDB-comparable (different hash) — verified in-Spark against the
+    MLlib stage instead (tests/test_features.py).
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term"))
+        .withColumn("bucket", F.pmod(F.hash(F.col("term")), F.lit(num_features)))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def idf_vector_model_parity(m: int, df: int) -> float:
+    """Scalar IDF formula used by both forms (unit-test helper)."""
+    return math.log((m + 1.0) / (df + 1.0))

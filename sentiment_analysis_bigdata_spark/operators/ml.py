@@ -1,0 +1,172 @@
+"""ML classification pipelines at reference parity (SURVEY §2.6 M1-M12).
+
+Three pipelines — Logistic Regression, LinearSVC, Multinomial NaiveBayes —
+with the reference's exact stage graphs and hyperparameters (verified
+against the persisted stage metadata under the reference's ``model/`` tree):
+
+- TF-IDF features: Tokenizer → StopWordsRemover → HashingTF(2^18) →
+  IDF(minDocFreq=5) → classifier
+  (reference model_logistic_regression.py:88-161)
+- N-gram features: Tokenizer → StopWordsRemover → NGram(1..n) →
+  CountVectorizer(vocab 10k, minDF 5) per n → IDF per n → VectorAssembler →
+  classifier (reference model_logistic_regression.py:124-150, model_svm.py)
+
+``evaluate`` replaces the reference's evaluator+sklearn+toPandas block with
+the distributed aggregations in ``operators.evaluation`` and caches the
+scored frame once (fixing the 5× lineage recomputation called out in
+SURVEY §3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LinearSVC, LogisticRegression, NaiveBayes
+from pyspark.ml.feature import (
+    IDF,
+    CountVectorizer,
+    HashingTF,
+    NGram,
+    StopWordsRemover,
+    Tokenizer,
+    VectorAssembler,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import evaluation
+
+
+@dataclass
+class PipelineConfig:
+    """Reference hyperparameters (BASELINE.md config column)."""
+
+    text_col: str = "text"
+    label_col: str = "label"
+    features: str = "tfidf"  # "tfidf" | "ngram"
+    num_features: int = 2**18  # HashingTF dims (metadata: numFeatures 262144)
+    min_doc_freq: int = 5  # IDF minDocFreq (metadata)
+    ngram_max: int = 3  # NGram n=1..3 when features="ngram"
+    vocab_size: int = 10000  # CountVectorizer vocabSize (metadata)
+    min_df: int = 5  # CountVectorizer minDF (metadata)
+    max_iter: int = 20  # LR/SVC maxIter (metadata)
+    reg_param: float = 0.01  # LR/SVC regParam (metadata)
+    elastic_net: float = 0.0  # LR elasticNetParam (metadata)
+    smoothing: float = 1.0  # NB smoothing (metadata)
+    seed: int = 42
+    split: tuple[float, float] = (0.8, 0.2)
+    extra: dict = field(default_factory=dict)
+
+
+def _feature_stages(cfg: PipelineConfig) -> list:
+    """The shared feature front-end (M1-M8)."""
+    stages = [
+        Tokenizer(inputCol=cfg.text_col, outputCol="words"),
+        StopWordsRemover(inputCol="words", outputCol="filtered_words"),
+    ]
+    if cfg.features == "tfidf":
+        stages += [
+            HashingTF(
+                inputCol="filtered_words",
+                outputCol="raw_features",
+                numFeatures=cfg.num_features,
+            ),
+            IDF(inputCol="raw_features", outputCol="features", minDocFreq=cfg.min_doc_freq),
+        ]
+    elif cfg.features == "ngram":
+        ngram_cols = []
+        for n in range(1, cfg.ngram_max + 1):
+            stages += [
+                NGram(n=n, inputCol="filtered_words", outputCol=f"{n}gram"),
+                CountVectorizer(
+                    inputCol=f"{n}gram",
+                    outputCol=f"{n}gram_tf",
+                    vocabSize=cfg.vocab_size,
+                    minDF=cfg.min_df,
+                ),
+                IDF(inputCol=f"{n}gram_tf", outputCol=f"{n}gram_tfidf"),
+            ]
+            ngram_cols.append(f"{n}gram_tfidf")
+        stages.append(VectorAssembler(inputCols=ngram_cols, outputCol="features"))
+    else:
+        raise ValueError(f"unknown features {cfg.features!r}")
+    return stages
+
+
+def build_pipeline(model: str, cfg: PipelineConfig | None = None) -> Pipeline:
+    """model ∈ {'lr','svm','nb'} → the reference's exact Pipeline (M12)."""
+    cfg = cfg or PipelineConfig()
+    stages = _feature_stages(cfg)
+    if model == "lr":
+        clf = LogisticRegression(
+            featuresCol="features",
+            labelCol=cfg.label_col,
+            maxIter=cfg.max_iter,
+            regParam=cfg.reg_param,
+            elasticNetParam=cfg.elastic_net,
+        )
+    elif model == "svm":
+        clf = LinearSVC(
+            featuresCol="features",
+            labelCol=cfg.label_col,
+            maxIter=cfg.max_iter,
+            regParam=cfg.reg_param,
+        )
+    elif model == "nb":
+        clf = NaiveBayes(
+            featuresCol="features",
+            labelCol=cfg.label_col,
+            modelType="multinomial",
+            smoothing=cfg.smoothing,
+        )
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    return Pipeline(stages=stages + [clf])
+
+
+def train_and_evaluate(
+    df: DataFrame, model: str, cfg: PipelineConfig | None = None
+) -> tuple[PipelineModel, dict]:
+    """Train/test split → fit → distributed evaluation. Returns
+    (fitted model, metrics dict matching the reference's metrics JSON shape:
+    accuracy, f1, roc_auc, confusion_matrix).
+
+    The scored test frame is cached once and reused by all metrics
+    (the reference recomputed the transform lineage 5×, SURVEY §3).
+    NB uses ``probability`` for the score (like LR); SVC has no probability
+    column so ``rawPrediction`` margin is used (reference model_svm.py:283).
+    """
+    cfg = cfg or PipelineConfig()
+    train, test = df.randomSplit(list(cfg.split), seed=cfg.seed)
+    fitted = build_pipeline(model, cfg).fit(train)
+    scored = fitted.transform(test).cache()
+    try:
+        from pyspark.ml.functions import vector_to_array
+
+        score_col = "rawPrediction" if model == "svm" else "probability"
+        with_score = scored.withColumn("score", vector_to_array(F.col(score_col))[1])
+        metrics = {
+            "accuracy": evaluation.accuracy(scored, cfg.label_col, "prediction"),
+            "f1": evaluation.weighted_f1(scored, cfg.label_col, "prediction"),
+            "roc_auc": evaluation.roc_auc(with_score, cfg.label_col, "score"),
+            "confusion_matrix": {
+                f"{r['label']}_{r['prediction']}": r["n"]
+                for r in evaluation.confusion_matrix(scored, cfg.label_col, "prediction")
+                .orderBy("label", "prediction")
+                .collect()
+            },
+            "test_rows": scored.count(),
+        }
+    finally:
+        scored.unpersist()
+    return fitted, metrics
+
+
+def save_model(model: PipelineModel, path: str) -> None:
+    """S4 — persist PipelineModel (reference model_logistic_regression.py:301)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> PipelineModel:
+    return PipelineModel.load(path)

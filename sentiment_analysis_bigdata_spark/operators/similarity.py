@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns (north star).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Queries × corpus via broadcast of the (small) query side; per-query top-k
+  by window row_number. Exact but O(|Q|·n): right for small query sets or
+  as the verifier for the ANN path.
+- ``lsh_topk``: sign-LSH-bucketed approximate top-k — the scale path. The
+  corpus is hashed once into 2^n_bits buckets; each query probes its own
+  bucket (plus optional Hamming-1 neighbor buckets), so per-query work is
+  n/2^n_bits on isotropic data.
+- ``ivf_topk``: IVF-style probing with data-derived centroids (kmeans|| via
+  MLlib) — the classic ANN layout; nlist/nprobe trade recall vs cost.
+
+All distance math is JVM-side Catalyst expressions (functions.vector); an
+Arrow-batched pandas-UDF kernel is provided for very high dimensions where
+numpy matrix multiply beats per-element codegen (``cosine_topk_pandas``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import vector as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank), rank 1..k.
+
+    Broadcast the query side (assumed ≪ corpus); the corpus is scanned once
+    with no shuffle until the tiny per-query top-k window. Deterministic
+    tie-break: cosine desc, vec_id asc. Self-matches (same id) excluded.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            V.cosine_similarity(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("cosine"), "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH buckets.
+
+    Corpus and queries are bucketed by leading-dimension signs; candidates
+    = same bucket (plus, with ``multiprobe``, all Hamming-1 buckets — flips
+    of one sign bit — which substantially lifts recall for near-boundary
+    vectors). Join shuffles on bucket, then exact cosine + top-k within
+    candidates. At 100 TB the corpus side would be written bucket-partitioned
+    so the probe join is pruned I/O, not a shuffle.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        V.hyperplane_sign_bucket(corpus_vec, n_bits).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        V.hyperplane_sign_bucket(query_vec, n_bits).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+        )
+        qb = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    else:
+        qb = qb.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+    scored = (
+        c.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            V.cosine_similarity(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: kmeans|| centroids → corpus assigned to nearest list →
+    queries probe their ``nprobe`` nearest lists → exact cosine within.
+
+    The centroid model is tiny and broadcast both ways; corpus assignment
+    is one narrow pass (at scale: persisted, partitioned by list id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    centers = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    def nearest_lists(vec_col: str, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    V.l2_distance(F.col(vec_col), F.array(*[F.lit(x) for x in ctr])).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        nearest_lists(corpus_vec, 1)[0]["list_id"].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.explode(
+            F.transform(nearest_lists(query_vec, nprobe), lambda s: s["list_id"])
+        ).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            V.cosine_similarity(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_pd,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched exact top-k for high dims: numpy GEMM per partition.
+
+    ``queries_pd`` is a small pandas DataFrame (query_id, query_vec list) —
+    it ships to executors inside the serialized function (broadcast-sized).
+    Each mapInPandas batch computes a (batch × queries) similarity matrix in
+    one BLAS call — the fast path when dim ≳ 512 where per-element codegen
+    expressions lose to vectorized math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = queries_pd["query_id"].to_numpy()
+    qm = np.stack(queries_pd["query_vec"].to_numpy()).astype("float64")
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            sims = cn @ qn.T  # (batch, nq)
+            for j, qid in enumerate(qids):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": pdf[corpus_id].to_numpy(),
+                        "cosine": sims[:, j],
+                    }
+                )
+
+    scored = corpus.mapInPandas(score, "query_id long, vec_id long, cosine double")
+    scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

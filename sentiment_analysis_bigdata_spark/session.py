@@ -1,0 +1,69 @@
+"""SparkSession factory with a scale-oriented default configuration.
+
+The reference creates bare sessions (e.g. ``SparkSession.builder.appName(...)
+.getOrCreate()``, reference preprocessing.py:15-18) and leaves every knob at
+default. We centralize session construction so that the same tuning applies
+to tests, bench, and the driver harness:
+
+- AQE on (adaptive shuffle-partition coalescing, skew-join splitting,
+  runtime broadcast-join demotion/promotion) — the single most important
+  setting for a 100 TB cluster run.
+- Arrow on for any driver exchange (``toPandas`` after aggregation) and for
+  pandas UDFs.
+- ``spark.sql.shuffle.partitions`` sized for local testing; on a real
+  cluster AQE coalesces from a deliberately-high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "sentiment-analysis-bigdata-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    locally; on a cluster, leave it unset and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: re-plan at runtime from real stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing (AQE coalesces down from this) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow for pandas interchange & pandas UDFs ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: 128 MiB splits, the parquet sweet spot ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast threshold: dims like region/nation always broadcast ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- deterministic session timezone for date/timestamp parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- read INT64 TIMESTAMP(NANOS) parquet (events.ts) as long;
+        #     sources.catalog converts back to TimestampType ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Sources & sinks (SURVEY §2.1, S1-S5).
+
+All reads take an explicit schema (engine policy, SURVEY §1.2) so no
+inference pass ever runs. Parquet scans are the default — columnar,
+splittable, predicate-pushdown-capable — which is what a 100 TB deployment
+would use; CSV support exists for reference parity (the reference reads
+headerless Sentiment140 CSV from HDFS, reference preprocessing.py:31-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sentiment_analysis_bigdata_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table from ``{sf_dir}/{name}.parquet``.
+
+    Parquet carries its own schema; we don't force-cast so the scan stays a
+    plain columnar read with pushdown. ``schemas.TESTDATA_TABLES`` documents
+    the expected shape for tests.
+    """
+    if name not in schemas.TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TESTDATA_TABLES)}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
+    # long (session flag spark.sql.legacy.parquet.nanosAsLong); convert to a
+    # microsecond TimestampType so downstream operators see real timestamps.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        expected = schemas.TESTDATA_TABLES[name][field.name].dataType
+        if isinstance(expected, T.TimestampType) and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``tbl = load_tables(spark, d, 'orders', ...)``."""
+    if not names:
+        names = tuple(schemas.TESTDATA_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+) -> DataFrame:
+    """CSV scan with explicit schema (S1; reference preprocessing.py:31-35).
+
+    Single pass — never ``inferSchema`` (S2 is deliberately not reproduced;
+    inference double-scans the data, reference model_logistic_regression.py:71-75).
+    """
+    return spark.read.schema(schema).csv(path, header=header)
+
+
+def write_csv(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """Headered CSV sink (S3; reference preprocessing.py:166-169).
+
+    ``coalesce`` (not ``repartition``) caps output file count without a
+    shuffle, matching the reference's ``coalesce(4)`` choice.
+    """
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Parquet sink — the scale-default output format.
+
+    ``partition_by`` gives directory-level partition pruning for downstream
+    scans; use low-cardinality columns only (date buckets, categories).
+    """
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

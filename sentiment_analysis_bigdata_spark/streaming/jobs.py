@@ -1,0 +1,173 @@
+"""Structured Streaming operators over the ``events`` stream shape
+(SURVEY §2.5 streaming row; the reference has no streaming at all).
+
+Each transformation is written against a generic DataFrame so the SAME
+function body serves both the streaming plan (``readStream`` source) and
+its batch twin (parquet scan) — that's how the batch oracle checks the
+streaming semantics: event-time tumbling/sliding windows and sessionization
+produce identical results on a bounded input whether executed
+incrementally or as one batch.
+
+Watermarks bound state: late rows beyond the watermark are dropped, state
+for closed windows is evicted — the knob that keeps a 100 TB/day stream's
+state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark import schemas
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    Spark's file stream source requires a *directory*; when given a single
+    parquet file (the testdata layout) we stage a symlink into a temp dir.
+    The testdata events.ts is TIMESTAMP(NANOS) which the streaming schema
+    reader only accepts as long — converted back to TimestampType here.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        path = staged
+
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType)
+            for f in schemas.EVENTS.fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    out = raw
+    for f in schemas.EVENTS.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            out = out.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+    return out
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window: per (window, event_type) count + value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time window (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session window per user: sessions close after ``gap`` of inactivity.
+
+    Streaming-native via ``session_window``; the batch twin (identical
+    results on bounded data) is ``sessionize_batch`` below.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization twin: lag + cumulative session counter.
+
+    session boundary = gap since previous event of the same user >
+    ``gap_minutes``. Returns per-session (user_id, session_id,
+    session_start, n_events). One shuffle on user_id.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    return (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) > gap_s)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on event_id with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps only watermark-window state —
+    the streaming analogue of exact dedup. Batch twin: dropDuplicates.
+    """
+    deduped = events.withWatermark("ts", delay)
+    if events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: float = 60.0
+) -> None:
+    """Execute a streaming plan to completion against a bounded file source
+    (availableNow trigger) into an in-memory sink — the test harness path.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

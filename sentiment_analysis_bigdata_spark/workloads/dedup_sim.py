@@ -1,0 +1,292 @@
+"""Dedup & similarity queries (north-star operators) with DuckDB oracles.
+
+The md5-based hashing (functions.hashing) makes MinHash/SimHash signatures
+bit-identical between Spark and DuckDB, so even the sketch operators are
+value-checked — not just row-counted. Approximate operators (LSH top-k)
+have oracles that replicate the *exact same bucketing*, so the oracle
+validates the algorithm, not merely the output shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import hashing as H
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+from sentiment_analysis_bigdata_spark.operators import similarity as SIM
+from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
+
+# 60-bit md5-prefix hash of a token, as a DuckDB expression
+SQL_H60 = "CAST(('0x' || substr(md5({t}), 1, 15)) AS BIGINT)"
+SQL_H31 = f"({SQL_H60} % 2147483648)"
+P = H.MERSENNE_P
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings")
+
+
+# --- MinHash signatures --------------------------------------------------------
+
+N_MINHASH = 4
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    sig = H.minhash_signature(TXT.tokenize_nonempty("text"), N_MINHASH)
+    return docs.select(
+        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
+
+
+def _sql_minhash_cols() -> str:
+    cols = []
+    for i, (a, b) in enumerate(H.minhash_params(N_MINHASH)):
+        a31 = a % (1 << 31)
+        h31 = SQL_H31.format(t="t")
+        cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"list_min(list_transform(toks, t -> ({a31} * {h31} + {b}) % {P})) "
+            f"ELSE {P} END AS mh{i}"
+        )
+    return ",\n       ".join(cols)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       {_sql_minhash_cols()}
+FROM base
+"""
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.simhash_signatures(_docs(spark, sf))
+
+
+def _sql_simhash() -> str:
+    h60 = SQL_H60.format(t="t")
+    bits = []
+    for j in range(H.MD5_PREFIX_HEX_CHARS * 4):
+        votes = (
+            f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {votes} > 0 THEN {1 << j} ELSE 0 END)")
+    total = "\n         + ".join(bits)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_transform({SQL_TOKS}, t -> {h60}) AS hs FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+FROM base
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# --- n-gram Jaccard on adjacent-id candidate pairs --------------------------------
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(ids.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    )
+    out = DD.ngram_jaccard_pairs(docs, pairs, n=2)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD_ADJACENT = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(l) >= 2
+              THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+              ELSE [] END) AS g
+  FROM toks
+)
+SELECT ga.doc_id AS a, gb.doc_id AS b,
+       round(CASE WHEN (len(ga.g) + len(gb.g)) > 0 THEN
+         CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)
+         / (len(ga.g) + len(gb.g) - len(list_filter(ga.g, x -> list_contains(gb.g, x))))
+       ELSE 0.0 END, 6) AS jaccard
+FROM grams ga JOIN grams gb ON gb.doc_id = ga.doc_id + 1
+"""
+
+
+# --- embedding near-duplicates ------------------------------------------------------
+
+# cosine with explicit, order-identical arithmetic on both engines
+def _sql_cosine(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+def _sql_sign_bucket(col: str, n_bits: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << (n_bits - 1 - i)} ELSE 0 END)"
+        for i in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # testdata embeddings are near-isotropic (max pairwise cosine ≈ 0.46),
+    # so the query uses a 0.25 threshold to yield a non-trivial result set;
+    # production near-dup would use ≥0.9
+    out = DD.embedding_near_duplicates(_emb(spark, sf), threshold=0.25, n_bits=8)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS v, {_sql_sign_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT l.id AS a, r.id AS b, round({_sql_cosine('l.v', 'r.v')}, 6) AS cosine
+FROM base l JOIN base r ON l.bucket = r.bucket AND l.id < r.id
+WHERE {_sql_cosine('l.v', 'r.v')} >= 0.25
+"""
+
+
+# --- similarity search: exact brute-force top-k ---------------------------------------
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+def _queries_frame(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    out = SIM.brute_force_topk(emb, _queries_frame(emb), k=TOP_K)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --- similarity search: LSH-bucketed approximate top-k ---------------------------------
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    out = SIM.lsh_topk(emb, _queries_frame(emb), k=TOP_K, n_bits=8, multiprobe=True)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH c AS (
+  SELECT vec_id, embedding AS cv, {_sql_sign_bucket('embedding')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_sql_sign_bucket('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv,
+         unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(8))}]) AS bucket
+  FROM q
+),
+scored AS (
+  SELECT p.query_id, c.vec_id, {_sql_cosine('c.cv', 'p.qv')} AS cos_raw
+  FROM c JOIN probes p ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --- rows-only checked (non-SQL-reproducible) operators ---------------------------------
+
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (banding not replicated in SQL —
+    rows-only check; the signature math itself is value-checked above)."""
+    out = DD.minhash_near_duplicates(
+        _docs(spark, sf), threshold=0.5, num_hashes=16, bands=4
+    )
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banded near-dup (rows-only)."""
+    return DD.simhash_near_duplicates(_docs(spark, sf), max_hamming=10, bands=4)
+
+
+def q_hashing_tf(spark: SparkSession, sf: str) -> DataFrame:
+    """HashingTF twin on Murmur3 (Spark-internal hash — no SQL oracle)."""
+    from sentiment_analysis_bigdata_spark.operators import features as FE
+
+    docs = _docs(spark, sf).select("doc_id", TXT.tokenize_nonempty("text").alias("tokens"))
+    return FE.hashing_tf_indices(docs, num_features=2**18)
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (kmeans-partitioned) ANN — model-dependent, rows-only check."""
+    emb = _emb(spark, sf)
+    out = SIM.ivf_topk(emb, _queries_frame(emb), k=TOP_K, nlist=8, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas media decode plumbing (stub kernel — rows-only check)."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_payload(_docs(spark, sf).limit(200))
+    out = MM.decode_and_featurize(docs.select("doc_id", "payload"))
+    return out.select("doc_id", "width", "height")
+
+
+QUERIES = {
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "simhash_signatures": (q_simhash, SQL_SIMHASH),
+    "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "hashing_tf": (q_hashing_tf, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "multimodal_decode": (q_multimodal_decode, None),
+}

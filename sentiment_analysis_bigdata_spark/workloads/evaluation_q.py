@@ -1,0 +1,229 @@
+"""Distributed-evaluation queries (SURVEY A5-A9) with DuckDB oracles, plus
+the reference-parity ML pipeline runs (rows-only — model training is not
+SQL-expressible).
+
+The evaluation oracles run on a deterministic synthetic (label, prediction,
+score) frame derived arithmetically from ``documents`` so both engines see
+identical inputs:
+
+    label      = doc_id % 2
+    prediction = (doc_id + n_chars) % 3 % 2
+    score      = ((doc_id * 37) % 101) / 100 * 0.7 + label * 0.3
+
+(score correlates with label → non-trivial AUC; the modular cycle creates
+score ties → exercises the tie-handling that SURVEY §7.4 flags as the
+parity risk.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import evaluation as EV
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+
+def _preds(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        ((F.col("doc_id") + F.col("n_chars")) % 3 % 2).cast("int").alias("prediction"),
+        (
+            (F.col("doc_id") * 37 % 101).cast("double") / 100.0 * 0.7
+            + (F.col("doc_id") % 2).cast("double") * 0.3
+        ).alias("score"),
+    )
+
+
+SQL_PREDS = """
+SELECT CAST(doc_id % 2 AS INTEGER) AS label,
+       CAST((doc_id + n_chars) % 3 % 2 AS INTEGER) AS prediction,
+       CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+         + CAST(doc_id % 2 AS DOUBLE) * 0.3 AS score
+FROM documents
+"""
+
+
+def q_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return EV.confusion_matrix(_preds(spark, sf))
+
+
+SQL_CONFUSION_MATRIX = f"""
+SELECT label, prediction, count(*) AS n
+FROM ({SQL_PREDS})
+GROUP BY label, prediction
+"""
+
+
+def q_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    acc = EV.accuracy(_preds(spark, sf))
+    return spark.createDataFrame([(round(acc, 6),)], "accuracy double")
+
+
+SQL_ACCURACY = f"""
+SELECT round(avg(CASE WHEN label = prediction THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM ({SQL_PREDS})
+"""
+
+
+def q_classification_report(spark: SparkSession, sf: str) -> DataFrame:
+    rep = EV.classification_report(_preds(spark, sf))
+    return rep.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_CLASSIFICATION_REPORT = f"""
+WITH preds AS ({SQL_PREDS}),
+cm AS (SELECT label, prediction, count(*) AS n FROM preds GROUP BY 1, 2),
+tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction),
+support AS (SELECT label, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY label),
+predicted AS (SELECT prediction AS label, CAST(sum(n) AS BIGINT) AS predicted_n FROM cm GROUP BY prediction),
+joined AS (
+  SELECT s.label,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(p.predicted_n, 0) - coalesce(tp.tp, 0) AS fp,
+         s.support - coalesce(tp.tp, 0) AS fn,
+         s.support,
+         CASE WHEN coalesce(p.predicted_n, 0) > 0
+              THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / p.predicted_n ELSE 0.0 END AS precision,
+         CASE WHEN s.support > 0
+              THEN CAST(coalesce(tp.tp, 0) AS DOUBLE) / s.support ELSE 0.0 END AS recall
+  FROM support s
+  LEFT JOIN tp ON s.label = tp.label
+  LEFT JOIN predicted p ON s.label = p.label
+)
+SELECT label, tp, fp, fn, support,
+       round(precision, 6) AS precision,
+       round(recall, 6) AS recall,
+       round(CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END, 6) AS f1
+FROM joined
+"""
+
+
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    auc = EV.roc_auc(_preds(spark, sf), score_col="score")
+    return spark.createDataFrame([(round(auc, 6),)], "roc_auc double")
+
+
+SQL_ROC_AUC = f"""
+WITH preds AS ({SQL_PREDS}),
+ranked AS (
+  SELECT label,
+         rank() OVER (ORDER BY score) AS r,
+         count(*) OVER (PARTITION BY score) AS ties
+  FROM preds
+),
+agg AS (
+  SELECT sum(CASE WHEN label = 1 THEN r + (ties - 1) / 2.0 END) AS pos_rank_sum,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN label <> 1 THEN 1 ELSE 0 END) AS neg
+  FROM ranked
+)
+SELECT round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6) AS roc_auc
+FROM agg
+"""
+
+
+def q_roc_points(spark: SparkSession, sf: str) -> DataFrame:
+    pts = EV.roc_points(_preds(spark, sf), score_col="score")
+    return pts.select(
+        F.round("score", 6).alias("score"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("tpr", 6).alias("tpr"),
+    )
+
+
+SQL_ROC_POINTS = f"""
+WITH preds AS ({SQL_PREDS}),
+tot AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS P,
+         sum(CASE WHEN label <> 1 THEN 1 ELSE 0 END) AS N
+  FROM preds
+),
+cum AS (
+  SELECT score,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         count(*) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM preds
+),
+collapsed AS (
+  SELECT score, max(cum_tp) AS tp, max(cum_n) AS n FROM cum GROUP BY score
+)
+SELECT round(score, 6) AS score,
+       round(CAST(n - tp AS DOUBLE) / (SELECT N FROM tot), 6) AS fpr,
+       round(CAST(tp AS DOUBLE) / (SELECT P FROM tot), 6) AS tpr
+FROM collapsed
+"""
+
+
+# --- reference-parity ML pipelines (rows-only: training isn't SQL) --------------
+
+def _synthetic_tweets(spark: SparkSession, sf: str) -> DataFrame:
+    """tweets_clean-shaped frame derived from documents: label from doc_id
+    parity, text as-is (already word-like)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("label"), F.col("text")
+    ).filter(F.length("text") > 0)
+
+
+def q_ml_logistic_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer→StopWords→HashingTF→IDF→LR at reference hyperparameters
+    (reference model_logistic_regression.py:88-176), evaluated with the
+    distributed metrics — returns one metrics row."""
+    from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+    cfg = ML.PipelineConfig(num_features=2**16)  # smaller dims for test scale
+    _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "lr", cfg)
+    return spark.createDataFrame(
+        [(round(m["accuracy"], 6), round(m["f1"], 6), round(m["roc_auc"], 6), m["test_rows"])],
+        "accuracy double, f1 double, roc_auc double, test_rows bigint",
+    )
+
+
+def q_ml_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial NB pipeline (reference model_naive_bayes.py:61-107)."""
+    from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+    cfg = ML.PipelineConfig(num_features=2**16)
+    _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "nb", cfg)
+    return spark.createDataFrame(
+        [(round(m["accuracy"], 6), round(m["f1"], 6), m["test_rows"])],
+        "accuracy double, f1 double, test_rows bigint",
+    )
+
+
+def q_ml_linear_svc(spark: SparkSession, sf: str) -> DataFrame:
+    """LinearSVC pipeline (reference model_svm.py:90-177)."""
+    from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+    cfg = ML.PipelineConfig(num_features=2**16, max_iter=10)
+    _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "svm", cfg)
+    return spark.createDataFrame(
+        [(round(m["accuracy"], 6), round(m["f1"], 6), m["test_rows"])],
+        "accuracy double, f1 double, test_rows bigint",
+    )
+
+
+QUERIES = {
+    "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
+    "accuracy": (q_accuracy, SQL_ACCURACY),
+    "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "roc_points": (q_roc_points, SQL_ROC_POINTS),
+    "ml_logistic_regression": (q_ml_logistic_regression, None),
+    "ml_naive_bayes": (q_ml_naive_bayes, None),
+    "ml_linear_svc": (q_ml_linear_svc, None),
+}

@@ -1,0 +1,210 @@
+"""Temporal / streaming-shaped queries over ``events``: event-time windows
+(tumbling, sliding, session), as-of join, streaming dedup — each as a batch
+plan with a DuckDB oracle, plus true Structured Streaming executions
+(rows-only checks) proving the same function bodies run incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators.asof import asof_join
+from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "events")
+
+
+# --- tumbling windows -----------------------------------------------------------
+
+def q_tumbling_events(spark: SparkSession, sf: str) -> DataFrame:
+    out = SJ.tumbling_counts(_events(spark, sf), "1 hour")
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_TUMBLING_EVENTS = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{SQL_TS_FMT}') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- sliding windows --------------------------------------------------------------
+
+def q_sliding_events(spark: SparkSession, sf: str) -> DataFrame:
+    out = SJ.sliding_counts(_events(spark, sf), "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "n_events",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+# every event belongs to exactly width/slide = 2 sliding windows whose starts
+# are the two most recent 30-minute grid points
+SQL_SLIDING_EVENTS = f"""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start,
+         value
+  FROM events
+)
+SELECT strftime(window_start, '{SQL_TS_FMT}') AS window_start,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM expanded
+GROUP BY 1
+"""
+
+
+# --- session windows ----------------------------------------------------------------
+
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    out = SJ.sessionize_batch(_events(spark, sf), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        F.date_format("session_end", TS_FMT).alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '{SQL_TS_FMT}') AS session_start,
+       strftime(max(ts), '{SQL_TS_FMT}') AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+# --- as-of join -------------------------------------------------------------------------
+
+def q_asof_purchase_signup(spark: SparkSession, sf: str) -> DataFrame:
+    """Each purchase matched to the user's most recent prior signup."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["signup_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("signup_event_id_matched"), F.lit(-1)).cast("bigint").alias(
+            "signup_event_id"
+        ),
+        F.coalesce(F.date_format("ts_matched", TS_FMT), F.lit("none")).alias("signup_ts"),
+    )
+
+
+SQL_ASOF_PURCHASE_SIGNUP = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts, event_id AS signup_event_id FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id,
+       CAST(coalesce(s.signup_event_id, -1) AS BIGINT) AS signup_event_id,
+       coalesce(strftime(s.ts, '{SQL_TS_FMT}'), 'none') AS signup_ts
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# --- streaming dedup (batch twin) ----------------------------------------------------------
+
+def q_event_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on event_id — batch twin of dropDuplicatesWithinWatermark.
+
+    The testdata has unique event_ids, so this degenerates to identity —
+    we synthesize duplicates by unioning a shifted copy to prove semantics.
+    """
+    ev = _events(spark, sf).select("event_id", "event_type")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_EVENT_DEDUP = """
+SELECT event_type, count(*) AS n FROM (
+  SELECT DISTINCT event_id, event_type FROM (
+    SELECT event_id, event_type FROM events
+    UNION ALL
+    SELECT event_id, event_type FROM events
+  )
+)
+GROUP BY event_type
+"""
+
+
+# --- true Structured Streaming executions (rows-only) ----------------------------------------
+
+def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Runs the SAME tumbling_counts body as a real incremental stream
+    (file source, availableNow trigger, memory sink) — proves the plan is
+    streaming-executable; values are checked by the batch twin above."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    agg = SJ.tumbling_counts(SJ.with_watermark(stream, "1 hour"))
+    SJ.run_stream_to_memory(agg, "stream_tumbling", timeout_s=120)
+    return spark.table("stream_tumbling").select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Native streaming session_window execution (rows-only check)."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    agg = SJ.session_counts(SJ.with_watermark(stream, "1 hour"), gap="30 minutes")
+    SJ.run_stream_to_memory(agg, "stream_sessions", timeout_s=120)
+    return spark.table("stream_sessions").select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        "n_events",
+    )
+
+
+QUERIES = {
+    "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),
+    "sliding_events": (q_sliding_events, SQL_SLIDING_EVENTS),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_SIGNUP),
+    "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
+    "streaming_tumbling": (q_streaming_tumbling, None),
+    "streaming_sessions": (q_streaming_sessions, None),
+}

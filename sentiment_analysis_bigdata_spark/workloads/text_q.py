@@ -1,0 +1,376 @@
+"""Text-operator queries (SURVEY §2.2 F1-F8, §2.6 M1-M6 oracle twins, plus
+north-star text analysis) over the ``documents`` table, each with a DuckDB
+oracle that reimplements the identical semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+from sentiment_analysis_bigdata_spark.operators import features as FE
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+# SQL fragments shared by the oracles -----------------------------------------
+
+# tokenize_nonempty(text): lowercase, split \s+, drop empties
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _sql_stoplist() -> str:
+    words = ", ".join("'" + w.replace("'", "''") + "'" for w in TXT.ENGLISH_STOPWORDS)
+    return f"[{words}]"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+# --- F1-F8: the clean chain ---------------------------------------------------
+
+def q_clean_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select("doc_id", TXT.clean_text("text").alias("clean_text"))
+
+
+SQL_CLEAN_DOCUMENTS = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(text),
+           '@[A-Za-z0-9_]+', '', 'g'),
+           'https?://\S+', '', 'g'),
+           '#', '', 'g'),
+           '[^a-zA-Z\s]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+# --- M1: tokenize + explode + count (the flagship shape) ----------------------
+
+def q_token_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return (
+        docs.select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+SQL_TOKEN_TOPK = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# --- M2: stopword removal ------------------------------------------------------
+
+def q_token_topk_nostop(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    toks = TXT.remove_stopwords(TXT.tokenize_nonempty("text"))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+SQL_TOKEN_TOPK_NOSTOP = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(list_filter({SQL_TOKS}, t -> NOT list_contains({_sql_stoplist()}, t))) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# --- M5: n-grams -----------------------------------------------------------------
+
+def q_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    grams = TXT.ngrams(TXT.tokenize_nonempty("text"), 2)
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+SQL_BIGRAM_TOPK = f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents)
+SELECT bigram, count(*) AS n
+FROM (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks WHERE len(l) >= 2)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+# --- M4: document frequency + IDF -------------------------------------------------
+
+def q_doc_frequency_idf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    out = FE.idf_weights(docs, min_doc_freq=5)
+    return out.select("term", "df", F.round("idf", 6).alias("idf"))
+
+
+SQL_DOC_FREQUENCY_IDF = f"""
+WITH doc_terms AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS term FROM documents
+),
+dfreq AS (SELECT term, count(*) AS df FROM doc_terms GROUP BY term),
+m AS (SELECT count(*) AS m FROM documents)
+SELECT term, df,
+       round(CASE WHEN df >= 5 THEN ln((m + 1.0) / (df + 1.0)) ELSE 0.0 END, 6) AS idf
+FROM dfreq, m
+"""
+
+
+# --- M3×M4: TF-IDF long form --------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    out = FE.tf_idf(docs, min_doc_freq=5)
+    return (
+        out.select("doc_id", "term", "tf", F.round("tf_idf", 6).alias("tf_idf"))
+        .orderBy(F.col("tf_idf").desc(), F.col("doc_id").asc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(l)) AS term FROM toks)
+  GROUP BY term
+),
+m AS (SELECT count(*) AS m FROM documents)
+SELECT doc_id, term, tf,
+       round(tf * (CASE WHEN df >= 5 THEN ln((m + 1.0) / (df + 1.0)) ELSE 0.0 END), 6) AS tf_idf
+FROM tf JOIN dfreq USING (term), m
+ORDER BY tf_idf DESC, doc_id ASC, term ASC
+LIMIT 50
+"""
+
+
+# --- M6: CountVectorizer vocabulary ----------------------------------------------------
+
+def q_countvec_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    vocab = FE.count_vectorizer_vocab(docs, vocab_size=100, min_df=5)
+    return vocab.select("term", F.col("index").cast("int").alias("index"), "total", "df")
+
+
+SQL_COUNTVEC_VOCAB = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+counts AS (
+  SELECT term, count(*) AS total
+  FROM (SELECT unnest(l) AS term FROM toks) GROUP BY term
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(l)) AS term FROM toks) GROUP BY term
+)
+SELECT term, CAST(row_number() OVER (ORDER BY total DESC, term ASC) - 1 AS INTEGER) AS index,
+       total, df
+FROM counts JOIN dfreq USING (term)
+WHERE df >= 5
+ORDER BY total DESC, term ASC
+LIMIT 100
+"""
+
+
+# --- text analysis: counting / quality / lang-id / stats ---------------------------------
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.word_like_token_count("text").alias("n_bpeish"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select("doc_id", F.round(TXT.quality_score("text"), 4).alias("quality"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+         {SQL_TOKS} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         0.4 * least(n / 200.0, 1.0)
+         + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+         + 0.3 * (CASE WHEN len(toks) > 0
+                       THEN least(CAST(len(list_filter(toks, t -> list_contains({_sql_stoplist()}, t))) AS DOUBLE)
+                                  / len(toks) * 3.0, 1.0)
+                       ELSE 0.0 END), 4) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select("doc_id", TXT.lang_id("text").alias("lang_guess"))
+
+
+def _sql_lang_markers(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TXT._LANG_MARKERS[lang])
+    return f"[{words}]"
+
+
+SQL_LANG_ID = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+scores AS (
+  SELECT doc_id,
+         unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang2,
+         unnest([
+           len(list_filter(toks, t -> list_contains({_sql_lang_markers('de')}, t))),
+           len(list_filter(toks, t -> list_contains({_sql_lang_markers('en')}, t))),
+           len(list_filter(toks, t -> list_contains({_sql_lang_markers('es')}, t))),
+           len(list_filter(toks, t -> list_contains({_sql_lang_markers('fr')}, t))),
+           len(list_filter(toks, t -> list_contains({_sql_lang_markers('zh')}, t)))
+         ]) AS hits
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, lang2, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang2 ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN hits > 0 THEN lang2 ELSE 'und' END AS lang_guess
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 distributed re-expression: per-language length stats."""
+    docs = _docs(spark, sf)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        F.min(F.length("text")).cast("int").alias("min_len"),
+        F.max(F.length("text")).cast("int").alias("max_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(length(text)), 6) AS avg_len,
+       CAST(min(length(text)) AS INTEGER) AS min_len,
+       CAST(max(length(text)) AS INTEGER) AS max_len
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_label_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2 shape: group-by count over a categorical column."""
+    docs = _docs(spark, sf)
+    return docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_LABEL_DISTRIBUTION = "SELECT source, count(*) AS n FROM documents GROUP BY source"
+
+
+# --- fingerprint / exact dedup ----------------------------------------------------------
+
+def q_fingerprint_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.duplicate_clusters(_docs(spark, sf))
+
+
+SQL_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+SQL_FINGERPRINT_CLUSTERS = f"""
+SELECT {SQL_FP} AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf)).select("doc_id", "lang", "source")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY {SQL_FP}
+)
+"""
+
+
+# --- multimodal payload stats (binary column plumbing) -----------------------------------
+
+def q_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_payload(_docs(spark, sf))
+    return MM.payload_stats(docs).select("doc_id", "byte_len", "sha256")
+
+
+SQL_PAYLOAD_STATS = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+QUERIES = {
+    "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "doc_frequency_idf": (q_doc_frequency_idf, SQL_DOC_FREQUENCY_IDF),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "countvec_vocab": (q_countvec_vocab, SQL_COUNTVEC_VOCAB),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),
+    "fingerprint_clusters": (q_fingerprint_clusters, SQL_FINGERPRINT_CLUSTERS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "payload_stats": (q_payload_stats, SQL_PAYLOAD_STATS),
+}

@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01 (configurable), compares row count, column names, and an
+order-insensitive value comparison (rows sorted by all columns, floats to
+reasonable precision). Usage:
+
+    python tools/check_correctness.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then rows; stringify with float rounding."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v:.9g}")
+            elif v is None:
+                vals.append("␀")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_bigdata_spark import get_spark
+
+    spark = get_spark("correctness-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    selected = args.queries or list(qs)
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name in selected:
+        if name not in qs:
+            print(f"  {name}: UNKNOWN")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        ok = True
+        msgs = []
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if ok:
+            _, s_norm = normalize([tuple(r) for r in srows], scols)
+            _, d_norm = normalize(drows, dcols)
+            if s_norm != d_norm:
+                ok = False
+                diff = [
+                    (a, b) for a, b in zip(s_norm, d_norm) if a != b
+                ][:3]
+                msgs.append(f"values differ; first diffs: {diff}")
+        if ok:
+            print(f"✓ {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"✗ {name}: {'; '.join(msgs)}")
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
