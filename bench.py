@@ -1,0 +1,92 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The set spans every operator family (scan+agg, joins, windows, set ops,
+text, TF-IDF, sketches, ANN, temporal) so a regression anywhere shows up;
+ML training queries are excluded (minutes-scale, measured by tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "customer_order_stats",
+    "top_orders_per_customer",
+    "running_total_per_user",
+    "rollup_geo",
+    "distinct_agg",
+    # text / features
+    "clean_documents",
+    "token_topk_nostop",
+    "tfidf_top_terms",
+    "countvec_vocab",
+    "text_quality",
+    "lang_id",
+    # dedup / sketches / similarity
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash_signatures",
+    "embedding_near_dup",
+    "ann_bruteforce",
+    "ann_lsh",
+    # temporal
+    "tumbling_events",
+    "session_windows",
+    "asof_purchase_signup",
+    # evaluation
+    "roc_points",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_bigdata_spark import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,12 +158,15 @@ def hashing_tf_indices(
     tokens_col: str = "tokens",
     num_features: int = 2**18,
 ) -> DataFrame:
-    """HashingTF twin (M3): (doc_id, bucket, tf) with Spark's own Murmur3
-    term hashing (``F.hash`` is the same Murmur3-x86-32 the ML stage uses,
-    seed 42, non-negative mod num_features).
+    """HashingTF twin (M3): (doc_id, bucket, tf) — dimension-bucketed term
+    frequencies via SQL Murmur3 (``F.hash``, seed 42) mod num_features.
 
-    Not DuckDB-comparable (different hash) — verified in-Spark against the
-    MLlib stage instead (tests/test_features.py).
+    Note: ML's HashingTF hashes strings with Murmur3 ``hashUnsafeBytes2``
+    while SQL ``hash()`` uses ``hashUnsafeBytes``, so bucket ids differ from
+    the ML stage for some terms; the semantics (stable hash → non-negative
+    mod N → per-doc counts) are identical, and per-doc count multisets match
+    (tests/test_features.py). Pipelines needing byte-parity with persisted
+    reference models use the real ML stage (operators.ml).
     """
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term"))

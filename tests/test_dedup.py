@@ -1,0 +1,111 @@
+"""Dedup-operator tests: planted duplicates/near-duplicates must be found;
+survivor choice must be deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import hashing as H
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  Quick Brown Fox jumps over the lazy dog"),  # case/space dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_survivor_is_min_id(docs):
+    out = sorted(r["doc_id"] for r in DD.exact_dedup(docs).collect())
+    assert out == [0, 2, 3]  # 1 and 4 collapse into 0
+
+
+def test_duplicate_clusters(docs):
+    clusters = DD.duplicate_clusters(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["n_docs"] == 3 and clusters[0]["min_doc_id"] == 0
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c"]), (1, ["a", "b", "c"]), (2, ["x", "y"])],
+        "doc_id long, toks array<string>",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", H.minhash_signature("toks", 8).alias("sig")).collect()
+    }
+    assert sigs[0] == sigs[1] != sigs[2]
+
+
+def test_minhash_signature_is_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c"]), (1, ["c", "a", "b"])], "doc_id long, toks array<string>"
+    )
+    sigs = [r["sig"] for r in df.select(H.minhash_signature("toks", 8).alias("sig")).collect()]
+    assert sigs[0] == sigs[1]
+
+
+def test_minhash_near_duplicates_finds_planted_pair(docs):
+    out = DD.minhash_near_duplicates(docs, threshold=0.5, num_hashes=16, bands=8)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    # the exact/normalized dups (0,1,4) must pair up; near-dup (0,2) has
+    # jaccard 8/10 and should be caught with 8 bands of r=2
+    assert (0, 4) in pairs and (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>"
+    )
+    j = df.select(DD.jaccard_similarity(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert j == pytest.approx(2 / 4)
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(0, "same text here"), (1, "same text here"), (2, "totally other words")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_simhash_near_duplicates(docs):
+    out = DD.simhash_near_duplicates(docs, max_hamming=20, bands=4)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs  # identical token streams
+    ham = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    assert ham[(0, 4)] == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame([(0, 2), (0, 3)], "a long, b long")
+    out = {(r["a"], r["b"]): r["jaccard"] for r in DD.ngram_jaccard_pairs(docs, pairs, n=2).collect()}
+    assert out[(0, 2)] > 0.5  # one word differs → most bigrams shared
+    assert out[(0, 3)] == 0.0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.5, 0.2, 0.1] * 2),
+        (1, [1.0, 0.5, 0.2, 0.1001] * 2),  # ~identical
+        (2, [-1.0, 0.4, -0.3, 0.2] * 2),  # different bucket
+        (3, [0.9, 0.6, 0.1, 0.2] * 2),  # same bucket, similar-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = DD.embedding_near_duplicates(emb, threshold=0.999, n_bits=4)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)

@@ -1,0 +1,102 @@
+"""Distributed-evaluation parity tests (SURVEY A5-A9, FIXTURES §6):
+hand-computed expectations on tiny frames + parity with the MLlib
+evaluators the reference used, including tied scores (§7.4 risk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import evaluation as EV
+
+# 20-row (label, prediction) frame with a hand-computed 2×2 matrix
+PRED_ROWS = (
+    [(1, 1)] * 7 + [(1, 0)] * 3 + [(0, 0)] * 6 + [(0, 1)] * 4
+)
+
+
+@pytest.fixture(scope="module")
+def preds(spark):
+    return spark.createDataFrame(PRED_ROWS, "label int, prediction int")
+
+
+def test_confusion_matrix_counts(preds):
+    cm = {(r["label"], r["prediction"]): r["n"] for r in EV.confusion_matrix(preds).collect()}
+    assert cm == {(1, 1): 7, (1, 0): 3, (0, 0): 6, (0, 1): 4}
+
+
+def test_confusion_matrix_pivot(preds):
+    rows = EV.confusion_matrix_pivot(preds).collect()
+    assert [r["label"] for r in rows] == [0, 1]
+    assert rows[0]["0"] == 6 and rows[0]["1"] == 4
+    assert rows[1]["0"] == 3 and rows[1]["1"] == 7
+
+
+def test_accuracy(preds):
+    assert EV.accuracy(preds) == pytest.approx(13 / 20)
+
+
+def test_classification_report(preds):
+    rep = {r["label"]: r for r in EV.classification_report(preds).collect()}
+    # class 1: tp=7, fp=4, fn=3 → p=7/11, r=7/10
+    assert rep[1]["tp"] == 7 and rep[1]["fp"] == 4 and rep[1]["fn"] == 3
+    assert rep[1]["precision"] == pytest.approx(7 / 11)
+    assert rep[1]["recall"] == pytest.approx(7 / 10)
+    assert rep[0]["support"] == 10
+
+
+def test_weighted_f1_matches_mllib(spark, preds):
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    d = preds.select(
+        F.col("label").cast("double").alias("label"),
+        F.col("prediction").cast("double").alias("prediction"),
+    )
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="f1"
+    )
+    assert EV.weighted_f1(preds) == pytest.approx(ev.evaluate(d), abs=1e-12)
+
+
+AUC_ROWS = [  # includes tied scores — the §7.4 parity risk
+    (1, 0.9), (0, 0.9), (1, 0.8), (1, 0.7), (0, 0.7), (0, 0.7),
+    (1, 0.5), (0, 0.4), (1, 0.3), (0, 0.1),
+]
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    return spark.createDataFrame(AUC_ROWS, "label int, score double")
+
+
+def test_roc_auc_matches_mllib_with_ties(spark, scored):
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    d = scored.select(
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.array(1 - F.col("score"), F.col("score"))).alias("rawPrediction"),
+    )
+    ev = BinaryClassificationEvaluator(metricName="areaUnderROC")
+    assert EV.roc_auc(scored, score_col="score") == pytest.approx(
+        ev.evaluate(d), abs=1e-9
+    )
+
+
+def test_roc_auc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
+    )
+    assert EV.roc_auc(perfect, score_col="score") == pytest.approx(1.0)
+    inverted = spark.createDataFrame(
+        [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)], "label int, score double"
+    )
+    assert EV.roc_auc(inverted, score_col="score") == pytest.approx(0.0)
+
+
+def test_roc_points_monotone(scored):
+    pts = EV.roc_points(scored, score_col="score").orderBy(F.col("score").desc()).collect()
+    fprs = [r["fpr"] for r in pts]
+    tprs = [r["tpr"] for r in pts]
+    assert fprs == sorted(fprs) and tprs == sorted(tprs)
+    assert fprs[-1] == pytest.approx(1.0) and tprs[-1] == pytest.approx(1.0)

@@ -1,0 +1,132 @@
+"""Feature-operator tests: the oracle twins must match the MLlib stages
+bit-for-bit where the semantics overlap (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import features as FE
+
+CORPUS = [
+    (0, ["spark", "big", "data", "spark"]),
+    (1, ["spark", "small", "data"]),
+    (2, ["hash", "join", "spark"]),
+    (3, ["window", "sort", "data"]),
+    (4, []),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, tokens array<string>")
+
+
+def test_term_frequencies(docs):
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in FE.term_frequencies(docs).collect()}
+    assert rows[(0, "spark")] == 2
+    assert rows[(1, "data")] == 1
+    assert (4, "spark") not in rows
+
+
+def test_document_frequencies(docs):
+    dfreq = {r["term"]: r["df"] for r in FE.document_frequencies(docs).collect()}
+    assert dfreq["spark"] == 3  # docs 0,1,2 — doc 0 counts once despite tf=2
+    assert dfreq["data"] == 3
+
+
+def test_idf_formula_matches_mllib(spark, docs):
+    """Our long-form IDF must equal the IDF the MLlib estimator fits."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    # wide hash space so no bucket collisions perturb document frequencies
+    htf = HashingTF(inputCol="tokens", outputCol="raw", numFeatures=2**18)
+    feat = htf.transform(docs)
+    model = IDF(inputCol="raw", outputCol="out", minDocFreq=0).fit(feat)
+    mllib_idf = model.idf.toArray()
+
+    ours = {r["term"]: r["idf"] for r in FE.idf_weights(docs, min_doc_freq=0).collect()}
+    # map each term through HashingTF's bucket and compare
+    from pyspark.ml.feature import HashingTF as HTF
+
+    for term, idf_val in ours.items():
+        bucket = htf.indexOf(term)
+        assert mllib_idf[bucket] == pytest.approx(idf_val, abs=1e-12), term
+
+
+def test_idf_min_doc_freq_zeroes(docs):
+    out = {r["term"]: r["idf"] for r in FE.idf_weights(docs, min_doc_freq=3).collect()}
+    assert out["hash"] == 0.0  # df=1 < 3
+    assert out["spark"] > 0.0  # df=3
+
+
+def test_tf_idf_values(docs):
+    out = {
+        (r["doc_id"], r["term"]): r["tf_idf"] for r in FE.tf_idf(docs).collect()
+    }
+    m = 5
+    expected = 2 * math.log((m + 1) / (3 + 1))  # spark in doc 0: tf=2, df=3
+    assert out[(0, "spark")] == pytest.approx(expected, abs=1e-12)
+
+
+def test_count_vectorizer_vocab_tiebreak(docs):
+    vocab = FE.count_vectorizer_vocab(docs, vocab_size=3, min_df=1).collect()
+    # counts: spark=4, data=3, then ties at 1 broken by term asc
+    assert [r["term"] for r in vocab[:2]] == ["spark", "data"]
+    assert vocab[2]["term"] == "big"  # alphabetically first among count-1 terms
+    assert [r["index"] for r in vocab] == [0, 1, 2]
+
+
+def test_count_vectorize_matches_mllib(spark, docs):
+    from pyspark.ml.feature import CountVectorizer
+
+    cv = CountVectorizer(inputCol="tokens", outputCol="vec", vocabSize=10, minDF=1).fit(docs)
+    mllib = {r["doc_id"]: r["vec"] for r in cv.transform(docs).collect()}
+    vocab_idx = {t: i for i, t in enumerate(cv.vocabulary)}
+
+    vocab = FE.count_vectorizer_vocab(docs, vocab_size=10, min_df=1)
+    ours = {
+        r["doc_id"]: r["term_counts"] for r in FE.count_vectorize(docs, vocab).collect()
+    }
+    our_vocab = {r["term"]: r["index"] for r in vocab.collect()}
+    for doc_id, vec in mllib.items():
+        got = ours.get(doc_id, {})
+        # same multiset of (term, count) pairs, modulo index permutation on ties
+        mllib_counts = {}
+        arr = vec.toArray()
+        for t, i in vocab_idx.items():
+            if arr[i] > 0:
+                mllib_counts[t] = int(arr[i])
+        our_counts = {}
+        inv = {v: k for k, v in our_vocab.items()}
+        for idx, n in got.items():
+            our_counts[inv[idx]] = int(n)
+        assert mllib_counts == our_counts, doc_id
+
+
+def test_hashing_tf_semantics_match_mllib(spark, docs):
+    """The twin's per-doc count multiset must equal the ML stage's (bucket
+    ids differ: ML uses murmur3 hashUnsafeBytes2, SQL hash() the v1 tail
+    handling — same algorithm family, different string tail mixing)."""
+    from pyspark.ml.feature import HashingTF
+
+    htf = HashingTF(inputCol="tokens", outputCol="vec", numFeatures=2**18)
+    mllib = {r["doc_id"]: r["vec"] for r in htf.transform(docs).collect()}
+    ours = FE.hashing_tf_indices(docs, num_features=2**18).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in ours:
+        got.setdefault(r["doc_id"], {})[r["bucket"]] = int(r["tf"])
+    for doc_id, vec in mllib.items():
+        arr = vec.toArray()
+        expected = sorted(int(v) for v in arr if v > 0)
+        assert sorted(got.get(doc_id, {}).values()) == expected, doc_id
+        # buckets in range and deterministic
+        assert all(0 <= b < 2**18 for b in got.get(doc_id, {}))
+
+
+def test_hashing_tf_deterministic(docs):
+    a = sorted(map(tuple, FE.hashing_tf_indices(docs, num_features=1024).collect()))
+    b = sorted(map(tuple, FE.hashing_tf_indices(docs, num_features=1024).collect()))
+    assert a == b

@@ -1,0 +1,59 @@
+"""Streaming tests: the same transformation bodies must produce identical
+results run incrementally (file stream, availableNow) and as one batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = SJ.tumbling_counts(load_table(spark, sf_dir, "events")).collect()
+
+    stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = SJ.tumbling_counts(SJ.with_watermark(stream, "1 hour"))
+    SJ.run_stream_to_memory(agg, "t_tumbling", timeout_s=120)
+    streamed = spark.table("t_tumbling").collect()
+
+    assert _norm(streamed) == _norm(batch)
+
+
+def test_streaming_session_window_equals_batch_twin(spark, sf_dir):
+    """session_window (streaming-native) vs lag/cumsum batch twin: same
+    (user, start, end, n) session sets."""
+    ev = load_table(spark, sf_dir, "events")
+    native = SJ.session_counts(ev, gap="30 minutes").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    twin = SJ.sessionize_batch(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end").alias("last_event"),
+        "n_events",
+    )
+    n_rows = [
+        (r["user_id"], r["session_start"], r["n_events"]) for r in native.collect()
+    ]
+    t_rows = [(r["user_id"], r["session_start"], r["n_events"]) for r in twin.collect()]
+    assert sorted(n_rows) == sorted(t_rows)
+
+
+def test_streaming_dedup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    assert SJ.dedup_within_watermark(doubled).count() == ev.count()
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    """Each event lands in exactly width/slide sliding windows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = SJ.sliding_counts(ev, "1 hour", "30 minutes")
+    total_in_windows = out.agg(F.sum("n_events")).first()[0]
+    assert total_in_windows == 2 * ev.count()

@@ -1,0 +1,144 @@
+"""Unit tests for the text expression library (SURVEY §5.3: tiny in-memory
+frames, exact expected rows; golden (raw, clean) pairs per FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "text string").select(expr.alias("v")).first()["v"]
+
+
+class TestCleanChain:
+    # golden pairs exercising every regex in the reference chain
+    # (reference preprocessing.py:100-106)
+    CASES = [
+        ("Hello @user check https://x.co #cool 123!!", "hello check cool"),
+        ("@OnlyMention http://t.co/abc 42!!!", ""),  # becomes empty → filtered later
+        ("  UPPER   lower\tMiXeD  ", "upper lower mixed"),
+        ("#hash#tags keep words", "hashtags keep words"),
+        ("emoji 😀 and punct!?", "emoji and punct"),
+        ("", ""),
+    ]
+
+    def test_golden_pairs(self, spark):
+        for raw, expected in self.CASES:
+            assert _one(spark, raw, TXT.clean_text("text")) == expected, raw
+
+    def test_urls_http_and_https(self, spark):
+        assert _one(spark, "a http://x.co/1 b https://y.io/2 c", TXT.clean_text("text")) == "a b c"
+
+
+class TestNormalizeLabel:
+    def test_four_to_one(self, spark):
+        df = spark.createDataFrame([(0,), (4,), (2,)], "sentiment int")
+        out = [r["label"] for r in df.select(TXT.normalize_label("sentiment").alias("label")).collect()]
+        assert out == [0, 1, 0]
+
+
+class TestTokenize:
+    def test_ml_tokenizer_empty_string_edge(self, spark):
+        # ML Tokenizer fidelity (SURVEY §7.6): "" → [""]
+        assert _one(spark, "", TXT.tokenize("text")) == [""]
+
+    def test_nonempty_variant_drops_empties(self, spark):
+        assert _one(spark, "  a  b ", TXT.tokenize_nonempty("text")) == ["a", "b"]
+        assert _one(spark, "", TXT.tokenize_nonempty("text")) == []
+
+    def test_lowercases(self, spark):
+        assert _one(spark, "Foo BAR", TXT.tokenize("text")) == ["foo", "bar"]
+
+
+class TestStopwords:
+    def test_preserves_order_and_duplicates(self, spark):
+        df = spark.createDataFrame([(["the", "cat", "the", "cat", "sat"],)], "toks array<string>")
+        out = df.select(TXT.remove_stopwords("toks").alias("v")).first()["v"]
+        assert out == ["cat", "cat", "sat"]  # array_except would have deduped
+
+    def test_case_insensitive(self, spark):
+        df = spark.createDataFrame([(["The", "CAT"],)], "toks array<string>")
+        assert df.select(TXT.remove_stopwords("toks").alias("v")).first()["v"] == ["CAT"]
+
+    def test_list_matches_reference_metadata(self):
+        # frozen from the serialized StopWordsRemover stage (181 words)
+        assert len(TXT.ENGLISH_STOPWORDS) == 181
+        assert "i'll" in TXT.ENGLISH_STOPWORDS and "would" in TXT.ENGLISH_STOPWORDS
+
+
+class TestNgrams:
+    def test_bigrams(self, spark):
+        df = spark.createDataFrame([(["a", "b", "c"],)], "toks array<string>")
+        assert df.select(TXT.ngrams("toks", 2).alias("v")).first()["v"] == ["a b", "b c"]
+
+    def test_short_array_yields_empty(self, spark):
+        df = spark.createDataFrame([(["a"],), ([],)], "toks array<string>")
+        rows = df.select(TXT.ngrams("toks", 2).alias("v")).collect()
+        assert rows[0]["v"] == [] and rows[1]["v"] == []
+
+    def test_trigram_matches_ml_ngram(self, spark):
+        from pyspark.ml.feature import NGram
+
+        df = spark.createDataFrame(
+            [(["x", "y", "z", "w"],), (["x"],)], "toks array<string>"
+        )
+        ml = NGram(n=3, inputCol="toks", outputCol="ml").transform(df)
+        both = ml.withColumn("ours", TXT.ngrams("toks", 3)).collect()
+        for r in both:
+            assert r["ml"] == r["ours"]
+
+
+class TestCountsAndQuality:
+    def test_token_count(self, spark):
+        assert _one(spark, "one two  three", TXT.token_count("text")) == 3
+
+    def test_word_like_token_count(self, spark):
+        # 'ab' '12' 'c' '!' → 4 pieces
+        assert _one(spark, "ab 12 c!", TXT.word_like_token_count("text")) == 4
+
+    def test_quality_bounds(self, spark):
+        for t in ["", "x", "the cat sat on the mat and looked at the dog", "!!!! ####"]:
+            q = _one(spark, t, TXT.quality_score("text"))
+            assert 0.0 <= q <= 1.0, t
+
+    def test_prose_beats_junk(self, spark):
+        prose = "the cat sat on the mat and it was a very good day for all of them"
+        junk = "zzz 123 @@@ ### !!!"
+        assert _one(spark, prose, TXT.quality_score("text")) > _one(
+            spark, junk, TXT.quality_score("text")
+        )
+
+
+class TestFingerprint:
+    def test_normalization_collides(self, spark):
+        df = spark.createDataFrame(
+            [("Hello  World",), ("hello world ",)], "text string"
+        )
+        fps = [r["fp"] for r in df.select(TXT.fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_different_texts_differ(self, spark):
+        df = spark.createDataFrame([("abc",), ("abd",)], "text string")
+        fps = [r["fp"] for r in df.select(TXT.fingerprint("text").alias("fp")).collect()]
+        assert fps[0] != fps[1]
+
+
+class TestLangId:
+    def test_obvious_languages(self, spark):
+        cases = {
+            "the cat is in the house and it is small": "en",
+            "el perro y la casa de los grandes": "es",
+            "der hund und die katze ist nicht da": "de",
+        }
+        for text, lang in cases.items():
+            assert _one(spark, text, TXT.lang_id("text")) == lang, text
+
+    def test_unknown(self, spark):
+        assert _one(spark, "zzzz qqqq wwww", TXT.lang_id("text")) == "und"
+
+    def test_scores_map(self, spark):
+        m = _one(spark, "the the el", TXT.lang_scores("text"))
+        assert m["en"] == 2 and m["es"] == 1
