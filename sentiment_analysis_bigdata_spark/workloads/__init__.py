@@ -16,13 +16,14 @@ from sentiment_analysis_bigdata_spark.workloads import (
     dedup_sim,
     evaluation_q,
     relational_q,
+    relational_q2,
     temporal_q,
     text_q,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational_q, text_q, dedup_sim, temporal_q, evaluation_q]
+_MODULES = [relational_q, relational_q2, text_q, dedup_sim, temporal_q, evaluation_q]
 
 
 def all_queries() -> dict[str, SparkQuery]:

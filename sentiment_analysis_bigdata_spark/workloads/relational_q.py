@@ -27,7 +27,8 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
 # --- Q1: pricing summary (TPC-H Q1 shape: scan → filter → agg) -------------
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+    # selective predicate (testdata dates span 1995-2001) — pushes to the scan
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -61,7 +62,7 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -72,11 +73,13 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # no forced broadcast on the customer side: it's dim-sized here but grows
+    # with SF — Catalyst/AQE picks broadcast-hash while it fits the threshold
+    # and degrades to shuffle join beyond, which is the right call at 100 TB
     joined = R.join(
         R.join(li, orders, F.col("l_orderkey") == F.col("o_orderkey")),
         cust,
         F.col("o_custkey") == F.col("c_custkey"),
-        broadcast_right=True,
     )
     rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -120,8 +123,9 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         broadcast_right=True,
     ).select("c_custkey", "n_name", "r_name")
     facts = R.join(li, orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    # geo (customer-sized) is NOT force-broadcast — AQE decides by size
     return (
-        R.join(facts, geo, F.col("o_custkey") == F.col("c_custkey"), broadcast_right=True)
+        R.join(facts, geo, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
