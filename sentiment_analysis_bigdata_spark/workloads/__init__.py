@@ -17,13 +17,22 @@ from sentiment_analysis_bigdata_spark.workloads import (
     evaluation_q,
     relational_q,
     relational_q2,
+    relational_q3,
     temporal_q,
     text_q,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational_q, relational_q2, text_q, dedup_sim, temporal_q, evaluation_q]
+_MODULES = [
+    relational_q,
+    relational_q2,
+    relational_q3,
+    text_q,
+    dedup_sim,
+    temporal_q,
+    evaluation_q,
+]
 
 
 def all_queries() -> dict[str, SparkQuery]:
