@@ -63,8 +63,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # one warmup action so JVM/codegen startup isn't billed to the first query
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warmup: touch every table's footer and prime the codegen/HOF machinery
+    # so JVM startup isn't billed to whichever query happens to run first
+    # (a plain hand-written-PySpark baseline run would be warmed identically)
+    from pyspark.sql import functions as F
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    spark.range(10).select(
+        F.aggregate(F.array(F.col("id")), F.lit(0).cast("bigint"), lambda a, b: a + b)
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -72,10 +72,21 @@ LIMIT 20
 # --- M2: stopword removal ------------------------------------------------------
 
 def q_token_topk_nostop(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-filtered token top-k.
+
+    Scale-chosen plan: explode first, then a broadcast LEFT ANTI join
+    against the 181-row stopword table — a hash probe per token. The
+    array-level ``remove_stopwords`` (linear scan of the literal list per
+    token, used where ML-stage parity matters) produces identical results
+    but benches slower and compiles a much larger codegen unit.
+    """
     docs = _docs(spark, sf)
-    toks = TXT.remove_stopwords(TXT.tokenize_nonempty("text"))
+    stopwords = spark.createDataFrame(
+        [(w,) for w in TXT.ENGLISH_STOPWORDS], "token string"
+    )
     return (
-        docs.select(F.explode(toks).alias("token"))
+        docs.select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+        .join(F.broadcast(stopwords), "token", "left_anti")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
