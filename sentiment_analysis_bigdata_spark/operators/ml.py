@@ -134,8 +134,12 @@ def train_and_evaluate(
 
     The scored test frame is cached once and reused by all metrics
     (the reference recomputed the transform lineage 5×, SURVEY §3).
-    NB uses ``probability`` for the score (like LR); SVC has no probability
-    column so ``rawPrediction`` margin is used (reference model_svm.py:283).
+
+    ROC-AUC uses ``rawPrediction[1]`` for ALL models — the reference's
+    metrics JSONs come from ``BinaryClassificationEvaluator`` with its
+    default rawPrediction column (model_*.py:196-204), which for NB yields
+    the miscalibrated ~0.53 AUC (BASELINE.md caveat: reproduce, don't
+    "fix" by switching to the normalized probability).
     """
     cfg = cfg or PipelineConfig()
     train, test = df.randomSplit(list(cfg.split), seed=cfg.seed)
@@ -144,8 +148,7 @@ def train_and_evaluate(
     try:
         from pyspark.ml.functions import vector_to_array
 
-        score_col = "rawPrediction" if model == "svm" else "probability"
-        with_score = scored.withColumn("score", vector_to_array(F.col(score_col))[1])
+        with_score = scored.withColumn("score", vector_to_array(F.col("rawPrediction"))[1])
         metrics = {
             "accuracy": evaluation.accuracy(scored, cfg.label_col, "prediction"),
             "f1": evaluation.weighted_f1(scored, cfg.label_col, "prediction"),

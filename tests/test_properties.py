@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+arbitrary inputs, batched into single DataFrames so each property costs one
+Spark job, not one per example."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import hashing as H
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=TEXTS)
+def test_clean_text_invariants(spark, texts):
+    """clean_text output is always lowercase [a-z ], single-spaced, trimmed
+    (the invariants the reference's sink contract relies on, FIXTURES §2)."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(TXT.clean_text("text").alias("c")).collect()
+    for r in out:
+        c = r["c"]
+        assert c == c.strip()
+        assert "  " not in c
+        assert all(ch.islower() or ch == " " for ch in c), repr(c)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=5), max_size=20),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_ngram_count_property(spark, toks, n):
+    """len(ngrams(t, n)) == max(0, len(t) - n + 1)."""
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    out = df.select(F.size(TXT.ngrams("toks", n)).alias("k")).first()["k"]
+    assert out == max(0, len(toks) - n + 1)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    a=st.sets(st.text(alphabet="abcdefghij", min_size=1, max_size=4), min_size=1, max_size=15),
+    b=st.sets(st.text(alphabet="abcdefghij", min_size=1, max_size=4), min_size=1, max_size=15),
+)
+def test_minhash_estimates_jaccard(spark, a, b):
+    """Expected band-agreement of MinHash signatures tracks true Jaccard:
+    identical sets → identical signatures; disjoint sets (almost surely)
+    differ; agreement fraction within a loose statistical band otherwise."""
+    true_j = len(a & b) / len(a | b)
+    df = spark.createDataFrame(
+        [(0, sorted(a)), (1, sorted(b))], "doc_id long, toks array<string>"
+    )
+    sigs = [
+        r["sig"]
+        for r in df.orderBy("doc_id")
+        .select(H.minhash_signature("toks", 32).alias("sig"))
+        .collect()
+    ]
+    agree = sum(x == y for x, y in zip(*sigs)) / 32
+    if true_j == 1.0:
+        assert agree == 1.0
+    else:
+        # 32 hashes → sd ≈ sqrt(j(1-j)/32) ≤ 0.09; allow 4 sd
+        assert abs(agree - true_j) < 0.4
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    labels=st.lists(st.integers(min_value=0, max_value=1), min_size=4, max_size=40).filter(
+        lambda ls: 0 < sum(ls) < len(ls)
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_roc_auc_monotone_invariance(spark, labels, seed):
+    """AUC is invariant under strictly monotone score transforms and
+    complements to 1 − AUC under score negation."""
+    import random
+
+    from sentiment_analysis_bigdata_spark.operators import evaluation as EV
+
+    rng = random.Random(seed)
+    rows = [(y, rng.random() + 0.5 * y) for y in labels]
+    df = spark.createDataFrame(rows, "label int, score double")
+    auc = EV.roc_auc(df, score_col="score")
+    df2 = df.withColumn("score", F.exp(F.col("score") * 3))  # strictly monotone
+    assert EV.roc_auc(df2, score_col="score") == pytest.approx(auc, abs=1e-9)
+    df3 = df.withColumn("score", -F.col("score"))
+    assert EV.roc_auc(df3, score_col="score") == pytest.approx(1 - auc, abs=1e-9)
+    assert 0.0 <= auc <= 1.0
+
+
+def test_nb_auc_uses_rawprediction(spark):
+    """Reference parity (BASELINE.md NB caveat): AUC must come from the NB
+    rawPrediction ordering, exactly matching BinaryClassificationEvaluator —
+    including when that ordering is miscalibrated vs probability."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+    rows = []
+    for i in range(300):
+        label = i % 2
+        words = ("good nice fine" if label else "bad poor sad").split()
+        rows.append((label, " ".join(words[: 1 + i % 3] + [f"w{i % 23}", f"v{i % 7}"])))
+    df = spark.createDataFrame(rows, "label int, text string")
+
+    cfg = ML.PipelineConfig(num_features=2**10)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    fitted = ML.build_pipeline("nb", cfg).fit(train)
+    scored = fitted.transform(test)
+    expected = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(scored)
+
+    _, metrics = ML.train_and_evaluate(df, "nb", cfg)
+    assert metrics["roc_auc"] == pytest.approx(expected, abs=1e-9)
