@@ -18,6 +18,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q,
     relational_q2,
     relational_q3,
+    scale_q,
     temporal_q,
     text_q,
 )
@@ -32,6 +33,7 @@ _MODULES = [
     dedup_sim,
     temporal_q,
     evaluation_q,
+    scale_q,
 ]
 
 

@@ -1,0 +1,149 @@
+"""Scale-mechanism tests: salted aggregation/join equivalence, bucketed
+co-located joins (zero-Exchange plans), stateful streaming EWMA."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import skew
+from sentiment_analysis_bigdata_spark.plans import explain
+from sentiment_analysis_bigdata_spark.sources import bucketing, load_table
+
+
+class TestSaltedAgg:
+    def test_equivalent_to_direct_groupby(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        direct = {
+            (r["l_returnflag"],): (r["n"], r["s"])
+            for r in li.groupBy("l_returnflag")
+            .agg(F.count("l_quantity").alias("n"), F.sum("l_quantity").alias("s"))
+            .collect()
+        }
+        salted = {
+            (r["l_returnflag"],): (r["n"], r["s"])
+            for r in skew.salted_agg(
+                li,
+                ["l_returnflag"],
+                {"n": ("l_quantity", "count"), "s": ("l_quantity", "sum")},
+                salt=8,
+            ).collect()
+        }
+        assert salted == direct
+
+    def test_minmax(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 1), ("b", 7)], "k string, v int"
+        )
+        out = {
+            r["k"]: (r["lo"], r["hi"])
+            for r in skew.salted_agg(
+                df, ["k"], {"lo": ("v", "min"), "hi": ("v", "max")}, salt=4
+            ).collect()
+        }
+        assert out == {"a": (1, 5), "b": (7, 7)}
+
+    def test_rejects_non_decomposable(self, spark):
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(ValueError):
+            skew.salted_agg(df, ["k"], {"m": ("v", "avg")})
+
+
+class TestSaltedJoin:
+    def test_equivalent_to_direct_join(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+        supp = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_name"
+        )
+        direct = (
+            li.join(supp, "l_suppkey")
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        salted = (
+            skew.salted_join_left_skewed(li, supp, "l_suppkey", salt=4)
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+class TestBucketing:
+    @pytest.fixture(scope="class")
+    def bucketed(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_orderkey", "okey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "okey"
+        )
+        bucketing.write_bucketed(orders, "orders_b", "okey", num_buckets=4)
+        bucketing.write_bucketed(li, "lineitem_b", "okey", num_buckets=4)
+        yield "orders_b", "lineitem_b"
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+    def test_cobucketed_join_has_no_shuffle(self, spark, bucketed):
+        lt, rt = bucketed
+        # at test scale the planner would broadcast (also shuffle-free but
+        # proves nothing about bucketing) — force the big-big join path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketing.cobucketed_join(spark, lt, rt, "okey")
+            plan = explain.formatted_plan(j)
+            assert "SortMergeJoin" in plan, plan
+            # co-located buckets: a sort-merge join with ZERO shuffle
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "ShuffleExchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_join_result_matches_unbucketed(self, spark, sf_dir, bucketed):
+        lt, rt = bucketed
+        bucketed_n = bucketing.cobucketed_join(spark, lt, rt, "okey").count()
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        plain_n = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert bucketed_n == plain_n
+
+
+class TestStatefulEwma:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+        from sentiment_analysis_bigdata_spark.streaming import stateful
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = {
+            r["user_id"]: (r["n_events"], r["ewma"])
+            for r in stateful.ewma_batch(ev).collect()
+        }
+
+        stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+        out = stateful.ewma_stateful(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_ewma")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode emits one row per user per batch; keep the last emission
+        streamed_rows = spark.sql(
+            "SELECT user_id, n_events, ewma FROM t_ewma"
+        ).collect()
+        latest = {}
+        for r in streamed_rows:
+            prev = latest.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                latest[r["user_id"]] = (r["n_events"], r["ewma"])
+
+        assert set(latest) == set(batch)
+        for uid, (n, ewma) in batch.items():
+            sn, sewma = latest[uid]
+            assert sn == n
+            assert sewma == pytest.approx(ewma, rel=1e-9)
