@@ -15,6 +15,21 @@ from pyspark.sql import types as T
 from sentiment_analysis_bigdata_spark import schemas
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's semantics depend on.
+
+    The correctness driver passes its OWN SparkSession (built without our
+    ``get_spark`` factory), so anything load-bearing must be (re)applied
+    here, idempotently, on every table load:
+    - ``nanosAsLong``: the testdata's events.ts is INT64 TIMESTAMP(NANOS),
+      unreadable by Spark 4 otherwise;
+    - session timezone UTC: timestamp→string formatting must match the
+      oracle's naive strftime regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table from ``{sf_dir}/{name}.parquet``.
 
@@ -24,6 +39,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TESTDATA_TABLES)}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
     # long (session flag spark.sql.legacy.parquet.nanosAsLong); convert to a

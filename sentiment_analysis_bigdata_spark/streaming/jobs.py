@@ -36,6 +36,9 @@ def read_events_stream(
 
     from pyspark.sql import types as T
 
+    from sentiment_analysis_bigdata_spark.sources.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     if os.path.isfile(path):
         staged = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(path, os.path.join(staged, os.path.basename(path)))
