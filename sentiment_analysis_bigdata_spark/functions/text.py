@@ -170,6 +170,25 @@ def quality_score(col: Column | str) -> Column:
     return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * sw_ratio
 
 
+def rolling_hash(col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash of a string: h = fold(h*B + codepoint) mod M.
+
+    The classic Rabin-Karp document fingerprint — order-sensitive (unlike a
+    token-set hash) and incrementally computable. Pure expressions:
+    transform chars → codepoints, left-fold with modular multiply. M < 2^31
+    keeps every intermediate under 2^63 (h*131 + 1114111 < 2^39).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c))
+    codes = F.transform(idx, lambda i: F.ascii(c.substr(i, F.lit(1))).cast("bigint"))
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, code: F.pmod(h * F.lit(base) + code, F.lit(mod)),
+    )
+    return F.when(F.length(c) > 0, folded).otherwise(F.lit(0).cast("bigint"))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -353,6 +353,38 @@ WHERE doc_id IN (
 
 # --- multimodal payload stats (binary column plumbing) -----------------------------------
 
+def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (order-sensitive)."""
+    docs = _docs(spark, sf)
+    return docs.select("doc_id", TXT.rolling_hash("text").alias("rhash"))
+
+
+SQL_ROLLING_FINGERPRINT = """
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                                 (h, c) -> (h * 131 + c) % 2147483647), 0) AS BIGINT) AS rhash
+FROM chars
+"""
+
+
+def q_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based aggregates (HLL count-distinct, KLL-ish percentile) —
+    implementation-specific estimates, so rows-only; the estimation-error
+    band is unit-tested instead (tests/test_text.py-adjacent)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median_price"),
+    )
+
+
 def q_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
@@ -383,5 +415,7 @@ QUERIES = {
     "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),
     "fingerprint_clusters": (q_fingerprint_clusters, SQL_FINGERPRINT_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "approx_aggregates": (q_approx_aggregates, None),
     "payload_stats": (q_payload_stats, SQL_PAYLOAD_STATS),
 }
