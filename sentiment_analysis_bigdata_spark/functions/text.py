@@ -85,14 +85,32 @@ def normalize_label(sentiment: Column | str, positive_value: int = 4) -> Column:
 
 
 def tokenize(col: Column | str) -> Column:
-    """ML ``Tokenizer`` semantics: lowercase, split on ``\\s+`` (M1).
+    """Practical tokenizer (M1): lowercase, split on ``\\s+``.
 
-    Edge-case fidelity (SURVEY §7.6): like ML's Tokenizer, an empty string
-    yields ``[""]``; callers filter empties downstream (the reference's
-    length filter at preprocessing.py:108 removes most such rows first).
+    On the reference's cleaned text (single-spaced, trimmed — invariants of
+    the clean chain) this is identical to ML ``Tokenizer``; on raw
+    multi-whitespace text it differs (``\\s+`` collapses runs, Java
+    ``split("\\s")`` emits interior empty tokens). ``tokenize_ml_exact``
+    reproduces the ML stage bit-for-bit when raw-text parity matters.
+    Like ML's Tokenizer, an empty string yields ``[""]``.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.lower(c), RE_MULTISPACE)
+
+
+def tokenize_ml_exact(col: Column | str) -> Column:
+    """Exact ML ``Tokenizer`` twin (SURVEY §7.6): Java ``split("\\s")``
+    semantics — split on SINGLE whitespace (interior empty tokens kept),
+    trailing empty tokens dropped, ``"" → [""]``.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    arr = F.split(c, r"\s", -1)
+    nonempty_idx = F.filter(
+        F.sequence(F.lit(1), F.size(arr)), lambda i: F.element_at(arr, i) != ""
+    )
+    k = F.when(F.size(nonempty_idx) > 0, F.array_max(nonempty_idx)).otherwise(F.lit(0))
+    trimmed = F.when(k > 0, F.slice(arr, 1, k)).otherwise(F.array().cast("array<string>"))
+    return F.when(F.length(c) == 0, F.array(F.lit(""))).otherwise(trimmed)
 
 
 def tokenize_nonempty(col: Column | str) -> Column:

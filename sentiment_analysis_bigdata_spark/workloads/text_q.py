@@ -353,6 +353,25 @@ WHERE doc_id IN (
 
 # --- multimodal payload stats (binary column plumbing) -----------------------------------
 
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of text lengths — the distributed data source
+    for the reference's driver-side histogram/boxplot charts
+    (reference preprocessing.py:72-84,125-145): bin = floor(len/50)*50."""
+    docs = _docs(spark, sf)
+    bin_ = (F.floor(F.length("text") / 50) * 50).cast("bigint")
+    return (
+        docs.groupBy(bin_.alias("len_bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(length(text) / 50) * 50 AS BIGINT) AS len_bin, count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint per document (order-sensitive)."""
     docs = _docs(spark, sf)
@@ -415,6 +434,7 @@ QUERIES = {
     "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),
     "fingerprint_clusters": (q_fingerprint_clusters, SQL_FINGERPRINT_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "approx_aggregates": (q_approx_aggregates, None),
     "payload_stats": (q_payload_stats, SQL_PAYLOAD_STATS),

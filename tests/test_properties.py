@@ -101,6 +101,23 @@ def test_roc_auc_monotone_invariance(spark, labels, seed):
     assert 0.0 <= auc <= 1.0
 
 
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS)
+def test_tokenize_ml_exact_matches_ml_tokenizer(spark, texts):
+    """The exact twin must equal ML Tokenizer on ARBITRARY input — interior
+    empty tokens from whitespace runs, trailing-empty dropping, ''→['']
+    (SURVEY §7.6)."""
+    from pyspark.ml.feature import Tokenizer
+
+    # force the hard cases into every run alongside the random ones
+    texts = texts + ["a  b", "  lead", "trail  ", "", " ", "a\tb\nc"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    ml = Tokenizer(inputCol="text", outputCol="ml_toks").transform(df)
+    both = ml.withColumn("ours", TXT.tokenize_ml_exact("text")).collect()
+    for r in both:
+        assert r["ml_toks"] == r["ours"], repr(r["text"])
+
+
 def test_nb_auc_uses_rawprediction(spark):
     """Reference parity (BASELINE.md NB caveat): AUC must come from the NB
     rawPrediction ordering, exactly matching BinaryClassificationEvaluator —
