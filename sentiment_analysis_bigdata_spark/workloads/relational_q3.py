@@ -150,6 +150,124 @@ FROM customer
 """
 
 
+# --- date arithmetic family -----------------------------------------------------------
+
+def q_date_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """datediff / date_add / months_between / dayofweek over order dates."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("int").alias("days_to_y2k"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.round(F.months_between(F.lit("2000-01-01").cast("date"), d), 4).alias("months_to_y2k"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )
+
+
+SQL_DATE_ARITHMETIC = """
+SELECT o_orderkey,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       round(CASE WHEN day(CAST(o_orderdate AS DATE)) = day(DATE '2000-01-01')
+                  THEN datediff('month', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                  ELSE datediff('month', date_trunc('month', CAST(o_orderdate AS DATE)),
+                                date_trunc('month', DATE '2000-01-01'))
+                       + (day(DATE '2000-01-01') - day(CAST(o_orderdate AS DATE))) / 31.0
+             END, 4) AS months_to_y2k,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr
+FROM orders
+WHERE o_orderkey % 7 = 0
+"""
+
+
+def q_fillna_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """na.fill / na.replace handling over a derived nullable column."""
+    ev = _t(spark, sf, "events")
+    with_nulls = ev.withColumn(
+        "maybe", F.when(F.col("value") > 150, F.col("value"))
+    )
+    filled = with_nulls.na.fill({"maybe": -1.0})
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("maybe"), 4).alias("sum_filled"),
+        F.sum((F.col("maybe") == -1.0).cast("bigint")).alias("n_defaulted"),
+    )
+
+
+SQL_FILLNA_AGGREGATES = """
+SELECT event_type, count(*) AS n,
+       round(sum(coalesce(CASE WHEN value > 150 THEN value END, -1.0)), 4) AS sum_filled,
+       CAST(sum(CASE WHEN coalesce(CASE WHEN value > 150 THEN value END, -1.0) = -1.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_first_last_window(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value over an explicit full-partition frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+SQL_FIRST_LAST_WINDOW = """
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame-sampling plan (JVM-side sequence/explode fan-out):
+    pseudo-durations derived from n_chars, one row per sampled frame."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    media = MM.attach_payload(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ),
+    )
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
+SQL_FRAME_SAMPLING = """
+SELECT doc_id, count(*) AS n_frames, CAST(max(ts) AS BIGINT) AS last_frame_ms
+FROM (
+  SELECT doc_id, unnest(range(0, n_chars * 10 + 1, 1000)) AS ts
+  FROM documents WHERE doc_id < 50
+)
+GROUP BY doc_id
+"""
+
+
 # --- reference-parity n-gram ML pipeline (rows-only) ----------------------------------
 
 def q_ml_lr_ngram(spark: SparkSession, sf: str) -> DataFrame:
@@ -175,5 +293,9 @@ QUERIES = {
     "regexp_extract": (q_regexp_extract, SQL_REGEXP_EXTRACT),
     "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
     "conditional_functions": (q_conditional_functions, SQL_CONDITIONAL_FUNCTIONS),
+    "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITHMETIC),
+    "fillna_aggregates": (q_fillna_aggregates, SQL_FILLNA_AGGREGATES),
+    "first_last_window": (q_first_last_window, SQL_FIRST_LAST_WINDOW),
+    "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "ml_lr_ngram": (q_ml_lr_ngram, None),
 }

@@ -111,6 +111,33 @@ class TestBucketing:
         assert bucketed_n == plain_n
 
 
+class TestPartitionedWrite:
+    def test_partition_pruning(self, spark, sf_dir, tmp_path):
+        """Directory-partitioned parquet + an equality filter on the
+        partition key → the scan lists only the matching directory."""
+        from sentiment_analysis_bigdata_spark.sources import write_parquet
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = str(tmp_path / "docs_by_lang")
+        write_parquet(docs, out, partition_by=["lang"])
+
+        back = spark.read.parquet(out)
+        q = back.filter(F.col("lang") == "en").select("doc_id")
+        plan = explain.formatted_plan(q)
+        # partition filter applied at planning; data filters empty
+        assert "PartitionFilters" in plan
+        assert q.count() == docs.filter("lang = 'en'").count()
+
+    def test_round_trip_identical(self, spark, sf_dir, tmp_path):
+        from sentiment_analysis_bigdata_spark.sources import write_parquet
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = str(tmp_path / "docs_rt")
+        write_parquet(docs, out, partition_by=["lang"])
+        back = spark.read.parquet(out).select(*docs.columns)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
 class TestStatefulEwma:
     def test_stream_equals_batch(self, spark, sf_dir):
         from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
