@@ -24,6 +24,24 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return load_table(spark, sf, name)
 
 
+def money_sum(expr) -> F.Column:
+    """Order-independent money sum: per-row round to integer cents (both
+    engines see identical input bits → identical cents), exact BIGINT sum,
+    divide back to dollars.
+
+    A plain ``sum(double)`` depends on partial-aggregation order; with
+    thousands of addends the ~1e-9 jitter occasionally straddles a 2-decimal
+    rounding boundary and flips the last cent between engines/runs. SQL twin:
+    ``sum(CAST(round(expr * 100) AS BIGINT)) / 100.0``.
+    """
+    return F.sum(F.round(expr * 100).cast("bigint")) / 100.0
+
+
+# SQL fragment mirroring money_sum
+def sql_money_sum(expr: str) -> str:
+    return f"sum(CAST(round(({expr}) * 100) AS BIGINT)) / 100.0"
+
+
 # --- Q1: pricing summary (TPC-H Q1 shape: scan → filter → agg) -------------
 
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
@@ -33,12 +51,12 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(money_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(
-                F.sum(
+                money_sum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                 ),
                 2,
@@ -54,9 +72,9 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -82,7 +100,7 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey") == F.col("c_custkey"),
     )
     rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     return R.top_k(
         rev, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10
@@ -96,7 +114,7 @@ def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TOP_REVENUE_ORDERS = """
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -128,7 +146,7 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         R.join(facts, geo, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -138,7 +156,7 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -157,7 +175,7 @@ def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     orders = _t(spark, sf, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.round(money_sum(F.col("o_totalprice")), 2).alias("total_spent"),
     )
     return (
         R.join(cust, per_cust, F.col("c_custkey") == F.col("o_custkey"), how="left")
@@ -176,7 +194,8 @@ SELECT c_custkey, c_mktsegment,
        round(coalesce(total_spent, 0.0), 2) AS total_spent
 FROM customer
 LEFT JOIN (
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS total_spent
     FROM orders GROUP BY o_custkey
 ) ON c_custkey = o_custkey
 """
@@ -414,7 +433,7 @@ def q_rollup_geo(spark: SparkSession, sf: str) -> DataFrame:
             geo,
             ["r_name", "n_name"],
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(money_sum(F.col("c_acctbal")), 2).alias("sum_acctbal"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
@@ -429,7 +448,7 @@ SQL_ROLLUP_GEO = """
 SELECT coalesce(r_name, 'ALL') AS r_name,
        coalesce(n_name, 'ALL') AS n_name,
        count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS sum_acctbal
+       round(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) / 100.0, 2) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -519,7 +538,7 @@ def q_case_when_bands(spark: SparkSession, sf: str) -> DataFrame:
         orders.withColumn("band", band)
         .filter(F.col("o_orderstatus") != "X")
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(money_sum(F.col("o_totalprice")), 2).alias("total"))
     )
 
 
@@ -527,7 +546,8 @@ SQL_CASE_WHEN_BANDS = """
 SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
             WHEN o_totalprice < 50000 THEN 'medium'
             ELSE 'large' END AS band,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n,
+       round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS total
 FROM orders
 WHERE o_orderstatus <> 'X'
 GROUP BY 1
@@ -560,7 +580,10 @@ def q_orders_monthly(spark: SparkSession, sf: str) -> DataFrame:
         orders.withColumn("month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"))
         .withColumn("year", F.year("o_orderdate").cast("int"))
         .groupBy("year", "month")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("monthly_total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(money_sum(F.col("o_totalprice")), 2).alias("monthly_total"),
+        )
     )
 
 
@@ -568,7 +591,7 @@ SQL_ORDERS_MONTHLY = """
 SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS year,
        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS monthly_total
+       round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS monthly_total
 FROM orders
 GROUP BY 1, 2
 """
@@ -621,12 +644,13 @@ def q_scalar_subquery_avg(spark: SparkSession, sf: str) -> DataFrame:
     avg_qty = li.agg(F.avg("l_quantity")).first()[0]
     return li.filter(F.col("l_quantity") > F.lit(avg_qty) * 1.5).agg(
         F.count(F.lit(1)).alias("n_above"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price_above"),
+        F.round(money_sum(F.col("l_extendedprice")), 2).alias("price_above"),
     )
 
 
 SQL_SCALAR_SUBQUERY_AVG = """
-SELECT count(*) AS n_above, round(sum(l_extendedprice), 2) AS price_above
+SELECT count(*) AS n_above,
+       round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS price_above
 FROM lineitem
 WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.5
 """

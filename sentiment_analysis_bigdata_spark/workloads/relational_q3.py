@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.workloads.relational_q import money_sum
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -54,7 +55,7 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D, 2) AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -65,7 +66,7 @@ SQL_GROUPING_SETS = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -183,6 +184,60 @@ WHERE o_orderkey % 7 = 0
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between supplier-nation and
+    customer-nation pairs per year — the same dimension table joined twice
+    under different aliases (Catalyst attribute disambiguation), two fact
+    joins, and a multi-key aggregation."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    return (
+        j.filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 def q_fillna_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     """na.fill / na.replace handling over a derived nullable column."""
     ev = _t(spark, sf, "events")
@@ -293,6 +348,7 @@ QUERIES = {
     "regexp_extract": (q_regexp_extract, SQL_REGEXP_EXTRACT),
     "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
     "conditional_functions": (q_conditional_functions, SQL_CONDITIONAL_FUNCTIONS),
+    "nation_trade_volume": (q_nation_trade_volume, SQL_NATION_TRADE_VOLUME),
     "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITHMETIC),
     "fillna_aggregates": (q_fillna_aggregates, SQL_FILLNA_AGGREGATES),
     "first_last_window": (q_first_last_window, SQL_FIRST_LAST_WINDOW),
