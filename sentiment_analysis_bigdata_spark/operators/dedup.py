@@ -90,16 +90,25 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) sharing ≥1 LSH band bucket.
 
     The self-join shuffles on (band, band_key) — bucket-local, never O(n²).
     Hot buckets (boilerplate docs) are the skew risk at 100 TB; AQE skew
-    join handles moderate cases, and a bucket-size cap filter is applied
-    (buckets larger than ``max_bucket`` are dropped as degenerate — the
-    standard production guard).
+    join handles moderate cases. ``max_bucket`` (off by default — dropping
+    data silently is a policy decision) caps degenerate buckets: buckets
+    with more members are excluded from candidate generation, the standard
+    production guard against quadratic blowup on boilerplate.
     """
     b = minhash_bands(df, tokens_col, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        sizes = b.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__bn"))
+        b = (
+            b.join(sizes, ["band", "band_key"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -129,6 +138,7 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: tokens/shingles → signatures →
     banded candidates → exact Jaccard verify ≥ threshold.
@@ -142,7 +152,9 @@ def minhash_near_duplicates(
         else TXT.tokenize_nonempty(text_col)
     )
     base = df.select(F.col(id_col).alias("doc_id"), F.array_distinct(toks).alias("toks"))
-    cands = minhash_candidate_pairs(base, F.col("toks"), "doc_id", num_hashes, bands)
+    cands = minhash_candidate_pairs(
+        base, F.col("toks"), "doc_id", num_hashes, bands, max_bucket=max_bucket
+    )
     a = base.select(F.col("doc_id").alias("a"), F.col("toks").alias("a_toks"))
     b = base.select(F.col("doc_id").alias("b"), F.col("toks").alias("b_toks"))
     return (

@@ -323,6 +323,59 @@ GROUP BY doc_id
 """
 
 
+# --- nested correlated subqueries -------------------------------------------------------
+
+def q_cheapest_part_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: parts whose price is the minimum within their brand
+    (correlated min-subquery, decorrelated to a window in the Spark plan)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+SQL_CHEAPEST_PART_PER_BRAND = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def q_nested_semijoin_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped small parts in 1996 —
+    a two-level nested IN chain expressed as chained semi joins."""
+    part = _t(spark, sf, "part").filter(F.col("p_size") < 10)
+    li = _t(spark, sf, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    supp = _t(spark, sf, "supplier")
+    shipped_small = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
+    return supp.join(
+        shipped_small.select(F.col("l_suppkey").alias("s_suppkey")),
+        "s_suppkey",
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+SQL_NESTED_SEMIJOIN_CHAIN = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE extract(year FROM l_shipdate) = 1996
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+)
+"""
+
+
 # --- reference-parity n-gram ML pipeline (rows-only) ----------------------------------
 
 def q_ml_lr_ngram(spark: SparkSession, sf: str) -> DataFrame:
@@ -349,6 +402,8 @@ QUERIES = {
     "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
     "conditional_functions": (q_conditional_functions, SQL_CONDITIONAL_FUNCTIONS),
     "nation_trade_volume": (q_nation_trade_volume, SQL_NATION_TRADE_VOLUME),
+    "cheapest_part_per_brand": (q_cheapest_part_per_brand, SQL_CHEAPEST_PART_PER_BRAND),
+    "nested_semijoin_chain": (q_nested_semijoin_chain, SQL_NESTED_SEMIJOIN_CHAIN),
     "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITHMETIC),
     "fillna_aggregates": (q_fillna_aggregates, SQL_FILLNA_AGGREGATES),
     "first_last_window": (q_first_last_window, SQL_FIRST_LAST_WINDOW),

@@ -64,6 +64,21 @@ def test_minhash_near_duplicates_finds_planted_pair(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """With every doc identical, all docs share all buckets: max_bucket
+    below the corpus size must yield zero candidate pairs."""
+    df = spark.createDataFrame(
+        [(i, ["same", "text", "everywhere"]) for i in range(10)],
+        "doc_id long, toks array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    uncapped = DD.minhash_candidate_pairs(df, F.col("toks"), "doc_id", 8, 4)
+    assert uncapped.count() == 45  # all 10-choose-2 pairs
+    capped = DD.minhash_candidate_pairs(df, F.col("toks"), "doc_id", 8, 4, max_bucket=5)
+    assert capped.count() == 0
+
+
 def test_jaccard_values(spark):
     df = spark.createDataFrame(
         [(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>"
