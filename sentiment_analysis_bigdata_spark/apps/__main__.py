@@ -39,6 +39,10 @@ def main() -> None:
     c.add_argument("--metrics-dir", required=True)
     c.add_argument("--out")
 
+    from sentiment_analysis_bigdata_spark.apps import corpus
+
+    corpus.register_cli(sub)
+
     args = ap.parse_args()
     if args.cmd == "compare":
         print(json.dumps(workflow.compare_models(args.metrics_dir, args.out), indent=2))
@@ -47,7 +51,9 @@ def main() -> None:
     spark = get_spark(f"app-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
     try:
-        if args.cmd == "preprocess":
+        if args.cmd in ("corpus-clean", "corpus-dedup"):
+            out = corpus.run_cli(spark, args)
+        elif args.cmd == "preprocess":
             out = workflow.preprocess(
                 spark,
                 args.input,

@@ -1,0 +1,142 @@
+"""Corpus-pipeline entry points: the north-star LLM-data operations as a
+usable batch pipeline over a parquet corpus with a ``text`` column.
+
+    python -m sentiment_analysis_bigdata_spark.apps corpus-clean \
+        --input docs.parquet --output out/ [--min-quality 0.3] [--langs en,es]
+    python -m sentiment_analysis_bigdata_spark.apps corpus-dedup \
+        --input docs.parquet --output out/ --method exact|minhash|simhash \
+        [--threshold 0.8]
+
+``corpus-clean`` annotates every document (tokens, quality, language,
+fingerprint) and filters by quality/language — one narrow pass, no shuffle.
+``corpus-dedup`` drops exact duplicates, then (for the near-dup methods)
+removes the higher-id member of every verified near-dup pair.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import text as TXT
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+from sentiment_analysis_bigdata_spark.sources import write_parquet
+
+
+def annotate_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the text-analysis signal columns every curation step reads."""
+    return df.withColumns(
+        {
+            "n_tokens": TXT.token_count(text_col),
+            "quality": TXT.quality_score(text_col),
+            "lang_guess": TXT.lang_id(text_col),
+            "fingerprint": TXT.fingerprint(text_col),
+        }
+    )
+
+
+def clean_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    langs: list[str] | None = None,
+) -> dict[str, Any]:
+    """Annotate + filter a corpus; returns before/after counts per filter."""
+    df = spark.read.parquet(input_path)
+    ann = annotate_corpus(df, text_col).cache()
+    try:
+        total = ann.count()
+        kept = ann.filter(
+            (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+        )
+        if langs:
+            kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+        n_kept = kept.count()
+        write_parquet(kept, output_path)
+    finally:
+        ann.unpersist()
+    return {"rows_in": total, "rows_out": n_kept, "dropped": total - n_kept}
+
+
+def dedup_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+) -> dict[str, Any]:
+    """Deduplicate a corpus: always exact first, then optional near-dup.
+
+    Near-dup survivor policy: for each verified (a, b) pair with a < b, the
+    HIGHER id is removed (anti-join) — deterministic and idempotent.
+    """
+    df = spark.read.parquet(input_path)
+    total = df.count()
+    exact = DD.exact_dedup(df, text_col, id_col)
+
+    if method == "exact":
+        survivors = exact
+    elif method == "minhash":
+        pairs = DD.minhash_near_duplicates(
+            exact, text_col, id_col, threshold=threshold
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        survivors = exact.join(losers, id_col, "left_anti")
+    elif method == "simhash":
+        pairs = DD.simhash_near_duplicates(
+            exact, text_col, id_col, max_hamming=max_hamming
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        survivors = exact.join(losers, id_col, "left_anti")
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    n_out = survivors.count()
+    write_parquet(survivors, output_path)
+    return {"rows_in": total, "rows_out": n_out, "removed": total - n_out, "method": method}
+
+
+def register_cli(sub) -> None:
+    """Attach corpus subcommands to the apps argparse tree."""
+    c = sub.add_parser("corpus-clean", help="annotate + quality/lang filter a corpus")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--min-quality", type=float, default=0.0)
+    c.add_argument("--min-tokens", type=int, default=1)
+    c.add_argument("--langs", help="comma-separated allowlist, e.g. en,es")
+
+    d = sub.add_parser("corpus-dedup", help="exact/near dedup of a corpus")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", default="exact", choices=["exact", "minhash", "simhash"])
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--max-hamming", type=int, default=3)
+
+
+def run_cli(spark: SparkSession, args) -> dict[str, Any]:
+    if args.cmd == "corpus-clean":
+        return clean_corpus(
+            spark,
+            args.input,
+            args.output,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            langs=args.langs.split(",") if args.langs else None,
+        )
+    return dedup_corpus(
+        spark,
+        args.input,
+        args.output,
+        method=args.method,
+        threshold=args.threshold,
+        max_hamming=args.max_hamming,
+    )

@@ -133,7 +133,7 @@ def ivf_topk(
     is one narrow pass (at scale: persisted, partitioned by list id).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")

@@ -1,0 +1,72 @@
+"""Corpus-pipeline (LLM-data curation) end-to-end tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiment_analysis_bigdata_spark.apps import corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and it was a good day for all"),
+        (1, "the quick brown fox jumps over the lazy dog and it was a good day for all"),  # exact dup
+        (2, "The  Quick brown fox jumps over the lazy dog and it was a good day for all"),  # norm dup
+        (3, "the quick brown fox jumps over the lazy cat and it was a good day for all"),  # near dup
+        (4, "el perro y el gato en la casa de los grandes y un dia por una"),
+        (5, "zz"),  # low quality, short
+        (6, "completely different text about the spark engine and all of the data in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("corpus") / "docs.parquet")
+    df.write.parquet(path)
+    return path
+
+
+def test_annotate(spark, corpus_parquet):
+    df = spark.read.parquet(corpus_parquet)
+    ann = corpus.annotate_corpus(df)
+    row = {r["doc_id"]: r for r in ann.collect()}
+    assert row[0]["n_tokens"] == len(
+        "the quick brown fox jumps over the lazy dog and it was a good day for all".split()
+    )
+    assert row[0]["lang_guess"] == "en"
+    assert row[4]["lang_guess"] == "es"
+    assert row[0]["fingerprint"] == row[2]["fingerprint"]  # normalized collision
+
+
+def test_clean_corpus(spark, corpus_parquet, tmp_path):
+    out = str(tmp_path / "clean")
+    stats = corpus.clean_corpus(
+        spark, corpus_parquet, out, min_quality=0.3, min_tokens=3, langs=["en"]
+    )
+    assert stats["rows_in"] == 7
+    kept = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert 5 not in ids  # low quality dropped
+    assert 4 not in ids  # spanish dropped by lang filter
+    assert 0 in ids and 6 in ids
+    assert stats["rows_out"] == len(ids)
+
+
+@pytest.mark.parametrize(
+    "method,expect_removed_near",
+    [("exact", False), ("minhash", True), ("simhash", True)],
+)
+def test_dedup_corpus(spark, corpus_parquet, tmp_path, method, expect_removed_near):
+    out = str(tmp_path / f"dedup_{method}")
+    stats = corpus.dedup_corpus(
+        spark, corpus_parquet, out, method=method, threshold=0.6, max_hamming=12
+    )
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # exact/normalized dups (1, 2) always collapse into 0
+    assert 1 not in kept and 2 not in kept and 0 in kept
+    if expect_removed_near:
+        assert 3 not in kept  # near-dup of 0 removed by sketch methods
+    else:
+        assert 3 in kept
+    assert stats["rows_out"] == len(kept)
+    assert stats["rows_in"] == 7

@@ -6,7 +6,6 @@ from __future__ import annotations
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators import features as FE
 
@@ -49,8 +48,6 @@ def test_idf_formula_matches_mllib(spark, docs):
 
     ours = {r["term"]: r["idf"] for r in FE.idf_weights(docs, min_doc_freq=0).collect()}
     # map each term through HashingTF's bucket and compare
-    from pyspark.ml.feature import HashingTF as HTF
-
     for term, idf_val in ours.items():
         bucket = htf.indexOf(term)
         assert mllib_idf[bucket] == pytest.approx(idf_val, abs=1e-12), term

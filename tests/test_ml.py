@@ -6,7 +6,6 @@ from __future__ import annotations
 import tempfile
 
 import pytest
-from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators import ml as ML
 

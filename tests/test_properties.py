@@ -4,8 +4,6 @@ Spark job, not one per example."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F

@@ -91,8 +91,6 @@ def test_ivf_finds_planted_neighbor(corpus, queries):
 
 
 def test_pandas_kernel_matches_expression_kernel(spark, corpus, queries):
-    import pandas as pd
-
     qpd = queries.toPandas().rename(columns={"query_vec": "query_vec"})
     a = SIM.brute_force_topk(corpus, queries, k=5).collect()
     b = SIM.cosine_topk_pandas(corpus, qpd, k=5).collect()

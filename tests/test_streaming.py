@@ -3,7 +3,6 @@ results run incrementally (file stream, availableNow) and as one batch."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.sources import load_table

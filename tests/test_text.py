@@ -4,8 +4,6 @@ frames, exact expected rows; golden (raw, clean) pairs per FIXTURES.md §2).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 
 
