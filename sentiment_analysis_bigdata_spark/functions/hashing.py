@@ -119,6 +119,47 @@ def simhash64(tokens: Column | str) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, b: a + b)
 
 
+def simhash64_weighted(tokens: Column | str) -> Column:
+    """Weighted 64-bit SimHash: each token votes with weight = its character
+    length, so long distinctive tokens dominate the signature and boilerplate
+    single-char noise barely moves it (the classic Charikar weighting with
+    len(t) standing in for tf-idf — any per-token weight expression works,
+    but length is engine-portable so the DuckDB oracle can replay it).
+
+    Same single-pass vote-array formulation as :func:`simhash64`.
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    n_bits = MD5_PREFIX_HEX_CHARS * 4  # 60
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(n_bits)])
+    # precompute (hash, weight) per token ONCE — referencing md5 inside the
+    # per-mask lambda would re-evaluate it 60× per token (no CSE across
+    # higher-order-function lambda bodies)
+    hw = F.transform(
+        c,
+        lambda t: F.struct(
+            md5_hash64_expr(t).alias("h"), F.length(t).cast("bigint").alias("w")
+        ),
+    )
+
+    def weighted_bits(x: Column) -> Column:
+        return F.transform(
+            masks,
+            lambda m: F.when(x.getField("h").bitwiseAND(m) != 0, x.getField("w")).otherwise(
+                -x.getField("w")
+            ),
+        )
+
+    votes = F.aggregate(
+        hw,
+        F.array_repeat(F.lit(0).cast("bigint"), n_bits),
+        lambda acc, x: F.zip_with(acc, weighted_bits(x), lambda a, b: a + b),
+    )
+    contrib = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, b: a + b)
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit ints (bit_count of xor)."""
     ca = F.col(a) if isinstance(a, str) else a

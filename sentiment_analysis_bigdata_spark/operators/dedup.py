@@ -250,6 +250,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair graph → (node, component) with
+    component = min node id in the component.
+
+    Near-dup pairs are edges; transitive closure groups a→b, b→c into one
+    cluster (pairwise dedup alone would keep c). Algorithm: iterative
+    min-label propagation — each round every node adopts the smallest label
+    among itself and its neighbors; converges in O(diameter) rounds, each
+    one join + one aggregation.
+
+    Each round materializes labels via ``localCheckpoint`` — without it the
+    logical plan doubles per iteration and Catalyst analysis time explodes
+    (an unbounded iterative join loop is the classic Spark footgun). On a
+    real cluster, swap for ``df.checkpoint()`` against reliable storage so
+    executor loss can't lose label state. Convergence is detected by the
+    label sum: min-propagation is monotone non-increasing per node, so a
+    round with an unchanged sum is a fixed point — one cheap aggregation
+    instead of a change-detection join.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     vec_col: str = "embedding",

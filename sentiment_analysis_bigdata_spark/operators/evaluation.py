@@ -139,6 +139,56 @@ def roc_auc(df: DataFrame, label_col: str = "label", score_col: str = "score") -
     return float((agg["pos_rank_sum"] - pos * (pos + 1) / 2.0) / (pos * neg))
 
 
+def roc_auc_approx(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    num_bins: int = 10_000,
+) -> float:
+    """Two-pass histogram AUC — the 100 TB path promised in SCALING.md.
+
+    Pass 1: global score min/max. Pass 2: per-bin positive/negative counts
+    (one hash aggregation — no global sort, unlike the exact rank method).
+    AUC = Σ over bins (trapezoid of cumulative TPR/FPR), with ties within a
+    bin handled by the standard ½·(pos·neg) correction. Error ≤ O(1/bins)
+    of mass per bin; agrees with the exact AUC to ~1e-3 at 10k bins.
+    """
+    lo, hi = df.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None or hi == lo:
+        return 0.5
+    width = (hi - lo) / num_bins
+    binned = (
+        df.select(
+            F.least(
+                F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(num_bins - 1),
+            ).alias("bin"),
+            F.when(F.col(label_col) == 1, 1).otherwise(0).alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_pos").alias("pos"),
+            F.sum(1 - F.col("is_pos")).alias("neg"),
+        )
+        .orderBy(F.col("bin").desc())
+        .collect()
+    )
+    total_pos = sum(r["pos"] for r in binned)
+    total_neg = sum(r["neg"] for r in binned)
+    if not total_pos or not total_neg:
+        return 0.0
+    # descending score: count (pos, neg) pairs where pos scores higher
+    auc_pairs = 0.0
+    neg_seen = 0
+    for r in binned:  # highest bin first
+        # pairs within the bin: ties → half credit
+        auc_pairs += r["pos"] * r["neg"] / 2.0
+        # this bin's positives beat all negatives in LOWER bins
+        auc_pairs += r["pos"] * (total_neg - neg_seen - r["neg"])
+        neg_seen += r["neg"]
+    return float(auc_pairs / (total_pos * total_neg))
+
+
 def roc_points(df: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
     """A9 — distributed ROC curve points (fpr, tpr) at each score threshold.
 

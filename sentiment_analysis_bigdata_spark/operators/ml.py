@@ -166,6 +166,44 @@ def train_and_evaluate(
     return fitted, metrics
 
 
+def tune(
+    df: DataFrame,
+    model: str = "lr",
+    cfg: PipelineConfig | None = None,
+    reg_params: tuple[float, ...] = (0.001, 0.01, 0.1),
+    num_folds: int = 3,
+) -> tuple[PipelineModel, dict]:
+    """k-fold cross-validated hyperparameter search over regParam.
+
+    Standard MLlib ``CrossValidator`` (parallel fold evaluation) with
+    areaUnderROC as the selection metric; returns the refit best model and
+    {best_reg_param, avg_metrics}. The reference has no tuning at all —
+    its fixed regParam=0.01 came untuned — so this is surface the engine
+    adds; defaults reproduce the reference's value range.
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    cfg = cfg or PipelineConfig()
+    pipeline = build_pipeline(model, cfg)
+    clf = pipeline.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(clf.regParam, list(reg_params)).build()
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=cfg.label_col),
+        numFolds=num_folds,
+        parallelism=4,
+        seed=cfg.seed,
+    )
+    fitted = cv.fit(df)
+    best_idx = int(max(range(len(fitted.avgMetrics)), key=lambda i: fitted.avgMetrics[i]))
+    return fitted.bestModel, {
+        "best_reg_param": reg_params[best_idx],
+        "avg_metrics": {str(rp): m for rp, m in zip(reg_params, fitted.avgMetrics)},
+    }
+
+
 def save_model(model: PipelineModel, path: str) -> None:
     """S4 — persist PipelineModel (reference model_logistic_regression.py:301)."""
     model.write().overwrite().save(path)

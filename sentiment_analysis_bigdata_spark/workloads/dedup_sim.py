@@ -94,6 +94,38 @@ FROM base
 SQL_SIMHASH = _sql_simhash()
 
 
+def q_simhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        H.simhash64_weighted(TXT.tokenize_nonempty("text")).alias("simhash_w"),
+    )
+
+
+def _sql_simhash_weighted() -> str:
+    h60 = SQL_H60.format(t="t")
+    bits = []
+    for j in range(H.MD5_PREFIX_HEX_CHARS * 4):
+        votes = (
+            f"list_sum(list_transform(hw, x -> "
+            f"CASE WHEN (x.h >> {j}) & 1 = 1 THEN x.w ELSE -x.w END))"
+        )
+        bits.append(f"(CASE WHEN {votes} > 0 THEN {1 << j} ELSE 0 END)")
+    total = "\n         + ".join(bits)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({SQL_TOKS}, t -> {{'h': {h60}, 'w': len(t)}}) AS hw
+  FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash_w
+FROM base
+"""
+
+
+SQL_SIMHASH_WEIGHTED = _sql_simhash_weighted()
+
+
 # --- n-gram Jaccard on adjacent-id candidate pairs --------------------------------
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
@@ -159,6 +191,38 @@ WITH base AS (
 SELECT l.id AS a, r.id AS b, round({_sql_cosine('l.v', 'r.v')}, 6) AS cosine
 FROM base l JOIN base r ON l.bucket = r.bucket AND l.id < r.id
 WHERE {_sql_cosine('l.v', 'r.v')} >= 0.25
+"""
+
+
+# --- connected components over the near-dup graph --------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: embedding near-dup pairs → iterative
+    min-label propagation → (node, component). The oracle replays the same
+    fixed-point with a DuckDB recursive CTE (component = min reachable id),
+    so the clustering itself is value-checked, not just row-counted."""
+    pairs = DD.embedding_near_duplicates(_emb(spark, sf), threshold=0.25, n_bits=8)
+    return DD.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM (SELECT vec_id AS id, embedding AS v, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings) l
+  JOIN (SELECT vec_id AS id, embedding AS v, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings) r
+    ON l.bucket = r.bucket AND l.id < r.id
+  WHERE {_sql_cosine('l.v', 'r.v')} >= 0.25
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
@@ -280,8 +344,10 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
+    "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "minhash_near_dups": (q_minhash_near_dups, None),

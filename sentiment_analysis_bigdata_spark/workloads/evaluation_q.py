@@ -168,6 +168,39 @@ FROM collapsed
 """
 
 
+def q_roc_auc_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pass histogram AUC (the no-global-sort 100 TB path). Every term in
+    the bin-pair accumulation is a half-integer ≪ 2^52, so the sum is exact in
+    IEEE double on both engines and the 6-decimal round is value-checkable."""
+    auc = EV.roc_auc_approx(_preds(spark, sf), score_col="score", num_bins=1000)
+    return spark.createDataFrame([(round(auc, 6),)], "roc_auc_hist double")
+
+
+SQL_ROC_AUC_HIST = f"""
+WITH preds AS ({SQL_PREDS}),
+mm AS (SELECT min(score) AS lo, max(score) AS hi FROM preds),
+binned AS (
+  SELECT least(CAST(floor((score - lo) / ((hi - lo) / 1000)) AS BIGINT), 999) AS bin,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS is_pos
+  FROM preds, mm
+),
+agg AS (
+  SELECT bin, sum(is_pos) AS pos, sum(1 - is_pos) AS neg
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin, pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM agg
+),
+tot AS (SELECT sum(pos) AS P, sum(neg) AS N FROM agg)
+SELECT round(sum(pos * (neg_below + neg / 2.0)) / ((SELECT P FROM tot) * (SELECT N FROM tot)), 6)
+  AS roc_auc_hist
+FROM cum
+"""
+
+
 # --- reference-parity ML pipelines (rows-only: training isn't SQL) --------------
 
 def _synthetic_tweets(spark: SparkSession, sf: str) -> DataFrame:
@@ -223,6 +256,7 @@ QUERIES = {
     "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "roc_points": (q_roc_points, SQL_ROC_POINTS),
+    "roc_auc_hist": (q_roc_auc_hist, SQL_ROC_AUC_HIST),
     "ml_logistic_regression": (q_ml_logistic_regression, None),
     "ml_naive_bayes": (q_ml_naive_bayes, None),
     "ml_linear_svc": (q_ml_linear_svc, None),

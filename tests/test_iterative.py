@@ -1,0 +1,83 @@
+"""Tests for iterative / approximate distributed algorithms: connected
+components, histogram AUC, cross-validated tuning."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+from sentiment_analysis_bigdata_spark.operators import evaluation as EV
+
+
+class TestConnectedComponents:
+    def test_transitive_chain(self, spark):
+        # a→b, b→c, plus an isolated pair (10, 11)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a long, b long"
+        )
+        comp = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "a long, b long"
+        )
+        comp = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+        assert set(comp.values()) == {0}
+
+    def test_dedup_cluster_integration(self, spark):
+        """a≈b and b≈c but a and c are not directly paired — components
+        still cluster all three (the thing pairwise filtering misses)."""
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon eta"),  # near-dup of 0
+                (2, "alpha beta gamma delta theta eta"),  # near-dup of 1, not of 0
+                (3, "unrelated words entirely different topic"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = DD.minhash_near_duplicates(docs, threshold=0.4, num_hashes=16, bands=8)
+        comp = DD.connected_components(pairs)
+        labels = {r["node"]: r["component"] for r in comp.collect()}
+        assert labels.get(0) == labels.get(1) == labels.get(2) == 0
+        assert 3 not in labels  # isolated nodes don't appear in the edge set
+
+
+class TestHistogramAuc:
+    def test_close_to_exact(self, spark):
+        rng = random.Random(7)
+        rows = [
+            (y, rng.random() * 0.7 + y * 0.3)
+            for y in (rng.randint(0, 1) for _ in range(2000))
+        ]
+        df = spark.createDataFrame(rows, "label int, score double")
+        exact = EV.roc_auc(df, score_col="score")
+        approx = EV.roc_auc_approx(df, score_col="score", num_bins=10_000)
+        assert approx == pytest.approx(exact, abs=2e-3)
+
+    def test_degenerate_inputs(self, spark):
+        const = spark.createDataFrame([(1, 0.5), (0, 0.5)], "label int, score double")
+        assert EV.roc_auc_approx(const, score_col="score") == 0.5
+        one_class = spark.createDataFrame([(1, 0.1), (1, 0.9)], "label int, score double")
+        assert EV.roc_auc_approx(one_class, score_col="score") == 0.0
+
+
+class TestTuning:
+    def test_cross_validator_picks_a_grid_point(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+        rows = []
+        for i in range(200):
+            label = i % 2
+            words = ("good fine nice" if label else "bad poor sad").split()
+            rows.append((label, " ".join(words[: 1 + i % 3] + [f"w{i % 13}"])))
+        df = spark.createDataFrame(rows, "label int, text string")
+        cfg = ML.PipelineConfig(num_features=2**10, max_iter=5)
+        best, info = ML.tune(df, "lr", cfg, reg_params=(0.01, 1.0), num_folds=2)
+        assert info["best_reg_param"] in (0.01, 1.0)
+        assert set(info["avg_metrics"]) == {"0.01", "1.0"}
+        # best model is usable
+        assert best.transform(df).select("prediction").count() == 200
