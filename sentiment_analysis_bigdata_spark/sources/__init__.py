@@ -2,8 +2,22 @@ from sentiment_analysis_bigdata_spark.sources.catalog import (
     load_table,
     load_tables,
     read_csv,
+    read_json,
+    read_orc,
     write_csv,
+    write_json,
+    write_orc,
     write_parquet,
 )
 
-__all__ = ["load_table", "load_tables", "read_csv", "write_csv", "write_parquet"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_csv",
+    "write_json",
+    "write_orc",
+    "write_parquet",
+]

@@ -93,15 +93,52 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     num_files: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Parquet sink — the scale-default output format.
 
     ``partition_by`` gives directory-level partition pruning for downstream
     scans; use low-cardinality columns only (date buckets, categories).
+    ``max_records_per_file`` splits oversized task outputs so a skewed final
+    partition can't produce a multi-GB file (the writer rolls to a new file
+    every N records) — at 100 TB this is what keeps downstream scan tasks
+    uniform without an extra repartition shuffle.
     """
     if num_files is not None:
         df = df.coalesce(num_files)
     w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """JSON-lines sink (one object per row) — the interchange format for
+    downstream non-Spark consumers; S5 generalized from driver-side
+    ``json.dump`` (reference model_logistic_regression.py:221-229) to a
+    distributed writer."""
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema — single pass, no inference
+    (same policy as :func:`read_csv`; schema inference over JSON reads the
+    whole dataset twice)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """ORC sink — columnar alternative when the downstream stack is
+    Hive/Trino-flavored; same pushdown/pruning properties as parquet."""
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (schema from file metadata, vectorized reader)."""
+    return spark.read.orc(path)
