@@ -160,16 +160,58 @@ def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> Data
     return events.dropDuplicates(["event_id"])
 
 
+def interval_join_clicks_purchases(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: every purchase matched to the same
+    user's click(s) in the preceding ``within`` window (click-attribution).
+
+    On streaming input both sides carry watermarks and the join condition
+    time-bounds the match, so each side's buffered state is evictable once
+    the watermark passes — the requirement that keeps a stream-stream join's
+    state finite at scale. Inner-join matches emit as soon as both rows have
+    arrived (the watermark governs state cleanup, not emission), so a
+    bounded availableNow run produces the complete result set. Batch twin:
+    the same body is a plain range join.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "value"
+    )
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_s: float = 60.0
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_s: float = 60.0,
+    output_mode: str = "complete",
 ) -> None:
     """Execute a streaming plan to completion against a bounded file source
     (availableNow trigger) into an in-memory sink — the test harness path.
+    Aggregations use ``complete``; stream-stream joins require ``append``.
     """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

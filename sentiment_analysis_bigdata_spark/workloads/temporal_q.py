@@ -172,6 +172,54 @@ GROUP BY event_type
 
 # --- true Structured Streaming executions (rows-only) ----------------------------------------
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Click→purchase attribution: batch form of the stream-stream interval
+    join (purchases matched to same-user clicks in the preceding hour)."""
+    out = SJ.interval_join_clicks_purchases(_events(spark, sf), within="1 hour")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts", TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       strftime(c.ts, '{SQL_TS_FMT}') AS click_ts,
+       strftime(p.ts, '{SQL_TS_FMT}') AS purchase_ts,
+       round(p.value, 4) AS value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME interval-join body as a true incremental stream-stream join
+    (append mode — inner matches emit on arrival; watermarks bound state).
+    Values are checked by the batch twin above."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    joined = SJ.interval_join_clicks_purchases(stream, within="1 hour")
+    SJ.run_stream_to_memory(
+        joined, "stream_interval_join", timeout_s=120, output_mode="append"
+    )
+    return spark.table("stream_interval_join").select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts", TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Runs the SAME tumbling_counts body as a real incremental stream
     (file source, availableNow trigger, memory sink) — proves the plan is
@@ -205,6 +253,8 @@ QUERIES = {
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_SIGNUP),
     "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "streaming_interval_join": (q_streaming_interval_join, None),
     "streaming_tumbling": (q_streaming_tumbling, None),
     "streaming_sessions": (q_streaming_sessions, None),
 }

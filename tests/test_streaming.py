@@ -56,3 +56,17 @@ def test_sliding_window_multiplicity(spark, sf_dir):
     out = SJ.sliding_counts(ev, "1 hour", "30 minutes")
     total_in_windows = out.agg(F.sum("n_events")).first()[0]
     assert total_in_windows == 2 * ev.count()
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream click→purchase join run incrementally (append mode,
+    availableNow) produces exactly the batch range-join's row set."""
+    ev = load_table(spark, sf_dir, "events")
+    batch = SJ.interval_join_clicks_purchases(ev, within="1 hour")
+    stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    joined = SJ.interval_join_clicks_purchases(stream, within="1 hour")
+    SJ.run_stream_to_memory(joined, "t_ivj", timeout_s=120, output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("t_ivj").collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    assert len(got) > 0
