@@ -166,3 +166,13 @@ def random_split(
 ) -> list[DataFrame]:
     """R2 — reference model_*.py randomSplit([.8,.2], 42)."""
     return df.randomSplit(list(weights), seed=seed)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``): class-rebalancing for
+    training data — e.g. downsample the majority label without a shuffle
+    (each row is kept/dropped locally by its stratum's fraction). Strata
+    absent from ``fractions`` are dropped entirely."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -72,8 +72,43 @@ def q_stateful_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pass exact-count top-k tokens: map-side bounded candidate
+    generation (no full-keyspace shuffle), then an exact recount of only the
+    candidates. Counts are exact, so the plain SQL top-k is the oracle."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+    return sketches.heavy_hitters(tokens, "token", k=20, per_partition=500)
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy per-partition sequence packing into 512-token training shards
+    (rows-only: shard assignment depends on partition layout; the invariants
+    — every doc exactly once, fills ≤ budget — are tested in
+    tests/test_packing.py)."""
+    from sentiment_analysis_bigdata_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(TXT.tokenize_nonempty("text")).cast("long").alias("n_tokens")
+    )
+    return packing.pack_sequences(docs, max_tokens=512)
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
     "stateful_ewma": (q_stateful_ewma, None),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "pack_sequences": (q_pack_sequences, None),
 }

@@ -1,0 +1,87 @@
+"""Tests for the training-pipeline scale ops: sequence packing, two-pass
+heavy hitters, stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import packing, relational, sketches
+
+
+class TestPackSequences:
+    @pytest.fixture()
+    def docs(self, spark):
+        rows = [(i, 10 + (i * 37) % 300) for i in range(500)]
+        rows.append((9000, 5000))  # oversize: bigger than any budget used here
+        return spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(4)
+
+    def test_every_doc_packed_exactly_once(self, spark, docs):
+        out = packing.pack_sequences(docs, max_tokens=512).cache()
+        assert out.count() == 501
+        assert out.select("doc_id").distinct().count() == 501
+
+    def test_fills_respect_budget(self, spark, docs):
+        out = packing.pack_sequences(docs, max_tokens=512)
+        bad = out.filter((F.col("shard_fill") > 512) & (~F.col("oversize"))).count()
+        assert bad == 0
+        oversize = out.filter(F.col("oversize")).collect()
+        assert [r["doc_id"] for r in oversize] == [9000]
+        # the oversize doc sits alone in its shard
+        assert oversize[0]["shard_fill"] == oversize[0]["n_tokens"] == 5000
+
+    def test_packing_is_dense(self, spark, docs):
+        """Greedy first-fit wastes < one max-size doc per shard on average:
+        total shards is within 2× of the theoretical minimum."""
+        out = packing.pack_sequences(docs, max_tokens=512)
+        total_tokens = out.agg(F.sum("n_tokens")).first()[0]
+        n_shards = out.select("shard_id").distinct().count()
+        lower_bound = -(-total_tokens // 512)
+        assert n_shards <= 2 * lower_bound
+
+    def test_shard_ids_unique_across_partitions(self, spark, docs):
+        out = packing.pack_sequences(docs, max_tokens=512)
+        per_shard_fill = out.groupBy("shard_id").agg(
+            F.count_distinct("shard_fill").alias("k")
+        )
+        assert per_shard_fill.filter(F.col("k") > 1).count() == 0
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk(self, spark):
+        rows = [(f"tok{i % 50}",) for i in range(5000)] + [("rare",)]
+        df = spark.createDataFrame(rows, "token string").repartition(8)
+        got = sketches.heavy_hitters(df, "token", k=10, per_partition=60).collect()
+        exact = (
+            df.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(10)
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+    def test_candidate_set_bounded(self, spark):
+        rows = [(f"t{i}",) for i in range(2000)]
+        df = spark.createDataFrame(rows, "token string").repartition(4)
+        cand = sketches.candidate_keys(df, "token", per_partition=50)
+        assert cand.count() <= 4 * 50
+
+
+class TestStratifiedSample:
+    def test_fractions_and_dropped_strata(self, spark):
+        rows = [(i, i % 3) for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, label int")
+        out = relational.stratified_sample(
+            df, "label", {0: 0.5, 1: 0.1}, seed=42
+        ).cache()
+        by_label = {r["label"]: r["n"] for r in
+                    out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert 2 not in by_label  # stratum absent from fractions is dropped
+        assert 400 <= by_label[0] <= 600  # ~500
+        assert 50 <= by_label[1] <= 160  # ~100
+        # deterministic under a fixed seed
+        again = relational.stratified_sample(df, "label", {0: 0.5, 1: 0.1}, seed=42)
+        assert sorted(tuple(r) for r in again.collect()) == sorted(
+            tuple(r) for r in out.collect()
+        )
