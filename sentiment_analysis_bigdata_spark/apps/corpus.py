@@ -105,6 +105,76 @@ def dedup_corpus(
     return {"rows_in": total, "rows_out": n_out, "removed": total - n_out, "method": method}
 
 
+def cluster_dedup_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+) -> dict[str, Any]:
+    """Transitively-correct near-dedup: pairwise removal (``dedup_corpus``)
+    keeps c when a≈b and b≈c but a̸≈c; here the near-dup pair graph is
+    closed into connected components and only each cluster's minimum id
+    survives — one survivor per cluster regardless of chain depth."""
+    df = spark.read.parquet(input_path)
+    total = df.count()
+    exact = DD.exact_dedup(df, text_col, id_col)
+    if method == "minhash":
+        pairs = DD.minhash_near_duplicates(exact, text_col, id_col, threshold=threshold)
+    elif method == "simhash":
+        pairs = DD.simhash_near_duplicates(exact, text_col, id_col, max_hamming=max_hamming)
+    else:
+        raise ValueError(f"unknown cluster-dedup method {method!r}")
+    comp = DD.connected_components(pairs)
+    losers = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    survivors = exact.join(losers, id_col, "left_anti")
+    n_out = survivors.count()
+    write_parquet(survivors, output_path)
+    return {
+        "rows_in": total,
+        "rows_out": n_out,
+        "removed": total - n_out,
+        "method": f"cluster-{method}",
+    }
+
+
+def pack_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+) -> dict[str, Any]:
+    """Pack a corpus into fixed-token-budget training shards: count tokens,
+    greedily pack per partition (operators.packing), join the assignment
+    back, and write shard-annotated rows."""
+    from sentiment_analysis_bigdata_spark.operators import packing
+
+    df = spark.read.parquet(input_path)
+    with_tokens = df.withColumn("n_tokens", TXT.token_count(text_col).cast("long"))
+    packed = packing.pack_sequences(with_tokens, id_col=id_col, max_tokens=max_tokens)
+    out = with_tokens.drop("n_tokens").join(packed, id_col)
+    n_docs = out.count()
+    n_shards = out.select("shard_id").distinct().count()
+    write_parquet(out, output_path)
+    return {
+        "rows_in": n_docs,
+        "n_shards": n_shards,
+        "avg_fill": (
+            out.select("shard_id", "shard_fill").distinct()
+            .agg(F.avg("shard_fill")).first()[0]
+        ),
+        "max_tokens": max_tokens,
+    }
+
+
 def register_cli(sub) -> None:
     """Attach corpus subcommands to the apps argparse tree."""
     c = sub.add_parser("corpus-clean", help="annotate + quality/lang filter a corpus")
@@ -121,6 +191,23 @@ def register_cli(sub) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--max-hamming", type=int, default=3)
 
+    g = sub.add_parser(
+        "corpus-cluster-dedup",
+        help="transitive near-dedup (connected components, one survivor per cluster)",
+    )
+    g.add_argument("--input", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--method", default="minhash", choices=["minhash", "simhash"])
+    g.add_argument("--threshold", type=float, default=0.8)
+    g.add_argument("--max-hamming", type=int, default=3)
+
+    p = sub.add_parser(
+        "corpus-pack", help="pack documents into fixed-token training shards"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-tokens", type=int, default=2048)
+
 
 def run_cli(spark: SparkSession, args) -> dict[str, Any]:
     if args.cmd == "corpus-clean":
@@ -131,6 +218,19 @@ def run_cli(spark: SparkSession, args) -> dict[str, Any]:
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
             langs=args.langs.split(",") if args.langs else None,
+        )
+    if args.cmd == "corpus-cluster-dedup":
+        return cluster_dedup_corpus(
+            spark,
+            args.input,
+            args.output,
+            method=args.method,
+            threshold=args.threshold,
+            max_hamming=args.max_hamming,
+        )
+    if args.cmd == "corpus-pack":
+        return pack_corpus(
+            spark, args.input, args.output, max_tokens=args.max_tokens
         )
     return dedup_corpus(
         spark,

@@ -40,8 +40,17 @@ def read_events_stream(
 
     _ensure_session_confs(spark)
     if os.path.isfile(path):
-        staged = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        # deterministic staging dir (keyed by the source path): the
+        # checkpoint records the source directory, so a restarted query must
+        # resolve to the SAME staged path or offset recovery fails
+        import hashlib
+
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        staged = os.path.join(tempfile.gettempdir(), f"events_stream_{digest}")
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
         path = staged
 
     schema = T.StructType(
@@ -196,6 +205,36 @@ def interval_join_clicks_purchases(
     return clicks.join(purchases, cond).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "value"
     )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: float = 120.0,
+) -> None:
+    """Durable streaming sink: append-mode parquet via ``foreachBatch`` with
+    idempotent per-batch directories.
+
+    Each micro-batch writes to ``{out_dir}/batch_id={id}`` with
+    mode=overwrite, so a batch replayed after failure overwrites its own
+    directory instead of duplicating rows — the standard exactly-once-ish
+    recipe when the sink is a plain file system (the checkpoint tracks which
+    source offsets map to which batch id; replay ⇒ same id ⇒ same
+    directory). Downstream batch readers just scan ``out_dir`` and get the
+    batch_id as a partition column for free.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
 
 
 def run_stream_to_memory(

@@ -70,3 +70,29 @@ def test_dedup_corpus(spark, corpus_parquet, tmp_path, method, expect_removed_ne
         assert 3 in kept
     assert stats["rows_out"] == len(kept)
     assert stats["rows_in"] == 7
+
+
+def test_cluster_dedup_corpus(spark, corpus_parquet, tmp_path):
+    out = str(tmp_path / "cdedup")
+    stats = corpus.cluster_dedup_corpus(
+        spark, corpus_parquet, out, method="minhash", threshold=0.6
+    )
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # cluster {0,1,2,3} collapses to its min id 0; singletons survive
+    assert kept == [0, 4, 5, 6]
+    assert stats["rows_out"] == 4
+    assert stats["method"] == "cluster-minhash"
+
+
+def test_pack_corpus(spark, corpus_parquet, tmp_path):
+    out = str(tmp_path / "packed")
+    stats = corpus.pack_corpus(spark, corpus_parquet, out, max_tokens=20)
+    packed = spark.read.parquet(out)
+    assert stats["rows_in"] == 7
+    assert packed.count() == 7  # every doc exactly once
+    assert {"shard_id", "n_tokens", "shard_fill", "text"} <= set(packed.columns)
+    from pyspark.sql import functions as F
+
+    assert packed.filter((F.col("shard_fill") > 20) & (~F.col("oversize"))).count() == 0

@@ -70,3 +70,20 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_to_parquet_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: all source rows land exactly once, split
+    across per-batch directories; re-running with the SAME checkpoint is a
+    no-op (offsets already committed — restart safety)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    SJ.run_stream_to_parquet(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    assert "batch_id" in got.columns
+    SJ.run_stream_to_parquet(SJ.read_events_stream(spark, f"{sf_dir}/events.parquet"), out, ckpt)
+    assert spark.read.parquet(out).count() == ev.count()
