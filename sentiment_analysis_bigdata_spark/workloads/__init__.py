@@ -18,6 +18,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q,
     relational_q2,
     relational_q3,
+    relational_q4,
     scale_q,
     temporal_q,
     text_q,
@@ -29,6 +30,7 @@ _MODULES = [
     relational_q,
     relational_q2,
     relational_q3,
+    relational_q4,
     text_q,
     dedup_sim,
     temporal_q,
