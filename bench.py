@@ -46,8 +46,13 @@ HEADLINE = [
     "tumbling_events",
     "session_windows",
     "asof_purchase_signup",
+    "interval_join",
     # evaluation
     "roc_points",
+    # scale mechanisms / TPC-H shapes
+    "heavy_hitters",
+    "order_count_distribution",
+    "pack_sequences",
 ]
 
 

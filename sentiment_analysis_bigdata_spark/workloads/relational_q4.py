@@ -156,11 +156,37 @@ GROUP BY measure
 """
 
 
+# --- direct SQL interface ----------------------------------------------------------
+
+SQL_TOP_NATIONS = """
+SELECT n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY cents DESC, n_name
+LIMIT 10
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL entry point: tables registered as temp views, the
+    query given as a LITERAL ANSI-SQL string to ``spark.sql`` — proving a
+    reference user can bring raw SQL, not just the DataFrame API. The exact
+    same string runs on DuckDB as the oracle (dialect-portable subset)."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_TOP_NATIONS)
+
+
 QUERIES = {
     "order_count_distribution": (
         q_order_count_distribution,
         SQL_ORDER_COUNT_DISTRIBUTION,
     ),
+    "sql_interface": (q_sql_interface, SQL_TOP_NATIONS),
     "rich_idle_customers": (q_rich_idle_customers, SQL_RICH_IDLE_CUSTOMERS),
     "percent_rank_cume": (q_percent_rank_cume, SQL_PERCENT_RANK_CUME),
     "unpivot_lineitem_amounts": (
