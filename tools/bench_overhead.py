@@ -1,0 +1,144 @@
+"""Wrapper-overhead check against BASELINE.md's criterion: the engine's
+operator wrappers must add no material overhead (<2×) over direct
+hand-written PySpark DataFrame code on the same data.
+
+For each sampled query this times (a) the engine's ``queries()`` entry and
+(b) an inline, hand-written plain-PySpark equivalent of the same semantics,
+alternating A/B/A/B within one warmed JVM so codegen/compile cost is paid
+once per plan shape and the comparison is steady-state. Prints one JSON
+line: {"pairs": {name: {"engine": s, "plain": s, "ratio": r}},
+"max_ratio": r}.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/bench_overhead.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPEATS = 3
+
+
+def plain_pricing_summary(spark, sf):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_cents"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def plain_region_revenue(spark, sf):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(F.round(rev * 100).cast("bigint")).alias("cents"))
+    )
+
+
+def plain_token_topk_nostop(spark, sf):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.functions.text import ENGLISH_STOPWORDS
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stop = spark.createDataFrame([(w,) for w in ENGLISH_STOPWORDS], "token string")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    return (
+        toks.join(F.broadcast(stop), "token", "left_anti")
+        .groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def plain_top_orders_per_customer(spark, sf):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+PAIRS = {
+    "pricing_summary": plain_pricing_summary,
+    "region_revenue": plain_region_revenue,
+    "token_topk_nostop": plain_token_topk_nostop,
+    "top_orders_per_customer": plain_top_orders_per_customer,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_bigdata_spark import get_spark
+
+    spark = get_spark("bench-overhead")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    out = {}
+    for name, plain_fn in PAIRS.items():
+        # warm both plan shapes once (codegen compile), then time alternating
+        qs[name](spark, sf_dir).count()
+        plain_fn(spark, sf_dir).count()
+        eng = plain = 0.0
+        for _ in range(REPEATS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            eng += time.time() - t0
+            t0 = time.time()
+            plain_fn(spark, sf_dir).count()
+            plain += time.time() - t0
+        ratio = eng / plain if plain > 0 else float("inf")
+        out[name] = {
+            "engine": round(eng / REPEATS, 3),
+            "plain": round(plain / REPEATS, 3),
+            "ratio": round(ratio, 3),
+        }
+        print(f"  {name}: engine {out[name]['engine']}s plain {out[name]['plain']}s "
+              f"ratio {out[name]['ratio']}", file=sys.stderr)
+
+    print(json.dumps({"pairs": out, "max_ratio": max(p["ratio"] for p in out.values())}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
