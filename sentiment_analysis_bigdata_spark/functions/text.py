@@ -188,6 +188,47 @@ def quality_score(col: Column | str) -> Column:
     return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * sw_ratio
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{2,4}[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / IPv4s / phone-shaped numbers to typed placeholders —
+    the standard pre-training hygiene pass. A chain of JVM-side
+    ``regexp_replace`` (global replace), so the scrub is a narrow map with
+    no Python in the path; the same patterns run verbatim on the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Share of duplicate word n-grams in a document, in [0,1] — the
+    Gopher-style repetition signal (boilerplate and looping generations
+    score high; natural prose scores near 0). 1 - distinct(ngrams)/ngrams;
+    documents with fewer than n tokens score 0.
+    """
+    toks = tokenize_nonempty(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    return F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
+
+
 def rolling_hash(col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash of a string: h = fold(h*B + codepoint) mod M.
 

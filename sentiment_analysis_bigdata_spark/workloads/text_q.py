@@ -419,8 +419,79 @@ FROM documents
 """
 
 
+# --- PII redaction ---------------------------------------------------------------
+
+# deterministic synthesized PII so the scrub is non-trivially exercised on
+# every row (testdata text contains no natural emails/IPs/phones)
+def _pii_suffix_spark() -> list:
+    return [
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +12-555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+    ]
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 tel +12-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    with_pii = docs.select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+    )
+    return with_pii.select(
+        "doc_id", TXT.redact_pii("text").alias("text")
+    )
+
+
+def _sql_pii_redaction() -> str:
+    expr = _PII_SUFFIX_SQL
+    for pat, repl in TXT.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
+# --- repetition ratio (Gopher-style boilerplate signal) ----------------------------
+
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id", F.round(TXT.repetition_ratio("text", n=3), 6).alias("rep3")
+    )
+
+
+SQL_REPETITION_RATIO = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+              THEN list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+              ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       round(CASE WHEN len(g) > 0
+                  THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                  ELSE 0.0 END, 6) AS rep3
+FROM grams
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),

@@ -4,6 +4,8 @@ frames, exact expected rows; golden (raw, clean) pairs per FIXTURES.md §2).
 
 from __future__ import annotations
 
+import pytest
+
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 
 
@@ -140,3 +142,43 @@ class TestLangId:
     def test_scores_map(self, spark):
         m = _one(spark, "the the el", TXT.lang_scores("text"))
         assert m["en"] == 2 and m["es"] == 1
+
+
+class TestRedactPii:
+    def test_redacts_each_kind(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at john.doe+x@sub.example.org today"),
+                (2, "server at 192.168.1.254 went down"),
+                (3, "call +12-555-0142 now"),
+                (4, "clean text with no pii at all"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r["t"] for r in df.select("id", TXT.redact_pii("text").alias("t")).collect()}
+        assert out[1] == "mail me at <EMAIL> today"
+        assert out[2] == "server at <IP> went down"
+        assert out[3] == "call <PHONE> now"
+        assert out[4] == "clean text with no pii at all"
+
+
+class TestRepetitionRatio:
+    def test_bounds_and_signal(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "ab"),  # fewer than n tokens -> 0
+            ],
+            "id long, text string",
+        )
+        out = {
+            r["id"]: r["rep"]
+            for r in df.select(
+                "id", TXT.repetition_ratio("text", n=3).alias("rep")
+            ).collect()
+        }
+        # 6 trigrams, all identical -> 1 - 1/6
+        assert out[1] == pytest.approx(1 - 1 / 6)
+        assert out[2] == 0.0  # no repeated trigram
+        assert out[3] == 0.0
