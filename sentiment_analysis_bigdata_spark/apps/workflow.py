@@ -95,6 +95,11 @@ def preprocess(
             str(r["label"]): r["n"]
             for r in clean.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        # NOTE: df.observe() would give sink-ride-along telemetry for free,
+        # but in PySpark 4.1.2 registering ANY Observation leaves the
+        # session's ObservationManager in later task closures and every
+        # subsequent MLlib fit dies with NotSerializableException — so the
+        # stats pass stays on the cached frame instead.
         stats = {
             "rows_clean": clean.count(),
             "label_distribution": sentiment_dist,
