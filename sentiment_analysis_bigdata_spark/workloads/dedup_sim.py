@@ -304,17 +304,93 @@ FROM ranked WHERE rank <= {TOP_K}
 # --- rows-only checked (non-SQL-reproducible) operators ---------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline (banding not replicated in SQL —
-    rows-only check; the signature math itself is value-checked above)."""
+    """Full MinHash-LSH near-dup pipeline, value-checked end-to-end: the
+    oracle replays the identical 16-hash signatures, md5 band keys, bucket
+    self-join, and exact-Jaccard verify in SQL."""
     out = DD.minhash_near_duplicates(
         _docs(spark, sf), threshold=0.5, num_hashes=16, bands=4
     )
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _sql_minhash_near_dups(threshold: float = 0.5, num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    h31 = SQL_H31.format(t="t")
+    sig_cols = []
+    for i, (a, b) in enumerate(H.minhash_params(num_hashes)):
+        a31 = a % (1 << 31)
+        sig_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"list_min(list_transform(toks, t -> ({a31} * {h31} + {b}) % {P})) "
+            f"ELSE {P} END AS mh{i}"
+        )
+    band_selects = []
+    for bi in range(bands):
+        key = " || ',' || ".join(
+            f"CAST(mh{bi * r + j} AS VARCHAR)" for j in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5({key}) AS band_key FROM sigs"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
+    union = f"(len(ta.toks) + len(tb.toks) - {inter})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM documents
+),
+sigs AS (
+  SELECT doc_id, toks,
+         {", ".join(sig_cols)}
+  FROM base
+),
+bk AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bk l JOIN bk r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+       round(CASE WHEN {union} > 0
+                  THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END, 6) AS jaccard
+FROM cands c
+JOIN base ta ON ta.doc_id = c.a
+JOIN base tb ON tb.doc_id = c.b
+WHERE CASE WHEN {union} > 0
+           THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END >= {threshold}
+"""
+
+
+SQL_MINHASH_NEAR_DUPS = _sql_minhash_near_dups()
+
+
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash banded near-dup (rows-only)."""
+    """SimHash banded near-dup, value-checked: the oracle replays the
+    15-bit chunk bucketing and bit_count(xor) Hamming verify in SQL."""
     return DD.simhash_near_duplicates(_docs(spark, sf), max_hamming=10, bands=4)
+
+
+def _sql_simhash_near_dups(max_hamming: int = 10, bands: int = 4) -> str:
+    chunk = H.MD5_PREFIX_HEX_CHARS * 4 // bands  # 15
+    mask = (1 << chunk) - 1
+    return f"""
+WITH sigs AS ({SQL_SIMHASH}),
+chunks AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {chunk})) & {mask} AS chunk_key
+  FROM sigs, (SELECT unnest([{", ".join(str(i) for i in range(bands))}]) AS band)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM chunks l JOIN chunks r
+  ON l.band = r.band AND l.chunk_key = r.chunk_key AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
 
 
 def q_hashing_tf(spark: SparkSession, sf: str) -> DataFrame:
@@ -350,8 +426,8 @@ QUERIES = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "hashing_tf": (q_hashing_tf, None),
     "ann_ivf": (q_ann_ivf, None),
     "multimodal_decode": (q_multimodal_decode, None),
