@@ -87,6 +87,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # second pass: steady-state (codegen/compile already paid) — the number
+    # that scales with data volume; first-run totals are dominated by fixed
+    # per-plan compilation at this small sf
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -95,6 +104,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": sf,
             }
         )

@@ -172,6 +172,66 @@ GROUP BY event_type
 
 # --- true Structured Streaming executions (rows-only) ----------------------------------------
 
+def q_hourly_to_daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate pattern: re-aggregate hourly partials to daily.
+
+    The daily numbers are computed FROM the hourly aggregate, not the raw
+    events — count/sum/min/max are mergeable, so a 100 TB deployment keeps
+    the small hourly rollup hot and derives coarser resolutions from it
+    without rescanning raw data. (avg is derived as sum/count at the end —
+    avg itself is not mergeable.)"""
+    # values aggregated as integer micro-units so the hourly→daily re-merge
+    # is exact and order-independent (double sums flip the last decimal
+    # across partitionings/engines)
+    micros = F.round(F.col("value") * 1_000_000).cast("bigint")
+    hourly = (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micros).alias("sum_u"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_u") / 1_000_000.0, 4).alias("sum_value"),
+            F.round(F.min("min_v"), 6).alias("min_value"),
+            F.round(F.max("max_v"), 6).alias("max_value"),
+            F.round(F.sum("sum_u") / 1_000_000.0 / F.sum("n"), 6).alias("avg_value"),
+        )
+    )
+
+
+SQL_HOURLY_TO_DAILY_ROLLUP = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_u,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(time_bucket(INTERVAL '1 day', hour), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(CAST(sum(sum_u) AS DOUBLE) / 1000000.0, 4) AS sum_value,
+       round(min(min_v), 6) AS min_value,
+       round(max(max_v), 6) AS max_value,
+       round(CAST(sum(sum_u) AS DOUBLE) / 1000000.0 / sum(n), 6) AS avg_value
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Click→purchase attribution: batch form of the stream-stream interval
     join (purchases matched to same-user clicks in the preceding hour)."""
@@ -253,6 +313,7 @@ QUERIES = {
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_SIGNUP),
     "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
+    "hourly_to_daily_rollup": (q_hourly_to_daily_rollup, SQL_HOURLY_TO_DAILY_ROLLUP),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, None),
     "streaming_tumbling": (q_streaming_tumbling, None),
