@@ -6,11 +6,18 @@ usable batch pipeline over a parquet corpus with a ``text`` column.
     python -m sentiment_analysis_bigdata_spark.apps corpus-dedup \
         --input docs.parquet --output out/ --method exact|minhash|simhash \
         [--threshold 0.8]
+    python -m sentiment_analysis_bigdata_spark.apps corpus-cluster-dedup \
+        --input docs.parquet --output out/ --method minhash|simhash
+    python -m sentiment_analysis_bigdata_spark.apps corpus-pack \
+        --input docs.parquet --output shards/ --max-tokens 2048
 
 ``corpus-clean`` annotates every document (tokens, quality, language,
 fingerprint) and filters by quality/language — one narrow pass, no shuffle.
 ``corpus-dedup`` drops exact duplicates, then (for the near-dup methods)
 removes the higher-id member of every verified near-dup pair.
+``corpus-cluster-dedup`` closes the near-dup graph into connected
+components and keeps one survivor per cluster (transitively correct).
+``corpus-pack`` greedily packs documents into fixed-token training shards.
 """
 
 from __future__ import annotations
