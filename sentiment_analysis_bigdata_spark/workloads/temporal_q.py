@@ -232,6 +232,46 @@ GROUP BY 1, 2
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly grid + forward fill per user (users < 50 to bound the grid)."""
+    from sentiment_analysis_bigdata_spark.operators.timeseries import resample_ffill
+
+    ev = _events(spark, sf).filter(F.col("user_id") < 50)
+    out = resample_ffill(ev, step="1 hour")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        F.round("value", 6).alias("value"),
+        "observed",
+    )
+
+
+SQL_RESAMPLE_FFILL = f"""
+WITH hourly AS (
+  SELECT user_id AS key, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         arg_max(value, ts) AS obs_v
+  FROM events WHERE user_id < 50
+  GROUP BY 1, 2
+),
+bounds AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx FROM hourly GROUP BY key),
+grid AS (
+  SELECT key, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM bounds
+),
+joined AS (
+  SELECT g.key, g.bucket, h.obs_v
+  FROM grid g LEFT JOIN hourly h ON h.key = g.key AND h.bucket = g.bucket
+)
+SELECT key AS user_id,
+       strftime(bucket, '{SQL_TS_FMT}') AS bucket,
+       round(last_value(obs_v IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+       obs_v IS NOT NULL AS observed
+FROM joined
+"""
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Click→purchase attribution: batch form of the stream-stream interval
     join (purchases matched to same-user clicks in the preceding hour)."""
@@ -314,6 +354,7 @@ QUERIES = {
     "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_SIGNUP),
     "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
     "hourly_to_daily_rollup": (q_hourly_to_daily_rollup, SQL_HOURLY_TO_DAILY_ROLLUP),
+    "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, None),
     "streaming_tumbling": (q_streaming_tumbling, None),

@@ -81,3 +81,23 @@ class TestTuning:
         assert set(info["avg_metrics"]) == {"0.01", "1.0"}
         # best model is usable
         assert best.transform(df).select("prediction").count() == 200
+
+
+class TestResampleFfill:
+    def test_grid_and_forward_fill(self, spark):
+        from datetime import datetime
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import resample_ffill
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), 1.0),
+            (1, datetime(2024, 1, 1, 0, 50), 2.0),  # same bucket, later ts wins
+            (1, datetime(2024, 1, 1, 3, 5), 9.0),  # 2-hour gap -> ffill 2.0
+            (2, datetime(2024, 1, 1, 5, 0), 7.0),  # single-bucket key
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = resample_ffill(ev, step="1 hour").orderBy("user_id", "bucket").collect()
+        u1 = [(r["bucket"].hour, r["value"], r["observed"]) for r in out if r["user_id"] == 1]
+        assert u1 == [(0, 2.0, True), (1, 2.0, False), (2, 2.0, False), (3, 9.0, True)]
+        u2 = [(r["bucket"].hour, r["value"], r["observed"]) for r in out if r["user_id"] == 2]
+        assert u2 == [(5, 7.0, True)]
