@@ -229,6 +229,40 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     return F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
 
 
+def chunk_starts(col: Column | str, stride: int) -> Column:
+    """Array of chunk start offsets (0, stride, 2·stride, …) covering the
+    string: ``ceil(len/stride)`` chunks; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.ceil(F.length(c).cast("double") / stride).cast("int")
+    return F.when(
+        F.length(c) > 0, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def chunk_text(
+    df, text_col: str = "text", id_col: str = "doc_id",
+    chunk_chars: int = 200, stride: int = 150,
+):
+    """Split documents into overlapping fixed-size character windows —
+    context-window prep for retrieval/training (stride < chunk_chars gives
+    chunk_chars - stride characters of overlap). JVM-side sequence/explode/
+    substr: the fan-out is planned by Catalyst, no Python, no shuffle.
+    Returns (id, chunk_idx, chunk); trailing chunks may be shorter.
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.explode(chunk_starts(c, stride)).alias("chunk_idx"),
+        c.alias("__t"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("__t")
+        .substr(F.col("chunk_idx") * stride + 1, F.lit(chunk_chars))
+        .alias("chunk"),
+    )
+
+
 def rolling_hash(col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash of a string: h = fold(h*B + codepoint) mod M.
 

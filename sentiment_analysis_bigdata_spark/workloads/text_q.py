@@ -461,6 +461,31 @@ def _sql_pii_redaction() -> str:
 SQL_PII_REDACTION = _sql_pii_redaction()
 
 
+# --- document chunking (overlapping context windows) -------------------------------
+
+CHUNK_CHARS = 120
+CHUNK_STRIDE = 90
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return TXT.chunk_text(
+        _docs(spark, sf), chunk_chars=CHUNK_CHARS, stride=CHUNK_STRIDE
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+SELECT doc_id,
+       CAST(unnest(range(0, CAST(ceil(len(text) / {CHUNK_STRIDE}.0) AS INT))) AS INT)
+         AS chunk_idx,
+       substr(text,
+              CAST(unnest(range(0, CAST(ceil(len(text) / {CHUNK_STRIDE}.0) AS INT))) AS INT)
+                * {CHUNK_STRIDE} + 1,
+              {CHUNK_CHARS}) AS chunk
+FROM documents
+WHERE len(text) > 0
+"""
+
+
 # --- repetition ratio (Gopher-style boilerplate signal) ----------------------------
 
 def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -491,6 +516,7 @@ FROM grams
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),

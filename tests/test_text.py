@@ -182,3 +182,23 @@ class TestRepetitionRatio:
         assert out[1] == pytest.approx(1 - 1 / 6)
         assert out[2] == 0.0  # no repeated trigram
         assert out[3] == 0.0
+
+
+class TestChunkText:
+    def test_overlap_and_coverage(self, spark):
+        df = spark.createDataFrame([(1, "abcdefghij"), (2, "")], "doc_id long, text string")
+        out = TXT.chunk_text(df, chunk_chars=4, stride=3).collect()
+        chunks = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in out}
+        # ceil(10/3) = 4 chunks; stride 3, width 4 -> 1-char overlap
+        assert chunks == {
+            (1, 0): "abcd",
+            (1, 1): "defg",
+            (1, 2): "ghij",
+            (1, 3): "j",
+        }
+        assert not any(d == 2 for d, _ in chunks)  # empty text -> no chunks
+        # reconstruction: stripping the overlap re-yields the source
+        full = chunks[(1, 0)] + "".join(
+            chunks[(1, i)][4 - 3:] for i in range(1, 4)
+        )
+        assert full == "abcdefghij"
