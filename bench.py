@@ -80,12 +80,17 @@ def main() -> None:
         F.aggregate(F.array(F.col("id")), F.lit(0).cast("bigint"), lambda a, b: a + b)
     ).count()
 
+    # noop sink materializes EVERY output column (count(1) would let Catalyst
+    # prune deterministic projections, under-measuring projection-heavy queries)
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
+        run(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # second pass: steady-state (codegen/compile already paid) — the number
     # that scales with data volume; first-run totals are dominated by fixed
@@ -93,7 +98,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        run(qs[name](spark, sf_dir))
         warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

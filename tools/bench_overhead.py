@@ -114,18 +114,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    # noop sink materializes every output column on both sides (count(1)
+    # would let Catalyst prune projections and hollow out both timings)
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     out = {}
     for name, plain_fn in PAIRS.items():
         # warm both plan shapes once (codegen compile), then time alternating
-        qs[name](spark, sf_dir).count()
-        plain_fn(spark, sf_dir).count()
+        run(qs[name](spark, sf_dir))
+        run(plain_fn(spark, sf_dir))
         eng = plain = 0.0
         for _ in range(REPEATS):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            run(qs[name](spark, sf_dir))
             eng += time.time() - t0
             t0 = time.time()
-            plain_fn(spark, sf_dir).count()
+            run(plain_fn(spark, sf_dir))
             plain += time.time() - t0
         ratio = eng / plain if plain > 0 else float("inf")
         out[name] = {
