@@ -42,13 +42,21 @@ def exact_dedup(
 
 
 def duplicate_clusters(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cluster_size: int = 2,
 ) -> DataFrame:
-    """(fingerprint, n_docs, min_doc_id) for clusters with >1 member."""
+    """(fingerprint, n_docs, min_doc_id) per fingerprint cluster.
+
+    ``min_cluster_size=2`` (default) returns only true duplicate groups;
+    ``min_cluster_size=1`` includes singletons, which verifies the
+    fingerprint itself on corpora with few or no exact duplicates.
+    """
     return (
         df.groupBy(TXT.fingerprint(text_col).alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
-        .filter(F.col("n_docs") > 1)
+        .filter(F.col("n_docs") >= min_cluster_size)
     )
 
 

@@ -187,7 +187,9 @@ def tune(
     cfg = cfg or PipelineConfig()
     pipeline = build_pipeline(model, cfg)
     clf = pipeline.getStages()[-1]
-    grid = ParamGridBuilder().addGrid(clf.regParam, list(reg_params)).build()
+    # NaiveBayes has no regParam — its regularization knob is `smoothing`
+    tuned_param = clf.smoothing if model == "nb" else clf.regParam
+    grid = ParamGridBuilder().addGrid(tuned_param, list(reg_params)).build()
     cv = CrossValidator(
         estimator=pipeline,
         estimatorParamMaps=grid,

@@ -13,9 +13,35 @@ grid).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_STEP_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """'15 minutes' → 900. Whole-second steps only (grid is epoch-aligned)."""
+    parts = step.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _STEP_UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported step {step!r}: expected '<n> "
+            f"{'|'.join(sorted(set(_STEP_UNIT_SECONDS)))}'"
+        )
+    return int(parts[0]) * _STEP_UNIT_SECONDS[parts[1]]
+
+
+def _floor_to_step(ts: Column, step_s: int) -> Column:
+    """Epoch-aligned bucket: floor(unix_seconds / step) * step, as timestamp."""
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(ts) / step_s).cast("bigint") * step_s
+    )
 
 
 def resample_ffill(
@@ -31,7 +57,10 @@ def resample_ffill(
     an event. Bucket's observed value = the event with max (ts, tiebreak by
     arrival order within identical ts is irrelevant for unique timestamps).
     """
-    bucket = F.date_trunc("hour" if step == "1 hour" else "minute", F.col(ts_col))
+    # floor to the step WIDTH (not just hour/minute truncation): for e.g.
+    # '15 minutes' every observed bucket must land on the epoch-aligned
+    # step grid, or the left join below would silently drop it
+    bucket = _floor_to_step(F.col(ts_col), _step_seconds(step))
     hourly = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
         .agg(F.max_by(value_col, ts_col).alias("obs_v"))

@@ -234,7 +234,18 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
+
+
+def _await_or_raise(q, timeout_s: float) -> None:
+    """awaitTermination returns False on timeout with the query STILL
+    RUNNING — callers would read a partially-written sink. Stop and raise."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_s}s; stopped before the sink completed"
+        )
 
 
 def run_stream_to_memory(
@@ -254,4 +265,4 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)

@@ -45,15 +45,17 @@ GROUP BY l_returnflag
 def q_pivot_status_by_priority(spark: SparkSession, sf: str) -> DataFrame:
     """groupBy().pivot() — order counts per status × priority, wide."""
     orders = _t(spark, sf, "orders")
-    priorities = [r["o_orderpriority"] for r in orders.select("o_orderpriority").distinct().collect()]
+    # static key list (TPC-H fixed domain): passing it to .pivot() avoids the
+    # extra distinct+collect job Spark would otherwise run to enumerate keys
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     out = (
         orders.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", sorted(priorities))
+        .pivot("o_orderpriority", priorities)
         .count()
         .na.fill(0)
     )
     # normalize pivot column names to SQL-friendly identifiers
-    for p in sorted(priorities):
+    for p in priorities:
         out = out.withColumnRenamed(p, f"n_{p.replace('-', '_').lower()}")
     return out
 

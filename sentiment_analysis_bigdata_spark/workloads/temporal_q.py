@@ -336,7 +336,7 @@ def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
-    """Native streaming session_window execution (rows-only check)."""
+    """Native streaming session_window execution."""
     stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
     agg = SJ.session_counts(SJ.with_watermark(stream, "1 hour"), gap="30 minutes")
     SJ.run_stream_to_memory(agg, "stream_sessions", timeout_s=120)
@@ -345,6 +345,36 @@ def q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("session_start", TS_FMT).alias("session_start"),
         "n_events",
     )
+
+
+# The true-streaming runs are value-checkable against the SAME relational
+# oracles as their batch twins: complete-mode aggregation emits every window
+# (watermark only bounds state) and append-mode inner joins emit each match
+# on arrival, so with an availableNow bounded source the incremental result
+# set is identical to the one-shot batch result (tests/test_streaming.py
+# asserts this equivalence directly).
+SQL_STREAMING_TUMBLING = SQL_TUMBLING_EVENTS
+
+SQL_STREAMING_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '{SQL_TS_FMT}') AS session_start,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
 
 
 QUERIES = {
@@ -356,7 +386,7 @@ QUERIES = {
     "hourly_to_daily_rollup": (q_hourly_to_daily_rollup, SQL_HOURLY_TO_DAILY_ROLLUP),
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
-    "streaming_interval_join": (q_streaming_interval_join, None),
-    "streaming_tumbling": (q_streaming_tumbling, None),
-    "streaming_sessions": (q_streaming_sessions, None),
+    "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
+    "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
+    "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
 }

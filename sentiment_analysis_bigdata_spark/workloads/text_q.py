@@ -326,7 +326,10 @@ SQL_LABEL_DISTRIBUTION = "SELECT source, count(*) AS n FROM documents GROUP BY s
 # --- fingerprint / exact dedup ----------------------------------------------------------
 
 def q_fingerprint_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    return DD.duplicate_clusters(_docs(spark, sf))
+    # min_cluster_size=1: the synthetic corpus has no exact duplicates at
+    # small sf, so the >1 filter would pass vacuously (0 rows on both
+    # engines); singletons make the oracle actually check the fingerprint.
+    return DD.duplicate_clusters(_docs(spark, sf), min_cluster_size=1)
 
 
 SQL_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
@@ -335,7 +338,6 @@ SQL_FINGERPRINT_CLUSTERS = f"""
 SELECT {SQL_FP} AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM documents
 GROUP BY 1
-HAVING count(*) > 1
 """
 
 

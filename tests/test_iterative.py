@@ -82,6 +82,21 @@ class TestTuning:
         # best model is usable
         assert best.transform(df).select("prediction").count() == 200
 
+    def test_nb_tunes_smoothing(self, spark):
+        # regression: NaiveBayes has no regParam; tune() must grid smoothing
+        from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+        rows = []
+        for i in range(120):
+            label = i % 2
+            words = ("good fine nice" if label else "bad poor sad").split()
+            rows.append((label, " ".join(words[: 1 + i % 3] + [f"w{i % 7}"])))
+        df = spark.createDataFrame(rows, "label int, text string")
+        cfg = ML.PipelineConfig(num_features=2**10)
+        best, info = ML.tune(df, "nb", cfg, reg_params=(0.5, 1.0), num_folds=2)
+        assert info["best_reg_param"] in (0.5, 1.0)
+        assert best.transform(df).select("prediction").count() == 120
+
 
 class TestResampleFfill:
     def test_grid_and_forward_fill(self, spark):
@@ -101,3 +116,36 @@ class TestResampleFfill:
         assert u1 == [(0, 2.0, True), (1, 2.0, False), (2, 2.0, False), (3, 9.0, True)]
         u2 = [(r["bucket"].hour, r["value"], r["observed"]) for r in out if r["user_id"] == 2]
         assert u2 == [(5, 7.0, True)]
+
+    def test_sub_hour_step_keeps_observations_on_grid(self, spark):
+        # regression: with step='15 minutes' the old hour/minute date_trunc
+        # put observed buckets off the stride grid and the join dropped them
+        from datetime import datetime
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import resample_ffill
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 7), 1.0),   # bucket 00:00
+            (1, datetime(2024, 1, 1, 0, 44), 3.0),  # bucket 00:30
+            (1, datetime(2024, 1, 1, 1, 16), 5.0),  # bucket 01:15
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = resample_ffill(ev, step="15 minutes").orderBy("bucket").collect()
+        got = [((r["bucket"].hour, r["bucket"].minute), r["value"], r["observed"]) for r in out]
+        assert got == [
+            ((0, 0), 1.0, True),
+            ((0, 15), 1.0, False),
+            ((0, 30), 3.0, True),
+            ((0, 45), 3.0, False),
+            ((1, 0), 3.0, False),
+            ((1, 15), 5.0, True),
+        ]
+
+    def test_rejects_unsupported_step(self, spark):
+        import pytest as _pytest
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import resample_ffill
+
+        ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+        with _pytest.raises(ValueError, match="unsupported step"):
+            resample_ffill(ev, step="1 fortnight")
