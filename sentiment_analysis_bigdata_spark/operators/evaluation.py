@@ -115,23 +115,30 @@ def roc_auc(df: DataFrame, label_col: str = "label", score_col: str = "score") -
 
     Average ranks handle score ties exactly like trapezoidal integration
     over tie-grouped thresholds (the evaluator's semantics, SURVEY §7.4).
-    One global sort (rank window) + one aggregation; no driver collect.
-    The global rank window is a single-partition sort — at extreme scale
-    swap in a two-pass histogram AUC; exactness is kept here because the
-    evaluator parity target (BASELINE.md 4-decimal AUC) requires it.
+
+    Scale shape: the rows are FIRST hash-aggregated per distinct score
+    (partial+final, fully parallel), and only the distinct-score frame —
+    cardinality = #thresholds, not #rows — goes through the global-sort
+    window. The tie group at score s has ranks [before+1 .. before+cnt],
+    so its average rank is before + (cnt+1)/2; summing pos·avg_rank per
+    group equals the per-row rank sum exactly (half-integers and their
+    products stay exact in doubles). At extreme scale the histogram
+    variant below bounds even the distinct-score cardinality.
     """
-    w = Window.orderBy(F.col(score_col))
-    # average rank for ties = (min_rank + max_rank)/2; with rank() (min) and
-    # count over the tie group we get avg_rank = rank + (ties-1)/2
-    ranked = df.select(
-        F.col(label_col).cast("double").alias("y"),
-        F.rank().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy(score_col)).alias("ties"),
-    ).withColumn("avg_rank", F.col("r") + (F.col("ties") - 1) / 2.0)
+    by_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("pos_s"),
+        F.count(F.lit(1)).alias("cnt_s"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "before", F.coalesce(F.sum("cnt_s").over(w), F.lit(0))
+    )
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("avg_rank"))).alias("pos_rank_sum"),
-        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("pos"),
-        F.sum(F.when(F.col("y") != 1.0, 1).otherwise(0)).alias("neg"),
+        F.sum(
+            F.col("pos_s") * (F.col("before") + (F.col("cnt_s") + 1) / 2.0)
+        ).alias("pos_rank_sum"),
+        F.sum("pos_s").alias("pos"),
+        F.sum(F.col("cnt_s") - F.col("pos_s")).alias("neg"),
     ).first()
     pos, neg = agg["pos"], agg["neg"]
     if not pos or not neg:
@@ -192,24 +199,27 @@ def roc_auc_approx(
 def roc_points(df: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
     """A9 — distributed ROC curve points (fpr, tpr) at each score threshold.
 
-    Window cumulative TP/FP over descending score (tie-grouped like
-    sklearn's ``roc_curve`` drop_intermediate=False on distinct thresholds).
+    Scale shape: per-score hash aggregation FIRST (partial+final, fully
+    parallel over the raw rows), then the cumulative window runs over the
+    distinct-score frame only — cardinality = #thresholds, not #rows — so
+    the single-partition sort the window implies never sees the full data.
+    Tie groups collapse to one threshold row each, matching sklearn's
+    ``roc_curve`` on distinct thresholds.
     """
-    w = Window.orderBy(F.col(score_col).desc())
     totals = df.agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("P"),
         F.sum(F.when(F.col(label_col) != 1, 1).otherwise(0)).alias("N"),
     ).first()
+    by_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("pos_s"),
+        F.count(F.lit(1)).alias("cnt_s"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = (
-        df.select(
-            F.col(score_col).alias("score"),
-            F.when(F.col(label_col) == 1, 1).otherwise(0).alias("is_pos"),
-        )
-        .withColumn("cum_tp", F.sum("is_pos").over(w))
-        .withColumn("cum_n", F.count(F.lit(1)).over(w))
-        # collapse tied scores to the last (complete) row of each tie group
-        .groupBy("score")
-        .agg(F.max("cum_tp").alias("tp"), F.max("cum_n").alias("n"))
+        by_score.withColumn("tp", F.sum("pos_s").over(w))
+        .withColumn("n", F.sum("cnt_s").over(w))
         .withColumn("fp", F.col("n") - F.col("tp"))
         .select(
             "score",

@@ -394,27 +394,73 @@ SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
 
 
 def q_hashing_tf(spark: SparkSession, sf: str) -> DataFrame:
-    """HashingTF twin on Murmur3 (Spark-internal hash — no SQL oracle)."""
+    """HashingTF twin on Murmur3, verified through order-invariant integer
+    aggregates of the full (doc, bucket, tf) frame.
+
+    Spark's Murmur3 isn't SQL-expressible, so the oracle pairs
+    SQL-recomputable totals (n_docs, total_tf — pure tokenization facts)
+    with hash-dependent checksums pinned as golden constants (deterministic:
+    the bucketing is a pure function of the tokens). Any change to
+    tokenize→hash→mod→count moves at least one aggregate."""
     from sentiment_analysis_bigdata_spark.operators import features as FE
 
     docs = _docs(spark, sf).select("doc_id", TXT.tokenize_nonempty("text").alias("tokens"))
-    return FE.hashing_tf_indices(docs, num_features=2**18)
+    tf = FE.hashing_tf_indices(docs, num_features=2**18)
+    return tf.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.sum(F.col("bucket").cast("bigint") * F.col("tf")).cast("bigint").alias("bucket_tf_checksum"),
+        F.max("bucket").cast("bigint").alias("max_bucket"),
+    )
+
+
+def _sql_hashing_tf(nnz: int, checksum: int, max_bucket: int) -> str:
+    """n_docs/total_tf recomputed from the raw table; Murmur3-dependent
+    aggregates are golden constants measured at sf0.01 (the driver's
+    correctness scale)."""
+    return f"""
+SELECT CAST((SELECT count(*) FROM documents WHERE len({SQL_TOKS}) > 0) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(len({SQL_TOKS})) FROM documents) AS BIGINT) AS total_tf,
+       CAST({nnz} AS BIGINT) AS nnz,
+       CAST({checksum} AS BIGINT) AS bucket_tf_checksum,
+       CAST({max_bucket} AS BIGINT) AS max_bucket
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF (kmeans-partitioned) ANN — model-dependent, rows-only check."""
+    """IVF ANN in exhaustive-probe mode (nprobe = nlist): the probed lists
+    cover the whole corpus, so the result must equal exact brute force
+    REGARDLESS of the kmeans centroid model — which is what makes the IVF
+    plumbing (assignment, probing, candidate scoring, top-k) value-checkable
+    against the brute-force SQL oracle. The recall/cost trade of
+    nprobe < nlist is covered by the planted-neighbor test
+    (tests/test_similarity.py)."""
     emb = _emb(spark, sf)
-    out = SIM.ivf_topk(emb, _queries_frame(emb), k=TOP_K, nlist=8, nprobe=2)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    out = SIM.ivf_topk(emb, _queries_frame(emb), k=TOP_K, nlist=8, nprobe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank")
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """mapInPandas media decode plumbing (stub kernel — rows-only check)."""
+    """mapInPandas media decode plumbing. The stub kernel derives
+    'dimensions' from sha256(payload) deterministically, so the whole
+    binary-payload → Arrow batch → decode chain is value-checkable: DuckDB
+    recomputes width/height from the same bytes."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
-    docs = MM.attach_payload(_docs(spark, sf).limit(200))
+    docs = MM.attach_payload(_docs(spark, sf))
     out = MM.decode_and_featurize(docs.select("doc_id", "payload"))
     return out.select("doc_id", "width", "height")
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS INTEGER) AS height
+FROM documents
+"""
 
 
 QUERIES = {
@@ -428,7 +474,7 @@ QUERIES = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
-    "hashing_tf": (q_hashing_tf, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "multimodal_decode": (q_multimodal_decode, None),
+    "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_BRUTEFORCE),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

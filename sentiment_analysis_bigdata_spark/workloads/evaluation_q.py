@@ -201,15 +201,65 @@ FROM cum
 """
 
 
-# --- reference-parity ML pipelines (rows-only: training isn't SQL) --------------
+# --- reference-parity ML pipelines -----------------------------------------------
 
 def _synthetic_tweets(spark: SparkSession, sf: str) -> DataFrame:
     """tweets_clean-shaped frame derived from documents: label from doc_id
-    parity, text as-is (already word-like)."""
+    parity, text as-is (already word-like).
+
+    Hash-repartitioned to a FIXED partition count keyed on doc_id: parquet
+    split planning depends on the session's core count, and randomSplit's
+    per-partition RNG (plus float reduce order in training) would otherwise
+    make the metrics depend on the machine running the query. After the
+    explicit hash partitioning (layout-independent) randomSplit's internal
+    sortWithinPartitions makes the whole train→score→count chain
+    deterministic, which is what lets the ml_* queries carry
+    literal-constant oracles."""
     docs = load_table(spark, sf, "documents")
-    return docs.select(
-        (F.col("doc_id") % 2).cast("int").alias("label"), F.col("text")
-    ).filter(F.length("text") > 0)
+    return (
+        docs.select((F.col("doc_id") % 2).cast("int").alias("label"), "text", "doc_id")
+        .filter(F.length("text") > 0)
+        .repartition(8, "doc_id")
+        .drop("doc_id")
+    )
+
+
+def _metrics_row(spark: SparkSession, m: dict) -> DataFrame:
+    """One all-integer metrics row: binary confusion counts (positive
+    class = 1) plus ppm-scaled accuracy/F1/AUC. Integer-only output is
+    partition-order-proof AND engine-hash-proof (no float formatting)."""
+    cm = m["confusion_matrix"]
+    row = (
+        int(m["test_rows"]),
+        int(cm.get("1_1", 0)),
+        int(cm.get("0_1", 0)),
+        int(cm.get("1_0", 0)),
+        int(cm.get("0_0", 0)),
+        int(round(m["accuracy"] * 1_000_000)),
+        int(round(m["f1"] * 1_000_000)),
+        int(round(m["roc_auc"] * 1_000_000)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_test bigint, tp bigint, fp bigint, fn bigint, tn bigint, "
+        "accuracy_ppm bigint, f1_ppm bigint, auc_ppm bigint",
+    )
+
+
+def _metrics_literal_sql(n_test, tp, fp, fn, tn, acc, f1, auc) -> str:
+    """DuckDB oracle for a deterministic training run: the golden constants
+    measured once at sf0.01 (the driver's correctness scale) and pinned —
+    valid because the Spark query is bitwise-reproducible (see
+    _synthetic_tweets). Mirrors the reference's metrics-JSON contract
+    (reference model_logistic_regression.py:202-209, metrics/lr_metrics.json)."""
+    return f"""
+SELECT CAST({n_test} AS BIGINT) AS n_test,
+       CAST({tp} AS BIGINT) AS tp, CAST({fp} AS BIGINT) AS fp,
+       CAST({fn} AS BIGINT) AS fn, CAST({tn} AS BIGINT) AS tn,
+       CAST({acc} AS BIGINT) AS accuracy_ppm,
+       CAST({f1} AS BIGINT) AS f1_ppm,
+       CAST({auc} AS BIGINT) AS auc_ppm
+"""
 
 
 def q_ml_logistic_regression(spark: SparkSession, sf: str) -> DataFrame:
@@ -220,10 +270,7 @@ def q_ml_logistic_regression(spark: SparkSession, sf: str) -> DataFrame:
 
     cfg = ML.PipelineConfig(num_features=2**16)  # smaller dims for test scale
     _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "lr", cfg)
-    return spark.createDataFrame(
-        [(round(m["accuracy"], 6), round(m["f1"], 6), round(m["roc_auc"], 6), m["test_rows"])],
-        "accuracy double, f1 double, roc_auc double, test_rows bigint",
-    )
+    return _metrics_row(spark, m)
 
 
 def q_ml_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
@@ -232,10 +279,7 @@ def q_ml_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
 
     cfg = ML.PipelineConfig(num_features=2**16)
     _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "nb", cfg)
-    return spark.createDataFrame(
-        [(round(m["accuracy"], 6), round(m["f1"], 6), m["test_rows"])],
-        "accuracy double, f1 double, test_rows bigint",
-    )
+    return _metrics_row(spark, m)
 
 
 def q_ml_linear_svc(spark: SparkSession, sf: str) -> DataFrame:
@@ -244,10 +288,7 @@ def q_ml_linear_svc(spark: SparkSession, sf: str) -> DataFrame:
 
     cfg = ML.PipelineConfig(num_features=2**16, max_iter=10)
     _model, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "svm", cfg)
-    return spark.createDataFrame(
-        [(round(m["accuracy"], 6), round(m["f1"], 6), m["test_rows"])],
-        "accuracy double, f1 double, test_rows bigint",
-    )
+    return _metrics_row(spark, m)
 
 
 QUERIES = {
@@ -257,7 +298,17 @@ QUERIES = {
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "roc_points": (q_roc_points, SQL_ROC_POINTS),
     "roc_auc_hist": (q_roc_auc_hist, SQL_ROC_AUC_HIST),
-    "ml_logistic_regression": (q_ml_logistic_regression, None),
-    "ml_naive_bayes": (q_ml_naive_bayes, None),
-    "ml_linear_svc": (q_ml_linear_svc, None),
+    # golden constants measured at sf0.01 (deterministic — see _synthetic_tweets)
+    "ml_logistic_regression": (
+        q_ml_logistic_regression,
+        _metrics_literal_sql(108, 22, 27, 33, 26, 444444, 443300, 467925),
+    ),
+    "ml_naive_bayes": (
+        q_ml_naive_bayes,
+        _metrics_literal_sql(108, 50, 51, 5, 2, 481481, 359164, 389365),
+    ),
+    "ml_linear_svc": (
+        q_ml_linear_svc,
+        _metrics_literal_sql(108, 21, 23, 34, 30, 472222, 467711, 486106),
+    ),
 }

@@ -8,6 +8,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+    _metrics_literal_sql as _ml_metrics_sql,
+)
 from sentiment_analysis_bigdata_spark.workloads.relational_q import money_sum
 
 
@@ -383,16 +386,16 @@ def q_ml_lr_ngram(spark: SparkSession, sf: str) -> DataFrame:
     CountVectorizer → IDF → VectorAssembler → LR (reference
     model_logistic_regression.py:124-150; CLI-switchable vs TF-IDF)."""
     from sentiment_analysis_bigdata_spark.operators import ml as ML
-    from sentiment_analysis_bigdata_spark.workloads.evaluation_q import _synthetic_tweets
+    from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+        _metrics_row,
+        _synthetic_tweets,
+    )
 
     cfg = ML.PipelineConfig(
         features="ngram", ngram_max=2, vocab_size=5000, min_df=2, max_iter=10
     )
     _m, m = ML.train_and_evaluate(_synthetic_tweets(spark, sf), "lr", cfg)
-    return spark.createDataFrame(
-        [(round(m["accuracy"], 6), round(m["f1"], 6), m["test_rows"])],
-        "accuracy double, f1 double, test_rows bigint",
-    )
+    return _metrics_row(spark, m)
 
 
 QUERIES = {
@@ -408,5 +411,10 @@ QUERIES = {
     "fillna_aggregates": (q_fillna_aggregates, SQL_FILLNA_AGGREGATES),
     "first_last_window": (q_first_last_window, SQL_FIRST_LAST_WINDOW),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
-    "ml_lr_ngram": (q_ml_lr_ngram, None),
+    # golden constants measured at sf0.01 (deterministic training — see
+    # evaluation_q._synthetic_tweets / _metrics_literal_sql)
+    "ml_lr_ngram": (
+        q_ml_lr_ngram,
+        _ml_metrics_sql(108, 32, 26, 23, 27, 546296, 545712, 531732),
+    ),
 }

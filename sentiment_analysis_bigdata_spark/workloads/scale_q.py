@@ -50,8 +50,13 @@ GROUP BY l_suppkey, s_name
 
 def q_stateful_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    EWMA of event values, run as a real incremental stream. Rows-only —
-    checked against its batch twin in tests/test_scale_ops.py."""
+    EWMA of event values, run as a real incremental stream.
+
+    Value-checkable: the fold is deterministic over (ts, event_id) order with
+    alpha = 0.3, and IEEE gives 1 - 0.3 == 0.7 exactly, so DuckDB's
+    list_reduce over the same ordered values reproduces the final state
+    bit-for-bit (also asserted against the batch twin in
+    tests/test_scale_ops.py)."""
     from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
     from sentiment_analysis_bigdata_spark.streaming import stateful
 
@@ -64,12 +69,26 @@ def q_stateful_ewma(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    SJ._await_or_raise(q, 120)
     res = spark.table("q_stateful_ewma")
     return res.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
     )
+
+
+# the lambda mirrors _fold_ewma: e ← 0.3·v + 0.7·e, seeded with the first
+# value, over the user's (ts, event_id)-ordered history
+SQL_STATEFUL_EWMA = """
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS ewma
+FROM ordered
+"""
 
 
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
@@ -93,22 +112,46 @@ LIMIT 20
 
 
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    """Greedy per-partition sequence packing into 512-token training shards
-    (rows-only: shard assignment depends on partition layout; the invariants
-    — every doc exactly once, fills ≤ budget — are tested in
-    tests/test_packing.py)."""
+    """Greedy per-partition sequence packing into 512-token training shards.
+
+    Shard ids depend on the partition layout, so the value check is over the
+    packing INVARIANTS, which are layout-independent: every doc packed
+    exactly once (n_docs, distinct_docs, total_tokens all SQL-recomputable
+    from the raw table), oversize docs flagged exactly when n_tokens > 512,
+    and no multi-doc shard overfilled (violations ≡ 0). Per-shard structure
+    is further covered by tests/test_packing.py."""
     from sentiment_analysis_bigdata_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.size(TXT.tokenize_nonempty("text")).cast("long").alias("n_tokens")
     )
-    return packing.pack_sequences(docs, max_tokens=512)
+    packed = packing.pack_sequences(docs, max_tokens=512)
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("bigint")).cast("bigint").alias("oversize_docs"),
+        F.sum(
+            ((F.col("shard_fill") > 512) & ~F.col("oversize")).cast("bigint")
+        ).cast("bigint").alias("overfill_violations"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (SELECT doc_id, len({SQL_TOKS}) AS n_tokens FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) FILTER (n_tokens > 512) AS BIGINT) AS oversize_docs,
+       CAST(0 AS BIGINT) AS overfill_violations
+FROM toks
+"""
 
 
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
-    "stateful_ewma": (q_stateful_ewma, None),
+    "stateful_ewma": (q_stateful_ewma, SQL_STATEFUL_EWMA),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "pack_sequences": (q_pack_sequences, None),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

@@ -395,15 +395,47 @@ FROM chars
 
 
 def q_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
-    """Sketch-based aggregates (HLL count-distinct, KLL-ish percentile) —
-    implementation-specific estimates, so rows-only; the estimation-error
-    band is unit-tested instead (tests/test_text.py-adjacent)."""
+    """Sketch-based aggregates (HLL count-distinct, KLL-ish percentile).
+
+    The estimates themselves are implementation-specific, so the oracle
+    checks BOUNDS: the query emits the exact values (SQL-recomputable) plus
+    booleans asserting each sketch landed within its error band — HLL within
+    ±10% (default rsd 5%, so 2σ) and the approx median between the exact
+    45th/55th percentiles (accuracy 1000 ⇒ rank error ≲ n/1000). The oracle
+    recomputes the exact values and expects every bound check TRUE."""
     li = load_table(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median_price"),
+    raw = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_suppkey").alias("asup"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("amed"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.expr("percentile(l_extendedprice, 0.45D)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55D)").alias("p55"),
     )
+    return raw.select(
+        "exact_parts",
+        "exact_suppliers",
+        (F.abs(F.col("ap") - F.col("exact_parts")) <= 0.10 * F.col("exact_parts")).alias(
+            "parts_within_10pct"
+        ),
+        (F.abs(F.col("asup") - F.col("exact_suppliers")) <= 0.10 * F.col("exact_suppliers")).alias(
+            "suppliers_within_10pct"
+        ),
+        ((F.col("amed") >= F.col("p45")) & (F.col("amed") <= F.col("p55"))).alias(
+            "median_within_decile"
+        ),
+    )
+
+
+SQL_APPROX_AGGREGATES = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       TRUE AS parts_within_10pct,
+       TRUE AS suppliers_within_10pct,
+       TRUE AS median_within_decile
+FROM lineitem
+"""
 
 
 def q_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -535,6 +567,6 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
-    "approx_aggregates": (q_approx_aggregates, None),
+    "approx_aggregates": (q_approx_aggregates, SQL_APPROX_AGGREGATES),
     "payload_stats": (q_payload_stats, SQL_PAYLOAD_STATS),
 }
