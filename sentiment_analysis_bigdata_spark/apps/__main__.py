@@ -27,6 +27,7 @@ def main() -> None:
     p.add_argument("--stats")
     p.add_argument("--input-format", default="csv", choices=["csv", "parquet"])
     p.add_argument("--num-files", type=int, default=4)
+    p.add_argument("--charts-dir", help="render preprocessing PNGs here")
 
     t = sub.add_parser("train", help="clean tweets → fitted model + metrics JSON")
     t.add_argument("--model", required=True, choices=["lr", "svm", "nb"])
@@ -34,10 +35,12 @@ def main() -> None:
     t.add_argument("--input", required=True)
     t.add_argument("--out-dir", required=True)
     t.add_argument("--input-format", default="csv", choices=["csv", "parquet"])
+    t.add_argument("--charts-dir", help="render confusion/ROC PNGs here")
 
     c = sub.add_parser("compare", help="merge per-model metrics JSONs")
     c.add_argument("--metrics-dir", required=True)
     c.add_argument("--out")
+    c.add_argument("--charts-dir", help="render comparison PNGs here")
 
     from sentiment_analysis_bigdata_spark.apps import corpus
 
@@ -45,7 +48,14 @@ def main() -> None:
 
     args = ap.parse_args()
     if args.cmd == "compare":
-        print(json.dumps(workflow.compare_models(args.metrics_dir, args.out), indent=2))
+        print(
+            json.dumps(
+                workflow.compare_models(
+                    args.metrics_dir, args.out, charts_dir=args.charts_dir
+                ),
+                indent=2,
+            )
+        )
         return
 
     spark = get_spark(f"app-{args.cmd}")
@@ -61,6 +71,7 @@ def main() -> None:
                 stats_path=args.stats,
                 num_output_files=args.num_files,
                 input_format=args.input_format,
+                charts_dir=args.charts_dir,
             )
         else:
             out = workflow.train_model(
@@ -70,6 +81,7 @@ def main() -> None:
                 args.out_dir,
                 features=args.features,
                 input_format=args.input_format,
+                charts_dir=args.charts_dir,
             )
         print(json.dumps(out, indent=2))
     finally:

@@ -68,6 +68,24 @@ def text_length_stats(df: DataFrame, text_col: str = "text") -> dict[str, Any]:
     }
 
 
+def length_histogram_bins(
+    df: DataFrame, text_col: str = "text", bin_width: int = 10
+) -> list[tuple[int, int]]:
+    """Distributed (bin_start, count) histogram rows for the chart sink —
+    the reference histogrammed a collected pandas sample
+    (preprocessing.py:125-145); this is one hash aggregation, k rows out."""
+    rows = (
+        df.groupBy(
+            (F.floor(F.length(text_col) / bin_width) * bin_width)
+            .cast("bigint")
+            .alias("bin_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return sorted((int(r["bin_start"]), int(r["n"])) for r in rows)
+
+
 def preprocess(
     spark: SparkSession,
     input_path: str,
@@ -75,6 +93,7 @@ def preprocess(
     stats_path: str | None = None,
     num_output_files: int = 4,
     input_format: str = "csv",
+    charts_dir: str | None = None,
 ) -> dict[str, Any]:
     """ETL entry point (reference preprocessing.py).
 
@@ -83,6 +102,11 @@ def preprocess(
     stats the reference rendered as charts. The clean frame is cached so the
     stats pass and the sink don't re-scan the source (the reference
     recomputed lineage per action, SURVEY §3 entry point 1).
+
+    With ``charts_dir`` set, also renders the reference's preprocessing PNGs
+    (sentiment bar, length histogram with the 140-char marker, before/after
+    length boxplot — preprocessing.py:63-148) from the SAME distributed
+    aggregates; no sampled collect feeds any chart.
     """
     if input_format == "csv":
         raw = read_csv(spark, input_path, schemas.TWEETS_RAW, header=False)
@@ -105,6 +129,30 @@ def preprocess(
             "label_distribution": sentiment_dist,
             "text_length": text_length_stats(clean),
         }
+        if charts_dir:
+            from sentiment_analysis_bigdata_spark.apps import charts
+
+            labels = sorted(sentiment_dist)
+            charts.bar_chart(
+                os.path.join(charts_dir, "sentiment_distribution.png"),
+                labels,
+                [sentiment_dist[k] for k in labels],
+                title="SENTIMENT DISTRIBUTION",
+                colors=[charts.RED, charts.GREEN],
+            )
+            charts.histogram(
+                os.path.join(charts_dir, "text_length_histogram.png"),
+                length_histogram_bins(clean),
+                bin_width=10,
+                title="TEXT LENGTH (AFTER CLEAN)",
+                vline=140,
+            )
+            charts.boxplot(
+                os.path.join(charts_dir, "text_length_boxplot.png"),
+                [text_length_stats(raw.dropna()), stats["text_length"]],
+                ["BEFORE", "AFTER"],
+                title="TEXT LENGTH: BEFORE VS AFTER",
+            )
         write_csv(clean, output_path, num_files=num_output_files)
     finally:
         clean.unpersist()
@@ -124,6 +172,7 @@ def train_model(
     features: str = "tfidf",
     cfg: ML.PipelineConfig | None = None,
     input_format: str = "csv",
+    charts_dir: str | None = None,
 ) -> dict[str, Any]:
     """Train/eval/persist entry point (reference model_*.py).
 
@@ -131,7 +180,9 @@ def train_model(
     inferSchema double scan here, model_logistic_regression.py:71-75),
     fits the reference pipeline, computes distributed metrics, persists the
     model (S4) and a metrics JSON (S5) shaped like the reference's
-    ``metrics/*_metrics.json``.
+    ``metrics/*_metrics.json``. ``charts_dir`` additionally renders the
+    confusion-heatmap and ROC-curve PNGs
+    (model_logistic_regression.py:261-296).
     """
     if input_format == "csv":
         df = read_csv(spark, input_path, schemas.TWEETS_CLEAN, header=True)
@@ -140,7 +191,7 @@ def train_model(
     df = df.dropna()
 
     cfg = cfg or ML.PipelineConfig(features=features)
-    fitted, metrics = ML.train_and_evaluate(df, model, cfg)
+    fitted, metrics = ML.train_and_evaluate(df, model, cfg, charts_dir=charts_dir)
 
     os.makedirs(out_dir, exist_ok=True)
     ML.save_model(fitted, os.path.join(out_dir, f"model_{model}"))
@@ -150,10 +201,16 @@ def train_model(
     return metrics
 
 
-def compare_models(metrics_dir: str, out_path: str | None = None) -> dict[str, Any]:
+def compare_models(
+    metrics_dir: str,
+    out_path: str | None = None,
+    charts_dir: str | None = None,
+) -> dict[str, Any]:
     """Comparison entry point (reference compare_models.py): merge the
-    per-model metrics JSONs into one table; render PNGs only if matplotlib
-    is available (it is not required)."""
+    per-model metrics JSONs into one table; with ``charts_dir``, render the
+    comparison PNGs (grouped accuracy/F1 bars + per-model confusion
+    heatmaps, compare_models.py:20-59) with the built-in rasterizer — no
+    matplotlib needed."""
     merged: dict[str, Any] = {}
     for fname in sorted(os.listdir(metrics_dir)):
         if fname.endswith("_metrics.json"):
@@ -164,31 +221,30 @@ def compare_models(metrics_dir: str, out_path: str | None = None) -> dict[str, A
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=4)
 
-    try:  # chart artifacts are optional — the JSON above is the contract
-        import matplotlib  # noqa: F401
+    if charts_dir and merged:
+        from sentiment_analysis_bigdata_spark.apps import charts
 
-        _render_comparison_png(merged, out_path)
-    except ImportError:
-        pass
+        names = list(merged)
+        charts.grouped_bar_chart(
+            os.path.join(charts_dir, "model_comparison.png"),
+            names,
+            {
+                "ACCURACY": [merged[n].get("accuracy", 0.0) or 0.0 for n in names],
+                "F1": [merged[n].get("f1", 0.0) or 0.0 for n in names],
+                "ROC AUC": [merged[n].get("roc_auc", 0.0) or 0.0 for n in names],
+            },
+            title="MODEL COMPARISON",
+        )
+        for name in names:
+            cm = merged[name].get("confusion_matrix") or {}
+            if not cm:
+                continue
+            classes = sorted(
+                {int(k.split("_")[0]) for k in cm} | {int(k.split("_")[1]) for k in cm}
+            )
+            charts.heatmap(
+                os.path.join(charts_dir, f"confusion_matrix_{name}.png"),
+                [[cm.get(f"{a}_{p}", 0) for p in classes] for a in classes],
+                title=f"CONFUSION ({name.upper()})",
+            )
     return merged
-
-
-def _render_comparison_png(merged: dict[str, Any], out_path: str | None) -> None:
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    names = list(merged)
-    metrics = ["accuracy", "f1", "roc_auc"]
-    fig, ax = plt.subplots(figsize=(8, 4))
-    width = 0.25
-    for i, metric in enumerate(metrics):
-        vals = [merged[n].get(metric, 0.0) or 0.0 for n in names]
-        ax.bar([x + i * width for x in range(len(names))], vals, width, label=metric)
-    ax.set_xticks([x + width for x in range(len(names))])
-    ax.set_xticklabels(names)
-    ax.legend()
-    png = (out_path or "comparison.json").replace(".json", ".png")
-    fig.savefig(png)
-    plt.close(fig)

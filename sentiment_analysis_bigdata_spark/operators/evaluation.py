@@ -196,6 +196,31 @@ def roc_auc_approx(
     return float(auc_pairs / (total_pos * total_neg))
 
 
+def roc_points_binned(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bins: int = 256,
+) -> list[tuple[float, float]]:
+    """Chart-ready ROC polyline: ≤ ``bins`` (fpr, tpr) points, distributed.
+
+    ``roc_points`` emits one row per distinct threshold — unbounded. For
+    rendering, bucket fpr into ``bins`` cells and keep each cell's max tpr
+    (the visually-exact upper envelope of the step curve); the collect is
+    then bounded by ``bins`` regardless of data scale.
+    """
+    pts = roc_points(df, label_col, score_col)
+    rows = (
+        pts.groupBy(
+            F.least(F.floor(F.col("fpr") * bins), F.lit(bins - 1)).alias("cell")
+        )
+        .agg(F.max("fpr").alias("fpr"), F.max("tpr").alias("tpr"))
+        .select("fpr", "tpr")
+        .collect()
+    )
+    return sorted((float(r["fpr"]), float(r["tpr"])) for r in rows)
+
+
 def roc_points(df: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
     """A9 — distributed ROC curve points (fpr, tpr) at each score threshold.
 

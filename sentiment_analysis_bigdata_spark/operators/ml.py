@@ -126,7 +126,10 @@ def build_pipeline(model: str, cfg: PipelineConfig | None = None) -> Pipeline:
 
 
 def train_and_evaluate(
-    df: DataFrame, model: str, cfg: PipelineConfig | None = None
+    df: DataFrame,
+    model: str,
+    cfg: PipelineConfig | None = None,
+    charts_dir: str | None = None,
 ) -> tuple[PipelineModel, dict]:
     """Train/test split → fit → distributed evaluation. Returns
     (fitted model, metrics dict matching the reference's metrics JSON shape:
@@ -161,6 +164,31 @@ def train_and_evaluate(
             },
             "test_rows": scored.count(),
         }
+        if charts_dir:
+            # reference chart parity (model_logistic_regression.py:261-296),
+            # rendered from the distributed aggregates while the scored
+            # frame is still cached — k-row confusion counts and ≤256
+            # binned ROC points reach the driver, never row data
+            import os
+
+            from sentiment_analysis_bigdata_spark.apps import charts
+
+            cm = metrics["confusion_matrix"]
+            classes = sorted({int(k.split("_")[0]) for k in cm} | {int(k.split("_")[1]) for k in cm})
+            matrix = [
+                [cm.get(f"{a}_{p}", 0) for p in classes] for a in classes
+            ]
+            charts.heatmap(
+                os.path.join(charts_dir, f"confusion_matrix_{model}.png"),
+                matrix,
+                title=f"CONFUSION MATRIX ({model.upper()})",
+            )
+            charts.roc_curve_png(
+                os.path.join(charts_dir, f"roc_curve_{model}.png"),
+                evaluation.roc_points_binned(with_score, cfg.label_col, "score"),
+                auc_value=metrics["roc_auc"],
+                title=f"ROC CURVE ({model.upper()})",
+            )
     finally:
         scored.unpersist()
     return fitted, metrics

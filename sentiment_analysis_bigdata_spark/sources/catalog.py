@@ -66,14 +66,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 def read_csv(
     spark: SparkSession,
     path: str,
-    schema: T.StructType,
+    schema: T.StructType | None,
     header: bool = False,
+    infer_schema: bool = False,
 ) -> DataFrame:
-    """CSV scan with explicit schema (S1; reference preprocessing.py:31-35).
+    """CSV scan (S1/S2; reference preprocessing.py:31-35).
 
-    Single pass — never ``inferSchema`` (S2 is deliberately not reproduced;
-    inference double-scans the data, reference model_logistic_regression.py:71-75).
+    Default is the single-pass explicit-schema scan (S1). ``infer_schema``
+    reproduces the reference's inferSchema mode
+    (model_logistic_regression.py:71-75) for parity completeness — opt-in
+    only, because inference costs an extra full scan of the data; at scale
+    always pass the schema.
     """
+    if infer_schema:
+        return spark.read.csv(path, header=header, inferSchema=True)
+    if schema is None:
+        raise ValueError("read_csv needs a schema unless infer_schema=True")
     return spark.read.schema(schema).csv(path, header=header)
 
 

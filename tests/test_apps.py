@@ -73,23 +73,60 @@ def test_preprocess_end_to_end(spark, raw_csv, tmp_path):
     assert bad.count() == 0
 
 
+def _assert_png(path, min_bytes=500):
+    """Valid PNG signature + IHDR with sane dimensions."""
+    import struct
+
+    assert os.path.exists(path), path
+    with open(path, "rb") as f:
+        data = f.read()
+    assert len(data) >= min_bytes, path
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", path
+    assert data[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", data[16:24])
+    assert 100 <= w <= 2000 and 100 <= h <= 2000
+
+
 def test_train_and_compare_end_to_end(spark, raw_csv, tmp_path):
     from sentiment_analysis_bigdata_spark.operators.ml import PipelineConfig
 
     clean_dir = str(tmp_path / "clean")
-    workflow.preprocess(spark, raw_csv, clean_dir)
+    charts = str(tmp_path / "charts")
+    workflow.preprocess(spark, raw_csv, clean_dir, charts_dir=charts)
+    for png in [
+        "sentiment_distribution.png",
+        "text_length_histogram.png",
+        "text_length_boxplot.png",
+    ]:
+        _assert_png(os.path.join(charts, png))
 
     art = str(tmp_path / "artifacts")
     cfg = PipelineConfig(num_features=2**12, max_iter=5, min_doc_freq=0)
     for model in ["lr", "nb"]:
         metrics = workflow.train_model(
-            spark, clean_dir, model, art, cfg=cfg
+            spark, clean_dir, model, art, cfg=cfg, charts_dir=charts
         )
         assert 0.5 <= metrics["accuracy"] <= 1.0  # separable vocab
         assert os.path.exists(f"{art}/{model}_metrics.json")
         assert os.path.isdir(f"{art}/model_{model}")
+        _assert_png(os.path.join(charts, f"confusion_matrix_{model}.png"))
+        _assert_png(os.path.join(charts, f"roc_curve_{model}.png"))
 
-    merged = workflow.compare_models(art, str(tmp_path / "comparison.json"))
+    merged = workflow.compare_models(
+        art, str(tmp_path / "comparison.json"), charts_dir=charts
+    )
     assert set(merged) == {"lr", "nb"}
     with open(tmp_path / "comparison.json") as f:
         assert json.load(f)["lr"]["accuracy"] == merged["lr"]["accuracy"]
+    _assert_png(os.path.join(charts, "model_comparison.png"))
+
+
+def test_read_csv_infer_schema_mode(spark, raw_csv):
+    # S2 parity: opt-in inferSchema reproduces the reference's typed scan
+    # (model_logistic_regression.py:71-75) without an explicit schema
+    from sentiment_analysis_bigdata_spark.sources import read_csv
+
+    df = read_csv(spark, raw_csv, None, header=False, infer_schema=True)
+    assert df.count() == 302  # all raw rows, typed by inference
+    # sentiment column inferred as a numeric type, not string
+    assert df.schema.fields[0].dataType.typeName() in ("integer", "long", "double")
