@@ -319,6 +319,42 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus docs sharing ≥ ``min_matches``
+    distinct token n-grams with ANY benchmark document — the standard check
+    that an eval set hasn't leaked into the training corpus.
+
+    Shape for 100 TB: the benchmark side is tiny (eval sets are thousands of
+    rows), so its distinct n-gram hashes BROADCAST; the corpus explodes to
+    (doc, gram) — narrow — and the probe is a broadcast semi-ish inner join
+    followed by one per-doc aggregation. The corpus is never self-joined and
+    never shuffled on gram.
+
+    Returns (doc_id, n_matching_grams) for flagged docs.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = TXT.tokenize_nonempty(text_col)
+        g = F.explode(F.array_distinct(TXT.ngrams(toks, n))).alias("gram")
+        cols = [F.col(id_col).alias("doc_id"), g] if keep_id else [g]
+        return df.select(*cols)
+
+    bench_grams = F.broadcast(grams(benchmark, keep_id=False).distinct())
+    return (
+        grams(corpus, keep_id=True)
+        .join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matching_grams"))
+        .filter(F.col("n_matching_grams") >= min_matches)
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,101 @@
+"""Deterministic corpus ordering & splitting — the reproducibility layer of
+a training-data pipeline.
+
+``randomSplit`` (R2) re-rolls per partition layout and ``orderBy(rand())``
+is neither reproducible nor resumable; at 100 TB a pipeline needs
+content-addressed decisions instead: every row's shard, position, and split
+derive from a hash of its OWN id + a seed, so any engine, any partitioning,
+any re-run — and any subset of the data — produces the same assignment.
+Both operators use the md5 hash family (``functions/hashing.py``), so the
+DuckDB oracle replays them exactly.
+
+Scale shapes:
+- ``deterministic_shuffle`` writes shard-partitioned output; the only wide
+  ops are one hash shuffle on shard id and a per-shard (never global) sort
+  window of n/n_shards rows. Training jobs then read shards in id order —
+  a fully shuffled, byte-stable curriculum.
+- ``split_by_hash`` is a pure narrow projection — zero shuffle, usable as a
+  filter predicate pushed into any scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions import hashing as H
+
+
+def _shuffle_key(id_col: str, seed: int) -> Column:
+    return H.md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 64,
+) -> DataFrame:
+    """(…, shard, ordinal): a reproducible global permutation of the corpus.
+
+    shard = md5(id:seed) mod n_shards; ordinal = rank of the row's hash key
+    within its shard (ties broken by id — exact determinism even on hash
+    collisions). Reading shards 0..n-1 each in ordinal order IS the
+    permutation; no global sort ever runs.
+    """
+    key = _shuffle_key(id_col, seed)
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", F.pmod("__key", F.lit(n_shards)).cast("int"))
+        .withColumn("ordinal", F.row_number().over(w).cast("bigint"))
+        .drop("__key")
+    )
+
+
+def sql_shuffle_exprs(id_col: str, seed: int, n_shards: int) -> tuple[str, str]:
+    """DuckDB twins of (shard, ordinal) for oracle queries."""
+    key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"
+    shard = f"CAST({key} % {n_shards} AS INTEGER)"
+    ordinal = (
+        f"CAST(row_number() OVER (PARTITION BY {shard} ORDER BY {key}, {id_col}) AS BIGINT)"
+    )
+    return shard, ordinal
+
+
+def split_by_hash(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Content-addressed train/val/test split: adds a ``split`` column.
+
+    Row r lands in the first split whose cumulative weight exceeds
+    md5(id:seed) mod 10^6 / 10^6. Unlike randomSplit, membership is a pure
+    function of the row id — stable across reruns, partitionings, engines,
+    and incremental data arrival (new rows never move old rows between
+    splits)."""
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    u = F.pmod(_shuffle_key(id_col, seed), F.lit(1_000_000)) / 1_000_000.0
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        expr = F.when(u < cum, name) if expr is None else expr.when(u < cum, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def sql_split_expr(weights: dict[str, float], id_col: str, seed: int) -> str:
+    """DuckDB twin of the ``split`` column."""
+    key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"
+    u = f"(({key} % 1000000) / 1000000.0)"
+    names = list(weights)
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {u} < {cum} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

@@ -463,7 +463,37 @@ FROM documents
 """
 
 
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id ≥ 25) sharing ≥ 2
+    distinct token 3-grams with the 'benchmark' slice (doc_id < 25) — the
+    eval-set-leakage check every training corpus needs. Benchmark n-gram set
+    broadcasts; corpus is never self-joined."""
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return DD.decontaminate(corpus, bench, n=3, min_matches=2)
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS gram
+  FROM base WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_matching_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id >= 25
+GROUP BY g.doc_id
+HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),

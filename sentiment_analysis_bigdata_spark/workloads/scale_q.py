@@ -148,8 +148,55 @@ FROM toks
 """
 
 
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle: content-addressed shard + in-shard
+    ordinal (reproducible global permutation, no global sort). Full per-row
+    value check — shard AND position must match the SQL replay."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return ordering.deterministic_shuffle(docs, n_shards=16).select(
+        "doc_id", "shard", "ordinal"
+    )
+
+
+def _sql_global_shuffle() -> str:
+    from sentiment_analysis_bigdata_spark.operators.ordering import sql_shuffle_exprs
+
+    shard, ordinal = sql_shuffle_exprs("doc_id", 42, 16)
+    return f"SELECT doc_id, {shard} AS shard, {ordinal} AS ordinal FROM documents"
+
+
+SQL_GLOBAL_SHUFFLE = _sql_global_shuffle()
+
+
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressed train/val/test split — per-row membership is a pure
+    function of md5(doc_id:seed), so it is stable across engines, reruns,
+    partitionings, and incremental data arrival (randomSplit is none of
+    those). Every row's split label is value-checked."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return ordering.split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def _sql_hash_split() -> str:
+    from sentiment_analysis_bigdata_spark.operators.ordering import sql_split_expr
+
+    expr = sql_split_expr({"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", 42)
+    return f"SELECT doc_id, {expr} AS split FROM documents"
+
+
+SQL_HASH_SPLIT = _sql_hash_split()
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
     "stateful_ewma": (q_stateful_ewma, SQL_STATEFUL_EWMA),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),

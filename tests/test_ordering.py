@@ -1,0 +1,97 @@
+"""Deterministic shuffle / hash split / decontamination operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import dedup as DD
+from sentiment_analysis_bigdata_spark.operators import ordering
+
+
+class TestDeterministicShuffle:
+    def test_permutation_invariants(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        out = ordering.deterministic_shuffle(df, n_shards=8).collect()
+        assert len(out) == 1000
+        assert len({r["doc_id"] for r in out}) == 1000  # exactly once
+        shards = {r["shard"] for r in out}
+        assert shards <= set(range(8))
+        # ordinals within each shard are exactly 1..count(shard)
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["ordinal"])
+        for s, ords in by_shard.items():
+            assert sorted(ords) == list(range(1, len(ords) + 1)), s
+
+    def test_layout_independent(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = ordering.deterministic_shuffle(df.repartition(13), n_shards=8)
+        b = ordering.deterministic_shuffle(df.coalesce(1), n_shards=8)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_seed_changes_permutation(self, spark):
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: (r["shard"], r["ordinal"])
+             for r in ordering.deterministic_shuffle(df, seed=1).collect()}
+        b = {r["doc_id"]: (r["shard"], r["ordinal"])
+             for r in ordering.deterministic_shuffle(df, seed=2).collect()}
+        assert any(a[k] != b[k] for k in a)
+
+
+class TestSplitByHash:
+    WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_proportions_and_stability_under_growth(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        out = ordering.split_by_hash(df, self.WEIGHTS)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["train"] == pytest.approx(8000, rel=0.05)
+        assert counts["val"] == pytest.approx(1000, rel=0.2)
+        assert counts["test"] == pytest.approx(1000, rel=0.2)
+        # growing the data must NOT move existing rows between splits
+        # (this is the property randomSplit lacks)
+        small = {r["doc_id"]: r["split"] for r in
+                 ordering.split_by_hash(
+                     spark.range(1000).withColumnRenamed("id", "doc_id"),
+                     self.WEIGHTS).collect()}
+        big = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_rejects_bad_weights(self, spark):
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="sum to 1"):
+            ordering.split_by_hash(df, {"a": 0.5, "b": 0.6})
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "a quick brown fox appeared"),       # shares 'quick brown fox'
+                (11, "totally different words entirely"),  # clean
+                (12, "the lazy dog slept and the lazy dog snored"),  # shares 'the lazy dog'
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["n_matching_grams"]
+               for r in DD.decontaminate(corpus, bench, n=3, min_matches=1).collect()}
+        assert set(out) == {10, 12}
+        assert out[10] == 1
+        assert out[12] == 1  # distinct grams per doc — repeats count once
+
+    def test_min_matches_threshold(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta gamma delta zeta")],  # 2 shared 3-grams
+            "doc_id long, text string",
+        )
+        assert DD.decontaminate(corpus, bench, n=3, min_matches=3).count() == 0
+        assert DD.decontaminate(corpus, bench, n=3, min_matches=2).count() == 1
