@@ -19,6 +19,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q2,
     relational_q3,
     relational_q4,
+    relational_q5,
     scale_q,
     temporal_q,
     text_q,
@@ -31,6 +32,7 @@ _MODULES = [
     relational_q2,
     relational_q3,
     relational_q4,
+    relational_q5,
     text_q,
     dedup_sim,
     temporal_q,
