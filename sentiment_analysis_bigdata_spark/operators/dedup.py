@@ -319,6 +319,40 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Intra-document segment dedup (the C4/Gopher 'remove duplicate lines'
+    primitive, parameterized by separator): split on ``sep``, keep only the
+    FIRST occurrence of each segment (order preserved), rejoin.
+
+    Pure narrow expressions — a two-arg HOF filter keeps segment i iff its
+    first occurrence index equals i. Per-doc cost is O(segments²) with tiny
+    constants; segments-per-doc is bounded (lines/sentences), so this fuses
+    into the scan stage and never shuffles.
+
+    Adds ``{text_col}_deduped`` plus before/after segment counts.
+    """
+    # materialize the split ONCE as a column: referencing the split
+    # expression inside the lambda would re-split per element (HOF lambda
+    # bodies get no common-subexpression elimination)
+    segs = F.col("__segs")
+    kept = F.filter(segs, lambda x, i: F.array_position(segs, x) == i + 1)
+    return (
+        df.withColumn("__segs", F.split(F.col(text_col), sep))
+        .withColumn("__kept", kept)
+        .select(
+            "*",
+            F.size("__segs").cast("bigint").alias("n_segments"),
+            F.size("__kept").cast("bigint").alias("n_unique_segments"),
+            F.array_join("__kept", sep).alias(f"{text_col}_deduped"),
+        )
+        .drop("__segs", "__kept")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

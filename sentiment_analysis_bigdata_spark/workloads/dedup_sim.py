@@ -463,6 +463,30 @@ FROM documents
 """
 
 
+def q_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style intra-document segment dedup (first occurrence wins,
+    order preserved), at token granularity on the synthetic corpus —
+    before/after counts plus the fully deduplicated text, all replayed by
+    the SQL twin's indexed list_filter."""
+    out = DD.dedup_segments(_docs(spark, sf), sep=" ")
+    return out.select("doc_id", "n_segments", "n_unique_segments", "text_deduped")
+
+
+SQL_INTRADOC_DEDUP = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+kept AS (
+  SELECT doc_id, segs,
+         list_filter(segs, (x, i) -> list_position(segs, x) = i) AS uniq
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(uniq) AS BIGINT) AS n_unique_segments,
+       array_to_string(uniq, ' ') AS text_deduped
+FROM kept
+"""
+
+
 def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: corpus docs (doc_id ≥ 25) sharing ≥ 2
     distinct token 3-grams with the 'benchmark' slice (doc_id < 25) — the
@@ -494,6 +518,7 @@ HAVING count(*) >= 2
 
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
+    "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),

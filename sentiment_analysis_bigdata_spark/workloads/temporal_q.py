@@ -347,6 +347,29 @@ def q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """True incremental ``dropDuplicatesWithinWatermark`` (append mode,
+    state keyed on event_id, watermark-bounded): deduped rows land in the
+    memory sink and are aggregated batch-side. The testdata's event_ids are
+    unique, so dedup must be an exact identity — the oracle is the plain
+    per-type count, and any duplicate emission or dropped row breaks it."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    deduped = SJ.dedup_within_watermark(stream, "1 hour").select(
+        "event_id", "event_type"
+    )
+    SJ.run_stream_to_memory(
+        deduped, "stream_dedup", timeout_s=120, output_mode="append"
+    )
+    return (
+        spark.table("stream_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_STREAMING_DEDUP = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
 # The true-streaming runs are value-checkable against the SAME relational
 # oracles as their batch twins: complete-mode aggregation emits every window
 # (watermark only bounds state) and append-mode inner joins emit each match
@@ -389,4 +412,5 @@ QUERIES = {
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
 }

@@ -65,6 +65,28 @@ class TestSplitByHash:
             ordering.split_by_hash(df, {"a": 0.5, "b": 0.6})
 
 
+class TestDedupSegments:
+    def test_first_occurrence_wins_order_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a b c a a d"), (2, "x x x"), (3, "unique words only")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in DD.dedup_segments(df).collect()}
+        assert out[1]["text_deduped"] == "b a c d"
+        assert (out[1]["n_segments"], out[1]["n_unique_segments"]) == (7, 4)
+        assert out[2]["text_deduped"] == "x"
+        assert out[3]["text_deduped"] == "unique words only"
+        assert out[3]["n_segments"] == out[3]["n_unique_segments"] == 3
+
+    def test_line_separator(self, spark):
+        df = spark.createDataFrame(
+            [(1, "copy line\nreal text\ncopy line\nmore text")],
+            "doc_id long, text string",
+        )
+        r = DD.dedup_segments(df, sep="\n").collect()[0]
+        assert r["text_deduped"] == "copy line\nreal text\nmore text"
+
+
 class TestDecontaminate:
     def test_flags_only_overlapping_docs(self, spark):
         bench = spark.createDataFrame(
