@@ -89,6 +89,50 @@ def split_by_hash(
     return df.withColumn("split", expr)
 
 
+def weighted_sample_by_hash(
+    df: DataFrame,
+    fraction_expr: Column,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff
+    md5(id:seed)-uniform < ``fraction_expr`` (a per-row acceptance
+    probability column). Unlike ``sample()``, the decision is
+    content-addressed — reruns, retries, and engine changes keep exactly
+    the same rows, and the oracle can replay membership row by row.
+    Narrow (no shuffle); the filter pushes wherever the id column goes."""
+    u = F.pmod(_shuffle_key(id_col, seed), F.lit(1_000_000)) / 1_000_000.0
+    return df.filter(u < fraction_expr)
+
+
+def balance_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Domain balancing for training-data mixes: deterministically
+    downsample every source to the size of the smallest source.
+
+    Two passes: (1) per-source counts (k-row aggregate, broadcast back);
+    (2) keep each row iff its hash-uniform < min_count/count(source) —
+    an EXPECTED-size sampler, content-addressed like everything above, so
+    the result is reproducible and incrementally stable. No window, no
+    sort; scales as a filter."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("m"))
+    rates = F.broadcast(
+        counts.crossJoin(min_n)
+        .select(source_col, (F.col("m") / F.col("__n")).alias("__accept"))
+    )
+    return (
+        weighted_sample_by_hash(
+            df.join(rates, source_col), F.col("__accept"), id_col, seed
+        )
+        .drop("__accept")
+    )
+
+
 def sql_split_expr(weights: dict[str, float], id_col: str, seed: int) -> str:
     """DuckDB twin of the ``split`` column."""
     key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"

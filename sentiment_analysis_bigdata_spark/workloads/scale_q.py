@@ -193,10 +193,35 @@ def _sql_hash_split() -> str:
 SQL_HASH_SPLIT = _sql_hash_split()
 
 
+def q_balance_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain balancing: deterministically downsample every source to the
+    smallest source's size (expected-size, content-addressed membership) —
+    the data-mixing primitive of a pre-training pipeline. Per-row
+    membership is replayed exactly by the SQL twin."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    # balance on lang — the skewed domain column (en dominates the corpus);
+    # source is uniform in the testdata, which would make rejection vacuous
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return ordering.balance_sources(docs, source_col="lang").select("doc_id", "lang")
+
+
+SQL_BALANCE_SOURCES = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM counts),
+rates AS (SELECT lang, (mn / n) AS accept FROM counts CROSS JOIN m)
+SELECT doc_id, lang
+FROM documents JOIN rates USING (lang)
+WHERE ((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT) % 1000000) / 1000000.0)
+      < accept
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "balance_sources": (q_balance_sources, SQL_BALANCE_SOURCES),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
     "stateful_ewma": (q_stateful_ewma, SQL_STATEFUL_EWMA),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),

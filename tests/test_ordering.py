@@ -65,6 +65,28 @@ class TestSplitByHash:
             ordering.split_by_hash(df, {"a": 0.5, "b": 0.6})
 
 
+class TestBalanceSources:
+    def test_downsamples_majority_deterministically(self, spark):
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = ordering.balance_sources(df)
+        counts = {r["source"]: r["n"] for r in
+                  out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["small"] == 100  # accept rate 1.0 keeps all
+        assert counts["big"] == pytest.approx(100, abs=35)  # expected-size sampler
+        # deterministic: identical row set on re-run and under other layouts
+        again = ordering.balance_sources(df.repartition(7))
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    def test_weighted_sample_fraction_column(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id").withColumn(
+            "p", F.when(F.col("doc_id") % 2 == 0, 1.0).otherwise(0.0)
+        )
+        out = ordering.weighted_sample_by_hash(df, F.col("p"))
+        got = [r["doc_id"] for r in out.collect()]
+        assert len(got) == 1000 and all(d % 2 == 0 for d in got)
+
+
 class TestDedupSegments:
     def test_first_occurrence_wins_order_preserved(self, spark):
         df = spark.createDataFrame(
