@@ -17,7 +17,7 @@ from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
 from sentiment_analysis_bigdata_spark.operators import similarity as SIM
 from sentiment_analysis_bigdata_spark.sources import load_table
-from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
+from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_FP, SQL_TOKS
 
 # 60-bit md5-prefix hash of a token, as a DuckDB expression
 SQL_H60 = "CAST(('0x' || substr(md5({t}), 1, 15)) AS BIGINT)"
@@ -463,6 +463,30 @@ FROM documents
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-vs-corpus exact dedup: new docs (doc_id ≥ 400) whose
+    normalized fingerprint already exists in the historical corpus
+    (doc_id < 400) are dropped — the daily-crawl-ingest shape. The
+    historical side reduces to distinct fingerprints; the delta is
+    anti-joined (broadcast while small, shuffle beyond)."""
+    docs = _docs(spark, sf)
+    fp = TXT.fingerprint("text")
+    history = docs.filter(F.col("doc_id") < 400).select(fp.alias("__fp")).distinct()
+    delta = docs.filter(F.col("doc_id") >= 400).withColumn("__fp", fp)
+    return (
+        delta.join(history, "__fp", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id >= 400
+  AND {SQL_FP} NOT IN (SELECT {SQL_FP} FROM documents WHERE doc_id < 400)
+"""
+
+
 def q_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style intra-document segment dedup (first occurrence wins,
     order preserved), at token granularity on the synthetic corpus —
@@ -519,6 +543,7 @@ HAVING count(*) >= 2
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),
