@@ -173,8 +173,103 @@ def q_lateral_top_orders(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(SQL_LATERAL_TOP_ORDERS)
 
 
+# --- TPC-H Q4 shape: EXISTS subquery --------------------------------------------
+
+def q_priority_order_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders with at least one late-shipped line (TPC-H Q4's EXISTS
+    shape), counted per priority. The EXISTS is a LEFT SEMI join — the fact
+    side never duplicates, no distinct needed after."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1998-01-01").select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_PRIORITY_ORDER_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1998-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q10 shape: returned-item revenue per customer ---------------------------
+
+def q_returned_item_losses(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue lost to returns per customer + nation, top 20 (TPC-H Q10):
+    fact filter first (returnflag), then join out to customer/nation —
+    filter-before-join keeps the shuffle to the returned subset only."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(rev).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_LOSSES = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q18 shape: large-quantity orders (agg subquery in filter) ---------------
+
+def q_large_quantity_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders whose total line quantity exceeds a threshold (TPC-H Q18):
+    the qualifying-key set comes from ONE aggregation of the fact table and
+    semi-joins back — never a correlated per-order scan."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+    )
+
+
+SQL_LARGE_QUANTITY_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
 QUERIES = {
     "nation_pair_volume": (q_nation_pair_volume, SQL_NATION_PAIR_VOLUME),
+    "priority_order_check": (q_priority_order_check, SQL_PRIORITY_ORDER_CHECK),
+    "returned_item_losses": (q_returned_item_losses, SQL_RETURNED_ITEM_LOSSES),
+    "large_quantity_orders": (q_large_quantity_orders, SQL_LARGE_QUANTITY_ORDERS),
     "promo_revenue_share": (q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
     "brand_band_revenue": (q_brand_band_revenue, SQL_BRAND_BAND_REVENUE),
     "lateral_top_orders": (q_lateral_top_orders, SQL_LATERAL_TOP_ORDERS),

@@ -438,6 +438,100 @@ FROM lineitem
 """
 
 
+def q_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health report — the dashboard aggregation a data
+    curator runs before training: volume, token mass, mean quality score,
+    English share, mean repetition. One pass, one shuffle (the groupBy);
+    every per-doc signal is a narrow expression."""
+    docs = _docs(spark, sf)
+    enriched = docs.select(
+        "source",
+        F.size(TXT.tokenize_nonempty("text")).cast("bigint").alias("n_toks"),
+        TXT.quality_score("text").alias("q"),
+        (TXT.lang_id("text") == "en").cast("int").alias("is_en"),
+        TXT.repetition_ratio("text").alias("rep"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.avg("is_en"), 6).alias("english_share"),
+        F.round(F.avg("rep"), 6).alias("avg_repetition"),
+    )
+
+
+def _sql_corpus_health() -> str:
+    # unrounded per-doc twins of quality_score / lang_id / repetition_ratio
+    # (the standalone oracles round per doc; the health report averages the
+    # raw signals, so the twins here must stay unrounded until the avg)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {SQL_TOKS} AS l,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, source, len(l) AS n_toks,
+         0.4 * least(n / 200.0, 1.0)
+         + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+         + 0.3 * (CASE WHEN len(l) > 0
+                       THEN least(CAST(len(list_filter(l, t -> list_contains({_sql_stoplist()}, t))) AS DOUBLE)
+                                  / len(l) * 3.0, 1.0)
+                       ELSE 0.0 END) AS q
+  FROM base
+),
+scores AS (
+  SELECT doc_id,
+         unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang2,
+         unnest([
+           len(list_filter(l, t -> list_contains({_sql_lang_markers('de')}, t))),
+           len(list_filter(l, t -> list_contains({_sql_lang_markers('en')}, t))),
+           len(list_filter(l, t -> list_contains({_sql_lang_markers('es')}, t))),
+           len(list_filter(l, t -> list_contains({_sql_lang_markers('fr')}, t))),
+           len(list_filter(l, t -> list_contains({_sql_lang_markers('zh')}, t)))
+         ]) AS hits
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, lang2, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang2 ASC) AS rn
+  FROM scores
+),
+langg AS (
+  SELECT doc_id,
+         CASE WHEN hits > 0 AND lang2 = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM ranked WHERE rn = 1
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3
+              THEN list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])
+              ELSE [] END AS g
+  FROM base
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN len(g) > 0
+              THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+              ELSE 0.0 END AS r
+  FROM grams
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality,
+       round(avg(is_en), 6) AS english_share,
+       round(avg(r), 6) AS avg_repetition
+FROM qual
+JOIN langg USING (doc_id)
+JOIN rep USING (doc_id)
+GROUP BY source
+"""
+
+
+
 def q_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
@@ -563,6 +657,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),
+    "corpus_health": (q_corpus_health, _sql_corpus_health()),
     "fingerprint_clusters": (q_fingerprint_clusters, SQL_FINGERPRINT_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
