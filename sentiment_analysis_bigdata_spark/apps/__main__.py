@@ -61,7 +61,7 @@ def main() -> None:
     spark = get_spark(f"app-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
     try:
-        if args.cmd in ("corpus-clean", "corpus-dedup"):
+        if args.cmd.startswith("corpus-"):
             out = corpus.run_cli(spark, args)
         elif args.cmd == "preprocess":
             out = workflow.preprocess(

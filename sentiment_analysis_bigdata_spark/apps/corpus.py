@@ -182,6 +182,50 @@ def pack_corpus(
     }
 
 
+def mix_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    balance_col: str | None = None,
+    split_weights: dict[str, float] | None = None,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """Training-mix assembly: (optional) domain balancing → hash split →
+    deterministic shuffle → shard-partitioned parquet.
+
+    Every decision is content-addressed (operators.ordering), so rerunning
+    the mix over a grown corpus reproduces prior rows' shard/split exactly.
+    Output is written partitioned by (split, shard) — a training job reads
+    its split's shards in ordinal order and gets a reproducible curriculum
+    without any global sort having run."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    df = spark.read.parquet(input_path)
+    total = df.count()
+    if balance_col:
+        df = ordering.balance_sources(df, balance_col, id_col, seed)
+    df = ordering.split_by_hash(
+        df, split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}, id_col, seed
+    )
+    df = ordering.deterministic_shuffle(df, id_col, seed, n_shards, within=["split"])
+    write_parquet(df, output_path, partition_by=["split", "shard"])
+    out = spark.read.parquet(output_path)
+    n_out = out.count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "rows_in": total,
+        "rows_out": n_out,
+        "splits": split_counts,
+        "n_shards": n_shards,
+        "balanced_on": balance_col,
+    }
+
+
 def register_cli(sub) -> None:
     """Attach corpus subcommands to the apps argparse tree."""
     c = sub.add_parser("corpus-clean", help="annotate + quality/lang filter a corpus")
@@ -215,6 +259,16 @@ def register_cli(sub) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--max-tokens", type=int, default=2048)
 
+    m = sub.add_parser(
+        "corpus-mix",
+        help="balance + split + deterministic shuffle into training shards",
+    )
+    m.add_argument("--input", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--balance-col", help="domain column to balance on (e.g. lang)")
+    m.add_argument("--n-shards", type=int, default=64)
+    m.add_argument("--seed", type=int, default=42)
+
 
 def run_cli(spark: SparkSession, args) -> dict[str, Any]:
     if args.cmd == "corpus-clean":
@@ -238,6 +292,15 @@ def run_cli(spark: SparkSession, args) -> dict[str, Any]:
     if args.cmd == "corpus-pack":
         return pack_corpus(
             spark, args.input, args.output, max_tokens=args.max_tokens
+        )
+    if args.cmd == "corpus-mix":
+        return mix_corpus(
+            spark,
+            args.input,
+            args.output,
+            balance_col=args.balance_col,
+            n_shards=args.n_shards,
+            seed=args.seed,
         )
     return dedup_corpus(
         spark,

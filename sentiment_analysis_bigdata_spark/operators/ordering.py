@@ -35,16 +35,19 @@ def deterministic_shuffle(
     id_col: str = "doc_id",
     seed: int = 42,
     n_shards: int = 64,
+    within: list[str] | None = None,
 ) -> DataFrame:
     """(…, shard, ordinal): a reproducible global permutation of the corpus.
 
     shard = md5(id:seed) mod n_shards; ordinal = rank of the row's hash key
     within its shard (ties broken by id — exact determinism even on hash
     collisions). Reading shards 0..n-1 each in ordinal order IS the
-    permutation; no global sort ever runs.
+    permutation; no global sort ever runs. ``within`` scopes the ordinal
+    to extra columns (e.g. a split label), so each (split, shard) file
+    carries contiguous ordinals 1..n.
     """
     key = _shuffle_key(id_col, seed)
-    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    w = Window.partitionBy(*(within or []), "shard").orderBy("__key", id_col)
     return (
         df.withColumn("__key", key)
         .withColumn("shard", F.pmod("__key", F.lit(n_shards)).cast("int"))

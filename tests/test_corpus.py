@@ -96,3 +96,40 @@ def test_pack_corpus(spark, corpus_parquet, tmp_path):
     from pyspark.sql import functions as F
 
     assert packed.filter((F.col("shard_fill") > 20) & (~F.col("oversize"))).count() == 0
+
+
+def test_mix_corpus(spark, tmp_path):
+    rows = [(i, f"document number {i} with words", "en" if i % 4 else "fr")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "src.parquet")
+    df.write.parquet(src)
+    out = str(tmp_path / "mixed")
+
+    stats = corpus.mix_corpus(
+        spark, src, out, balance_col="lang",
+        split_weights={"train": 0.8, "val": 0.2}, n_shards=4,
+    )
+    assert stats["rows_in"] == 400
+    # balancing downsamples en (300) toward fr's 100 (expected-size)
+    assert stats["rows_out"] < 400
+    assert set(stats["splits"]) <= {"train", "val"}
+
+    mixed = spark.read.parquet(out)
+    # partition layout carries (split, shard); ordinals are per-shard 1..n
+    assert {"split", "shard", "ordinal"} <= set(mixed.columns)
+    for (split, shard), grp in (
+        (r["k"], r["ords"]) for r in mixed.groupBy(
+            corpus.F.struct("split", "shard").alias("k")
+        ).agg(corpus.F.sort_array(corpus.F.collect_list("ordinal")).alias("ords")).collect()
+    ):
+        assert grp == list(range(1, len(grp) + 1))
+
+    # reproducible: rerunning into a fresh dir yields the identical row set
+    out2 = str(tmp_path / "mixed2")
+    corpus.mix_corpus(spark, src, out2, balance_col="lang",
+                      split_weights={"train": 0.8, "val": 0.2}, n_shards=4)
+    a = sorted(map(tuple, mixed.select("doc_id", "split", "shard", "ordinal").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2)
+                   .select("doc_id", "split", "shard", "ordinal").collect()))
+    assert a == b
