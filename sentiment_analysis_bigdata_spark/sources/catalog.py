@@ -132,10 +132,32 @@ def write_json(df: DataFrame, path: str, num_files: int | None = None) -> None:
     df.write.mode("overwrite").json(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    keep_corrupt: bool = False,
+) -> DataFrame:
     """JSON-lines scan with explicit schema — single pass, no inference
     (same policy as :func:`read_csv`; schema inference over JSON reads the
-    whole dataset twice)."""
+    whole dataset twice).
+
+    ``keep_corrupt`` adds a ``_corrupt_record`` column (PERMISSIVE mode):
+    malformed lines survive the scan with their raw text captured instead
+    of silently becoming all-null rows — at ingest scale you quarantine
+    them (``WHERE _corrupt_record IS NOT NULL`` → reject store) rather
+    than fail the whole job (FAILFAST) or lose them (DROPMALFORMED).
+    """
+    if keep_corrupt:
+        schema = T.StructType(
+            [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+        )
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
     return spark.read.schema(schema).json(path)
 
 

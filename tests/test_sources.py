@@ -41,6 +41,28 @@ class TestRoundTrips:
         back = S.read_json(spark, path, schema)
         assert sorted(back.collect()) == sorted(small_df.collect())
 
+    def test_json_corrupt_record_quarantine(self, spark, tmp_path):
+        # malformed lines must be captured, not silently nulled or fatal
+        path = str(tmp_path / "mixed.json")
+        with open(path, "w") as f:
+            f.write('{"id": 1, "category": "a", "value": 2.5}\n')
+            f.write("{BROKEN json line\n")
+            f.write('{"id": 2, "category": "b", "value": 3.5}\n')
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("category", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        df = S.read_json(spark, path, schema, keep_corrupt=True)
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert sorted(r["id"] for r in good.collect()) == [1, 2]
+        assert [r["_corrupt_record"] for r in bad.collect()] == ["{BROKEN json line"]
+        # default path keeps the plain schema
+        assert "_corrupt_record" not in S.read_json(spark, path, schema).columns
+
     def test_orc_round_trip(self, spark, small_df, tmp_path):
         path = str(tmp_path / "o")
         S.write_orc(small_df, path)
