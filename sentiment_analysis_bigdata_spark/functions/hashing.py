@@ -28,13 +28,22 @@ from pyspark.sql import functions as F
 MD5_PREFIX_HEX_CHARS = 15
 MERSENNE_P = (1 << 61) - 1
 
-# Fixed (a, b) parameters for the MinHash permutation family — generated
-# once from the digits of pi/e (public constants), NOT at runtime, so every
-# run and every engine derives identical signatures.
-_MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+# Fixed (a, b, s) parameters for the MinHash permutation family — generated
+# once from the digits of pi/e/sqrt2/sqrt3 (public constants), NOT at
+# runtime, so every run and every engine derives identical signatures.
+#
+# The per-function XOR salt `s` matters: a bare linear map (a·x + b) mod p
+# with 31-bit x and 62-bit product wraps the modulus at most once, so it
+# PRESERVES the order of two inputs for most (a, b) — agreement events then
+# correlate across all hash functions and tiny sets see agree ∈ {0, 1}
+# instead of Binomial(n, j). Salting x with a per-function constant before
+# the multiply scrambles the order per function while keeping the product
+# within 63 bits (and the SQL twin a one-call `xor`).
+_MINHASH_PARAMS: tuple[tuple[int, int, int], ...] = tuple(
     (
         (31415926535897932 * (i + 1) + 2718281828459045) % MERSENNE_P | 1,
         (16180339887498948 * (i + 1) + 14142135623730951) % MERSENNE_P,
+        (14142135623730951 * (i + 1) + 17320508075688772) % (1 << 31),
     )
     for i in range(64)
 )
@@ -67,18 +76,25 @@ def minhash_signature(tokens: Column | str, num_hashes: int = 16) -> Column:
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     h31 = F.transform(c, lambda t: F.pmod(md5_hash64_expr(t), F.lit(1 << 31)))
     sig = [
-        F.when(F.size(c) > 0, F.array_min(_permute(h31, a, b)))
+        F.when(F.size(c) > 0, F.array_min(_permute(h31, a, b, s)))
         .otherwise(F.lit(MERSENNE_P))
         .cast("bigint")
-        for a, b in minhash_params(num_hashes)
+        for a, b, s in minhash_params(num_hashes)
     ]
     return F.array(*sig)
 
 
-def _permute(h31: Column, a: int, b: int) -> Column:
-    """(a*x + b) mod p over an array of 31-bit hashes (closure-safe)."""
+def _permute(h31: Column, a: int, b: int, s: int) -> Column:
+    """(a·(x⊕s) + b) mod p over an array of 31-bit hashes (closure-safe).
+    The xor salt de-correlates the order of any two inputs across hash
+    functions (see _MINHASH_PARAMS); product stays within 63 bits."""
     a31 = a % (1 << 31)
-    return F.transform(h31, lambda x: F.pmod(F.lit(a31) * x + F.lit(b), F.lit(MERSENNE_P)))
+    return F.transform(
+        h31,
+        lambda x: F.pmod(
+            F.lit(a31) * x.bitwiseXOR(F.lit(s)) + F.lit(b), F.lit(MERSENNE_P)
+        ),
+    )
 
 
 def md5_hash64_expr(c: Column) -> Column:

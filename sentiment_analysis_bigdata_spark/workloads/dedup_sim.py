@@ -48,12 +48,12 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_minhash_cols() -> str:
     cols = []
-    for i, (a, b) in enumerate(H.minhash_params(N_MINHASH)):
+    for i, (a, b, s) in enumerate(H.minhash_params(N_MINHASH)):
         a31 = a % (1 << 31)
         h31 = SQL_H31.format(t="t")
         cols.append(
             f"CASE WHEN len(toks) > 0 THEN "
-            f"list_min(list_transform(toks, t -> ({a31} * {h31} + {b}) % {P})) "
+            f"list_min(list_transform(toks, t -> ({a31} * xor({h31}, {s}) + {b}) % {P})) "
             f"ELSE {P} END AS mh{i}"
         )
     return ",\n       ".join(cols)
@@ -317,11 +317,11 @@ def _sql_minhash_near_dups(threshold: float = 0.5, num_hashes: int = 16, bands: 
     r = num_hashes // bands
     h31 = SQL_H31.format(t="t")
     sig_cols = []
-    for i, (a, b) in enumerate(H.minhash_params(num_hashes)):
+    for i, (a, b, s) in enumerate(H.minhash_params(num_hashes)):
         a31 = a % (1 << 31)
         sig_cols.append(
             f"CASE WHEN len(toks) > 0 THEN "
-            f"list_min(list_transform(toks, t -> ({a31} * {h31} + {b}) % {P})) "
+            f"list_min(list_transform(toks, t -> ({a31} * xor({h31}, {s}) + {b}) % {P})) "
             f"ELSE {P} END AS mh{i}"
         )
     band_selects = []
@@ -443,6 +443,19 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_gemm(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched numpy GEMM top-k (the high-dimension fast path where
+    one BLAS call per batch beats per-element codegen). Exact math, same
+    tie-break — must reproduce the brute-force SQL oracle."""
+    emb = _emb(spark, sf)
+    qpd = _queries_frame(emb).toPandas()  # 5-row broadcast-sized query set
+    out = SIM.cosine_topk_pandas(emb, qpd, k=TOP_K)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """mapInPandas media decode plumbing. The stub kernel derives
     'dimensions' from sha256(payload) deterministically, so the whole
@@ -556,5 +569,6 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),
     "ann_ivf": (q_ann_ivf, SQL_ANN_BRUTEFORCE),
+    "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }
