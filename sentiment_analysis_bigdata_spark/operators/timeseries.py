@@ -44,6 +44,41 @@ def _floor_to_step(ts: Column, step_s: int) -> Column:
     )
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation holds until
+    the next one, so its weight is the interval it was in force; the last
+    observation of a key carries no weight (nothing follows it). Keys with
+    a single event fall back to that event's value.
+
+    One window over (key order by ts) for the lead — a single shuffle on
+    the key, no global sort; the weighted-sum aggregation reuses the same
+    partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # microsecond precision: unix_timestamp truncates to whole seconds, which
+    # skews weights for sub-second event spacing
+    dt_us = F.unix_micros(F.lead(ts_col, 1).over(w)) - F.unix_micros(F.col(ts_col))
+    weighted = events.select(
+        key_col,
+        F.col(value_col).alias("v"),
+        (dt_us / F.lit(1_000_000.0)).alias("dt"),
+        F.first(value_col).over(w).alias("first_v"),
+    )
+    return weighted.groupBy(key_col).agg(
+        F.when(
+            F.sum("dt") > 0, F.sum(F.col("v") * F.col("dt")) / F.sum("dt")
+        )
+        .otherwise(F.first("first_v"))
+        .alias("twap"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def resample_ffill(
     events: DataFrame,
     key_col: str = "user_id",

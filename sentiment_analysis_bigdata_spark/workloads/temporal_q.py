@@ -272,6 +272,37 @@ FROM joined
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user TWAP over the event stream (each value holds until the
+    next observation)."""
+    from sentiment_analysis_bigdata_spark.operators.timeseries import time_weighted_avg
+
+    out = time_weighted_avg(_events(spark, sf))
+    return out.select(
+        "user_id", F.round("twap", 6).alias("twap"), "n_events"
+    )
+
+
+# dt replayed in microseconds (epoch_us ≡ Spark unix_micros); double
+# weighted-sum order differences across engines are ~1e-12 relative —
+# far inside the round-6 guard
+SQL_TIME_WEIGHTED_AVG = """
+WITH wv AS (
+  SELECT user_id, value AS v,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+          - epoch_us(ts)) / 1000000.0 AS dt,
+         first_value(value) OVER (PARTITION BY user_id ORDER BY ts) AS first_v
+  FROM events
+)
+SELECT user_id,
+       round(CASE WHEN sum(dt) > 0 THEN sum(v * dt) / sum(dt)
+                  ELSE any_value(first_v) END, 6) AS twap,
+       count(*) AS n_events
+FROM wv
+GROUP BY user_id
+"""
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Click→purchase attribution: batch form of the stream-stream interval
     join (purchases matched to same-user clicks in the preceding hour)."""
@@ -408,6 +439,7 @@ QUERIES = {
     "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
     "hourly_to_daily_rollup": (q_hourly_to_daily_rollup, SQL_HOURLY_TO_DAILY_ROLLUP),
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
+    "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),

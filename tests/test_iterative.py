@@ -141,6 +141,33 @@ class TestResampleFfill:
             ((1, 15), 5.0, True),
         ]
 
+    def test_time_weighted_avg(self, spark):
+        from datetime import datetime
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import time_weighted_avg
+
+        rows = [
+            # value 1.0 holds 10s, value 3.0 holds 30s -> twap 2.5; the last
+            # observation (5.0) carries no weight
+            (1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 0, 0, 10), 3.0),
+            (1, datetime(2024, 1, 1, 0, 0, 40), 5.0),
+            # single-event key falls back to its value
+            (2, datetime(2024, 1, 1, 5, 0, 0), 7.0),
+            # sub-second spacing: 0.25s @ 2.0 then 0.75s @ 4.0 -> 3.5
+            (3, datetime(2024, 1, 1, 0, 0, 0, 0), 2.0),
+            (3, datetime(2024, 1, 1, 0, 0, 0, 250_000), 4.0),
+            (3, datetime(2024, 1, 1, 0, 0, 1, 0), 0.0),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {
+            r["user_id"]: (r["twap"], r["n_events"])
+            for r in time_weighted_avg(ev).collect()
+        }
+        assert out[1] == (2.5, 3)
+        assert out[2] == (7.0, 1)
+        assert abs(out[3][0] - 3.5) < 1e-9 and out[3][1] == 3
+
     def test_rejects_unsupported_step(self, spark):
         import pytest as _pytest
 
