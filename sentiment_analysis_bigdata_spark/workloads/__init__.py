@@ -20,6 +20,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q3,
     relational_q4,
     relational_q5,
+    relational_q6,
     scale_q,
     temporal_q,
     text_q,
@@ -33,6 +34,7 @@ _MODULES = [
     relational_q3,
     relational_q4,
     relational_q5,
+    relational_q6,
     text_q,
     dedup_sim,
     temporal_q,

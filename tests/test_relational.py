@@ -139,3 +139,53 @@ class TestAsofJoin:
         )
         out = asof_join(left, right, "user_id", "ts", "ts", ["rid"], tolerance_seconds=60)
         assert out.first()["rid_matched"] is None
+
+
+class TestTpchBatch6:
+    """Plan + invariant checks for the batch-6 TPC-H shapes (values are
+    oracle-checked by the driver harness; these assert the physical plans
+    scale and the semantics hold on the tiny sf)."""
+
+    def test_forecast_revenue_pushdown_no_shuffle_join(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads import relational_q6 as Q6
+
+        df = Q6.q_forecast_revenue(spark, sf_dir)
+        pushed = explain.pushed_filters(df)
+        assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+        assert not explain.has_sort_merge_join(df)
+        assert df.first()["n_items"] >= 0
+
+    def test_top_supplier_returns_all_ties_at_max(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads import relational_q6 as Q6
+
+        rows = Q6.q_top_supplier_revenue(spark, sf_dir).collect()
+        assert len(rows) >= 1
+        assert len({r["total_revenue"] for r in rows}) == 1
+
+    def test_cheapest_supplier_unique_per_part(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads import relational_q6 as Q6
+
+        df = Q6.q_cheapest_supplier_per_part(spark, sf_dir)
+        # argmin windows over the pre-aggregated offer book, never lineitem
+        assert "TakeOrderedAndProject" not in explain.formatted_plan(df)
+        parts = [r["p_partkey"] for r in df.collect()]
+        assert len(parts) == len(set(parts))
+
+    def test_market_share_is_a_ratio(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads import relational_q6 as Q6
+
+        df = Q6.q_market_share(spark, sf_dir)
+        assert explain.has_broadcast_join(df)
+        for r in df.collect():
+            assert 0.0 <= r["mkt_share"] <= 1.0
+            assert r["total_revenue"] > 0
+
+    def test_brand_supplier_counts_excludes_flagged(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads import relational_q6 as Q6
+
+        df = Q6.q_brand_supplier_counts(spark, sf_dir)
+        plan = explain.formatted_plan(df)
+        assert "BroadcastHashJoin" in plan
+        n_supp = load_table(spark, sf_dir, "supplier").count()
+        for r in df.collect():
+            assert 0 < r["supplier_cnt"] <= n_supp
