@@ -42,13 +42,14 @@ def read_schema(df: DataFrame) -> str:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Count Exchange nodes in the physical plan (shuffle boundaries)."""
+    """Count shuffle Exchange nodes in the physical plan. Counts only the
+    numbered detail entries ("(4) Exchange") — each node also appears in
+    the tree header, which would double-count — and excludes
+    BroadcastExchange (not a shuffle)."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line and "* " not in line[:3]
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M))
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

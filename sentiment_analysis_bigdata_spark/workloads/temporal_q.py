@@ -144,6 +144,55 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+# --- funnel conversion (staged event sequencing) -------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """signup → click → purchase funnel per user; each stage counts only
+    strictly after the previous one."""
+    from sentiment_analysis_bigdata_spark.operators.funnel import funnel_stages
+
+    out = funnel_stages(_events(spark, sf), ["signup", "click", "purchase"])
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.date_format(f"{s}_ts", TS_FMT), F.lit("none")).alias(
+                f"{s}_ts"
+            )
+            for s in ("signup", "click", "purchase")
+        ],
+        "stages_completed",
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS signup_ts
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > signup_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS click_ts
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS purchase_ts
+  FROM s2
+)
+SELECT user_id,
+       coalesce(strftime(min(signup_ts), '{SQL_TS_FMT}'), 'none') AS signup_ts,
+       coalesce(strftime(min(click_ts), '{SQL_TS_FMT}'), 'none') AS click_ts,
+       coalesce(strftime(min(purchase_ts), '{SQL_TS_FMT}'), 'none') AS purchase_ts,
+       CAST(min(signup_ts) IS NOT NULL AS INT)
+         + CAST(min(click_ts) IS NOT NULL AS INT)
+         + CAST(min(purchase_ts) IS NOT NULL AS INT) AS stages_completed
+FROM s3
+GROUP BY user_id
+"""
+
+
 # --- streaming dedup (batch twin) ----------------------------------------------------------
 
 def q_event_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -440,6 +489,7 @@ QUERIES = {
     "hourly_to_daily_rollup": (q_hourly_to_daily_rollup, SQL_HOURLY_TO_DAILY_ROLLUP),
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),

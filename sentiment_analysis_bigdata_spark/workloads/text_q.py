@@ -614,6 +614,44 @@ WHERE len(text) > 0
 """
 
 
+# --- token-window chunking (training-sequence prep) --------------------------------
+
+TOKWIN_SIZE = 32
+TOKWIN_STRIDE = 24
+
+
+def q_chunk_token_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-level overlapping windows (the training-sequence counterpart
+    of the character-level ``chunk_documents`` retrieval prep)."""
+    from sentiment_analysis_bigdata_spark.operators.chunking import chunk_tokens
+
+    docs = _docs(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    out = chunk_tokens(docs, "toks", size=TOKWIN_SIZE, stride=TOKWIN_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("chunk_tokens", " ").alias("chunk_text"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+    )
+
+
+SQL_CHUNK_TOKEN_WINDOWS = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t), 1), {TOKWIN_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s // {TOKWIN_STRIDE} AS INT) AS chunk_id,
+       array_to_string(t[s + 1 : s + {TOKWIN_SIZE}], ' ') AS chunk_text,
+       CAST(len(t[s + 1 : s + {TOKWIN_SIZE}]) AS INT) AS chunk_len
+FROM st
+"""
+
+
 # --- repetition ratio (Gopher-style boilerplate signal) ----------------------------
 
 def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -645,6 +683,7 @@ QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "chunk_token_windows": (q_chunk_token_windows, SQL_CHUNK_TOKEN_WINDOWS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),

@@ -189,3 +189,38 @@ class TestTpchBatch6:
         n_supp = load_table(spark, sf_dir, "supplier").count()
         for r in df.collect():
             assert 0 < r["supplier_cnt"] <= n_supp
+
+
+class TestFunnelStages:
+    def test_stages_are_strictly_sequential(self, spark):
+        from datetime import datetime
+
+        from sentiment_analysis_bigdata_spark.operators.funnel import funnel_stages
+
+        rows = [
+            # user 1 completes the funnel in order
+            (1, "signup", datetime(2024, 1, 1, 0)),
+            (1, "click", datetime(2024, 1, 1, 1)),
+            (1, "purchase", datetime(2024, 1, 1, 2)),
+            # user 2's purchase precedes its click -> stage 3 not reached
+            (2, "signup", datetime(2024, 1, 1, 0)),
+            (2, "purchase", datetime(2024, 1, 1, 1)),
+            (2, "click", datetime(2024, 1, 1, 2)),
+            # user 3 never signs up -> nothing counts
+            (3, "click", datetime(2024, 1, 1, 0)),
+            (3, "purchase", datetime(2024, 1, 1, 1)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+        out = {
+            r["user_id"]: r["stages_completed"]
+            for r in funnel_stages(ev, ["signup", "click", "purchase"]).collect()
+        }
+        assert out == {1: 3, 2: 2, 3: 0}
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.operators.funnel import funnel_stages
+
+        ev = load_table(spark, sf_dir, "events")
+        df = funnel_stages(ev, ["signup", "click", "purchase"])
+        # all stage windows + the final collapse share one hash partitioning
+        assert explain.num_shuffles(df) == 1

@@ -202,3 +202,42 @@ class TestChunkText:
             chunks[(1, i)][4 - 3:] for i in range(1, 4)
         )
         assert full == "abcdefghij"
+
+
+class TestChunkTokens:
+    def test_overlapping_windows_and_tail(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, list("abcdefgh")), (2, ["x"]), (3, [])],
+            "doc_id int, toks array<string>",
+        )
+        out = chunk_tokens(df, "toks", size=4, stride=3)
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["chunk_len"])
+            for r in out.collect()
+        }
+        # doc 1: starts 0,3,6 -> abcd, defg, gh (short tail kept)
+        assert got[(1, 0)] == (list("abcd"), 4)
+        assert got[(1, 1)] == (list("defg"), 4)
+        assert got[(1, 2)] == (list("gh"), 2)
+        # single-token and empty docs stay represented with one chunk
+        assert got[(2, 0)] == (["x"], 1)
+        assert got[(3, 0)] == ([], 0)
+        assert len(got) == 5
+
+    def test_no_shuffle(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.chunking import chunk_tokens
+        from sentiment_analysis_bigdata_spark.plans import explain
+
+        df = spark.createDataFrame([(1, ["a", "b"])], "doc_id int, toks array<string>")
+        assert explain.num_shuffles(chunk_tokens(df, "toks", 4, 3)) == 0
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from sentiment_analysis_bigdata_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame([(1, ["a"])], "doc_id int, toks array<string>")
+        with _pytest.raises(ValueError, match="size and stride"):
+            chunk_tokens(df, "toks", size=0, stride=3)
