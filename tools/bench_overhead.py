@@ -25,16 +25,26 @@ REPEATS = 3
 
 
 def plain_pricing_summary(spark, sf):
+    # identical semantics to workloads.relational_q.q_pricing_summary —
+    # same filter, same 8 aggregates, same integer-cents rounding; anything
+    # less and the ratio measures missing work, not wrapper overhead
     from pyspark.sql import functions as F
 
+    def money(expr):
+        return F.sum(F.round(expr * 100).cast("bigint")) / 100.0
+
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            (F.sum(cents) / 100.0).alias("sum_base_cents"),
+            F.round(money(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(money(disc), 2).alias("sum_disc_price"),
+            F.round(money(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -50,13 +60,21 @@ def plain_region_revenue(spark, sf):
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     region = spark.read.parquet(f"{sf}/region.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    geo = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.sum(F.round(rev * 100).cast("bigint")).alias("cents"))
+        .join(geo, orders.o_custkey == geo.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.round(rev * 100).cast("bigint")) / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
     )
 
 
