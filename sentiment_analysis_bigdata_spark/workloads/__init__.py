@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sentiment_analysis_bigdata_spark.workloads import (
     dedup_sim,
     evaluation_q,
+    graph_q,
     relational_q,
     relational_q2,
     relational_q3,
@@ -39,6 +40,7 @@ _MODULES = [
     dedup_sim,
     temporal_q,
     evaluation_q,
+    graph_q,
     scale_q,
 ]
 

@@ -1,0 +1,74 @@
+"""Graph workload: weighted PageRank over the customer→supplier purchase
+graph (who buys from whom), the crawl-prioritization/source-scoring shape
+of a training-data pipeline. The oracle replays the SAME fixed 3-iteration
+recursion as unrolled DuckDB CTEs — every intermediate rank is the same
+IEEE arithmetic, so the final round-6 values match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def q_pagerank_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank customers and suppliers in the bipartite purchase graph: one
+    directed edge customer→supplier per lineitem (parallel edges collapse
+    to weights inside the operator)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(
+        edges, iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank() -> str:
+    base = 1.0 - PR_DAMPING
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         {base} + {PR_DAMPING} * coalesce(sum(p.rank * m.share), 0) AS rank
+  FROM nodes n
+  LEFT JOIN norm m ON m.dst = n.node
+  LEFT JOIN {prev} p ON p.node = m.src
+  GROUP BY n.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+norm AS (SELECT e.src, e.dst, e.w / outw.ow AS share FROM e JOIN outw ON outw.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{",".join(iters)}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
+SQL_PAGERANK_PURCHASES = _sql_pagerank()
+
+
+QUERIES = {
+    "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+}

@@ -144,6 +144,64 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+# --- windowed z-score anomaly detection ----------------------------------------------------
+
+def q_rate_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type hourly event rates scored against the trailing 24-hour
+    window (mean/stddev of the previous 24 buckets, current excluded).
+    Aggregate-over-aggregate: the hourly rollup is tiny, so the ordered
+    window runs over bucket counts, never raw events — at 100 TB the
+    window input is hours×types rows regardless of event volume.
+    Buckets without a full trailing day (n_trailing < 12) emit no score."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    scored = hourly.select(
+        F.date_format("bucket", TS_FMT).alias("bucket"),
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("_mean"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("_std"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    )
+    return scored.filter((F.col("_cnt") >= 12) & (F.col("_std") > 1e-9)).select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round((F.col("n") - F.col("_mean")) / F.col("_std"), 4).alias("zscore"),
+    )
+
+
+SQL_RATE_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT strftime(bucket, '{SQL_TS_FMT}') AS bucket, event_type, n,
+         avg(n) OVER w AS mean_n,
+         stddev_samp(CAST(n AS DOUBLE)) OVER w AS std_n,
+         count(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, event_type, n,
+       round((n - mean_n) / std_n, 4) AS zscore
+FROM scored
+WHERE cnt >= 12 AND std_n > 0.000000001
+"""
+
+
 # --- funnel conversion (staged event sequencing) -------------------------------------------
 
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
@@ -490,6 +548,7 @@ QUERIES = {
     "resample_ffill": (q_resample_ffill, SQL_RESAMPLE_FFILL),
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "rate_anomalies": (q_rate_anomalies, SQL_RATE_ANOMALIES),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),

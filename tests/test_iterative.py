@@ -176,3 +176,49 @@ class TestResampleFfill:
         ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
         with _pytest.raises(ValueError, match="unsupported step"):
             resample_ffill(ev, step="1 fortnight")
+
+
+class TestPagerank:
+    def test_weighted_one_iteration_hand_values(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+
+        # A links to B (w=1) and C (w=3): shares 0.25 / 0.75
+        edges = spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "c", 3.0)], "src string, dst string, w double"
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, weight_col="w", iterations=1).collect()
+        }
+        assert abs(got["a"] - 0.15) < 1e-12
+        assert abs(got["b"] - (0.15 + 0.85 * 0.25)) < 1e-12
+        assert abs(got["c"] - (0.15 + 0.85 * 0.75)) < 1e-12
+
+    def test_cycle_is_stationary(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string"
+        )
+        for r in pagerank(edges, iterations=4).collect():
+            assert abs(r["rank"] - 1.0) < 1e-12
+
+    def test_parallel_edges_accumulate(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+
+        # three parallel a->b edges + one a->c: b gets share 0.75
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "b"), ("a", "c")],
+            "src string, dst string",
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+        assert abs(got["b"] - (0.15 + 0.85 * 0.75)) < 1e-12
+
+    def test_rejects_zero_iterations(self, spark):
+        import pytest as _pytest
+
+        from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError, match="iterations"):
+            pagerank(edges, iterations=0)
