@@ -144,6 +144,70 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+# --- retention cohorts ---------------------------------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-signup week; each
+    later week's retention = distinct active users / cohort size. All
+    aggregation happens on (user, week)-distinct frames — cohort and
+    activity tables are user-cardinality, never raw events, so the join is
+    dwarfed by the two event scans feeding it."""
+    ev = _events(spark, sf)
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    joined = activity.join(cohort, "user_id").withColumn(
+        "week_offset",
+        (F.datediff("act_week", "cohort_week") / 7).cast("int"),
+    ).filter(F.col("week_offset") >= 0)
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return counts.join(sizes, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+),
+joined AS (
+  SELECT a.user_id, c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS INT) AS week_offset
+  FROM activity a JOIN cohort c ON c.user_id = a.user_id
+  WHERE a.act_week >= c.cohort_week
+),
+counts AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT strftime(counts.cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset, n_active,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM counts JOIN sizes ON sizes.cohort_week = counts.cohort_week
+"""
+
+
 # --- windowed z-score anomaly detection ----------------------------------------------------
 
 def q_rate_anomalies(spark: SparkSession, sf: str) -> DataFrame:
@@ -549,6 +613,7 @@ QUERIES = {
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "rate_anomalies": (q_rate_anomalies, SQL_RATE_ANOMALIES),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
