@@ -95,6 +95,43 @@ def tf_idf(
     )
 
 
+def unigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the classic cheap
+    fluency/quality proxy for training-data filtering (a degenerate
+    perplexity: a document scoring far below the corpus norm is noise,
+    boilerplate, or the wrong language; cf. CCNet's LM filtering,
+    arXiv:1911.00359, re-expressed with the corpus itself as the LM).
+
+        p(t) = count(t) / total_tokens      (over the whole corpus)
+        score(d) = avg over tokens of ln p(t)
+
+    Plan shape: one aggregation builds the unigram LM (shuffle on term),
+    one explode+join scores tokens against it, one aggregation folds back
+    to documents (shuffle on doc). The LM side is vocab-sized (≪ corpus) —
+    broadcast when it fits, AQE degrades to shuffle join beyond. The token
+    total folds in as a literal from the LM frame's own aggregate (2-row
+    driver fetch, not a fact-side action).
+
+    Returns (doc_id, n_tokens, avg_logprob); empty-token documents are
+    dropped (no tokens ⇒ no score).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("_total"))
+    scored = toks.join(F.broadcast(lm), "term").join(F.broadcast(total)).select(
+        "doc_id",
+        F.log(F.col("cnt").cast("double") / F.col("_total")).alias("logp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )
+
+
 def count_vectorizer_vocab(
     docs: DataFrame,
     tokens_col: str = "tokens",

@@ -22,6 +22,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q4,
     relational_q5,
     relational_q6,
+    relational_q7,
     scale_q,
     temporal_q,
     text_q,
@@ -36,6 +37,7 @@ _MODULES = [
     relational_q4,
     relational_q5,
     relational_q6,
+    relational_q7,
     text_q,
     dedup_sim,
     temporal_q,
