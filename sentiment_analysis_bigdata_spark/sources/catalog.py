@@ -41,9 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TESTDATA_TABLES)}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
-    # long (session flag spark.sql.legacy.parquet.nanosAsLong); convert to a
-    # microsecond TimestampType so downstream operators see real timestamps.
+    # Timestamp normalization: the testdata has shipped as both INT64
+    # TIMESTAMP(NANOS) (Spark reads it as long under
+    # spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) (Spark reads it as TIMESTAMP_NTZ). Either way,
+    # downstream operators expect a session-zoned TimestampType; with the
+    # session timezone pinned to UTC (session.py) the NTZ→TZ cast is a pure
+    # reinterpretation, and the nanos→micros conversion is exact.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -53,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
             )
+        elif isinstance(expected, T.TimestampType) and isinstance(
+            field.dataType, T.TimestampNTZType
+        ):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

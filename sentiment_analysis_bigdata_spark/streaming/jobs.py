@@ -28,9 +28,14 @@ def read_events_stream(
 
     Spark's file stream source requires a *directory*; when given a single
     parquet file (the testdata layout) we stage a symlink into a temp dir.
-    The testdata events.ts is TIMESTAMP(NANOS) which the streaming schema
-    reader only accepts as long — converted back to TimestampType here.
+    Timestamp columns are read as raw longs (the streaming schema reader
+    rejects non-micro timestamp units) and converted back to
+    TimestampType using the unit recorded in the parquet footer — the
+    testdata has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    encodings across regenerations, so the unit must be detected, never
+    assumed.
     """
+    import glob
     import os
     import tempfile
 
@@ -64,10 +69,25 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+    # footer-declared unit → factor converting the raw long to micros
+    import pyarrow.parquet as pq
+
+    sample = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    arrow_schema = pq.ParquetFile(sample).schema_arrow
+    to_micros = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}
+
     out = raw
     for f in schemas.EVENTS.fields:
         if isinstance(f.dataType, T.TimestampType):
-            out = out.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+            unit = arrow_schema.field(f.name).type.unit
+            factor = to_micros[unit]
+            micros = (
+                (F.col(f.name) / 1000).cast("long")
+                if factor is None  # ns: divide (avoid bigint overflow)
+                else F.col(f.name) * F.lit(factor)
+            )
+            out = out.withColumn(f.name, F.timestamp_micros(micros))
     return out
 
 
