@@ -23,9 +23,11 @@ from sentiment_analysis_bigdata_spark.workloads import (
     relational_q5,
     relational_q6,
     relational_q7,
+    relational_q8,
     scale_q,
     temporal_q,
     text_q,
+    train_q,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -38,9 +40,11 @@ _MODULES = [
     relational_q5,
     relational_q6,
     relational_q7,
+    relational_q8,
     text_q,
     dedup_sim,
     temporal_q,
+    train_q,
     evaluation_q,
     graph_q,
     scale_q,

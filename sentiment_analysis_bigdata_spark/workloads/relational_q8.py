@@ -1,0 +1,175 @@
+"""Relational coverage, batch 8: the two remaining classic TPC-H plan
+shapes — Q3 (segment-filtered unshipped-order top-k by revenue) and Q5
+(same-nation customer/supplier revenue within a region) — adapted to the
+testdata schema, each with a DuckDB oracle twin. With these, all 22 TPC-H
+query shapes have an engine query + oracle.
+
+Scale notes: Q3 filters BOTH fact inputs before the join (date predicates
+push into the parquet scans) and ends in TakeOrderedAndProject — the top-10
+never materializes a global sort. Q5 broadcasts every dimension (customer
+at this cardinality is a dimension; at true 100 TB customer-scale the
+customer join degrades gracefully to an AQE shuffle join) and keeps the
+same-nation predicate as a join condition, not a post-filter, so the
+planner can use it for pruning. Money sums use the integer-cents
+convention (order-independent, cross-engine exact).
+
+Reference parity: the reference has no relational surface (SURVEY §2.5);
+these complete the TPC-H shape inventory (Q1-Q22) started in
+relational_q*.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+def _rev_cents():
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+
+
+# --- TPC-H Q3 shape: top unshipped BUILDING orders by revenue --------------------
+
+def q_unshipped_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 orders by open revenue: BUILDING-segment customers, ordered
+    before 1997-07-01, with lines still shipping after that date (Q3's
+    o_shippriority has no testdata counterpart; o_orderpriority is carried
+    instead — the filter/join/top-k shape is identical).
+
+    Both date predicates push into their parquet scans BEFORE the join;
+    the customer segment filter broadcasts (1.5 k rows at sf0.01). The
+    final top-10 is orderBy(...).limit(10) → TakeOrderedAndProject: each
+    partition keeps 10 candidates and the driver merges k·p rows — no
+    global sort at any scale. Ties break on o_orderkey for cross-engine
+    determinism."""
+    cutoff = F.lit("1997-07-01")
+    cust = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _rev_cents().alias("rev_cents"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum("rev_cents") / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_UNSHIPPED_ORDER_REVENUE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate > TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5 shape: same-nation customer/supplier revenue in ASIA ---------------
+
+def q_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per ASIA nation from 1996 orders where the supplier and the
+    ordering customer share that nation (TPC-H Q5 verbatim shape on the
+    testdata schema).
+
+    nation semi-joins region driver-side-free (broadcast both); the
+    same-nation constraint is expressed as c_nationkey = s_nationkey INSIDE
+    the join condition so only matching pairs survive the probe. The only
+    fact-fact shuffle is lineitem→orders (AQE-planned); supplier and the
+    region-filtered nation list broadcast. Output is one row per qualifying
+    nation — final agg is trivially small."""
+    nation = _t(spark, sf, "nation")
+    region = (
+        _t(spark, sf, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_cents().alias("rev_cents")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            supp.s_nationkey == asia_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg((F.sum("rev_cents") / 100.0).alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "unshipped_order_revenue": (
+        q_unshipped_order_revenue,
+        SQL_UNSHIPPED_ORDER_REVENUE,
+    ),
+    "local_supplier_revenue": (
+        q_local_supplier_revenue,
+        SQL_LOCAL_SUPPLIER_REVENUE,
+    ),
+}
