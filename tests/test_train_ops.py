@@ -1,0 +1,150 @@
+"""Tests for the training-pipeline batch-2 operators: BPE pair counting,
+Z-order layout, group-wise regression, embedding centroids."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import (
+    layout,
+    regression,
+    tokenizer_train,
+)
+
+
+class TestBpePairCounts:
+    def test_hand_computed(self, spark):
+        # corpus: "ab ab abc" → words {ab:2, abc:1}
+        df = spark.createDataFrame([Row(text="ab ab abc")])
+        wf = tokenizer_train.word_frequencies(df)
+        assert {(r.word, r.freq) for r in wf.collect()} == {("ab", 2), ("abc", 1)}
+        pairs = tokenizer_train.bpe_pair_counts(wf)
+        # ab→{ab:2}; abc→{ab:1, bc:1}
+        assert {(r.pair, r.n) for r in pairs.collect()} == {("ab", 3), ("bc", 1)}
+
+    def test_short_and_empty_words(self, spark):
+        df = spark.createDataFrame([Row(text="a b  cd")])
+        got = {
+            (r.pair, r.n)
+            for r in tokenizer_train.bpe_pair_counts(
+                tokenizer_train.word_frequencies(df)
+            ).collect()
+        }
+        assert got == {("cd", 1)}  # 1-char words emit nothing
+
+    def test_topk_deterministic_ties(self, spark):
+        df = spark.createDataFrame([Row(text="xy ab")])
+        rows = tokenizer_train.top_merge_candidates(df, k=10).collect()
+        assert [r.pair for r in rows] == ["ab", "xy"]  # equal n → pair asc
+
+
+class TestMortonKey:
+    @staticmethod
+    def _py_morton(x: int, y: int, bits: int) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def test_matches_python_interleave(self, spark):
+        cases = [(0, 0), (1, 0), (0, 1), (5, 3), (1023, 0), (0, 1023), (777, 1022)]
+        df = spark.createDataFrame([Row(x=x, y=y) for x, y in cases])
+        got = df.select(
+            "x", "y", layout.morton_key("x", "y", bits=10).alias("m")
+        ).collect()
+        for r in got:
+            assert r.m == self._py_morton(r.x, r.y, 10), (r.x, r.y)
+
+    def test_locality(self, spark):
+        # adjacent cells differ in few low bits → small key distance
+        df = spark.createDataFrame([Row(x=4, y=4), Row(x=5, y=4), Row(x=4, y=5)])
+        keys = [
+            r.m
+            for r in df.select(layout.morton_key("x", "y", bits=4).alias("m")).collect()
+        ]
+        base = keys[0]
+        assert all(abs(k - base) <= 2 for k in keys[1:])
+
+    def test_zorder_write_clusters_files(self, spark, tmp_path):
+        n = 4096
+        df = spark.range(n).select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 7) % 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        out = str(tmp_path / "zorder")
+        layout.zorder_write(df, out, "x", "y", bits=6, num_files=8)
+        back = spark.read.parquet(out)
+        assert back.count() == n
+        assert set(back.columns) == {"x", "y", "payload"}
+        # per-file morton ranges must not overlap (range partitioning)
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(files) > 1
+        ranges = []
+        for f in files:
+            stats = (
+                spark.read.parquet(f)
+                .select(layout.morton_key("x", "y", bits=6).alias("m"))
+                .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+                .first()
+            )
+            if stats.lo is not None:
+                ranges.append((stats.lo, stats.hi))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, "file Z-ranges overlap"
+
+
+class TestGroupwiseRegression:
+    def _frame(self, spark):
+        rows = [
+            Row(g="a", x=1.0, y=2.0),
+            Row(g="a", x=2.0, y=4.1),
+            Row(g="a", x=3.0, y=5.9),
+            Row(g="b", x=1.0, y=10.0),
+            Row(g="b", x=2.0, y=8.0),
+            Row(g="c", x=5.0, y=1.0),  # single row → no fit
+            Row(g="d", x=2.0, y=1.0),  # zero x-variance → no fit
+            Row(g="d", x=2.0, y=3.0),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_expr_matches_pandas(self, spark):
+        df = self._frame(spark)
+        ex = {
+            r.g: (r.slope, r.intercept, r.r2, r.n)
+            for r in regression.groupwise_ols_expr(df, ["g"], "x", "y").collect()
+        }
+        pd_ = {
+            r.g: (r.slope, r.intercept, r.r2, r.n)
+            for r in regression.groupwise_ols_pandas(df, ["g"], "x", "y").collect()
+        }
+        assert set(ex) == set(pd_) == {"a", "b", "c", "d"}
+        for g in ["a", "b"]:
+            for u, v in zip(ex[g], pd_[g]):
+                assert u == pytest.approx(v, abs=1e-9), g
+
+    def test_known_slope(self, spark):
+        df = self._frame(spark)
+        got = {
+            r.g: r
+            for r in regression.groupwise_ols_expr(df, ["g"], "x", "y").collect()
+        }
+        assert got["b"].slope == pytest.approx(-2.0)
+        assert got["b"].intercept == pytest.approx(12.0)
+        assert got["b"].r2 == pytest.approx(1.0)
+
+    def test_degenerate_groups(self, spark):
+        df = self._frame(spark)
+        pd_ = {
+            r.g: r
+            for r in regression.groupwise_ols_pandas(df, ["g"], "x", "y").collect()
+        }
+        assert pd_["c"].slope is None and pd_["c"].n == 1
+        assert pd_["d"].slope is None and pd_["d"].n == 2
