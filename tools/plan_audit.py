@@ -104,6 +104,39 @@ AUDIT = {
         "agg-over-agg: the trailing-24h window runs over the hourly "
         "rollup (hours×types rows), never raw events",
     ),
+    "unshipped_order_revenue": (
+        ["PushedFilters", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        "TPC-H Q3: both date predicates reach their scans before the join; "
+        "segment-filtered customer broadcasts; top-10 is "
+        "TakeOrderedAndProject, never a global sort",
+    ),
+    "local_supplier_revenue": (
+        ["PushedFilters", "BroadcastHashJoin"],
+        "TPC-H Q5: order-date filter pushed; every dimension (customer, "
+        "supplier, region-filtered nations) broadcasts — the only "
+        "fact-fact shuffle is lineitem-orders",
+    ),
+    "bpe_merge_candidates": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        "BPE training: the corpus collapses to a vocab-sized (word, freq) "
+        "frame in one agg; pair explode + merge top-k run on that small "
+        "frame with TakeOrderedAndProject",
+    ),
+    "zorder_keys": (
+        ["HashAggregate", "partial_min(morton"],
+        "Morton key is a pure codegen'd projection (32 bit-ops fused into "
+        "the scan stage); the per-file summary aggregates map-side first",
+    ),
+    "groupwise_regression": (
+        ["HashAggregate"],
+        "regr_* are algebraic aggregates: map-side partial state (sums of "
+        "x, y, xy, x², y²) then one constant-width shuffle per group",
+    ),
+    "label_centroids": (
+        ["Generate", "HashAggregate"],
+        "posexplode generate is narrow (fuses with the scan); mean-pool is "
+        "a partial+final agg keyed (label, dim)",
+    ),
 }
 
 
