@@ -349,3 +349,34 @@ def lang_id(col: Column | str) -> Column:
     )))
     best = arr[0]
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- HTML / markup stripping (web-corpus curation) -----------------------------
+
+#: (pattern, replacement) chain — RE2 ∩ Java regex subset (no backrefs, no
+#: lookaround) so the identical patterns run on the DuckDB oracle.
+HTML_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),   # script blocks incl. body
+    (r"(?is)<style[^>]*>.*?</style>", " "),     # style blocks incl. body
+    (r"(?is)<!--.*?-->", " "),                  # comments
+    (r"(?is)<[a-z!/][^>]*>", " "),              # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),                              # collapse whitespace
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Strip HTML/markup to visible text: drop script/style bodies,
+    comments, and tags; decode the common entities; collapse whitespace —
+    the first pass of any web-crawl curation pipeline. Pure JVM
+    ``regexp_replace`` chain (narrow, fuses into the scan); the same
+    patterns run verbatim on the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in HTML_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(c)

@@ -1,0 +1,104 @@
+"""Per-group feature normalization for training pipelines: winsorization
+(quantile clipping) and robust scaling (median/IQR).
+
+Both are the 2-pass distributed shape:
+
+  1. per-group exact interpolated percentiles — ONE aggregation whose
+     output is group-cardinality (tiny);
+  2. the k-row bounds table broadcasts back onto the data as a narrow
+     clip/scale projection — no second shuffle of the fact side.
+
+Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+interpolation rule, so the oracle replays the identical math. At 100 TB
+substitute ``approx_percentile`` in pass 1 (documented knob) — the shape
+is unchanged.
+
+Reference parity: none (the reference has no normalization surface);
+north-star feature-engineering operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[float],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles at the given probabilities. ``approx=True``
+    switches to ``approx_percentile`` (the 100 TB default — sketch-mergeable,
+    no exact sort of group values)."""
+    fn = F.approx_percentile if approx else F.percentile
+    aggs = [
+        fn(F.col(value_col), F.lit(p)).alias(f"q{int(p * 1000):03d}")
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` to the per-group [lower, upper] quantile band;
+    adds ``{value_col}_wins`` and ``{value_col}_clipped`` (bool)."""
+    bounds = group_quantiles(
+        df, value_col, group_cols, [lower, upper], approx=approx
+    ).withColumnsRenamed(
+        {
+            f"q{int(lower * 1000):03d}": "__lo",
+            f"q{int(upper * 1000):03d}": "__hi",
+        }
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(
+            f"{value_col}_wins",
+            F.least(F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi")),
+        )
+        .withColumn(
+            f"{value_col}_clipped",
+            (v.cast("double") < F.col("__lo")) | (v.cast("double") > F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group robust z-score: (x − median) / IQR. Adds
+    ``{value_col}_scaled`` (null when the group's IQR is 0)."""
+    bounds = group_quantiles(
+        df, value_col, group_cols, [0.25, 0.5, 0.75], approx=approx
+    ).select(
+        *group_cols,
+        F.col("q500").alias("__med"),
+        (F.col("q750") - F.col("q250")).alias("__iqr"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(
+            f"{value_col}_scaled",
+            F.when(
+                F.col("__iqr") > 0, (v - F.col("__med")) / F.col("__iqr")
+            ),
+        )
+        .drop("__med", "__iqr")
+    )

@@ -28,6 +28,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     temporal_q,
     text_q,
     train_q,
+    warehouse_q,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -45,6 +46,7 @@ _MODULES = [
     dedup_sim,
     temporal_q,
     train_q,
+    warehouse_q,
     evaluation_q,
     graph_q,
     scale_q,

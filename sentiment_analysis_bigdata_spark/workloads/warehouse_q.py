@@ -1,0 +1,235 @@
+"""Warehouse / curation queries, batch 2: SCD2 history build, runtime
+min/max join filtering, per-group winsorization + robust scaling, and
+HTML stripping — each with a DuckDB oracle twin.
+
+Reference parity: none of these exist in the reference (no temporal, no
+normalization, no markup surface — SURVEY §2.5); they extend the
+north-star warehouse/curation inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions.text import HTML_PATTERNS, strip_html
+from sentiment_analysis_bigdata_spark.operators import normalize, runtime_filter, scd
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+
+# --- SCD2 history over the events change stream ----------------------------------
+
+def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 history of each user's event_type state: one row per
+    (user, run-of-equal-types) with [valid_from, valid_to) and a current
+    flag. One shuffle on user_id; both windows share the (ts, event_id)
+    sort (operators/scd.py)."""
+    ev = load_table(spark, sf, "events")
+    return scd.scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_col="event_id"
+    )
+
+
+SQL_SCD2_USER_STATE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- runtime min/max filtered join ----------------------------------------------
+
+def q_runtime_filtered_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per rich supplier (acctbal > 9000): the fact scan is
+    pre-pruned to the surviving suppliers' key range before the join
+    (operators/runtime_filter.py). The oracle runs the PLAIN join — the
+    bound filter must be semantically invisible."""
+    li = load_table(spark, sf, "lineitem")
+    supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_name")
+    )
+    joined = runtime_filter.runtime_filtered_join(
+        li, supp, "l_suppkey", "s_suppkey"
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue"),
+    )
+
+
+SQL_RUNTIME_FILTERED_JOIN = """
+SELECT s_suppkey, s_name,
+       count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_acctbal > 9000
+GROUP BY 1, 2
+"""
+
+
+# --- per-group winsorization -----------------------------------------------------
+
+def q_winsorized_doc_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document-length stats after clipping to the source's
+    [p05, p95] band (operators/normalize.py — exact percentiles here;
+    approx_percentile is the documented 100 TB knob, same shape)."""
+    docs = load_table(spark, sf, "documents")
+    wins = normalize.winsorize(
+        docs, "n_chars", ["source"], lower=0.05, upper=0.95
+    )
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars_clipped").cast("bigint")).alias("n_clipped"),
+        F.round(F.avg("n_chars_wins"), 4).alias("avg_wins"),
+    )
+
+
+SQL_WINSORIZED_DOC_LENGTHS = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_chars < lo OR n_chars > hi THEN 1 ELSE 0 END) AS n_clipped,
+       round(avg(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)), 4) AS avg_wins
+FROM documents d JOIN b USING (source)
+GROUP BY 1
+"""
+
+
+# --- per-group robust scaling ----------------------------------------------------
+
+def q_robust_scaled_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type robust z-score ((x − median) / IQR) of event values,
+    summarized: scaled extrema and the share of |z| > 2 outliers."""
+    ev = load_table(spark, sf, "events")
+    scaled = normalize.robust_scale(ev, "value", ["event_type"])
+    return scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value_scaled"), 4).alias("min_z"),
+        F.round(F.max("value_scaled"), 4).alias("max_z"),
+        F.sum(
+            (F.abs(F.col("value_scaled")) > 2).cast("bigint")
+        ).alias("n_outliers"),
+    )
+
+
+SQL_ROBUST_SCALED_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY 1
+),
+scaled AS (
+  SELECT e.event_type,
+         CASE WHEN iqr > 0 THEN (value - med) / iqr END AS z
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n,
+       round(min(z), 4) AS min_z,
+       round(max(z), 4) AS max_z,
+       sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_outliers
+FROM scaled
+GROUP BY 1
+"""
+
+
+# --- HTML stripping --------------------------------------------------------------
+
+def _wrapped(text_col, doc_id_col):
+    """Deterministic HTML wrapping so the strip chain is exercised on
+    markup with a known round-trip."""
+    return F.concat(
+        F.lit('<div class="d"><!-- c -->'),
+        text_col,
+        F.lit("</div>"),
+        F.when(
+            doc_id_col % 3 == 0, F.lit("<script>var x = 1;</script>")
+        ).otherwise(F.lit("")),
+        F.lit("&amp; &lt;tail&gt;"),
+    )
+
+
+def q_html_stripped_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Strip deterministic HTML wrapping from documents; verify the
+    round-trip inline (stripped must equal the whitespace-normalized
+    original + decoded tail)."""
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    wrapped = _wrapped(F.col("text"), F.col("doc_id"))
+    expected = F.concat(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), F.lit(" & <tail>")
+    )
+    return docs.select(
+        "doc_id",
+        strip_html(wrapped).alias("stripped"),
+        (strip_html(wrapped) == expected).alias("roundtrip_ok"),
+    )
+
+
+def _sql_strip_chain(inner: str) -> str:
+    expr = inner
+    for pat, repl in HTML_PATTERNS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+_SQL_WRAPPED = (
+    "concat('<div class=\"d\"><!-- c -->', text, '</div>', "
+    "CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1;</script>' ELSE '' END, "
+    "'&amp; &lt;tail&gt;')"
+)
+
+SQL_HTML_STRIPPED_DOCS = f"""
+SELECT doc_id,
+       {_sql_strip_chain(_SQL_WRAPPED)} AS stripped,
+       {_sql_strip_chain(_SQL_WRAPPED)} =
+         concat(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' & <tail>')
+         AS roundtrip_ok
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+QUERIES = {
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "runtime_filtered_join": (q_runtime_filtered_join, SQL_RUNTIME_FILTERED_JOIN),
+    "winsorized_doc_lengths": (
+        q_winsorized_doc_lengths,
+        SQL_WINSORIZED_DOC_LENGTHS,
+    ),
+    "robust_scaled_events": (q_robust_scaled_events, SQL_ROBUST_SCALED_EVENTS),
+    "html_stripped_docs": (q_html_stripped_docs, SQL_HTML_STRIPPED_DOCS),
+}

@@ -1,0 +1,184 @@
+"""Tests for the warehouse/curation batch-2 operators: SCD2, runtime
+min/max join filtering, winsorization/robust scaling, HTML stripping."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions.text import strip_html
+from sentiment_analysis_bigdata_spark.operators import normalize, runtime_filter, scd
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestScd2:
+    def _changes(self, spark):
+        rows = [
+            Row(k=1, state="a", ts=_ts("2024-01-01T00:00:00"), i=1),
+            Row(k=1, state="a", ts=_ts("2024-01-02T00:00:00"), i=2),  # no change
+            Row(k=1, state="b", ts=_ts("2024-01-03T00:00:00"), i=3),  # change
+            Row(k=1, state="a", ts=_ts("2024-01-04T00:00:00"), i=4),  # back to a
+            Row(k=2, state="x", ts=_ts("2024-01-01T00:00:00"), i=5),
+            Row(k=2, state=None, ts=_ts("2024-01-02T00:00:00"), i=6),  # → null
+            Row(k=2, state=None, ts=_ts("2024-01-03T00:00:00"), i=7),  # no change
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_intervals(self, spark):
+        hist = scd.scd2_history(
+            self._changes(spark), ["k"], ["state"], "ts", tiebreak_col="i"
+        ).collect()
+        by_key = {}
+        for r in hist:
+            by_key.setdefault(r.k, []).append(r)
+        k1 = sorted(by_key[1], key=lambda r: r.valid_from)
+        assert [(r.state, r.is_current) for r in k1] == [
+            ("a", False),
+            ("b", False),
+            ("a", True),
+        ]
+        # intervals chain: valid_to of run i == valid_from of run i+1
+        assert k1[0].valid_to == k1[1].valid_from
+        assert k1[1].valid_to == k1[2].valid_from
+        assert k1[2].valid_to is None
+        # null attribute states form their own run (null-safe comparison)
+        k2 = sorted(by_key[2], key=lambda r: r.valid_from)
+        assert [(r.state, r.is_current) for r in k2] == [("x", False), (None, True)]
+
+    def test_tiebreak_same_timestamp(self, spark):
+        t = _ts("2024-01-01T00:00:00")
+        df = spark.createDataFrame(
+            [Row(k=1, state="a", ts=t, i=2), Row(k=1, state="b", ts=t, i=1)]
+        )
+        hist = sorted(
+            scd.scd2_history(df, ["k"], ["state"], "ts", tiebreak_col="i").collect(),
+            key=lambda r: r.i if hasattr(r, "i") else 0,
+        )
+        # order by (ts, i): b (i=1) then a (i=2) → b closed, a current
+        states = {(r.state, r.is_current) for r in hist}
+        assert states == {("b", False), ("a", True)}
+
+    def test_asof_state_lookup(self, spark):
+        hist = scd.scd2_history(
+            self._changes(spark), ["k"], ["state"], "ts", tiebreak_col="i"
+        )
+        probes = spark.createDataFrame(
+            [
+                Row(k=1, ts=_ts("2024-01-02T12:00:00")),  # inside run 'a'
+                Row(k=1, ts=_ts("2024-01-03T00:00:00")),  # boundary → 'b'
+                Row(k=1, ts=_ts("2025-01-01T00:00:00")),  # open interval → 'a'
+                Row(k=3, ts=_ts("2024-01-01T00:00:00")),  # unknown key → null
+            ]
+        )
+        got = {
+            (r.k, r.ts): r.state
+            for r in scd.asof_state(hist, probes, ["k"], "ts").collect()
+        }
+        assert got[(1, _ts("2024-01-02T12:00:00"))] == "a"
+        assert got[(1, _ts("2024-01-03T00:00:00"))] == "b"
+        assert got[(1, _ts("2025-01-01T00:00:00"))] == "a"
+        assert got[(3, _ts("2024-01-01T00:00:00"))] is None
+
+
+class TestRuntimeFilteredJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+        fast = runtime_filter.runtime_filtered_join(li, supp, "l_suppkey", "s_suppkey")
+        plain = li.join(supp, li.l_suppkey == supp.s_suppkey)
+        assert fast.count() == plain.count()
+
+    def test_empty_dim_short_circuits(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier").filter(F.lit(False))
+        assert (
+            runtime_filter.runtime_filtered_join(
+                li, supp, "l_suppkey", "s_suppkey"
+            ).count()
+            == 0
+        )
+
+    def test_bound_filter_reaches_scan(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+        plan = runtime_filter.runtime_filtered_join(
+            li, supp, "l_suppkey", "s_suppkey"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_suppkey), GreaterThanOrEqual(l_suppkey" in plan
+
+
+class TestNormalize:
+    def _df(self, spark):
+        # group a: 1..100 (clear p05/p95 clip); group b: constant (IQR 0)
+        rows = [Row(g="a", v=float(i)) for i in range(1, 101)]
+        rows += [Row(g="b", v=5.0)] * 10
+        return spark.createDataFrame(rows)
+
+    def test_winsorize_bounds(self, spark):
+        out = normalize.winsorize(self._df(spark), "v", ["g"], 0.05, 0.95)
+        a = out.filter(F.col("g") == "a")
+        stats = a.agg(
+            F.min("v_wins").alias("lo"),
+            F.max("v_wins").alias("hi"),
+            F.sum(F.col("v_clipped").cast("int")).alias("nc"),
+        ).first()
+        # p05 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+        assert stats.lo == pytest.approx(5.95)
+        assert stats.hi == pytest.approx(95.05)
+        assert stats.nc == 10  # 1..5 and 96..100
+        # unclipped values unchanged
+        mid = a.filter((F.col("v") >= 6) & (F.col("v") <= 95))
+        assert mid.filter(F.col("v_wins") != F.col("v")).count() == 0
+
+    def test_robust_scale(self, spark):
+        out = normalize.robust_scale(self._df(spark), "v", ["g"])
+        a_med = (
+            out.filter((F.col("g") == "a") & (F.col("v") == 50.5)).count()
+        )  # no exact-median row; check z at v=75.25 instead
+        z = (
+            out.filter((F.col("g") == "a") & (F.col("v") == 75.0))
+            .select("v_scaled")
+            .first()
+            .v_scaled
+        )
+        # median 50.5, IQR = 75.25 - 25.75 = 49.5 → z(75) = 24.5/49.5
+        assert z == pytest.approx(24.5 / 49.5)
+        # zero-IQR group → null z
+        assert (
+            out.filter(F.col("g") == "b").filter(F.col("v_scaled").isNotNull()).count()
+            == 0
+        )
+
+
+class TestStripHtml:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("<p>hello <b>world</b></p>", "hello world"),
+            ("<script>var x = '<p>';</script>text", "text"),
+            ("<SCRIPT>ignore</SCRIPT>kept", "kept"),
+            ("<style>.a { color: red; }</style>body", "body"),
+            ("<!-- note -->visible", "visible"),
+            ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; f&nbsp;g", "a & b <c> \"d\" 'e' f g"),
+            ("multi\n\nline\ttext", "multi line text"),
+            ("no markup at all", "no markup at all"),
+            ("<div\nclass='x'>split tag</div>", "split tag"),
+        ],
+    )
+    def test_cases(self, spark, raw, expected):
+        df = spark.createDataFrame([Row(t=raw)])
+        got = df.select(strip_html("t").alias("s")).first().s
+        assert got == expected
