@@ -1,0 +1,126 @@
+"""Affinity analytics: item co-occurrence (market basket) and sparse
+TF-IDF cosine similarity via an inverted-index join.
+
+Both are "pairs within a bounded context" self-joins — the canonical way
+to make pair generation tractable at 100 TB:
+
+- co-occurrence joins a basket table to itself ON THE BASKET KEY, so the
+  blow-up per basket is (items-per-basket choose 2), bounded by the
+  ``max_basket`` guard — never corpus × corpus.
+- sparse cosine joins the inverted index (term → posting list) to itself
+  ON THE TERM, so the blow-up per term is (docs-per-term choose 2),
+  bounded by the ``max_df`` hot-term cap (stopword-like terms carry no
+  similarity signal anyway — dropping them is both the perf guard and a
+  quality improvement, the standard trick from large-scale near-dup
+  systems).
+
+Everything is exact given the caps, order-independent, and runs as plain
+joins + aggregations (AQE picks the strategies).
+
+Reference parity: none (the reference has no pairwise surface); these are
+north-star extensions alongside MinHash/SimHash (operators/dedup.py) —
+sparse-cosine is the lexical complement to the dense embedding ANN
+(operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+
+def co_occurrence_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Item pairs that appear in the same basket, with support counts.
+
+    Distinct (basket, item) first (multiplicity inside one basket is not
+    co-occurrence); optional ``max_basket`` drops pathological baskets
+    whose pair blow-up would dominate the join (documented skew guard —
+    the dropped baskets are boilerplate-like outliers)."""
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket is not None:
+        sizes = b.groupBy("basket").agg(F.count(F.lit(1)).alias("__n"))
+        keep = sizes.filter(F.col("__n") <= max_basket).select("basket")
+        b = b.join(F.broadcast(keep), "basket", "left_semi")
+    left = b.select("basket", F.col("item").alias("item_a"))
+    right = b.select("basket", F.col("item").alias("item_b"))
+    return (
+        left.join(right, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def tfidf_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index with L2-normalized TF-IDF weights:
+    (term, doc, weight) where Σ weight² = 1 per doc.
+
+    idf = ln((N+1)/(df+1)) (the MLlib formula, operators/features.py);
+    terms with document frequency above ``max_df`` are dropped BEFORE
+    normalization (hot-term cap)."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokenize_nonempty(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "w", F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1))
+        )
+    )
+    norm = Window.partitionBy("doc")
+    return (
+        weighted.withColumn(
+            "weight", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm))
+        )
+        .filter(F.col("weight").isNotNull())
+        .select("term", "doc", "weight")
+    )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ threshold, exact given the
+    ``max_df`` cap: postings self-join on term (bounded per-term fan-out),
+    partial products aggregate per pair — one shuffle keyed (doc_a,
+    doc_b). The lexical near-dup complement to embedding ANN."""
+    p = tfidf_postings(docs, id_col, text_col, max_df=max_df)
+    a = p.select("term", F.col("doc").alias("doc_a"), F.col("weight").alias("wa"))
+    b = p.select("term", F.col("doc").alias("doc_b"), F.col("weight").alias("wb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sentiment_analysis_bigdata_spark.workloads import (
+    affinity_q,
     dedup_sim,
     evaluation_q,
     graph_q,
@@ -44,6 +45,7 @@ _MODULES = [
     relational_q8,
     text_q,
     dedup_sim,
+    affinity_q,
     temporal_q,
     train_q,
     warehouse_q,

@@ -1,0 +1,81 @@
+"""Affinity queries: market-basket co-occurrence and sparse TF-IDF cosine
+document similarity (operators/affinity.py), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import affinity
+from sentiment_analysis_bigdata_spark.sources import load_table
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+
+# --- market-basket co-occurrence -------------------------------------------------
+
+def q_co_purchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Part pairs ordered together in ≥ 3 orders. The self-join is keyed
+    on the order (basket) — per-order fan-out is (lines choose 2), bounded
+    by TPC-H's ≤ 7 lines/order; the max_basket guard stays available for
+    pathological baskets."""
+    li = load_table(spark, sf, "lineitem")
+    return affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=3
+    )
+
+
+SQL_CO_PURCHASE_PAIRS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem)
+SELECT a.item AS item_a, c.item AS item_b, count(*) AS support
+FROM b a JOIN b c ON a.basket = c.basket
+WHERE a.item < c.item
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# --- sparse TF-IDF cosine pairs --------------------------------------------------
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine ≥ 0.3 via the inverted-index
+    join (term-keyed, df ≤ 100 hot-term cap). Exact given the cap; the
+    lexical complement to embedding ANN."""
+    docs = load_table(spark, sf, "documents")
+    pairs = affinity.sparse_cosine_pairs(
+        docs, threshold=0.3, max_df=100
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_SPARSE_COSINE_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_SQL_TOKS}) AS term
+  FROM documents
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+w AS (
+  SELECT term, doc, tf * ln((n + 1.0) / (df + 1.0)) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+nrm AS (SELECT doc, sqrt(sum(w * w)) AS nv FROM w GROUP BY 1),
+p AS (SELECT term, doc, w / nv AS weight FROM w JOIN nrm USING (doc) WHERE nv > 0)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       round(sum(a.weight * b.weight), 6) AS cosine
+FROM p a JOIN p b ON a.term = b.term AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING sum(a.weight * b.weight) >= 0.3
+"""
+
+
+QUERIES = {
+    "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
+    "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),
+}

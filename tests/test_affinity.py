@@ -1,0 +1,92 @@
+"""Tests for affinity operators: co-occurrence and sparse TF-IDF cosine."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sentiment_analysis_bigdata_spark.operators import affinity
+
+
+class TestCoOccurrence:
+    def _baskets(self, spark):
+        rows = [
+            Row(b=1, i="x"), Row(b=1, i="y"), Row(b=1, i="z"),
+            Row(b=2, i="x"), Row(b=2, i="y"),
+            Row(b=3, i="x"), Row(b=3, i="y"),
+            Row(b=4, i="x"), Row(b=4, i="x"),  # duplicate item in basket
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_hand_computed(self, spark):
+        got = {
+            (r.item_a, r.item_b): r.support
+            for r in affinity.co_occurrence_pairs(
+                self._baskets(spark), "b", "i", min_support=1
+            ).collect()
+        }
+        assert got == {("x", "y"): 3, ("x", "z"): 1, ("y", "z"): 1}
+
+    def test_min_support(self, spark):
+        got = affinity.co_occurrence_pairs(
+            self._baskets(spark), "b", "i", min_support=3
+        ).collect()
+        assert [(r.item_a, r.item_b, r.support) for r in got] == [("x", "y", 3)]
+
+    def test_max_basket_guard(self, spark):
+        got = {
+            (r.item_a, r.item_b): r.support
+            for r in affinity.co_occurrence_pairs(
+                self._baskets(spark), "b", "i", min_support=1, max_basket=2
+            ).collect()
+        }
+        # basket 1 (3 items) dropped → x,y from baskets 2 and 3 only
+        assert got == {("x", "y"): 2}
+
+
+class TestSparseCosine:
+    def _docs(self, spark):
+        rows = [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),  # exact dup of 1
+            Row(doc_id=3, text="alpha beta gamma epsilon"),  # near dup
+            Row(doc_id=4, text="zeta eta theta iota"),  # unrelated
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_postings_l2_normalized(self, spark):
+        p = affinity.tfidf_postings(self._docs(spark))
+        norms = (
+            p.groupBy("doc")
+            .agg(F.sum(F.col("weight") * F.col("weight")).alias("sq"))
+            .collect()
+        )
+        assert norms and all(r.sq == pytest.approx(1.0) for r in norms)
+
+    def test_exact_dup_cosine_one(self, spark):
+        pairs = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in affinity.sparse_cosine_pairs(
+                self._docs(spark), threshold=0.0, max_df=None
+            ).collect()
+        }
+        assert pairs[(1, 2)] == pytest.approx(1.0)
+        # near-dup scores below the exact dup but well above unrelated
+        assert 0.1 < pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs and (2, 4) not in pairs
+
+    def test_max_df_cap_drops_hot_terms(self, spark):
+        # 'alpha' appears in docs 1,2,3 → df=3; cap at 2 removes it
+        p = affinity.tfidf_postings(self._docs(spark), max_df=2)
+        assert p.filter(F.col("term") == "alpha").count() == 0
+        assert p.filter(F.col("term") == "epsilon").count() == 1
+
+    def test_threshold_filters(self, spark):
+        pairs = affinity.sparse_cosine_pairs(
+            self._docs(spark), threshold=0.99, max_df=None
+        ).collect()
+        assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
