@@ -227,6 +227,17 @@ def interval_join_clicks_purchases(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: each micro-batch probes the static dimension
+    frame (broadcast — re-resolved per batch, so a dim backed by a live
+    table picks up updates). Stateless: nothing buffers across batches,
+    no watermark needed — the streaming join form that costs the same as
+    a batch broadcast join at any scale."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -569,6 +569,56 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch with
+    a static user-tier dimension (derived batch-side from the same events
+    table — activity class by total event count), then aggregated per
+    tier. Stateless join + complete-mode aggregation; the oracle is the
+    equivalent one-shot batch join."""
+    from sentiment_analysis_bigdata_spark.sources import load_table
+
+    dim = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 70, "heavy")
+            .when(F.col("n") >= 60, "mid")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    agg = (
+        SJ.enrich_with_dim(stream, dim, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("__cents"),
+        )
+    )
+    SJ.run_stream_to_memory(agg, "stream_static_join", timeout_s=120)
+    return spark.table("stream_static_join").select(
+        "tier", "n_events", (F.col("__cents") / 100.0).alias("sum_value")
+    )
+
+
+SQL_STREAMING_STATIC_JOIN = """
+WITH dim AS (
+  SELECT user_id,
+         CASE WHEN count(*) >= 70 THEN 'heavy'
+              WHEN count(*) >= 60 THEN 'mid'
+              ELSE 'light' END AS tier
+  FROM events GROUP BY 1
+)
+SELECT tier, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events JOIN dim USING (user_id)
+GROUP BY 1
+"""
+
+
 SQL_STREAMING_DEDUP = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
 
 
@@ -619,4 +669,5 @@ QUERIES = {
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
 }

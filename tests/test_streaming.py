@@ -87,3 +87,39 @@ def test_stream_to_parquet_sink_idempotent(spark, sf_dir, tmp_path):
     assert "batch_id" in got.columns
     SJ.run_stream_to_parquet(SJ.read_events_stream(spark, f"{sf_dir}/events.parquet"), out, ckpt)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_streaming_static_join_equals_batch(spark, sf_dir):
+    from sentiment_analysis_bigdata_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 70, "heavy")
+            .when(F.col("n") >= 60, "mid")
+            .otherwise("light")
+            .alias("tier"),
+        )
+    )
+    batch = (
+        SJ.enrich_with_dim(ev, dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+
+    stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        SJ.enrich_with_dim(stream, dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    SJ.run_stream_to_memory(agg, "t_static_join", timeout_s=120)
+    streamed = spark.table("t_static_join").collect()
+
+    assert sorted((r.tier, r.n_events) for r in streamed) == sorted(
+        (r.tier, r.n_events) for r in batch
+    )
