@@ -16,6 +16,7 @@ from sentiment_analysis_bigdata_spark.workloads import (
     affinity_q,
     dedup_sim,
     evaluation_q,
+    modern_q,
     graph_q,
     relational_q,
     relational_q2,
@@ -46,6 +47,7 @@ _MODULES = [
     text_q,
     dedup_sim,
     affinity_q,
+    modern_q,
     temporal_q,
     train_q,
     warehouse_q,
