@@ -254,3 +254,49 @@ def roc_points(df: DataFrame, label_col: str = "label", score_col: str = "score"
         .orderBy("score")
     )
     return cum
+
+
+def pr_points(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """Precision-recall curve points at each distinct score threshold.
+
+    Same scale shape as ``roc_points``: per-score hash aggregation first
+    (partial+final over raw rows), then the cumulative window runs over
+    the distinct-score frame only — the implied single-partition sort sees
+    #thresholds rows, never #rows."""
+    total_pos = df.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("P")
+    ).first()["P"]
+    by_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("pos_s"),
+        F.count(F.lit(1)).alias("cnt_s"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_score.withColumn("tp", F.sum("pos_s").over(w))
+        .withColumn("n", F.sum("cnt_s").over(w))
+        .select(
+            "score",
+            (F.col("tp") / F.col("n")).alias("precision"),
+            (F.col("tp") / F.lit(float(total_pos))).alias("recall"),
+        )
+        .orderBy(F.col("score").desc())
+    )
+
+
+def average_precision(
+    df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> float:
+    """AP = Σ (R_k − R_{k−1}) · P_k over descending-score thresholds (the
+    sklearn step-interpolation definition). Computed on the pr_points
+    frame (#thresholds rows) — one more window + a scalar aggregate."""
+    pts = pr_points(df, label_col, score_col)
+    w = Window.orderBy(F.col("score").desc())
+    stepped = pts.withColumn(
+        "dr", F.col("recall") - F.lag("recall", 1, 0.0).over(w)
+    )
+    row = stepped.agg(F.sum(F.col("dr") * F.col("precision")).alias("ap")).first()
+    return float(row["ap"])

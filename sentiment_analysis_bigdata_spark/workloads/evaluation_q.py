@@ -168,6 +168,74 @@ FROM collapsed
 """
 
 
+def q_pr_points(spark: SparkSession, sf: str) -> DataFrame:
+    pts = EV.pr_points(_preds(spark, sf), score_col="score")
+    return pts.select(
+        F.round("score", 6).alias("score"),
+        F.round("precision", 6).alias("prec"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+SQL_PR_POINTS = f"""
+WITH preds AS ({SQL_PREDS}),
+tot AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS P FROM preds
+),
+cum AS (
+  SELECT score,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         count(*) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM preds
+),
+collapsed AS (
+  SELECT score, max(cum_tp) AS tp, max(cum_n) AS n FROM cum GROUP BY score
+)
+SELECT round(score, 6) AS score,
+       round(CAST(tp AS DOUBLE) / n, 6) AS prec,
+       round(CAST(tp AS DOUBLE) / (SELECT P FROM tot), 6) AS recall
+FROM collapsed
+"""
+
+
+def q_average_precision(spark: SparkSession, sf: str) -> DataFrame:
+    ap = EV.average_precision(_preds(spark, sf), score_col="score")
+    return spark.createDataFrame([(round(ap, 6),)], "average_precision double")
+
+
+SQL_AVERAGE_PRECISION = f"""
+WITH preds AS ({SQL_PREDS}),
+tot AS (
+  SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS P FROM preds
+),
+cum AS (
+  SELECT score,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         count(*) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM preds
+),
+collapsed AS (
+  SELECT score, max(cum_tp) AS tp, max(cum_n) AS n FROM cum GROUP BY score
+),
+pr AS (
+  SELECT score,
+         CAST(tp AS DOUBLE) / n AS prec,
+         CAST(tp AS DOUBLE) / (SELECT P FROM tot) AS recall
+  FROM collapsed
+),
+stepped AS (
+  SELECT prec,
+         recall - coalesce(lag(recall) OVER (ORDER BY score DESC), 0) AS dr
+  FROM pr
+)
+SELECT round(sum(dr * prec), 6) AS average_precision FROM stepped
+"""
+
+
 def q_roc_auc_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Two-pass histogram AUC (the no-global-sort 100 TB path). Every term in
     the bin-pair accumulation is a half-integer ≪ 2^52, so the sum is exact in
@@ -297,6 +365,8 @@ QUERIES = {
     "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "roc_points": (q_roc_points, SQL_ROC_POINTS),
+    "pr_points": (q_pr_points, SQL_PR_POINTS),
+    "average_precision": (q_average_precision, SQL_AVERAGE_PRECISION),
     "roc_auc_hist": (q_roc_auc_hist, SQL_ROC_AUC_HIST),
     # golden constants measured at sf0.01 (deterministic — see _synthetic_tweets)
     "ml_logistic_regression": (

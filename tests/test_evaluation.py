@@ -100,3 +100,30 @@ def test_roc_points_monotone(scored):
     tprs = [r["tpr"] for r in pts]
     assert fprs == sorted(fprs) and tprs == sorted(tprs)
     assert fprs[-1] == pytest.approx(1.0) and tprs[-1] == pytest.approx(1.0)
+
+
+class TestPrecisionRecall:
+    def _scored(self, spark):
+        rows = [(1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6)]
+        return spark.createDataFrame(rows, "label int, score double")
+
+    def test_pr_points_hand_computed(self, spark):
+        pts = {
+            round(r["score"], 2): (r["precision"], r["recall"])
+            for r in EV.pr_points(self._scored(spark)).collect()
+        }
+        assert pts[0.9] == (pytest.approx(1.0), pytest.approx(1 / 3))
+        assert pts[0.8] == (pytest.approx(0.5), pytest.approx(1 / 3))
+        assert pts[0.7] == (pytest.approx(2 / 3), pytest.approx(2 / 3))
+        assert pts[0.6] == (pytest.approx(0.75), pytest.approx(1.0))
+
+    def test_average_precision_hand_computed(self, spark):
+        # AP = Σ (R_k − R_{k−1})·P_k = (1/3)·1 + 0·0.5 + (1/3)·(2/3) + (1/3)·0.75
+        ap = EV.average_precision(self._scored(spark))
+        assert ap == pytest.approx(1 / 3 + 2 / 9 + 0.25)
+
+    def test_perfect_ranking_ap_is_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
+        )
+        assert EV.average_precision(df) == pytest.approx(1.0)
