@@ -300,3 +300,45 @@ def average_precision(
     )
     row = stepped.agg(F.sum(F.col("dr") * F.col("precision")).alias("ap")).first()
     return float(row["ap"])
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: per equal-width score bin, the mean
+    predicted score vs the observed positive rate. One hash aggregation
+    (partial+final); output is ``bins`` rows."""
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(score_col)).alias("mean_score"),
+            F.avg((F.col(label_col) == 1).cast("double")).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bins: int = 10,
+) -> float:
+    """ECE = Σ_b (n_b / N) · |pos_rate_b − mean_score_b| over the
+    reliability bins — the standard scalar calibration metric. Runs on the
+    ``bins``-row frame from ``calibration_bins``."""
+    cb = calibration_bins(df, label_col, score_col, bins)
+    row = cb.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("pos_rate") - F.col("mean_score")))
+            / F.sum("n")
+        ).alias("ece")
+    ).first()
+    return float(row["ece"])

@@ -236,6 +236,46 @@ SELECT round(sum(dr * prec), 6) AS average_precision FROM stepped
 """
 
 
+def q_calibration_report(spark: SparkSession, sf: str) -> DataFrame:
+    bins = EV.calibration_bins(_preds(spark, sf), score_col="score", bins=10)
+    return bins.select(
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+    )
+
+
+SQL_CALIBRATION_REPORT = f"""
+SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+       count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END), 6) AS pos_rate
+FROM ({SQL_PREDS})
+GROUP BY 1
+"""
+
+
+def q_expected_calibration_error(spark: SparkSession, sf: str) -> DataFrame:
+    ece = EV.expected_calibration_error(
+        _preds(spark, sf), score_col="score", bins=10
+    )
+    return spark.createDataFrame([(round(ece, 6),)], "ece double")
+
+
+SQL_EXPECTED_CALIBRATION_ERROR = f"""
+WITH b AS (
+  SELECT least(floor(score * 10), 9) AS bin,
+         count(*) AS n,
+         avg(score) AS mean_score,
+         avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS pos_rate
+  FROM ({SQL_PREDS})
+  GROUP BY 1
+)
+SELECT round(sum(n * abs(pos_rate - mean_score)) / sum(n), 6) AS ece FROM b
+"""
+
+
 def q_roc_auc_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Two-pass histogram AUC (the no-global-sort 100 TB path). Every term in
     the bin-pair accumulation is a half-integer ≪ 2^52, so the sum is exact in
@@ -367,6 +407,11 @@ QUERIES = {
     "roc_points": (q_roc_points, SQL_ROC_POINTS),
     "pr_points": (q_pr_points, SQL_PR_POINTS),
     "average_precision": (q_average_precision, SQL_AVERAGE_PRECISION),
+    "calibration_report": (q_calibration_report, SQL_CALIBRATION_REPORT),
+    "expected_calibration_error": (
+        q_expected_calibration_error,
+        SQL_EXPECTED_CALIBRATION_ERROR,
+    ),
     "roc_auc_hist": (q_roc_auc_hist, SQL_ROC_AUC_HIST),
     # golden constants measured at sf0.01 (deterministic — see _synthetic_tweets)
     "ml_logistic_regression": (

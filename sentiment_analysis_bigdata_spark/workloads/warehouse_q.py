@@ -223,8 +223,75 @@ WHERE text IS NOT NULL
 """
 
 
+# --- token-distribution drift ----------------------------------------------------
+
+def q_source_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """KL / Jensen-Shannon divergence between the token distributions of
+    two document sources (operators/drift.py) — the corpus-monitoring
+    guardrail. Each side reduces to a vocab-sized count frame; the raw
+    text is scanned once per side."""
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+    from sentiment_analysis_bigdata_spark.operators import drift
+
+    docs = load_table(spark, sf, "documents")
+
+    def toks(source: str) -> DataFrame:
+        return docs.filter(F.col("source") == source).select(
+            F.explode(tokenize_nonempty(F.col("text"))).alias("token")
+        )
+
+    d = drift.divergence_from_counts(
+        drift.category_counts(toks("src0"), "token"),
+        drift.category_counts(toks("src1"), "token"),
+        smoothing=0.5,
+    )
+    return d.select(
+        "n_categories",
+        F.round("kl_ab", 6).alias("kl_ab"),
+        F.round("kl_ba", 6).alias("kl_ba"),
+        F.round("js_divergence", 6).alias("js_divergence"),
+    )
+
+
+_SQL_TOKS_DRIFT = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+SQL_SOURCE_TOKEN_DRIFT = f"""
+WITH ta AS (
+  SELECT t AS category, count(*) AS na
+  FROM (SELECT unnest({_SQL_TOKS_DRIFT}) AS t FROM documents WHERE source = 'src0')
+  GROUP BY 1
+),
+tb AS (
+  SELECT t AS category, count(*) AS nb
+  FROM (SELECT unnest({_SQL_TOKS_DRIFT}) AS t FROM documents WHERE source = 'src1')
+  GROUP BY 1
+),
+j AS (
+  SELECT coalesce(ta.category, tb.category) AS category,
+         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM ta FULL OUTER JOIN tb ON ta.category = tb.category
+),
+tot AS (SELECT sum(na) AS sa, sum(nb) AS sb, count(*) AS v FROM j),
+pq AS (
+  SELECT v,
+         (na + 0.5) / (sa + 0.5 * v) AS p,
+         (nb + 0.5) / (sb + 0.5 * v) AS q
+  FROM j CROSS JOIN tot
+)
+SELECT max(v) AS n_categories,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba,
+       round(sum(p * ln(p / ((p + q) / 2))) / 2
+             + sum(q * ln(q / ((p + q) / 2))) / 2, 6) AS js_divergence
+FROM pq
+"""
+
+
 QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
     "runtime_filtered_join": (q_runtime_filtered_join, SQL_RUNTIME_FILTERED_JOIN),
     "winsorized_doc_lengths": (
         q_winsorized_doc_lengths,

@@ -127,3 +127,29 @@ class TestPrecisionRecall:
             [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
         )
         assert EV.average_precision(df) == pytest.approx(1.0)
+
+
+class TestCalibration:
+    def test_perfectly_calibrated(self, spark):
+        # scores equal to empirical positive rate per bin → ECE == 0
+        rows = []
+        for score, pos_of_4 in [(0.25, 1), (0.75, 3)]:
+            for i in range(4):
+                rows.append((1 if i < pos_of_4 else 0, score))
+        df = spark.createDataFrame(rows, "label int, score double")
+        assert EV.expected_calibration_error(df, bins=4) == pytest.approx(0.0)
+
+    def test_overconfident(self, spark):
+        # all scores 0.95 but only half positive → ECE = 0.45
+        df = spark.createDataFrame(
+            [(1, 0.95), (0, 0.95)] * 5, "label int, score double"
+        )
+        assert EV.expected_calibration_error(df, bins=10) == pytest.approx(0.45)
+
+    def test_bins_sum_to_n(self, spark):
+        df = spark.createDataFrame(
+            [(i % 2, i / 10.0) for i in range(11)], "label int, score double"
+        )
+        bins = EV.calibration_bins(df, bins=10).collect()
+        assert sum(r.n for r in bins) == 11  # score 1.0 clamps to bin 9
+        assert max(r.bin for r in bins) == 9

@@ -3,6 +3,7 @@ min/max join filtering, winsorization/robust scaling, HTML stripping."""
 
 from __future__ import annotations
 
+import math
 from datetime import datetime
 
 import pytest
@@ -182,3 +183,38 @@ class TestStripHtml:
         df = spark.createDataFrame([Row(t=raw)])
         got = df.select(strip_html("t").alias("s")).first().s
         assert got == expected
+
+
+class TestDrift:
+    def _counts(self, spark, pairs):
+        return spark.createDataFrame(pairs, "category string, n long")
+
+    def test_identical_distributions_zero(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._counts(spark, [("x", 10), ("y", 20)])
+        b = self._counts(spark, [("x", 10), ("y", 20)])
+        r = drift.divergence_from_counts(a, b).first()
+        assert r.kl_ab == pytest.approx(0.0, abs=1e-12)
+        assert r.js_divergence == pytest.approx(0.0, abs=1e-12)
+        assert r.n_categories == 2
+
+    def test_disjoint_support_positive_and_symmetric_js(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._counts(spark, [("x", 100)])
+        b = self._counts(spark, [("y", 100)])
+        r = drift.divergence_from_counts(a, b).first()
+        assert r.kl_ab > 1.0 and r.kl_ba > 1.0
+        # JS is symmetric and bounded by ln 2
+        assert 0 < r.js_divergence <= math.log(2) + 1e-9
+        r2 = drift.divergence_from_counts(b, a).first()
+        assert r2.js_divergence == pytest.approx(r.js_divergence)
+
+    def test_kl_nonnegative_on_skew(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._counts(spark, [("x", 90), ("y", 10)])
+        b = self._counts(spark, [("x", 50), ("y", 50)])
+        r = drift.divergence_from_counts(a, b).first()
+        assert r.kl_ab > 0 and r.kl_ba > 0
