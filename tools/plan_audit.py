@@ -137,6 +137,41 @@ AUDIT = {
         "posexplode generate is narrow (fuses with the scan); mean-pool is "
         "a partial+final agg keyed (label, dim)",
     ),
+    "minhash_near_dups": (
+        ["SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", "!BroadcastNestedLoopJoin"],
+        "LSH banding: candidate pairs come from an EQUI join on (band, "
+        "band_key) — never a nested-loop/cartesian pair scan",
+    ),
+    "simhash_near_dups": (
+        ["SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", "!BroadcastNestedLoopJoin"],
+        "pigeonhole chunk buckets: Hamming candidates from an equi join on "
+        "the chunk value — never all-pairs",
+    ),
+    "ann_lsh": (
+        ["!BroadcastNestedLoopJoin"],
+        "sign-LSH probe is a bucket equi join; no nested-loop fallback",
+    ),
+    "sparse_cosine_pairs": (
+        ["HashAggregate", "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"],
+        "inverted-index self-join on the term (df-capped) is an EQUI join; "
+        "pair scores are a partial+final agg keyed (doc_a, doc_b). (The "
+        "plan's one BroadcastNestedLoopJoin is the 1-row corpus-count "
+        "broadcast for the idf constant — not a pair join.)",
+    ),
+    "co_purchase_pairs": (
+        ["HashAggregate", "!BroadcastNestedLoopJoin"],
+        "basket-keyed self-join; per-basket fan-out bounded by basket size",
+    ),
+    "asof_purchase_signup": (
+        ["Window", "!BroadcastNestedLoopJoin"],
+        "as-of is union + one keyed window — not a range join, so no BNLJ "
+        "explosion at any scale",
+    ),
+    "scd2_user_state": (
+        ["Window", "!BroadcastNestedLoopJoin"],
+        "change-detect and interval-close windows share one (key, ts) "
+        "sort; a single Exchange on the entity key feeds both",
+    ),
 }
 
 
@@ -161,9 +196,14 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        missing = [
-            m for m in markers if not any(alt in plan for alt in m.split("|"))
-        ]
+        # "!marker" asserts ABSENCE; "a|b" alternates assert any-present
+        missing = []
+        for m in markers:
+            if m.startswith("!"):
+                if m[1:] in plan:
+                    missing.append(m)
+            elif not any(alt in plan for alt in m.split("|")):
+                missing.append(m)
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))
