@@ -163,6 +163,84 @@ GROUP BY 1
 """
 
 
+# --- higher-order array functions -------------------------------------------------
+
+def q_hof_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order lambda expressions over the embedding arrays:
+    fold (aggregate), zip_with, exists, filter — all JVM-side, no UDF.
+    Left-fold order is identical in both engines, so the float sums are
+    bit-comparable (rounded anyway)."""
+    emb = _t(spark, sf, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.zip_with(e, e, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("self_dot"),
+        F.exists(e, lambda x: x > 0.3).alias("has_big"),
+        F.size(F.filter(e, lambda x: x < 0)).cast("bigint").alias("n_neg"),
+    )
+
+
+SQL_HOF_FUNCTIONS = """
+SELECT vec_id,
+       round(list_reduce(
+         list_prepend(0.0, list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         (a, x) -> a + x), 6) AS l1_norm,
+       round(list_reduce(
+         list_prepend(0.0, list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (a, x) -> a + x), 6) AS self_dot,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0 AS has_big,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) AS BIGINT)
+         AS n_neg
+FROM embeddings
+"""
+
+
+# --- null-safe equality join ------------------------------------------------------
+
+def q_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """<=> (eqNullSafe) join semantics: null keys match each other instead
+    of vanishing. Derived nullable key from nation; self-join pair counts
+    per key value including the null group."""
+    nation = _t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .cast("int")
+        .alias("rk"),
+    )
+    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("rk").alias("rka"))
+    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("rk").alias("rkb"))
+    return (
+        a.join(b, a.rka.eqNullSafe(b.rkb))
+        .groupBy(F.col("rka").alias("rk"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH x AS (
+  SELECT n_nationkey,
+         CAST(CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS INTEGER)
+           AS rk
+  FROM nation
+)
+SELECT a.rk, count(*) AS n_pairs
+FROM x a JOIN x b ON a.rk IS NOT DISTINCT FROM b.rk
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "unshipped_order_revenue": (
         q_unshipped_order_revenue,
@@ -172,4 +250,6 @@ QUERIES = {
         q_local_supplier_revenue,
         SQL_LOCAL_SUPPLIER_REVENUE,
     ),
+    "hof_functions": (q_hof_functions, SQL_HOF_FUNCTIONS),
+    "null_safe_join": (q_null_safe_join, SQL_NULL_SAFE_JOIN),
 }
