@@ -43,14 +43,17 @@ def co_occurrence_pairs(
     Distinct (basket, item) first (multiplicity inside one basket is not
     co-occurrence); optional ``max_basket`` drops pathological baskets
     whose pair blow-up would dominate the join (documented skew guard —
-    the dropped baskets are boilerplate-like outliers)."""
+    the dropped baskets are boilerplate-like outliers). The guard anti
+    joins against the OVERSIZED basket list (the outlier set — orders of
+    magnitude smaller than the keep set) with no broadcast hint: the list
+    size is data-dependent, so AQE owns the strategy."""
     b = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
     if max_basket is not None:
         sizes = b.groupBy("basket").agg(F.count(F.lit(1)).alias("__n"))
-        keep = sizes.filter(F.col("__n") <= max_basket).select("basket")
-        b = b.join(F.broadcast(keep), "basket", "left_semi")
+        oversize = sizes.filter(F.col("__n") > max_basket).select("basket")
+        b = b.join(oversize, "basket", "left_anti")
     left = b.select("basket", F.col("item").alias("item_a"))
     right = b.select("basket", F.col("item").alias("item_b"))
     return (

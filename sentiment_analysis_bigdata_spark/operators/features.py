@@ -83,13 +83,18 @@ def tf_idf(
 ) -> DataFrame:
     """Long-form TF-IDF: (doc_id, term, tf, idf, tf_idf) — M3×M4 composed.
 
-    The (term → idf) side is tiny relative to the corpus (vocab ≪ rows), so
-    we broadcast it: the big TF side never shuffles.
+    The (term → idf) side is vocab-sized — small relative to the corpus by
+    Heaps' law, but unbounded in principle at 100 TB — so it carries NO
+    forced broadcast hint: AQE converts the join to broadcast-hash at
+    runtime while the vocab fits ``autoBroadcastJoinThreshold`` (the big TF
+    side then never shuffles, via the local shuffle reader) and degrades to
+    a shuffle join on term beyond it instead of OOMing the executors
+    (SCALING.md "broadcast policy").
     """
     tf = term_frequencies(docs, id_col, tokens_col)
     idf = idf_weights(docs, id_col, tokens_col, min_doc_freq)
     return (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf, "term")
         .withColumn("tf_idf", F.col("tf").cast("double") * F.col("idf"))
         .select("doc_id", "term", "tf", "idf", "tf_idf")
     )

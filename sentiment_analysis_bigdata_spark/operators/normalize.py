@@ -4,9 +4,13 @@
 Both are the 2-pass distributed shape:
 
   1. per-group exact interpolated percentiles — ONE aggregation whose
-     output is group-cardinality (tiny);
-  2. the k-row bounds table broadcasts back onto the data as a narrow
-     clip/scale projection — no second shuffle of the fact side.
+     output is group-cardinality (tiny in practice, but data-dependent);
+  2. the bounds table joins back onto the data as a narrow clip/scale
+     projection. The join carries NO forced broadcast hint — group
+     cardinality grows with the data in principle, so AQE broadcasts the
+     bounds while they fit ``autoBroadcastJoinThreshold`` (the fact side
+     then never shuffles) and falls back to a shuffle join beyond
+     (SCALING.md "broadcast policy").
 
 Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the linear
 interpolation rule, so the oracle replays the identical math. At 100 TB
@@ -63,7 +67,7 @@ def winsorize(
     )
     v = F.col(value_col)
     return (
-        df.join(F.broadcast(bounds), list(group_cols))
+        df.join(bounds, list(group_cols))
         .withColumn(
             f"{value_col}_wins",
             F.least(F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi")),
@@ -93,7 +97,7 @@ def robust_scale(
     )
     v = F.col(value_col).cast("double")
     return (
-        df.join(F.broadcast(bounds), list(group_cols))
+        df.join(bounds, list(group_cols))
         .withColumn(
             f"{value_col}_scaled",
             F.when(

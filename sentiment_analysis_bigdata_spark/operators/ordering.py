@@ -117,15 +117,17 @@ def balance_sources(
     """Domain balancing for training-data mixes: deterministically
     downsample every source to the size of the smallest source.
 
-    Two passes: (1) per-source counts (k-row aggregate, broadcast back);
-    (2) keep each row iff its hash-uniform < min_count/count(source) —
-    an EXPECTED-size sampler, content-addressed like everything above, so
-    the result is reproducible and incrementally stable. No window, no
-    sort; scales as a filter."""
+    Two passes: (1) per-source counts (a per-domain aggregate — source
+    cardinality is data-dependent, so the join back carries NO broadcast
+    hint and AQE owns the strategy; only the 1-row global min is
+    hint-broadcast); (2) keep each row iff its hash-uniform <
+    min_count/count(source) — an EXPECTED-size sampler, content-addressed
+    like everything above, so the result is reproducible and incrementally
+    stable. No window, no sort; scales as a filter."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     min_n = counts.agg(F.min("__n").alias("m"))
-    rates = F.broadcast(
-        counts.crossJoin(min_n)
+    rates = (
+        counts.join(F.broadcast(min_n))
         .select(source_col, (F.col("m") / F.col("__n")).alias("__accept"))
     )
     return (

@@ -60,9 +60,11 @@ def heavy_hitters(
     shuffle (see module docstring). Deterministic tie-break:
     (count desc, key asc). Returns (col, n).
     """
+    # candidate count is bounded by partitions × per_partition but
+    # data-dependent, so no broadcast hint — AQE broadcasts while it fits
     cand = candidate_keys(df, col, per_partition)
     exact = (
-        df.join(F.broadcast(cand), col, "left_semi")
+        df.join(cand, col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -40,9 +40,11 @@ N_MINHASH = 4
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
-    sig = H.minhash_signature(TXT.tokenize_nonempty("text"), N_MINHASH)
-    return docs.select(
-        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(N_MINHASH)]
+    sigs = DD.minhash_signatures(
+        docs, TXT.tokenize_nonempty("text"), "doc_id", N_MINHASH
+    )
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"mh{i}") for i in range(N_MINHASH)]
     )
 
 
@@ -95,10 +97,8 @@ SQL_SIMHASH = _sql_simhash()
 
 
 def q_simhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _docs(spark, sf)
-    return docs.select(
-        "doc_id",
-        H.simhash64_weighted(TXT.tokenize_nonempty("text")).alias("simhash_w"),
+    return DD.simhash_signatures(
+        _docs(spark, sf), weighted=True, out_col="simhash_w"
     )
 
 
@@ -233,8 +233,16 @@ TOP_K = 5
 
 
 def _queries_frame(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    # The id filter yields exactly N_QUERIES rows, so limit() is a no-op —
+    # but it makes the boundedness of the broadcast-side PLAN-VISIBLE
+    # (GlobalLimit), which is what tools/plan_audit.py polices.
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .limit(N_QUERIES)
     )
 
 

@@ -357,8 +357,9 @@ def q_nested_semijoin_chain(spark: SparkSession, sf: str) -> DataFrame:
         F.year("l_shipdate") == 1996
     )
     supp = _t(spark, sf, "supplier")
+    # part is SF-scaled — no broadcast hint; AQE picks the semi strategy
     shipped_small = li.join(
-        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        part.select(F.col("p_partkey").alias("l_partkey")),
         "l_partkey",
         "left_semi",
     )

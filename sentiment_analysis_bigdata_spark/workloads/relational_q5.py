@@ -123,7 +123,7 @@ def q_brand_band_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     band = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))

@@ -5,9 +5,13 @@ average), Q2 (min-per-group argmin with dimension lookups), Q8
 (conditional-aggregate market share), Q16 (anti-join exclusion + distinct
 count) — each with a DuckDB oracle twin.
 
-Scale notes: every dimension here (part 2 k rows, supplier 100, nation 25,
-region 5) broadcasts explicitly, so the only shuffles are fact-fact equi
-joins (lineitem→orders, AQE-planned) and the final aggregations. Money
+Scale notes: explicit ``F.broadcast`` hints are reserved for frames that
+are bounded regardless of scale factor — nation/region (fixed 25/5 rows)
+and 1-row global aggregates. Tables that grow with SF (customer, supplier,
+part, and any per-part aggregate) carry NO hint: at test scale AQE picks
+broadcast-hash for them anyway (they fit autoBroadcastJoinThreshold), and
+at 100× the unhinted plan degrades gracefully to a shuffle join instead of
+OOMing the executors (SCALING.md "broadcast policy"). Money
 arithmetic uses the integer-cents convention (``money_sum``) so the
 cross-engine value hash is exact; ratio outputs divide two exact cent sums
 and round to 6.
@@ -83,7 +87,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -108,8 +112,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     part's average quantity) were not filled. The correlated scalar
     subquery decorrelates to a per-part aggregate joined back to the fact —
     the same rewrite Catalyst applies to the SQL form; expressing it as the
-    explicit agg-join keeps the plan visible. The per-part averages (2 k
-    rows) broadcast.
+    explicit agg-join keeps the plan visible. Because the correlation key
+    is the part key, the per-part average only needs lineitem rows whose
+    partkey survives the Brand#13 filter — so lineitem is semi-joined to
+    the filtered part list FIRST, and the avg aggregates ~4 % of the fact
+    instead of all of it. No broadcast hint anywhere: part (and the pruned
+    per-part agg) scale with SF, so AQE owns the join strategy.
 
     Determinism note: quantities are integer-valued doubles, so the avg's
     numerator sum is exact in any order — the 0.2×avg threshold compare
@@ -118,14 +126,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#13").select(
         "p_partkey"
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+    pruned = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    per_part = pruned.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     small = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
-        )
+        pruned.join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return small.agg(
@@ -177,8 +183,8 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             "p_partkey",
@@ -294,7 +300,8 @@ def q_brand_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
     selected parts, excluding flagged suppliers (negative account balance —
     the testdata's stand-in for Q16's complaints predicate). The offer
     pairs pre-aggregate via distinct before joining dims; the exclusion is
-    a broadcast anti join (NOT IN with non-null keys ≡ anti)."""
+    an anti join (NOT IN with non-null keys ≡ anti). Supplier and part
+    grow with SF, so neither carries a broadcast hint — AQE decides."""
     li = _t(spark, sf, "lineitem")
     part = (
         _t(spark, sf, "part")
@@ -310,13 +317,13 @@ def q_brand_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
         li.select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(flagged),
+            flagged,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
     )
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -56,8 +56,8 @@ def q_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
         * 100
     ).cast("bigint")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -203,7 +203,7 @@ def q_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
     )
     return (
-        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

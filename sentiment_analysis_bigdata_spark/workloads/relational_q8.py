@@ -6,12 +6,14 @@ query shapes have an engine query + oracle.
 
 Scale notes: Q3 filters BOTH fact inputs before the join (date predicates
 push into the parquet scans) and ends in TakeOrderedAndProject — the top-10
-never materializes a global sort. Q5 broadcasts every dimension (customer
-at this cardinality is a dimension; at true 100 TB customer-scale the
-customer join degrades gracefully to an AQE shuffle join) and keeps the
-same-nation predicate as a join condition, not a post-filter, so the
-planner can use it for pruning. Money sums use the integer-cents
-convention (order-independent, cross-engine exact).
+never materializes a global sort. Q5 broadcast-hints only the bounded
+frames (region, the region-filtered nation list); customer and supplier
+grow with SF so they carry no hint — AQE picks broadcast-hash while they
+fit autoBroadcastJoinThreshold and degrades to a shuffle join beyond it
+(SCALING.md "broadcast policy"). The same-nation predicate stays a join
+condition, not a post-filter, so the planner can use it for pruning.
+Money sums use the integer-cents convention (order-independent,
+cross-engine exact).
 
 Reference parity: the reference has no relational surface (SURVEY §2.5);
 these complete the TPC-H shape inventory (Q1-Q22) started in
@@ -45,7 +47,8 @@ def q_unshipped_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
     instead — the filter/join/top-k shape is identical).
 
     Both date predicates push into their parquet scans BEFORE the join;
-    the customer segment filter broadcasts (1.5 k rows at sf0.01). The
+    the segment-filtered customer side is SF-scaled, so it carries no
+    broadcast hint (AQE broadcasts it while it fits the threshold). The
     final top-10 is orderBy(...).limit(10) → TakeOrderedAndProject: each
     partition keeps 10 candidates and the driver merges k·p rows — no
     global sort at any scale. Ties break on o_orderkey for cross-engine
@@ -68,7 +71,7 @@ def q_unshipped_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum("rev_cents") / 100.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -99,12 +102,14 @@ def q_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     ordering customer share that nation (TPC-H Q5 verbatim shape on the
     testdata schema).
 
-    nation semi-joins region driver-side-free (broadcast both); the
-    same-nation constraint is expressed as c_nationkey = s_nationkey INSIDE
-    the join condition so only matching pairs survive the probe. The only
-    fact-fact shuffle is lineitem→orders (AQE-planned); supplier and the
-    region-filtered nation list broadcast. Output is one row per qualifying
-    nation — final agg is trivially small."""
+    nation semi-joins region driver-side-free (broadcast both — bounded
+    frames); the same-nation constraint is expressed as c_nationkey =
+    s_nationkey INSIDE the join condition so only matching pairs survive
+    the probe. The only fact-fact shuffle is lineitem→orders. Customer and
+    supplier grow with SF, so they carry no broadcast hint — AQE picks
+    broadcast-hash while they fit the threshold and falls back to a shuffle
+    join beyond it. Output is one row per qualifying nation — final agg is
+    trivially small."""
     nation = _t(spark, sf, "nation")
     region = (
         _t(spark, sf, "region")
@@ -131,9 +136,9 @@ def q_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

@@ -4,6 +4,16 @@ that matter at 100 TB — filter/column pushdown into the parquet scan,
 broadcast joins on dimension tables, TakeOrderedAndProject for top-k,
 whole-stage codegen coverage, and absence of cartesian products.
 
+It ALSO runs a suite-wide broadcast audit over EVERY ``queries()`` entry:
+with ``spark.sql.autoBroadcastJoinThreshold=-1`` the static plan contains
+a ``BroadcastExchange`` only where the code forced one with
+``F.broadcast()`` — so any such exchange whose subtree scans an SF-scaled
+base table (customer/supplier/part/orders/lineitem/events/documents/
+embeddings) without a bounding node (keyless global aggregate or a
+global/collect limit) on the path is a plan that is guaranteed to OOM at
+100× and fails the audit (SCALING.md "broadcast policy"). Bounded frames
+(region/nation, 1-row aggregates, top-k limits) stay allowed.
+
 Usage: python tools/plan_audit.py   (writes PLANS.md at the repo root)
 """
 
@@ -59,9 +69,10 @@ AUDIT = {
         "sorts per shard (n/n_shards rows) — no global sort anywhere",
     ),
     "contamination_check": (
-        ["BroadcastHashJoin"],
-        "benchmark n-gram set broadcasts; the corpus probe is a hash join, "
-        "never a corpus self-join or gram shuffle",
+        ["SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", "!BroadcastNestedLoopJoin"],
+        "benchmark n-gram probe is an equi join (AQE broadcasts the "
+        "benchmark side at runtime while it fits) — never a corpus "
+        "self-join or cartesian",
     ),
     "nation_pair_volume": (
         ["BroadcastHashJoin"],
@@ -69,9 +80,11 @@ AUDIT = {
         "the final pair aggregation shuffle",
     ),
     "balance_sources": (
-        ["BroadcastHashJoin"],
-        "the k-row per-domain acceptance-rate table broadcasts back onto "
-        "the corpus; the sampler itself is a narrow filter",
+        ["SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", "!CartesianProduct"],
+        "the per-domain acceptance-rate table joins back via an equi join "
+        "(AQE broadcasts it at runtime — domain cardinality is "
+        "data-dependent, so no forced hint); only the 1-row global min "
+        "carries a hint; the sampler itself is a narrow filter",
     ),
     "incremental_dedup": (
         ["BroadcastHashJoin|SortMergeJoin", "LeftAnti"],
@@ -105,16 +118,18 @@ AUDIT = {
         "rollup (hours×types rows), never raw events",
     ),
     "unshipped_order_revenue": (
-        ["PushedFilters", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["PushedFilters", "TakeOrderedAndProject", "!BroadcastNestedLoopJoin"],
         "TPC-H Q3: both date predicates reach their scans before the join; "
-        "segment-filtered customer broadcasts; top-10 is "
-        "TakeOrderedAndProject, never a global sort",
+        "the SF-scaled customer side carries no broadcast hint (AQE "
+        "broadcasts it while it fits); top-10 is TakeOrderedAndProject, "
+        "never a global sort",
     ),
     "local_supplier_revenue": (
         ["PushedFilters", "BroadcastHashJoin"],
-        "TPC-H Q5: order-date filter pushed; every dimension (customer, "
-        "supplier, region-filtered nations) broadcasts — the only "
-        "fact-fact shuffle is lineitem-orders",
+        "TPC-H Q5: order-date filter pushed; only the bounded "
+        "region-filtered nation list broadcasts — customer/supplier are "
+        "AQE-planned, and the only mandatory fact-fact shuffle is "
+        "lineitem-orders",
     ),
     "bpe_merge_candidates": (
         ["HashAggregate", "TakeOrderedAndProject"],
@@ -175,12 +190,98 @@ AUDIT = {
 }
 
 
+# Tables whose row count grows with scale factor: a hint-forced broadcast
+# of any of these (unless reduced to a bounded frame first) cannot survive
+# a 100x scale-up.
+SF_SCALED_TABLES = {
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+}
+
+# Plan nodes that bound the cardinality of everything above them.
+_LIMIT_NODES = ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+def _parse_formatted_plan(plan: str):
+    """Return (tree, details): tree = ordered [(depth, name, node_id)],
+    details = {node_id: detail_block_text}."""
+    tree = []
+    # The tree section runs until the first blank line after the header.
+    for line in plan.splitlines():
+        if line.startswith("== Physical Plan =="):
+            continue
+        if not line.strip():
+            break
+        m = re.search(r"\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        node_id = int(m.group(1))
+        # depth = column of the node marker; root has no marker.
+        mk = re.search(r"[+:]- ", line)
+        depth = (mk.start() // 3 + 1) if mk else 0
+        name = re.sub(r"^[\s:+*-]+", "", line)
+        name = re.sub(r"\s*\(\d+\)\s*$", "", name).strip()
+        tree.append((depth, name, node_id))
+    # Detail blocks start at column 0 as "(<id>) <NodeName>"; tree lines
+    # never start with "(" so the anchor below only hits detail blocks.
+    details = {}
+    for m in re.finditer(
+        r"^\((\d+)\) ([^\n]+)\n(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S
+    ):
+        details[int(m.group(1))] = m.group(3)
+    return tree, details
+
+
+def broadcast_violations(plan: str) -> list[str]:
+    """SF-scaled base-table scans under a BroadcastExchange with no
+    bounding node (keyless agg / global limit) on the exchange→scan path."""
+    tree, details = _parse_formatted_plan(plan)
+    violations = []
+    for idx, (depth, name, _nid) in enumerate(tree):
+        if "BroadcastExchange" not in name:
+            continue
+        # Walk the contiguous subtree, tracking the ancestor stack so each
+        # scan knows which nodes sit between it and the exchange.
+        stack = []  # [(depth, name, node_id)]
+        for d2, n2, i2 in tree[idx + 1:]:
+            if d2 <= depth:
+                break
+            while stack and stack[-1][0] >= d2:
+                stack.pop()
+            stack.append((d2, n2, i2))
+            if not n2.startswith("Scan"):
+                continue
+            blk = details.get(i2, "")
+            m = re.search(r"/(\w+)\.parquet", blk)
+            if not (m and m.group(1) in SF_SCALED_TABLES):
+                continue
+            bounded = False
+            for _, an, ai in stack[:-1]:
+                if any(ln in an for ln in _LIMIT_NODES):
+                    bounded = True
+                    break
+                if any(ag in an for ag in _AGG_NODES):
+                    ablk = details.get(ai, "")
+                    if re.search(r"Keys(?: \[\d+\])?: \[\]", ablk):
+                        bounded = True
+                        break
+            if not bounded:
+                violations.append(
+                    f"BroadcastExchange over SF-scaled table '{m.group(1)}'"
+                )
+    return violations
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sentiment_analysis_bigdata_spark import get_spark
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Static-planner broadcasts off: any BroadcastExchange left in an
+    # unexecuted plan was forced by an F.broadcast() hint in our code,
+    # which is exactly what the suite-wide audit below polices.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     qs = entrymod.queries()
 
     out = io.StringIO()
@@ -191,11 +292,16 @@ def main() -> None:
         "property being asserted, then the `explain(\"formatted\")` output.\n"
     )
     failures = []
-    for name, (markers, why) in AUDIT.items():
+    plans = {}
+
+    def _plan_of(name):
         df = qs[name](spark, SF)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
+        return df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+
+    for name, (markers, why) in AUDIT.items():
+        plan = plans.setdefault(name, _plan_of(name))
         # "!marker" asserts ABSENCE; "a|b" alternates assert any-present
         missing = []
         for m in markers:
@@ -213,6 +319,37 @@ def main() -> None:
         plan_clean = re.sub(r"#\d+L?", "#x", plan)
         out.write(f"\n## {name} — {why} [{status}]\n\n```\n{plan_clean}```\n")
         print(f"  {name}: {status}", file=sys.stderr)
+
+    # Suite-wide broadcast audit: EVERY queries() entry, not just AUDIT.
+    bcast_failures = []
+    for name in sorted(qs):
+        try:
+            plan = plans.setdefault(name, _plan_of(name))
+        except Exception as exc:  # noqa: BLE001 — audit must report, not die
+            bcast_failures.append((name, [f"explain failed: {exc}"]))
+            continue
+        viols = broadcast_violations(plan)
+        if viols:
+            bcast_failures.append((name, viols))
+            print(f"  BROADCAST VIOLATION {name}: {viols}", file=sys.stderr)
+    out.write(
+        "\n## Suite-wide broadcast audit\n\n"
+        f"All {len(qs)} `queries()` plans explained with "
+        "`autoBroadcastJoinThreshold=-1` (so every `BroadcastExchange` is "
+        "hint-forced) and checked for SF-scaled base-table scans under a "
+        "broadcast with no bounding agg/limit on the path.\n\n"
+    )
+    if bcast_failures:
+        out.write("**VIOLATIONS:**\n\n")
+        for name, viols in bcast_failures:
+            out.write(f"- `{name}`: {viols}\n")
+    else:
+        out.write(
+            "**0 violations** — no hint-forced broadcast of "
+            "customer/supplier/part/orders/lineitem/events/documents/"
+            "embeddings anywhere in the suite.\n"
+        )
+    failures.extend(bcast_failures)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(out.getvalue())
