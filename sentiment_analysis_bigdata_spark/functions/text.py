@@ -361,11 +361,13 @@ HTML_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"(?is)<!--.*?-->", " "),                  # comments
     (r"(?is)<[a-z!/][^>]*>", " "),              # any remaining tag
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    # &amp; decodes LAST so double-escaped entities ("&amp;lt;") resolve to
+    # the literal entity text ("&lt;"), not a spurious "<".
+    (r"&amp;", "&"),
     (r"\s+", " "),                              # collapse whitespace
 )
 

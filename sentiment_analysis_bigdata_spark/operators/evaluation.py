@@ -265,9 +265,18 @@ def pr_points(
     (partial+final over raw rows), then the cumulative window runs over
     the distinct-score frame only — the implied single-partition sort sees
     #thresholds rows, never #rows."""
+    # sum() is NULL on an empty frame; with zero positives recall would be
+    # tp/0 → null rows propagating into average_precision. Guard both by
+    # treating the frame as having no thresholds at all.
     total_pos = df.agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("P")
-    ).first()["P"]
+    ).first()["P"] or 0
+    if total_pos == 0:
+        empty = df.sparkSession.createDataFrame(
+            [],
+            "score double, precision double, recall double",
+        )
+        return empty
     by_score = df.groupBy(F.col(score_col).alias("score")).agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("pos_s"),
         F.count(F.lit(1)).alias("cnt_s"),
@@ -299,7 +308,8 @@ def average_precision(
         "dr", F.col("recall") - F.lag("recall", 1, 0.0).over(w)
     )
     row = stepped.agg(F.sum(F.col("dr") * F.col("precision")).alias("ap")).first()
-    return float(row["ap"])
+    # No thresholds (empty frame / zero positives) → sum is NULL → AP = 0.
+    return float(row["ap"] or 0.0)
 
 
 def calibration_bins(

@@ -15,11 +15,13 @@ bound filter — which is exactly what the DuckDB oracle checks (the oracle
 runs the PLAIN join; the engine runs the filtered one).
 
 The driver-side action is one row (min, max) — within the bounded-collect
-policy (OPERATORS.md S6). For non-contiguous keys a broadcast left-semi
-join on the distinct dim keys is the tighter filter (already first-class:
+policy (OPERATORS.md S6). For non-contiguous keys a left-semi join on the
+distinct dim keys is the tighter filter (already first-class:
 ``relational.semi_join``); min/max wins when the dim side's keys cluster
 in a narrow range, because BETWEEN pushes into the scan while a semi join
-cannot.
+cannot. ``broadcast_dim`` defaults to False — the dim side is usually
+SF-scaled, so AQE owns the join strategy unless the caller knows the side
+is bounded (SCALING.md "broadcast policy").
 """
 
 from __future__ import annotations
@@ -40,10 +42,21 @@ def runtime_filtered_join(
     fact_key: str,
     dim_key: str,
     how: str = "inner",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Join fact to a (filtered) dimension with the fact side pre-pruned to
-    the dim's key range. Empty dim → empty result without scanning fact."""
+    the dim's key range. Empty dim → empty result without scanning fact.
+
+    Only fact-preserving-free join types are accepted: the pre-prune (and
+    the empty-dim short-circuit) drops fact rows outside the dim key range,
+    which is a no-op for ``inner``/``left_semi`` but would silently drop
+    unmatched fact rows for left/outer joins — so those raise."""
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            "runtime_filtered_join prunes the fact side by the dim key "
+            f"range, which only preserves semantics for inner/left_semi "
+            f"joins; got how={how!r}"
+        )
     lo, hi = minmax_bounds(dim, dim_key)
     if lo is None:
         pruned = fact.filter(F.lit(False))

@@ -28,6 +28,66 @@ def q_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return tokenizer_train.top_merge_candidates(docs, "text", k=50)
 
 
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Three full BPE training rounds over documents: each round counts
+    adjacent symbol pairs on the vocab-sized segmented frame, takes the
+    deterministic argmax, and applies the merge (operators/tokenizer_train
+    ``train_bpe`` — the corpus is scanned exactly once, in round 0's word
+    frequencies). The oracle replays the identical recursion unrolled as
+    SQL CTEs, independently deriving every merge."""
+    docs = load_table(spark, sf, "documents")
+    merges, _ = tokenizer_train.train_bpe(docs, n_merges=3)
+    return spark.createDataFrame(
+        [(r, l, rh, m, int(n)) for r, l, rh, m, n in merges],
+        "rank int, lhs string, rhs string, merged string, n bigint",
+    )
+
+
+def _sql_bpe_merges(k: int = 3) -> str:
+    """Unrolled k-round BPE recursion in DuckDB SQL: pairs_i → best_i →
+    seg_{i+1} (merge applied via the same literal space-bracket replace
+    the engine uses), fully independent of the Spark result."""
+    ctes = [
+        """words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY 1
+)""",
+        "seg0 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS seg, freq FROM words)",
+    ]
+    for i in range(k):
+        ctes.append(f"""pairs{i} AS (
+  SELECT u.p.lhs AS lhs, u.p.rhs AS rhs, sum(freq) AS n
+  FROM (SELECT string_split(trim(seg, ' '), '  ') AS syms, freq FROM seg{i}),
+       UNNEST(list_transform(range(1, len(syms)),
+                             j -> struct_pack(lhs := syms[j], rhs := syms[j+1]))) AS u(p)
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"best{i} AS (SELECT lhs, rhs, lhs || rhs AS merged, n "
+            f"FROM pairs{i} ORDER BY n DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(f"""seg{i + 1} AS (
+  SELECT replace(seg,
+                 ' ' || (SELECT lhs FROM best{i}) || '  ' || (SELECT rhs FROM best{i}) || ' ',
+                 ' ' || (SELECT merged FROM best{i}) || ' ') AS seg, freq
+  FROM seg{i}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS rank, lhs, rhs, merged, CAST(n AS BIGINT) AS n FROM best{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+
 SQL_BPE_MERGE_CANDIDATES = """
 WITH words AS (
   SELECT w AS word, count(*) AS freq
@@ -64,7 +124,9 @@ def q_zorder_keys(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("zy", (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")),
         "zx",
         "zy",
-        bits=10,
+        # minute-of-day spans 0..1439 — 11 bits; 10 would alias evening
+        # minutes (>=1024) onto morning ones and break min/max pruning.
+        bits=11,
         file_bits=6,
     )
     return keyed.groupBy("zfile").agg(
@@ -75,14 +137,14 @@ def q_zorder_keys(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_MORTON_SQL = layout.morton_key_sql("(user_id % 1024)", "(hour(ts) * 60 + minute(ts))", bits=10)
+_MORTON_SQL = layout.morton_key_sql("(user_id % 1024)", "(hour(ts) * 60 + minute(ts))", bits=11)
 
 SQL_ZORDER_KEYS = f"""
 WITH keyed AS (
   SELECT {_MORTON_SQL} AS morton
   FROM events
 )
-SELECT morton >> 14 AS zfile,
+SELECT morton >> 16 AS zfile,
        count(*) AS n_rows,
        min(morton) AS min_morton,
        max(morton) AS max_morton,
@@ -149,6 +211,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "groupwise_regression": (q_groupwise_regression, SQL_GROUPWISE_REGRESSION),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

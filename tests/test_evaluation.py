@@ -128,6 +128,19 @@ class TestPrecisionRecall:
         )
         assert EV.average_precision(df) == pytest.approx(1.0)
 
+    def test_empty_frame_no_thresholds(self, spark):
+        empty = spark.createDataFrame([], "label int, score double")
+        assert EV.pr_points(empty).count() == 0
+        assert EV.average_precision(empty) == 0.0
+
+    def test_zero_positives_no_null_recall(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0.9), (0, 0.1)], "label int, score double"
+        )
+        # recall would be tp/0 → null; the guard returns no thresholds
+        assert EV.pr_points(df).count() == 0
+        assert EV.average_precision(df) == 0.0
+
 
 class TestCalibration:
     def test_perfectly_calibrated(self, spark):

@@ -110,6 +110,30 @@ class TestRuntimeFilteredJoin:
             == 0
         )
 
+    def test_non_inner_join_raises(self, spark, sf_dir):
+        # The fact-side pre-prune drops unmatched fact rows, which is only
+        # a semantic no-op for inner/left_semi — anything else must raise.
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier")
+        for how in ("left", "left_outer", "full", "right"):
+            with pytest.raises(ValueError, match="inner/left_semi"):
+                runtime_filter.runtime_filtered_join(
+                    li, supp, "l_suppkey", "s_suppkey", how=how
+                )
+
+    def test_left_semi_allowed(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+        fast = runtime_filter.runtime_filtered_join(
+            li, supp, "l_suppkey", "s_suppkey", how="left_semi"
+        )
+        plain = li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        assert fast.count() == plain.count()
+
     def test_bound_filter_reaches_scan(self, spark, sf_dir):
         from sentiment_analysis_bigdata_spark.sources import load_table
 
@@ -174,6 +198,8 @@ class TestStripHtml:
             ("<style>.a { color: red; }</style>body", "body"),
             ("<!-- note -->visible", "visible"),
             ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; f&nbsp;g", "a & b <c> \"d\" 'e' f g"),
+            # double-escaped entities decode ONE level (&amp; runs last)
+            ("&amp;lt;tag&amp;gt; &amp;amp;", "&lt;tag&gt; &amp;"),
             ("multi\n\nline\ttext", "multi line text"),
             ("no markup at all", "no markup at all"),
             ("<div\nclass='x'>split tag</div>", "split tag"),
