@@ -72,6 +72,11 @@ def minhash_signature(tokens: Column | str, num_hashes: int = 16) -> Column:
     (a*x) mod p with a,x < 2^61 via split of x into hi/lo 30-bit parts.
     To keep the expression (and its SQL oracle twin) simple we instead
     reduce the token hash mod 2^31 first, so a*x fits in 63 bits exactly.
+
+    NOTE: each permutation is an interpreted HOF pass allocating a
+    permuted array copy per row — fine ad hoc, but corpus-scale signature
+    jobs should use ``operators.dedup.minhash_signatures`` (JVM md5 +
+    one vectorized Arrow hop, identical values).
     """
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     h31 = F.transform(c, lambda t: F.pmod(md5_hash64_expr(t), F.lit(1 << 31)))
@@ -113,6 +118,11 @@ def simhash64(tokens: Column | str) -> Column:
     fold into the signature. (An earlier per-bit variant built 60 separate
     aggregate expressions — identical output, but a ~10× larger codegen
     unit and correspondingly slow first-run compilation.)
+
+    NOTE: this per-row expression allocates two 60-element arrays per
+    token — fine for ad-hoc use, but for corpus-scale signature jobs use
+    ``operators.dedup.simhash_signatures`` (explode + flat 60-column bit
+    sums, identical values, no array allocations).
     """
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     n_bits = MD5_PREFIX_HEX_CHARS * 4  # 60

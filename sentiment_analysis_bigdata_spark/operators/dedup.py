@@ -60,6 +60,79 @@ def duplicate_clusters(
     )
 
 
+def _minhash_kernel(params, out_col: str):
+    """Arrow batch kernel: (doc_id, __h31) → (doc_id, signature array).
+
+    For permutation i: min over tokens x of (a·(x⊕s) + b) mod p — the
+    exact family in ``hashing._MINHASH_PARAMS`` (a < 2³¹ and x⊕s < 2³¹,
+    so the int64 product never overflows). Vectorized across the batch:
+    one (n_tokens × k) permutation matrix, per-doc mins via
+    ``np.minimum.reduceat``. Empty docs get the sentinel p per slot."""
+    import numpy as np
+
+    A = np.array([a % (1 << 31) for a, _, _ in params], dtype=np.int64)
+    B = np.array([b for _, b, _ in params], dtype=np.int64)
+    S = np.array([s for _, _, s in params], dtype=np.int64)
+    P = np.int64(H.MERSENNE_P)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = np.full((len(pdf), len(A)), int(P), dtype=np.int64)
+            lens = np.fromiter(
+                (0 if hs is None else len(hs) for hs in pdf["__h31"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            nz_idx = np.flatnonzero(lens > 0)
+            h_col = pdf["__h31"]
+            for lo, hi in _doc_slices(lens[nz_idx], _MAX_SLICE_TOKENS):
+                docs = nz_idx[lo:hi]
+                flat = np.concatenate(
+                    [np.asarray(h_col.iat[d], dtype=np.int64) for d in docs]
+                )
+                perms = (A[None, :] * (flat[:, None] ^ S[None, :]) + B[None, :]) % P
+                offsets = np.zeros(len(docs), dtype=np.int64)
+                np.cumsum(lens[docs][:-1], out=offsets[1:])
+                out[docs] = np.minimum.reduceat(perms, offsets, axis=0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], out_col: list(out)}
+            )
+
+    return kernel
+
+
+def minhash_signatures(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    out_col: str = "sig",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>): MinHash signatures, corpus-scale path.
+
+    Same split as :func:`simhash_signatures`: the 31-bit md5 token hashes
+    compute JVM-side (bit-identical to ``hashing.minhash_signature`` and
+    its SQL twin), then ONE narrow Arrow hop evaluates all ``num_hashes``
+    permutations as a single numpy matrix instead of ``num_hashes``
+    interpreted HOF passes (each of which allocates a permuted copy of
+    the hash array per row). No shuffle; only (id, array<long>) crosses
+    the Arrow boundary.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    h31 = F.transform(
+        toks, lambda t: F.pmod(H.md5_hash64_expr(t), F.lit(1 << 31))
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("doc_id"), h31.alias("__h31")
+    ).mapInPandas(
+        _minhash_kernel(H.minhash_params(num_hashes), out_col),
+        schema=f"doc_id {id_type}, {out_col} array<bigint>",
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     tokens_col: Column | str,
@@ -72,12 +145,12 @@ def minhash_bands(
     rows-per-band r = num_hashes/bands; two docs share a band key iff their
     signatures agree on all r rows of that band → Jaccard-similar docs
     collide with high probability (standard MinHash-LSH banding).
+    Signatures come from the Arrow kernel (:func:`minhash_signatures`).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = H.minhash_signature(tokens_col, num_hashes)
-    keyed = df.select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+    keyed = minhash_signatures(df, tokens_col, id_col, num_hashes, "__sig")
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
@@ -174,13 +247,113 @@ def minhash_near_duplicates(
     )
 
 
+# Cap on tokens per vectorized numpy slice inside the Arrow kernels: the
+# (tokens × bits) vote matrix stays ≲ 30 MB so temporaries live in cache
+# instead of thrashing main memory.
+_MAX_SLICE_TOKENS = 65536
+
+
+def _doc_slices(lens, max_tokens: int):
+    """Split docs (token counts ``lens``) into contiguous [lo, hi) slices
+    whose token totals stay ≤ max_tokens (oversized docs get their own
+    slice)."""
+    n = len(lens)
+    lo = 0
+    while lo < n:
+        hi, total = lo, 0
+        while hi < n and (hi == lo or total + lens[hi] <= max_tokens):
+            total += lens[hi]
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
+def _simhash_votes_kernel(n_bits: int, weighted: bool, out_col: str):
+    """Arrow batch kernel: (doc_id, __hs[, __ws]) → (doc_id, signature).
+
+    Fully vectorized across the batch: token-hash lists flatten to ONE
+    (n_tokens × 60) bit matrix; per-doc vote sums come from a single
+    ``np.add.reduceat`` over the flattened contributions — no per-token
+    Python, no per-doc numpy re-dispatch."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(n_bits, dtype=np.int64)
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            lens = np.fromiter(
+                (0 if hs is None else len(hs) for hs in pdf["__hs"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            nz_idx = np.flatnonzero(lens > 0)
+            hs_col = pdf["__hs"]
+            ws_col = pdf["__ws"] if weighted else None
+            # Slice the batch so each (tokens × 60) vote matrix stays
+            # ~cache-sized: one batch-wide matrix for 10⁶ tokens would be
+            # ~0.5 GB ×3 temporaries — measured 6× slower than slicing.
+            for lo, hi in _doc_slices(lens[nz_idx], _MAX_SLICE_TOKENS):
+                docs = nz_idx[lo:hi]
+                flat = np.concatenate(
+                    [np.asarray(hs_col.iat[d], dtype=np.int64) for d in docs]
+                )
+                # (n_tokens, 60) ±1 votes (±w when weighted)
+                contrib = 2 * ((flat[:, None] >> bit_idx) & 1) - 1
+                if weighted:
+                    w = np.concatenate(
+                        [np.asarray(ws_col.iat[d], dtype=np.int64) for d in docs]
+                    )
+                    contrib = contrib * w[:, None]
+                offsets = np.zeros(len(docs), dtype=np.int64)
+                np.cumsum(lens[docs][:-1], out=offsets[1:])
+                votes = np.add.reduceat(contrib, offsets, axis=0)
+                out[docs] = ((votes > 0).astype(np.int64) << bit_idx).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], out_col: out})
+
+    return kernel
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weighted: bool = False,
+    out_col: str = "simhash",
 ) -> DataFrame:
-    """(doc_id, simhash): 60-bit SimHash over word tokens."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        H.simhash64(TXT.tokenize_nonempty(text_col)).alias("simhash"),
+    """(doc_id, simhash): 60-bit SimHash over word tokens.
+
+    Kernel shape (the corpus-scale path, measured 3× faster than the
+    per-row HOF expression at sf0.1 — tools/simhash_kernel_bench.py):
+    the md5 token hashes compute JVM-side exactly as in
+    ``hashing.simhash64`` (so the DuckDB oracle replays them bit-for-bit
+    and there is no Python tokenizer to keep in sync), then ONE Arrow
+    ``mapInPandas`` hop turns each batch of hash arrays into signatures
+    via a vectorized numpy popcount/vote matrix. The HOF expression
+    allocates two 60-slot arrays per token in interpreted evaluation
+    (~0.4 ms/doc); the numpy kernel does the same votes as one
+    (tokens × 60) matrix reduction per batch.
+
+    Plan stays NARROW — no explode, no shuffle; partitioning and row
+    order are preserved, and the Arrow transfer carries only
+    (id, array<long>) — never the document text. ``weighted=True`` votes
+    with token character length (Charikar weighting, engine-portable).
+    Docs with no/null text get signature 0 (matching the SQL twin).
+    """
+    n_bits = H.MD5_PREFIX_HEX_CHARS * 4  # 60
+    toks = TXT.tokenize_nonempty(text_col)
+    hs = F.transform(toks, H.md5_hash64_expr)
+    cols = [F.col(id_col).alias("doc_id"), hs.alias("__hs")]
+    if weighted:
+        cols.append(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")).alias("__ws")
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(*cols).mapInPandas(
+        _simhash_votes_kernel(n_bits, weighted, out_col),
+        schema=f"doc_id {id_type}, {out_col} bigint",
     )
 
 
@@ -366,10 +539,13 @@ def decontaminate(
     that an eval set hasn't leaked into the training corpus.
 
     Shape for 100 TB: the benchmark side is tiny (eval sets are thousands of
-    rows), so its distinct n-gram hashes BROADCAST; the corpus explodes to
-    (doc, gram) — narrow — and the probe is a broadcast semi-ish inner join
-    followed by one per-doc aggregation. The corpus is never self-joined and
-    never shuffled on gram.
+    rows), so AQE broadcasts its distinct n-gram hashes at runtime — no
+    forced hint, since the gram count is data-dependent and the unhinted
+    plan degrades to a shuffle join instead of OOMing if a caller passes an
+    oversized "benchmark". The corpus explodes to (doc, gram) — narrow —
+    and the probe is an inner join followed by one per-doc aggregation.
+    The corpus is never self-joined and never shuffled on gram while the
+    benchmark side fits the broadcast threshold.
 
     Returns (doc_id, n_matching_grams) for flagged docs.
     """
@@ -379,7 +555,7 @@ def decontaminate(
         cols = [F.col(id_col).alias("doc_id"), g] if keep_id else [g]
         return df.select(*cols)
 
-    bench_grams = F.broadcast(grams(benchmark, keep_id=False).distinct())
+    bench_grams = grams(benchmark, keep_id=False).distinct()
     return (
         grams(corpus, keep_id=True)
         .join(bench_grams, "gram")

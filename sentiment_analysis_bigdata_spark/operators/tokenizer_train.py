@@ -104,3 +104,111 @@ def top_merge_candidates(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+# --- full BPE training loop -------------------------------------------------------
+
+def segment_words(word_freq: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add the ``seg`` column: the word's symbol sequence encoded as a
+    space-bracketed string (``"low"`` → ``" l  o  w "`` — every symbol
+    wrapped in single spaces, so adjacent symbols are separated by TWO).
+
+    Why a string and not an array: applying a merge (a, b)→ab to this
+    encoding is a LITERAL ``replace(seg, " a  b ", " ab ")``, whose
+    left-to-right non-overlapping scan is exactly Sennrich's merge
+    semantics ("aaa" + (a,a) → [aa, a]) — and ``replace`` behaves
+    identically in Spark and DuckDB, so the oracle replays the whole
+    training recursion verbatim. Tokens are whitespace-split upstream, so
+    the space bracket can never collide with symbol content."""
+    w = F.col(word_col)
+    return word_freq.withColumn("seg", F.regexp_replace(w, "(.)", " $1 "))
+
+
+def _symbols(seg: Column) -> Column:
+    """seg string → array of current symbols."""
+    return F.split(F.trim(seg), "  ")
+
+
+def symbol_pair_counts(segmented: DataFrame, freq_col: str = "freq") -> DataFrame:
+    """(seg, freq) → (lhs, rhs, n): freq-weighted adjacent SYMBOL pairs of
+    the current segmentation (generalizes ``bpe_pair_counts``, which only
+    handles the round-0 single-character case). Vocab-sized work."""
+    syms = _symbols(F.col("seg"))
+    # sequence(0, k) counts DOWN for k < 0 — guard 1-symbol words
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda j: F.struct(
+                F.element_at(syms, j + 1).alias("lhs"),
+                F.element_at(syms, j + 2).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        segmented.select(F.explode(pairs).alias("p"), F.col(freq_col))
+        .select("p.lhs", "p.rhs", freq_col)
+        .groupBy("lhs", "rhs")
+        .agg(F.sum(freq_col).alias("n"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Full BPE training (Sennrich et al. 2016, arXiv:1508.07909),
+    distributed: returns (merges, final_vocab) where merges is
+    ``[(rank, lhs, rhs, merged, n), ...]`` and final_vocab the segmented
+    (word, freq, seg) frame after all merges.
+
+    Scale shape (module docstring): the corpus is reduced ONCE to the
+    vocab-sized (word, freq) frame; every merge round then (1) counts
+    adjacent symbol pairs on that frame — one vocab-sized shuffle, (2)
+    collects the single argmax pair (a 1-row driver action, within the
+    bounded-collect policy), (3) applies the merge as a narrow literal
+    ``replace`` projection. ``localCheckpoint`` after each round keeps the
+    lineage flat, so round k never recomputes rounds 0..k-1 (same guard
+    as transitive dedup clustering, operators/dedup.py). Ties break
+    (n desc, lhs asc, rhs asc) — engine- and partitioning-stable.
+    """
+    vocab = segment_words(word_frequencies(df, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            symbol_pair_counts(vocab)
+            .orderBy(F.col("n").desc(), F.col("lhs"), F.col("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fully merged to a single symbol
+            break
+        lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, n))
+        vocab = vocab.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {merged} "),
+            ),
+        ).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_segment(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a trained merge list to a token array → array of subword
+    arrays. Pure expressions: each token is bracket-encoded once, then the
+    merges replay in rank order as literal replaces (the exact encoder a
+    trained BPE vocabulary defines)."""
+    def encode(t: Column) -> Column:
+        seg = F.regexp_replace(t, "(.)", " $1 ")
+        for lhs, rhs in merges:
+            seg = F.replace(
+                seg, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        return F.split(F.trim(seg), "  ")
+
+    return F.transform(tokens, encode)

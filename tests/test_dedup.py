@@ -97,6 +97,71 @@ def test_simhash_identical_zero_hamming(spark):
     assert sigs[0] != sigs[2]
 
 
+def test_simhash_frame_kernel_matches_expression(spark):
+    # The explode+bit-sum frame kernel must be value-identical to the
+    # per-row HOF expression, including empty/whitespace-only docs (sig 0)
+    # and repeated tokens; same for the length-weighted variant.
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "   "),
+        (3, "dup dup dup dup unique"),
+        (4, "a bb ccc dddd eeeee"),
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r["doc_id"]: (r["s"], r["w"])
+        for r in df.select(
+            "doc_id",
+            H.simhash64(TXT.tokenize_nonempty("text")).alias("s"),
+            H.simhash64_weighted(TXT.tokenize_nonempty("text")).alias("w"),
+        ).collect()
+    }
+    frame = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(df).collect()}
+    framew = {
+        r["doc_id"]: r["sw"]
+        for r in DD.simhash_signatures(df, weighted=True, out_col="sw").collect()
+    }
+    for i, _ in rows:
+        assert frame[i] == expr[i][0], f"doc {i} unweighted mismatch"
+        assert framew[i] == expr[i][1], f"doc {i} weighted mismatch"
+    assert frame[1] == 0 and frame[2] == 0
+
+
+def test_minhash_frame_kernel_matches_expression(spark):
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, ""),
+        (2, "dup dup dup"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            H.minhash_signature(TXT.tokenize_nonempty("text"), 8).alias("sig"),
+        ).collect()
+    }
+    frame = {
+        r["doc_id"]: r["sig"]
+        for r in DD.minhash_signatures(
+            df, TXT.tokenize_nonempty("text"), "doc_id", 8
+        ).collect()
+    }
+    for i, _ in rows:
+        assert list(frame[i]) == list(expr[i]), f"doc {i} mismatch"
+    # empty doc → sentinel p per slot
+    assert all(v == H.MERSENNE_P for v in frame[1])
+
+
 def test_simhash_near_duplicates(docs):
     out = DD.simhash_near_duplicates(docs, max_hamming=20, bands=4)
     pairs = {(r["a"], r["b"]) for r in out.collect()}

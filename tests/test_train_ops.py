@@ -43,6 +43,95 @@ class TestBpePairCounts:
         assert [r.pair for r in rows] == ["ab", "xy"]  # equal n → pair asc
 
 
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Independent single-node Sennrich BPE (arXiv:1508.07909 fig. 1
+    shape) with the engine's tie-break (n desc, lhs asc, rhs asc)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (lhs, rhs), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, lhs + rhs, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+class TestTrainBpe:
+    # the classic Sennrich example vocabulary
+    WORD_FREQS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def _corpus(self, spark):
+        text = " ".join(w for w, f in self.WORD_FREQS.items() for _ in range(f))
+        return spark.createDataFrame([Row(text=text)])
+
+    def test_matches_reference_implementation(self, spark):
+        merges, vocab = tokenizer_train.train_bpe(self._corpus(spark), n_merges=6)
+        expected, _ = _py_bpe(self.WORD_FREQS, 6)
+        assert merges == expected
+        # first two merges are the textbook ones: e+s (9), es+t (9)
+        assert merges[0][1:4] == ("e", "s", "es")
+        assert merges[1][1:4] == ("es", "t", "est")
+        # final vocab re-segments every word consistently
+        segs = {
+            r["word"]: r["seg"].strip().split("  ") for r in vocab.collect()
+        }
+        py_final = {"".join(s): list(s) for s in _py_bpe(self.WORD_FREQS, 6)[1]}
+        for w, s in segs.items():
+            assert s == py_final[w], (w, s, py_final[w])
+
+    def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
+        # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]
+        df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
+        merges, vocab = tokenizer_train.train_bpe(df, n_merges=1)
+        assert merges[0][1:4] == ("a", "a", "aa")
+        segs = {r["word"]: r["seg"].strip().split("  ") for r in vocab.collect()}
+        assert segs["aaaa"] == ["aa", "aa"]
+        assert segs["aaa"] == ["aa", "a"]
+
+    def test_bpe_segment_applies_merge_list(self, spark):
+        merges, _ = tokenizer_train.train_bpe(self._corpus(spark), n_merges=6)
+        df = spark.createDataFrame([Row(toks=["lowest", "low"])])
+        out = df.select(
+            tokenizer_train.bpe_segment(
+                F.col("toks"), [(m[1], m[2]) for m in merges]
+            ).alias("s")
+        ).first()["s"]
+        py_merges = [(m[1], m[2]) for m in _py_bpe(self.WORD_FREQS, 6)[0]]
+
+        def py_seg(word):
+            syms = list(word)
+            for lhs, rhs in py_merges:
+                out_s, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                        out_s.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out_s.append(syms[i])
+                        i += 1
+                syms = out_s
+            return syms
+
+        assert [list(x) for x in out] == [py_seg("lowest"), py_seg("low")]
+
+
 class TestMortonKey:
     @staticmethod
     def _py_morton(x: int, y: int, bits: int) -> int:
