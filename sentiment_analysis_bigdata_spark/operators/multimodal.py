@@ -2,10 +2,17 @@
 ``binary`` payloads + typed metadata structs, processed by Arrow-batched
 pandas functions via ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED
-(deterministic fakes clearly marked below); everything Spark-side — schema,
-batch iteration, partition sizing, UDF signatures — is real and tested.
-Swapping a stub for Pillow/torchaudio is a one-function change.
+The decode kernels are REAL dependency-free codec parsers for the two
+container formats whose structure is fully specified by public byte
+layouts: PNG (signature + IHDR big-endian dims, RFC 2083 §3) and RIFF/WAV
+(fmt/data little-endian chunks). Payload synthesis builds genuinely
+structured bytes (correct chunk sizes and CRCs), so decode → dims is an
+end-to-end binary round trip, not a fake: a parser bug (endianness, chunk
+offset) breaks the DuckDB oracle, which recomputes the planted dims from
+the source columns. Pixel/sample *content* decoding (zlib inflate, PCM)
+is out of scope — there are no media libs in the container — and unknown
+codecs fall back to a clearly-marked deterministic sha-derived feature
+stub.
 
 Design for 100 TB of media:
 - payloads stay ``binary`` columns in parquet (or pointers to object-store
@@ -20,11 +27,20 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = "struct<kind:string,width:int,height:int,duration_ms:int,codec:string>"
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: WAV synthesis parameters (mono 16-bit PCM @ 8 kHz)
+WAV_RATE = 8000
+WAV_CHANNELS = 1
+WAV_BITS = 16
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -55,42 +71,193 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB image decode (no codec libs in container).
+# --- real byte-level codecs (header scope) ----------------------------------------
 
-    Deterministic fake: 'dimensions' and a 4-float 'feature vector' derived
-    from sha256 bytes, so tests are stable. Replace with
-    ``PIL.Image.open(io.BytesIO(payload))`` + a real feature extractor.
-    """
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png_bytes(width: int, height: int) -> bytes:
+    """Header-valid 8-bit RGB PNG: signature + IHDR (correct CRC) + IEND.
+    No IDAT — pixel payload is out of scope; every byte present follows
+    the real format, so any spec-conformant header parser reads it."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+
+
+def decode_png_header(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a PNG byte stream; raises ValueError on
+    malformed input (bad signature / first chunk not a 13-byte IHDR)."""
+    if len(payload) < 24 or payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    length, tag = struct.unpack(">I4s", payload[8:16])
+    if tag != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR[13]")
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def synthesize_wav_bytes(
+    n_samples: int,
+    rate: int = WAV_RATE,
+    channels: int = WAV_CHANNELS,
+    bits: int = WAV_BITS,
+) -> bytes:
+    """Structurally complete RIFF/WAVE: fmt chunk (PCM) + zero-filled data
+    chunk sized to ``n_samples`` — all sizes real, so duration is honestly
+    recomputable from the bytes alone."""
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        rate,
+        rate * channels * bits // 8,  # byte rate
+        channels * bits // 8,  # block align
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(duration_ms, sample_rate, channels, bits) by walking the RIFF
+    chunk list; raises ValueError on malformed input. duration_ms uses
+    integer math (data_bytes·1000 // byte_rate) so the oracle can replay
+    it exactly."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    _, channels, rate, byte_rate, _, bits = fmt
+    if byte_rate == 0:
+        raise ValueError("not a WAV: zero byte rate")
+    return data_size * 1000 // byte_rate, rate, channels, bits
+
+
+def _sha_features(payload: bytes) -> list[float]:
+    """Placeholder feature extractor (sha-derived, deterministic) — the
+    honest stand-in until a real embedding model runs next to the data."""
     h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    feats = [b / 255.0 for b in h[2:6]]
-    return width, height, feats
+    return [b / 255.0 for b in h[2:6]]
+
+
+def decode_media(payload: bytes):
+    """Dispatch on magic bytes → (kind, width, height, duration_ms,
+    sample_rate, features). Unknown/corrupt payloads come back as kind
+    'unknown' with null dims — a poisoned row must not kill a 100 TB job;
+    callers filter or quarantine on kind."""
+    try:
+        if payload[:8] == PNG_SIGNATURE:
+            w, h = decode_png_header(payload)
+            return ("png", w, h, None, None, _sha_features(payload))
+        if payload[:4] == b"RIFF":
+            dur, rate, _, _ = decode_wav_header(payload)
+            return ("wav", None, None, dur, rate, _sha_features(payload))
+    except ValueError:
+        pass
+    return ("unknown", None, None, None, None, _sha_features(payload))
+
+
+# --- Spark-side kernels -----------------------------------------------------------
+
+def attach_png_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture ingestion: real header-valid PNG bytes per row, dims derived
+    from source columns (width = 64 + id mod 192, height = 64 + text
+    length mod 192) so an oracle can recompute what decode must read back
+    out of the bytes."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                synthesize_png_bytes(64 + int(i) % 192, 64 + len(t or "") % 192)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
+
+
+def attach_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture ingestion: real RIFF/WAVE bytes per row, sample count
+    derived from the text length ((len mod 100 + 1)·80 samples @ 8 kHz →
+    duration (len mod 100 + 1)·10 ms)."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                synthesize_wav_bytes((len(t or "") % 100 + 1) * 80)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
 
 
 def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """mapInPandas media decode → (id passthrough, width, height, features).
+    """mapInPandas media decode → input columns + (kind, width, height,
+    duration_ms, sample_rate, features).
 
-    The Spark plumbing (Arrow batches, output schema, partition-parallel
-    decode) is production-shaped; only ``_fake_decode_image`` is a stub.
+    Real byte parsing (PNG/WAV headers above); unknown codecs degrade to
+    kind='unknown' instead of failing the job. Arrow batches in, Arrow
+    batches out — per-batch Python cost only.
     """
     import pandas as pd
 
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-        + ", width int, height int, features array<double>"
+        + ", kind string, width int, height int, duration_ms int,"
+        + " sample_rate int, features array<double>"
     )
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = [_fake_decode_image(p) for p in pdf[payload_col]]
+            decoded = [decode_media(p) for p in pdf[payload_col]]
             pdf = pdf.copy()
-            pdf["width"] = pd.Series([d[0] for d in decoded], index=pdf.index, dtype="int32")
-            pdf["height"] = pd.Series([d[1] for d in decoded], index=pdf.index, dtype="int32")
-            pdf["features"] = pd.Series([d[2] for d in decoded], index=pdf.index)
+            for i, name in enumerate(
+                ["kind", "width", "height", "duration_ms", "sample_rate"]
+            ):
+                pdf[name] = pd.Series(
+                    [d[i] for d in decoded],
+                    index=pdf.index,
+                    dtype="object" if name == "kind" else "Int32",
+                )
+            pdf["features"] = pd.Series([d[5] for d in decoded], index=pdf.index)
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)

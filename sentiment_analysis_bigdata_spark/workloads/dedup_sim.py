@@ -465,21 +465,44 @@ def q_ann_gemm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """mapInPandas media decode plumbing. The stub kernel derives
-    'dimensions' from sha256(payload) deterministically, so the whole
-    binary-payload → Arrow batch → decode chain is value-checkable: DuckDB
-    recomputes width/height from the same bytes."""
+    """End-to-end binary round trip: synthesize REAL header-valid PNG bytes
+    per doc (width/height planted from doc_id / text length), then decode
+    them back by parsing the actual signature + big-endian IHDR
+    (operators/multimodal.py). The oracle recomputes the planted dims from
+    the source columns — a parser bug (endianness, chunk offset) breaks
+    the match."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
-    docs = MM.attach_payload(_docs(spark, sf))
-    out = MM.decode_and_featurize(docs.select("doc_id", "payload"))
-    return out.select("doc_id", "width", "height")
+    docs = MM.attach_png_payloads(_docs(spark, sf))
+    out = MM.decode_and_featurize(docs)
+    return out.select("doc_id", "kind", "width", "height")
 
 
 SQL_MULTIMODAL_DECODE = """
 SELECT doc_id,
-       CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS INTEGER) AS width,
-       CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS INTEGER) AS height
+       'png' AS kind,
+       CAST(64 + doc_id % 192 AS INTEGER) AS width,
+       CAST(64 + length(text) % 192 AS INTEGER) AS height
+FROM documents
+"""
+
+
+def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio twin of multimodal_decode: real RIFF/WAVE bytes (mono 16-bit
+    PCM @ 8 kHz, sample count planted from text length), duration read
+    back by walking the little-endian fmt/data chunks."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_wav_payloads(_docs(spark, sf))
+    out = MM.decode_and_featurize(docs)
+    return out.select("doc_id", "kind", "duration_ms", "sample_rate")
+
+
+SQL_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+       'wav' AS kind,
+       CAST((length(text) % 100 + 1) * 10 AS INTEGER) AS duration_ms,
+       CAST(8000 AS INTEGER) AS sample_rate
 FROM documents
 """
 
@@ -579,4 +602,5 @@ QUERIES = {
     "ann_ivf": (q_ann_ivf, SQL_ANN_BRUTEFORCE),
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
 }

@@ -34,16 +34,67 @@ def test_payload_stats_match_hashlib(media):
     assert rows[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
 
 
-def test_decode_kernel_schema_and_determinism(media):
+def test_decode_kernel_unknown_codec_degrades(media):
+    # raw text bytes are no known container: kind 'unknown', null dims,
+    # deterministic sha-derived placeholder features — never a job failure
     out = MM.decode_and_featurize(media.select("doc_id", "payload"))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert set(rows) == {1, 2, 3}
     r = rows[1]
-    assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+    assert r["kind"] == "unknown"
+    assert r["width"] is None and r["duration_ms"] is None
     assert len(r["features"]) == 4 and all(0 <= f <= 1 for f in r["features"])
-    # deterministic stub: same payload → same fake decode
     again = {x["doc_id"]: x for x in MM.decode_and_featurize(media.select("doc_id", "payload")).collect()}
-    assert again[1]["width"] == r["width"] and again[1]["features"] == r["features"]
+    assert again[1]["features"] == r["features"]
+
+
+def test_png_roundtrip_parses_real_bytes():
+    raw = MM.synthesize_png_bytes(321, 87)
+    # the bytes are REAL PNG structure: signature, IHDR length/tag, CRC
+    assert raw[:8] == MM.PNG_SIGNATURE
+    import struct as st
+    import zlib as zl
+
+    length, tag = st.unpack(">I4s", raw[8:16])
+    assert (length, tag) == (13, b"IHDR")
+    crc = st.unpack(">I", raw[16 + 13 : 16 + 17])[0]
+    assert crc == zl.crc32(raw[12 : 16 + 13]) & 0xFFFFFFFF
+    assert MM.decode_png_header(raw) == (321, 87)
+    with pytest.raises(ValueError):
+        MM.decode_png_header(b"\x89PNG\r\n\x1a\nXXXX")
+    with pytest.raises(ValueError):
+        MM.decode_png_header(b"not a png at all")
+
+
+def test_wav_roundtrip_parses_real_bytes():
+    raw = MM.synthesize_wav_bytes(8000)  # exactly 1 s @ 8 kHz
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    dur, rate, channels, bits = MM.decode_wav_header(raw)
+    assert (dur, rate, channels, bits) == (1000, 8000, 1, 16)
+    # RIFF size field covers everything after the 8-byte header
+    import struct as st
+
+    assert st.unpack("<I", raw[4:8])[0] == len(raw) - 8
+    with pytest.raises(ValueError):
+        MM.decode_wav_header(b"RIFFxxxxNOPE")
+
+
+def test_decode_kernel_png_wav_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(10, "abcdef"), (11, "x" * 30)], "doc_id long, text string"
+    )
+    png = MM.decode_and_featurize(MM.attach_png_payloads(df))
+    rows = {r["doc_id"]: r for r in png.collect()}
+    assert rows[10]["kind"] == "png"
+    assert rows[10]["width"] == 64 + 10 % 192
+    assert rows[10]["height"] == 64 + 6 % 192
+    assert rows[11]["height"] == 64 + 30 % 192
+    wav = MM.decode_and_featurize(MM.attach_wav_payloads(df))
+    wrows = {r["doc_id"]: r for r in wav.collect()}
+    assert wrows[10]["kind"] == "wav"
+    assert wrows[10]["duration_ms"] == (6 % 100 + 1) * 10
+    assert wrows[10]["sample_rate"] == 8000
+    assert wrows[11]["duration_ms"] == (30 % 100 + 1) * 10
 
 
 def test_frame_sample_plan(spark):
