@@ -114,10 +114,10 @@ def unigram_logprob_scores(
 
     Plan shape: one aggregation builds the unigram LM (shuffle on term),
     one explode+join scores tokens against it, one aggregation folds back
-    to documents (shuffle on doc). The LM side is vocab-sized (≪ corpus) —
-    broadcast when it fits, AQE degrades to shuffle join beyond. The token
-    total folds in as a literal from the LM frame's own aggregate (2-row
-    driver fetch, not a fact-side action).
+    to documents (shuffle on doc). The LM side is vocab-sized — small by
+    Heaps' law but unbounded in principle, so it carries NO broadcast hint
+    (AQE broadcasts while it fits, shuffle join beyond — SCALING.md
+    "broadcast policy"); only the 1-row token total is hint-broadcast.
 
     Returns (doc_id, n_tokens, avg_logprob); empty-token documents are
     dropped (no tokens ⇒ no score).
@@ -127,7 +127,7 @@ def unigram_logprob_scores(
     )
     lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = lm.agg(F.sum("cnt").alias("_total"))
-    scored = toks.join(F.broadcast(lm), "term").join(F.broadcast(total)).select(
+    scored = toks.join(lm, "term").join(F.broadcast(total)).select(
         "doc_id",
         F.log(F.col("cnt").cast("double") / F.col("_total")).alias("logp"),
     )

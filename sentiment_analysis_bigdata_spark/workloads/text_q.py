@@ -234,6 +234,31 @@ FROM documents
 """
 
 
+def q_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean unigram log-probability against the corpus's own LM
+    (operators/features.py unigram_logprob_scores — CCNet-style fluency
+    proxy). One LM aggregation + one term join (AQE-planned, no forced
+    broadcast) + one per-doc fold."""
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    return FE.unigram_logprob_scores(docs)
+
+
+SQL_DOC_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+),
+lm AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM lm)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(CAST(cnt AS DOUBLE) / t)), 6) AS avg_logprob
+FROM toks JOIN lm USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     return docs.select("doc_id", F.round(TXT.quality_score("text"), 4).alias("quality"))
@@ -685,6 +710,7 @@ QUERIES = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "chunk_token_windows": (q_chunk_token_windows, SQL_CHUNK_TOKEN_WINDOWS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "doc_logprob": (q_doc_logprob, SQL_DOC_LOGPROB),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),

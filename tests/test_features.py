@@ -127,3 +127,17 @@ def test_hashing_tf_deterministic(docs):
     a = sorted(map(tuple, FE.hashing_tf_indices(docs, num_features=1024).collect()))
     b = sorted(map(tuple, FE.hashing_tf_indices(docs, num_features=1024).collect()))
     assert a == b
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus LM: a:3, b:1, total 4 → p(a)=0.75, p(b)=0.25
+    df = spark.createDataFrame(
+        [(0, ["a", "a"]), (1, ["a", "b"]), (2, [])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {r["doc_id"]: r for r in FE.unigram_logprob_scores(df).collect()}
+    assert set(rows) == {0, 1}  # empty-token doc dropped
+    assert rows[0]["n_tokens"] == 2
+    assert rows[0]["avg_logprob"] == pytest.approx(round(math.log(0.75), 6))
+    expected1 = round((math.log(0.75) + math.log(0.25)) / 2, 6)
+    assert rows[1]["avg_logprob"] == pytest.approx(expected1)
