@@ -180,11 +180,17 @@ def quality_score(col: Column | str) -> Column:
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double")
     alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
-    toks = tokenize_nonempty(c)
-    n_tok = F.size(toks).cast("double")
-    sw = F.lit(list(ENGLISH_STOPWORDS))
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
-    sw_ratio = F.when(n_tok > 0, F.least(n_sw / n_tok * 3.0, F.lit(1.0))).otherwise(F.lit(0.0))
+
+    # let-binding (see lang_id): tokenize once, share across size + filter
+    def sw_part(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        sw = F.lit(list(ENGLISH_STOPWORDS))
+        n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        return F.when(
+            n_tok > 0, F.least(n_sw / n_tok * 3.0, F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+
+    sw_ratio = F.element_at(F.transform(F.array(tokenize_nonempty(c)), sw_part), 1)
     return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * sw_ratio
 
 
@@ -313,42 +319,59 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 
 
 def lang_scores(col: Column | str) -> Column:
-    """Map of language → marker-token hit count over the document's tokens."""
-    toks = tokenize_nonempty(col)
-    pairs = [
-        F.struct(
-            F.lit(lang).alias("lang"),
-            _marker_hits(toks, markers).alias("hits"),
-        )
-        for lang, markers in _LANG_MARKERS.items()
-    ]
-    return F.map_from_entries(F.array(*pairs))
+    """Map of language → marker-token hit count over the document's tokens.
+    Tokenization is let-bound (see lang_id) so the 5 marker passes share
+    one tokenize evaluation."""
+    def build(toks: Column) -> Column:
+        pairs = [
+            F.struct(
+                F.lit(lang).alias("lang"),
+                _marker_hits(toks, markers).alias("hits"),
+            )
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+        return F.map_from_entries(F.array(*pairs))
+
+    return F.element_at(F.transform(F.array(tokenize_nonempty(col)), build), 1)
 
 
 def lang_id(col: Column | str) -> Column:
     """Argmax language by marker hits; 'und' when nothing matches.
 
-    Deterministic tie-break: higher hits first, then language code ascending.
+    Deterministic tie-break: higher hits first, then language code
+    ascending (the when-chain below tests languages in ascending order, so
+    the first equal-to-max wins).
+
+    Perf shape: there is no common-subexpression elimination across
+    higher-order-function lambda bodies, so naively referencing the token
+    array from each of the 5 marker passes re-tokenizes the document 5×
+    (measured ~0.78 s of lang_id's 0.89 s at sf0.1). The single-element
+    ``transform`` below is a let-binding: the tokenization evaluates ONCE
+    and the lambda variable is shared by every marker pass. The argmax is
+    a flat ``greatest`` + when-chain — no per-row interpreted array_sort
+    comparator. Same values, ~3× cheaper.
     """
-    toks = tokenize_nonempty(col)
-    entries = [
-        F.struct(
-            _marker_hits(toks, markers).alias("hits"),
-            F.lit(lang).alias("lang"),
+    langs = sorted(_LANG_MARKERS)
+
+    def pick_from_hits(harr: Column) -> Column:
+        # harr is a bound 5-slot hit array: every reference below is a
+        # cheap element read, never a marker-pass re-evaluation
+        mx = F.array_max(harr)
+        chain = None
+        for i, lang in enumerate(langs):
+            c = harr[i] == mx
+            chain = (
+                F.when(c, F.lit(lang)) if chain is None else chain.when(c, F.lit(lang))
+            )
+        return F.when(mx > 0, chain).otherwise(F.lit("und"))
+
+    def pick(toks: Column) -> Column:
+        harr = F.array(
+            *[_marker_hits(toks, _LANG_MARKERS[lang]) for lang in langs]
         )
-        for lang, markers in sorted(_LANG_MARKERS.items())
-    ]
-    # max hits wins; on ties the lexicographically smallest lang wins, so
-    # sort ascending by (hits, lang-reversed) and reverse:
-    arr = F.reverse(F.array_sort(F.array(*entries), lambda a, b: F.when(
-        a["hits"] < b["hits"], F.lit(-1)
-    ).when(a["hits"] > b["hits"], F.lit(1)).otherwise(
-        # equal hits: larger lang string sorts earlier so that after
-        # reverse() the smaller lang wins the tie
-        F.when(a["lang"] > b["lang"], F.lit(-1)).when(a["lang"] < b["lang"], F.lit(1)).otherwise(F.lit(0))
-    )))
-    best = arr[0]
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        return F.element_at(F.transform(F.array(harr), pick_from_hits), 1)
+
+    return F.element_at(F.transform(F.array(tokenize_nonempty(col)), pick), 1)
 
 
 # --- HTML / markup stripping (web-corpus curation) -----------------------------
