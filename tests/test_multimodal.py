@@ -111,3 +111,19 @@ def test_frame_sample_plan(spark):
     )
     frames = MM.frame_sample_plan(with_meta, every_ms=1000)
     assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_binaryfile_source_feeds_decode(spark, tmp_path):
+    # the documented production path: spark.read.format('binaryFile') over
+    # a directory of media files -> payload column -> same decode kernel
+    for name, dims in [("a.png", (100, 50)), ("b.png", (300, 200))]:
+        (tmp_path / name).write_bytes(MM.synthesize_png_bytes(*dims))
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select("path", MM.F.col("content").alias("payload"))
+    )
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in MM.decode_and_featurize(df).collect()}
+    assert out["a.png"]["kind"] == "png"
+    assert (out["a.png"]["width"], out["a.png"]["height"]) == (100, 50)
+    assert (out["b.png"]["width"], out["b.png"]["height"]) == (300, 200)
