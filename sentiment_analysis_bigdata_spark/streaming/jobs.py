@@ -228,14 +228,20 @@ def interval_join_clicks_purchases(
 
 
 def enrich_with_dim(
-    events: DataFrame, dim: DataFrame, key: str = "user_id"
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Stream-static join: each micro-batch probes the static dimension
-    frame (broadcast — re-resolved per batch, so a dim backed by a live
-    table picks up updates). Stateless: nothing buffers across batches,
-    no watermark needed — the streaming join form that costs the same as
-    a batch broadcast join at any scale."""
-    return events.join(F.broadcast(dim), key, "left")
+    frame (re-resolved per batch, so a dim backed by a live table picks up
+    updates). Stateless: nothing buffers across batches, no watermark
+    needed. ``broadcast_dim`` is opt-in, for callers who KNOW the dim is
+    bounded: a per-entity dim grows with the data, and a forced broadcast
+    of it OOMs at scale where the unhinted per-batch plan would degrade to
+    a shuffle join (SCALING.md "broadcast policy")."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, key, "left")
 
 
 def run_stream_to_parquet(
