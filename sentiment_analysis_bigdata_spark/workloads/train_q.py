@@ -43,10 +43,11 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_bpe_merges(k: int = 3) -> str:
+def _sql_bpe_ctes(k: int = 3) -> str:
     """Unrolled k-round BPE recursion in DuckDB SQL: pairs_i → best_i →
     seg_{i+1} (merge applied via the same literal space-bracket replace
-    the engine uses), fully independent of the Spark result."""
+    the engine uses), fully independent of the Spark result. Returns the
+    WITH block (through seg_k) shared by the merges and vocab oracles."""
     ctes = [
         """words AS (
   SELECT w AS word, count(*) AS freq
@@ -71,21 +72,55 @@ def _sql_bpe_merges(k: int = 3) -> str:
             f"best{i} AS (SELECT lhs, rhs, lhs || rhs AS merged, n "
             f"FROM pairs{i} ORDER BY n DESC, lhs, rhs LIMIT 1)"
         )
-        if i < k - 1:
-            ctes.append(f"""seg{i + 1} AS (
+        ctes.append(f"""seg{i + 1} AS (
   SELECT replace(seg,
                  ' ' || (SELECT lhs FROM best{i}) || '  ' || (SELECT rhs FROM best{i}) || ' ',
                  ' ' || (SELECT merged FROM best{i}) || ' ') AS seg, freq
   FROM seg{i}
 )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _sql_bpe_merges(k: int = 3) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {i + 1} AS rank, lhs, rhs, merged, CAST(n AS BIGINT) AS n FROM best{i}"
         for i in range(k)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return _sql_bpe_ctes(k) + "\n" + unions
 
 
 SQL_BPE_MERGES = _sql_bpe_merges()
+
+
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 subwords (by corpus frequency) of the vocabulary AFTER the 3
+    trained merges — the trained tokenizer's effective token inventory.
+    Runs on the final vocab-sized segmented frame; the oracle re-derives
+    the merges AND the re-segmentation independently."""
+    docs = load_table(spark, sf, "documents")
+    _, vocab = tokenizer_train.train_bpe(docs, n_merges=3)
+    return (
+        vocab.select(
+            F.explode(F.split(F.trim(F.col("seg")), "  ")).alias("subword"),
+            "freq",
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("subword"))
+        .limit(20)
+    )
+
+
+SQL_BPE_VOCAB = _sql_bpe_ctes(3) + """
+SELECT subword, CAST(sum(freq) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(trim(seg, ' '), '  ')) AS subword, freq
+  FROM seg3
+)
+GROUP BY 1
+ORDER BY n DESC, subword
+LIMIT 20
+"""
 
 
 SQL_BPE_MERGE_CANDIDATES = """
@@ -212,6 +247,7 @@ GROUP BY 1, 2
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "groupwise_regression": (q_groupwise_regression, SQL_GROUPWISE_REGRESSION),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
