@@ -138,6 +138,39 @@ def balance_sources(
     )
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-per-group sample: the k rows with the smallest
+    md5(id:seed) within each group (ties broken by id) — the
+    content-addressed replacement for per-group reservoir sampling.
+    Reruns, engine changes, and data growth keep previously-selected rows
+    selected as long as they stay in the k smallest hashes, so eval-set
+    extraction is reproducible and near-stable under corpus growth.
+
+    Shape: one shuffle on the group key; the rank window sorts per group,
+    never globally (same plan family as top_orders_per_customer,
+    PLANS.md). Adds ``sample_rank`` (1..k).
+    """
+    key = _shuffle_key(id_col, seed)
+    w = Window.partitionBy(*group_cols).orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__key")
+    )
+
+
+def sql_sample_key(id_col: str, seed: int) -> str:
+    """DuckDB twin of the per-row sample ordering key."""
+    return f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT)"
+
+
 def sql_split_expr(weights: dict[str, float], id_col: str, seed: int) -> str:
     """DuckDB twin of the ``split`` column."""
     key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"

@@ -217,8 +217,41 @@ WHERE ((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT) % 1000000)
 """
 
 
+def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-per-group sample (smallest md5(id:seed) per
+    event_type) — the content-addressed reservoir for eval-set extraction
+    (operators/ordering.py sample_per_group). Every selected row AND its
+    rank are value-checked against the SQL replay."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    return ordering.sample_per_group(
+        ev, ["event_type"], k=5, id_col="event_id"
+    ).select("event_type", "sample_rank", "event_id")
+
+
+def _sql_group_sample() -> str:
+    from sentiment_analysis_bigdata_spark.operators.ordering import sql_sample_key
+
+    key = sql_sample_key("event_id", 42)
+    return f"""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {key}, event_id) AS sample_rank
+  FROM events
+)
+SELECT event_type, CAST(sample_rank AS BIGINT) AS sample_rank, event_id
+FROM ranked WHERE sample_rank <= 5
+"""
+
+
+SQL_GROUP_SAMPLE = _sql_group_sample()
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "balance_sources": (q_balance_sources, SQL_BALANCE_SOURCES),

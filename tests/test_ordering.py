@@ -139,3 +139,39 @@ class TestDecontaminate:
         )
         assert DD.decontaminate(corpus, bench, n=3, min_matches=3).count() == 0
         assert DD.decontaminate(corpus, bench, n=3, min_matches=2).count() == 1
+
+
+class TestSamplePerGroup:
+    def _df(self, spark, n=200):
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(n)]
+        return spark.createDataFrame(rows, "id long, grp string")
+
+    def test_k_per_group_and_determinism(self, spark):
+        out = ordering.sample_per_group(self._df(spark), ["grp"], k=5, id_col="id")
+        rows = out.collect()
+        by_grp = {}
+        for r in rows:
+            by_grp.setdefault(r["grp"], []).append((r["sample_rank"], r["id"]))
+        assert set(by_grp) == {"a", "b"}
+        for g, picked in by_grp.items():
+            assert sorted(r for r, _ in picked) == [1, 2, 3, 4, 5]
+        again = ordering.sample_per_group(
+            self._df(spark).repartition(7), ["grp"], k=5, id_col="id"
+        ).collect()
+        assert {(r["grp"], r["sample_rank"], r["id"]) for r in again} == {
+            (r["grp"], r["sample_rank"], r["id"]) for r in rows
+        }
+
+    def test_growth_stability(self, spark):
+        # adding rows only displaces a selection when a new id hashes lower:
+        # selections from the small corpus remain a superset source of the
+        # overlap; ranks of surviving ids stay consistent with hash order
+        small = ordering.sample_per_group(self._df(spark, 100), ["grp"], 5, "id")
+        big = ordering.sample_per_group(self._df(spark, 200), ["grp"], 5, "id")
+        s = {(r["grp"], r["id"]) for r in small.collect()}
+        b = {(r["grp"], r["id"]) for r in big.collect()}
+        # every selected-in-big id that existed in the small corpus was
+        # selected there too (k smallest hashes can only be displaced, and
+        # old ids' hashes are unchanged)
+        old_in_big = {(g, i) for g, i in b if i < 100}
+        assert old_in_big <= s
