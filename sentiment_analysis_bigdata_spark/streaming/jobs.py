@@ -15,7 +15,7 @@ state finite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark import schemas
@@ -272,6 +272,83 @@ def run_stream_to_parquet(
         .start()
     )
     _await_or_raise(q, timeout_s)
+
+
+def run_stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    timeout_s: float = 120.0,
+) -> None:
+    """Keyed-upsert streaming sink: each micro-batch MERGEs into a
+    parquet-backed table, keeping the latest row per key (descending
+    ``order_cols``; make the LAST one unique — e.g. an event id — so the
+    pick is a total order) — the dependency-free equivalent of
+    ``MERGE INTO`` against a table format.
+
+    Exactly-once recipe on a plain filesystem: every batch materializes
+    the fully-merged table into a NEW versioned directory
+    (``{out_dir}/_v{batch_id}``) and then atomically repoints a _LATEST
+    marker file. A batch replayed after failure rewrites its own version
+    directory and repoints to the same place — idempotent. Readers resolve
+    the marker via :func:`read_upsert_table`. At 100 TB the same shape is
+    what Delta/Iceberg do with metadata instead of a marker file; the
+    merge itself is one shuffle on the key (window argmax), proportional
+    to table size — so this sink suits dimension-scale state, while
+    fact-scale streams should use the append sink above.
+    """
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = batch_df
+        prev = _read_latest_version(spark, out_dir)
+        if prev is not None:
+            merged = prev.unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        vdir = f"{out_dir}/_v{batch_id}"
+        latest.write.mode("overwrite").parquet(vdir)
+        tmp = f"{out_dir}/_LATEST.tmp"
+        os.makedirs(out_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(f"_v{batch_id}")
+        os.replace(tmp, f"{out_dir}/_LATEST")  # atomic repoint
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
+def _read_latest_version(spark, out_dir: str):
+    import os
+
+    marker = f"{out_dir}/_LATEST"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        version = f.read().strip()
+    return spark.read.parquet(f"{out_dir}/{version}")
+
+
+def read_upsert_table(spark, out_dir: str) -> DataFrame:
+    """Resolve the _LATEST marker written by the upsert sink."""
+    df = _read_latest_version(spark, out_dir)
+    if df is None:
+        raise FileNotFoundError(f"no _LATEST marker under {out_dir}")
+    return df
 
 
 def _await_or_raise(q, timeout_s: float) -> None:

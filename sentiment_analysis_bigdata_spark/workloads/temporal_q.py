@@ -569,6 +569,57 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed-upsert streaming sink (foreachBatch MERGE-equivalent): the
+    event stream upserts into a versioned parquet table keeping each
+    user's LATEST event (ts desc, event_id desc — total order), across
+    multiple micro-batches with an atomic _LATEST repoint per batch
+    (streaming/jobs.py run_stream_upsert_to_parquet). The oracle is the
+    batch argmax: any lost update, stale version read, or duplicate key
+    breaks the per-user match."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="upsert_table_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+        SJ.run_stream_upsert_to_parquet(
+            stream.select("user_id", "event_id", "ts", "event_type"),
+            out,
+            ckpt,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            timeout_s=120,
+        )
+        latest = SJ.read_upsert_table(spark, out).select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+        )
+        # materialize before the temp dirs vanish
+        rows = latest.collect()
+        return spark.createDataFrame(rows, latest.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_streaming_static_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static join: the event stream enriched per micro-batch with
     a static user-tier dimension (derived batch-side from the same events
@@ -670,4 +721,5 @@ QUERIES = {
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
+    "streaming_upsert": (q_streaming_upsert, SQL_STREAMING_UPSERT),
 }

@@ -123,3 +123,46 @@ def test_streaming_static_join_equals_batch(spark, sf_dir):
     assert sorted((r.tier, r.n_events) for r in streamed) == sorted(
         (r.tier, r.n_events) for r in batch
     )
+
+
+def test_upsert_sink_multi_batch_latest_wins(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over two files): the second
+    batch's newer rows must overwrite the first's per key, and the _LATEST
+    marker must resolve to the fully merged table."""
+    import datetime as dt
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows1 = [(1, 100, t0, "click", 1.0, "{}"), (2, 101, t0, "view", 2.0, "{}")]
+    rows2 = [
+        (1, 102, t0 + dt.timedelta(hours=1), "purchase", 9.0, "{}"),
+        (3, 103, t0, "click", 3.0, "{}"),
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    # single parquet FILES (not Spark output dirs) so the file-stream
+    # source sees exactly two files -> two micro-batches
+    # coerce to TIMESTAMP(MICROS): pandas defaults to NANOS, which the
+    # session reads back as raw longs (nanosAsLong gotcha)
+    for name, rows in [("f1.parquet", rows1), ("f2.parquet", rows2)]:
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(d / name), coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    SJ.run_stream_upsert_to_parquet(
+        stream, out, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in SJ.read_upsert_table(spark, out).collect()
+    }
+    assert got == {1: (102, "purchase"), 2: (101, "view"), 3: (103, "click")}
