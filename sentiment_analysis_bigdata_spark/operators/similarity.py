@@ -114,6 +114,122 @@ def lsh_topk(
     )
 
 
+def _fit_centroids(
+    corpus: DataFrame, nlist: int, corpus_vec: str, seed: int
+) -> list[list[float]]:
+    """kmeans|| over the corpus → nlist centroid vectors (k-row model)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    return [[float(x) for x in c] for c in km.clusterCenters()]
+
+
+def _nearest_lists(centers: list[list[float]], vec_col: str, n: int) -> Column:
+    """The n nearest centroid list-ids of a vector column (codegen'd
+    literal-centroid distance array + sort — centroids are k-row)."""
+    dists = F.array(
+        *[
+            F.struct(
+                V.l2_distance(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in ctr])
+                ).alias("d"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Persist an IVF index: centroids + the corpus assignment written
+    PARTITIONED BY list_id — the build-once/probe-many serving path at
+    100 TB. A probe then reads only its nprobe/nlist share of the data via
+    parquet partition pruning (plan-asserted in tests), instead of
+    rescanning and re-clustering per query batch like :func:`ivf_topk`.
+
+    Layout: ``{out_dir}/centroids`` (nlist rows) and ``{out_dir}/corpus``
+    (partition column ``list_id``). Returns the centroid list.
+    """
+    centers = _fit_centroids(corpus, nlist, corpus_vec, seed)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "list_id int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        _nearest_lists(centers, corpus_vec, 1)[0]["list_id"].alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{out_dir}/corpus")
+    return centers
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query its nprobe nearest
+    lists, scan ONLY those partitions (the probe-list filter is a literal
+    IN over the partition column, so pruning happens at file-listing
+    time), exact cosine within, per-query top-k.
+
+    The query side is contractually small (an ANN query batch), so
+    collecting its probe lists driver-side is a bounded action — same
+    policy as the broadcast query set in :func:`brute_force_topk`.
+    """
+    centroids = (
+        spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
+    )
+    centers = [list(r["center"]) for r in centroids]
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.explode(
+            F.transform(
+                _nearest_lists(centers, query_vec, nprobe), lambda s: s["list_id"]
+            )
+        ).alias("list_id"),
+    )
+    probe_lists = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("list_id").isin(probe_lists)
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            V.cosine_similarity(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,26 +248,10 @@ def ivf_topk(
     The centroid model is tiny and broadcast both ways; corpus assignment
     is one narrow pass (at scale: persisted, partitioned by list id).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features")
-    )
-    km = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
-    centers = [[float(x) for x in c] for c in km.clusterCenters()]
+    centers = _fit_centroids(corpus, nlist, corpus_vec, seed)
 
     def nearest_lists(vec_col: str, n: int) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    V.l2_distance(F.col(vec_col), F.array(*[F.lit(x) for x in ctr])).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, ctr in enumerate(centers)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)
+        return _nearest_lists(centers, vec_col, n)
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),

@@ -436,6 +436,35 @@ SELECT CAST((SELECT count(*) FROM documents WHERE len({SQL_TOKS}) > 0) AS BIGINT
 """
 
 
+def q_ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF serving path: build the index (centroids + corpus
+    partitioned by list_id) to disk, then probe it in exhaustive mode
+    (nprobe = nlist) so the result is kmeans-independent and must equal
+    the brute-force SQL oracle. Value-checks the full persisted chain —
+    partitioned write, centroid reload, partition-pruned probe scan
+    (pruning is plan-asserted in tests), scoring, top-k."""
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        emb = _emb(spark, sf)
+        SIM.build_ivf_index(emb, idx, nlist=8)
+        out = SIM.ivf_index_topk(
+            spark, idx, _queries_frame(emb), k=TOP_K, nprobe=8
+        )
+        res = out.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN in exhaustive-probe mode (nprobe = nlist): the probed lists
     cover the whole corpus, so the result must equal exact brute force
@@ -600,6 +629,7 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),
     "ann_ivf": (q_ann_ivf, SQL_ANN_BRUTEFORCE),
+    "ann_ivf_index": (q_ann_ivf_index, SQL_ANN_BRUTEFORCE),
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),

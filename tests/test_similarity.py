@@ -106,3 +106,40 @@ def test_hyperplane_bucket_is_deterministic(spark):
     )
     buckets = [r["b"] for r in df.select(V.hyperplane_sign_bucket("v", 4).alias("b")).collect()]
     assert buckets[0] == buckets[1] == 0b1010
+
+
+class TestPersistedIvfIndex:
+    def test_probe_matches_numpy_within_probed_lists(self, spark, corpus, queries, tmp_path):
+        idx = str(tmp_path / "ivf")
+        centers = SIM.build_ivf_index(corpus, idx, nlist=4)
+        got = {}
+        for r in SIM.ivf_index_topk(spark, idx, queries, k=5, nprobe=2).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+        # independent replay: assign corpus+queries to lists from the
+        # returned centers, score only the probed lists, exact tie-break
+        C = np.asarray(centers)
+        assign = np.argmin(((VECS[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        norms = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+        for q in range(3):
+            qd = ((C - VECS[q]) ** 2).sum(axis=1)
+            probed = set(np.argsort(qd, kind="stable")[:2])
+            cand = [i for i in range(N) if assign[i] in probed and i != q]
+            sims = norms[cand] @ norms[q]
+            order = np.lexsort((np.asarray(cand), -sims))[:5]
+            expected = [cand[j] for j in order]
+            assert [v for _, v, _ in sorted(got[q])] == expected
+
+    def test_probe_prunes_partitions(self, spark, corpus, queries, tmp_path):
+        idx = str(tmp_path / "ivf2")
+        SIM.build_ivf_index(corpus, idx, nlist=4)
+        df = SIM.ivf_index_topk(spark, idx, queries, k=5, nprobe=1)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the probe-list IN filter must land in PartitionFilters (pruned at
+        # file-listing time), never as a row-level data filter
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "list_id" in m.group(1)
