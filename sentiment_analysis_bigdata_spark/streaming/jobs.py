@@ -289,23 +289,34 @@ def run_stream_upsert_to_parquet(
     ``MERGE INTO`` against a table format.
 
     Exactly-once recipe on a plain filesystem: every batch materializes
-    the fully-merged table into a NEW versioned directory
-    (``{out_dir}/_v{batch_id}``) and then atomically repoints a _LATEST
-    marker file. A batch replayed after failure rewrites its own version
-    directory and repoints to the same place — idempotent. Readers resolve
-    the marker via :func:`read_upsert_table`. At 100 TB the same shape is
-    what Delta/Iceberg do with metadata instead of a marker file; the
-    merge itself is one shuffle on the key (window argmax), proportional
-    to table size — so this sink suits dimension-scale state, while
-    fact-scale streams should use the append sink above.
+    the fully-merged table into a NEW versioned directory (normally
+    ``{out_dir}/_v{batch_id}``) and then atomically repoints a _LATEST
+    marker file. Replay safety: if a batch crashed AFTER the repoint but
+    BEFORE the streaming checkpoint committed, the replayed batch would
+    read its prev table from ``_v{batch_id}`` and must not overwrite the
+    directory it is reading (Spark refuses to overwrite a path being read
+    from) — so whenever the marker already points at this batch's own
+    directory, the re-merged table is written to ``_v{batch_id}_retry``
+    instead (and a replay of the retry flips back to ``_v{batch_id}``),
+    keeping read and write paths always distinct. Retention: after each
+    successful repoint, all version directories except the new one and its
+    immediate predecessor (kept for in-flight readers of the old marker)
+    are deleted, so storage holds at most two table versions. Readers
+    resolve the marker via :func:`read_upsert_table`. At 100 TB the same
+    shape is what Delta/Iceberg do with metadata instead of a marker file;
+    the merge itself is one shuffle on the key (window argmax),
+    proportional to table size — so this sink suits dimension-scale state,
+    while fact-scale streams should use the append sink above.
     """
     import os
+    import shutil
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         merged = batch_df
-        prev = _read_latest_version(spark, out_dir)
-        if prev is not None:
+        current = _read_marker(out_dir)
+        if current is not None:
+            prev = spark.read.parquet(f"{out_dir}/{current}")
             merged = prev.unionByName(batch_df)
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in order_cols]
@@ -315,13 +326,20 @@ def run_stream_upsert_to_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        vdir = f"{out_dir}/_v{batch_id}"
-        latest.write.mode("overwrite").parquet(vdir)
+        # never write the directory we are reading from (replay after a
+        # repoint-then-crash): alternate to a _retry sibling in that case
+        target = f"_v{batch_id}" if current != f"_v{batch_id}" else f"_v{batch_id}_retry"
+        latest.write.mode("overwrite").parquet(f"{out_dir}/{target}")
         tmp = f"{out_dir}/_LATEST.tmp"
         os.makedirs(out_dir, exist_ok=True)
         with open(tmp, "w") as f:
-            f.write(f"_v{batch_id}")
+            f.write(target)
         os.replace(tmp, f"{out_dir}/_LATEST")  # atomic repoint
+        # retention: keep the new version + its predecessor, drop the rest
+        keep = {target, current}
+        for name in os.listdir(out_dir):
+            if name.startswith("_v") and name not in keep:
+                shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)
@@ -332,14 +350,20 @@ def run_stream_upsert_to_parquet(
     _await_or_raise(q, timeout_s)
 
 
-def _read_latest_version(spark, out_dir: str):
+def _read_marker(out_dir: str) -> str | None:
     import os
 
     marker = f"{out_dir}/_LATEST"
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        version = f.read().strip()
+        return f.read().strip()
+
+
+def _read_latest_version(spark, out_dir: str):
+    version = _read_marker(out_dir)
+    if version is None:
+        return None
     return spark.read.parquet(f"{out_dir}/{version}")
 
 

@@ -4,6 +4,16 @@ DuckDB-oracle SQL twin (where SQL-expressible).
 Each module defines ``QUERIES: dict[name, (spark_fn, oracle_sql | None)]``
 where ``spark_fn(spark, sf_dir) -> DataFrame``. ``__spark_entry__.py``
 aggregates them into the driver contract.
+
+Registry order is **interleaved round-robin by operator family** (one lane
+per family; the eight relational modules share a single lane) so any prefix
+sample of ``all_queries()`` — in particular the driver's first-50
+correctness sample — spans every family: relational, text, dedup/ANN/
+multimodal, affinity, modern-SQL, temporal/streaming, tokenizer-training,
+warehouse, evaluation/ML, graph, and scale ops. Within each lane a short
+headline list pulls the family's flagship operators to the front; the
+remaining queries follow in module-definition order. The *set* of queries
+and their semantics are unchanged — only the iteration order.
 """
 
 from __future__ import annotations
@@ -35,42 +45,101 @@ from sentiment_analysis_bigdata_spark.workloads import (
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [
-    relational_q,
-    relational_q2,
-    relational_q3,
-    relational_q4,
-    relational_q5,
-    relational_q6,
-    relational_q7,
-    relational_q8,
-    text_q,
-    dedup_sim,
-    affinity_q,
-    modern_q,
-    temporal_q,
-    train_q,
-    warehouse_q,
-    evaluation_q,
-    graph_q,
-    scale_q,
+# One lane per operator family. Lane order fixes which family fills slot k of
+# each round-robin cycle; module order within a lane is concatenation order.
+_FAMILIES: list[tuple[str, list]] = [
+    (
+        "relational",
+        [
+            relational_q,
+            relational_q2,
+            relational_q3,
+            relational_q4,
+            relational_q5,
+            relational_q6,
+            relational_q7,
+            relational_q8,
+        ],
+    ),
+    ("text", [text_q]),
+    ("dedup_sim", [dedup_sim]),
+    ("temporal", [temporal_q]),
+    ("train", [train_q]),
+    ("evaluation", [evaluation_q]),
+    ("warehouse", [warehouse_q]),
+    ("scale", [scale_q]),
+    ("affinity", [affinity_q]),
+    ("modern", [modern_q]),
+    ("graph", [graph_q]),
 ]
+
+# Flagship queries pulled to the front of their family lane so they land
+# inside any small prefix sample. Names not (yet) present are skipped, so
+# this list may mention queries added in later rounds without breaking.
+_HEADLINE: dict[str, list[str]] = {
+    "relational": ["pricing_summary", "top_revenue_orders", "top_orders_per_customer"],
+    "text": ["clean_documents", "token_topk_nostop", "lang_id", "tfidf_top_terms"],
+    "dedup_sim": [
+        "minhash_near_dups",
+        "ann_ivf_index",
+        "multimodal_decode",
+        "ann_recall",
+        "simhash_near_dups",
+        "ann_ivf_append",
+        "embedding_near_dup",
+    ],
+    "temporal": [
+        "streaming_upsert",
+        "streaming_tumbling",
+        "asof_purchase_signup",
+        "streaming_dedup",
+        "streaming_sessions",
+    ],
+    "train": ["bpe_merges", "bpe_vocab"],
+    "evaluation": ["confusion_matrix", "roc_auc", "ml_logistic_regression"],
+    "warehouse": ["scd2_user_state", "source_token_drift"],
+    "scale": ["group_sample", "heavy_hitters", "stateful_ewma"],
+}
+
+
+def _lane_names(family: str, modules: list) -> list[str]:
+    names: list[str] = []
+    for m in modules:
+        names.extend(m.QUERIES)
+    head = [n for n in _HEADLINE.get(family, []) if n in names]
+    return head + [n for n in names if n not in head]
+
+
+def _interleaved() -> list[tuple[str, tuple]]:
+    """Return (name, (fn, sql)) pairs, round-robin across family lanes."""
+    lanes: list[list[tuple[str, tuple]]] = []
+    for family, modules in _FAMILIES:
+        by_name: dict[str, tuple] = {}
+        for m in modules:
+            for name, entry in m.QUERIES.items():
+                if name in by_name:
+                    raise ValueError(f"duplicate query name {name}")
+                by_name[name] = entry
+        lanes.append([(n, by_name[n]) for n in _lane_names(family, modules)])
+    seen: set[str] = set()
+    for lane in lanes:
+        for name, _ in lane:
+            if name in seen:
+                raise ValueError(f"duplicate query name {name}")
+            seen.add(name)
+    out: list[tuple[str, tuple]] = []
+    cursors = [0] * len(lanes)
+    while any(cursors[i] < len(lanes[i]) for i in range(len(lanes))):
+        for i, lane in enumerate(lanes):
+            if cursors[i] < len(lane):
+                out.append(lane[cursors[i]])
+                cursors[i] += 1
+    return out
 
 
 def all_queries() -> dict[str, SparkQuery]:
-    out: dict[str, SparkQuery] = {}
-    for m in _MODULES:
-        for name, (fn, _sql) in m.QUERIES.items():
-            if name in out:
-                raise ValueError(f"duplicate query name {name}")
-            out[name] = fn
-    return out
+    return {name: fn for name, (fn, _sql) in _interleaved()}
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for m in _MODULES:
-        for name, (_fn, sql) in m.QUERIES.items():
-            if sql is not None:
-                out[name] = sql
-    return out
+    return {name: sql for name, (_fn, sql) in _interleaved() if sql is not None}

@@ -166,3 +166,59 @@ def test_upsert_sink_multi_batch_latest_wins(spark, tmp_path):
         for r in SJ.read_upsert_table(spark, out).collect()
     }
     assert got == {1: (102, "purchase"), 2: (101, "view"), 3: (103, "click")}
+    # retention: only the latest version and its predecessor are kept
+    import os
+
+    versions = sorted(n for n in os.listdir(out) if n.startswith("_v"))
+    assert len(versions) == 2, versions
+
+
+def test_upsert_sink_replay_after_repoint(spark, tmp_path):
+    """Replay of a batch whose _LATEST marker was already repointed (crash
+    between marker repoint and checkpoint commit) must not read-and-
+    overwrite the same version directory. Simulated by re-running the same
+    single-file source with a FRESH checkpoint: batch_id restarts at 0
+    while the marker already points at _v0, forcing the _retry path."""
+    import datetime as dt
+    import os
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, 100, t0, "click", 1.0, "{}"), (2, 101, t0, "view", 2.0, "{}")]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).toPandas().to_parquet(
+        str(d / "f1.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    from pyspark.sql import types as T
+
+    def make_stream():
+        return (
+            spark.readStream.schema(T._parse_datatype_string(schema))
+            .parquet(str(d))
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+
+    out = str(tmp_path / "table")
+    SJ.run_stream_upsert_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt1"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    with open(f"{out}/_LATEST") as f:
+        assert f.read().strip() == "_v0"
+
+    # replay: fresh checkpoint -> same batch id 0, marker already at _v0
+    SJ.run_stream_upsert_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt2"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    with open(f"{out}/_LATEST") as f:
+        assert f.read().strip() == "_v0_retry"
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in SJ.read_upsert_table(spark, out).collect()
+    }
+    assert got == {1: (100, "click"), 2: (101, "view")}
+    versions = sorted(n for n in os.listdir(out) if n.startswith("_v"))
+    assert versions == ["_v0", "_v0_retry"]
