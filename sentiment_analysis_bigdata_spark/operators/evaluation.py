@@ -272,9 +272,19 @@ def pr_points(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("P")
     ).first()["P"] or 0
     if total_pos == 0:
+        # mirror the non-empty path's schema: score keeps the input
+        # column's actual type (float/decimal/...), not a hardcoded double
+        from pyspark.sql import types as T
+
         empty = df.sparkSession.createDataFrame(
             [],
-            "score double, precision double, recall double",
+            T.StructType(
+                [
+                    T.StructField("score", df.schema[score_col].dataType),
+                    T.StructField("precision", T.DoubleType()),
+                    T.StructField("recall", T.DoubleType()),
+                ]
+            ),
         )
         return empty
     by_score = df.groupBy(F.col(score_col).alias("score")).agg(

@@ -305,20 +305,26 @@ def cosine_topk_pandas(
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
 
     def score(batches):
+        # one output frame per Arrow batch (not per query per batch), and
+        # only each query's LOCAL top-k rows leave the executor — the
+        # exchange carries nq*k rows per batch instead of batch_size*nq;
+        # the global window then reduces the partial top-k sets.
         for pdf in batches:
             if not len(pdf):
                 continue
             cm = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
             cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             sims = cn @ qn.T  # (batch, nq)
-            for j, qid in enumerate(qids):
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "vec_id": pdf[corpus_id].to_numpy(),
-                        "cosine": sims[:, j],
-                    }
-                )
+            ids = pdf[corpus_id].to_numpy()
+            kk = min(k + 1, len(ids))  # +1: self-match is filtered downstream
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "vec_id": ids[top.T.ravel()],
+                    "cosine": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+            )
 
     scored = corpus.mapInPandas(score, "query_id long, vec_id long, cosine double")
     scored = scored.filter(F.col("vec_id") != F.col("query_id"))

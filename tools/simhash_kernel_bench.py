@@ -2,7 +2,8 @@
 
 Variants:
   A  per-row HOF expression (hashing.simhash64 — zip_with vote array)
-  B  explode + 60-column conditional bit-sum hash agg (dedup.simhash_signatures)
+  B  Arrow mapInPandas numpy vote kernel over JVM md5 hashes
+     (dedup.simhash_signatures — the production kernel)
   C  per-bit HOF folds (60 separate F.aggregate over the hash array)
   D  Arrow mapInPandas kernel (hashlib.md5 + numpy popcount votes)
 
@@ -96,7 +97,7 @@ def main():
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     docs.limit(1).count()
 
-    variants = {"A_hof_expr": variant_a, "B_explode_agg": variant_b,
+    variants = {"A_hof_expr": variant_a, "B_prod_kernel": variant_b,
                 "C_perbit_hof": variant_c, "D_pandas": variant_d}
     results = {}
     for name, fn in variants.items():
