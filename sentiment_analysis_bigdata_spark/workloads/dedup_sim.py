@@ -309,6 +309,78 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the ACTUALLY-approximate ANN configuration as a
+    value-checked number: LSH single-probe (multiprobe=False — each query
+    scans only its own sign bucket — the true approximation, unlike the
+    exhaustive configs that ann_lsh/ann_ivf use for exactness) against the
+    exact brute-force top-k, both computed inside Spark, per-query hit
+    count + recall aggregated distributively. The sign-bucket function has
+    an exact SQL twin, so the oracle recomputes BOTH sides and the recall
+    number itself is hash-checked — approximation quality is a hard
+    per-round number, not a pytest-only claim. The IVF nprobe<nlist recall
+    floor is asserted in tests/test_similarity.py."""
+    emb = _emb(spark, sf)
+    exact = SIM.brute_force_topk(emb, _queries_frame(emb), k=TOP_K)
+    approx = SIM.lsh_topk(
+        emb, _queries_frame(emb), k=TOP_K, n_bits=8, multiprobe=False
+    )
+    hits = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(TOP_K), 6))
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOP_K}
+),
+c AS (
+  SELECT vec_id, embedding AS cv, {_sql_sign_bucket('embedding')} AS bucket FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_sql_sign_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+approx_scored AS (
+  SELECT p.query_id, c.vec_id, {_sql_cosine('c.cv', 'p.qv')} AS cos_raw
+  FROM c JOIN qb p ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+approx_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM approx_scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS INTEGER) AS n_hits,
+       round(count(a.vec_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_topk e
+LEFT JOIN approx_topk a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 # --- rows-only checked (non-SQL-reproducible) operators ---------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -625,6 +697,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),
