@@ -176,6 +176,36 @@ def build_ivf_index(
     return centers
 
 
+def append_to_ivf_index(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental index maintenance: append a delta of new vectors to an
+    EXISTING IVF index without re-clustering. The persisted centroids are
+    reloaded and each delta vector is assigned to its nearest list; the
+    assignment is written ``mode=append`` + ``partitionBy(list_id)``, so
+    only NEW parquet files land inside the affected ``list_id=`` partition
+    directories — existing files (and the centroids) are untouched, and a
+    subsequent probe prunes partitions exactly as before. This is the
+    build-once/probe-many serving loop closed: daily deltas append in
+    O(|delta|) instead of re-clustering O(|corpus|). Centroid drift under
+    sustained appends is a rebuild decision for the caller (track it with
+    the per-list counts; rebuild via :func:`build_ivf_index`).
+    """
+    centroids = (
+        spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
+    )
+    centers = [list(r["center"]) for r in centroids]
+    delta.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        _nearest_lists(centers, corpus_vec, 1)[0]["list_id"].alias("list_id"),
+    ).write.mode("append").partitionBy("list_id").parquet(f"{index_dir}/corpus")
+
+
 def ivf_index_topk(
     spark,
     index_dir: str,

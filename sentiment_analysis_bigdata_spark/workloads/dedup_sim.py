@@ -537,6 +537,40 @@ def q_ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_ann_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF maintenance, value-checked end-to-end: the index is
+    BUILT from only the even-id half of the corpus, the odd-id half is
+    APPENDED via similarity.append_to_ivf_index (nearest-centroid assign +
+    mode=append partitioned write — no re-clustering), and the appended
+    index is probed exhaustively (nprobe = nlist). Exhaustive probing
+    makes the result kmeans-independent, so it must equal the brute-force
+    SQL oracle over the FULL corpus — which only holds if the appended
+    vectors actually landed in probe-readable partitions."""
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        emb = _emb(spark, sf)
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        delta = emb.filter(F.col("vec_id") % 2 == 1)
+        SIM.build_ivf_index(base, idx, nlist=8)
+        SIM.append_to_ivf_index(spark, idx, delta)
+        out = SIM.ivf_index_topk(
+            spark, idx, _queries_frame(emb), k=TOP_K, nprobe=8
+        )
+        res = out.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN in exhaustive-probe mode (nprobe = nlist): the probed lists
     cover the whole corpus, so the result must equal exact brute force
@@ -703,6 +737,7 @@ QUERIES = {
     "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),
     "ann_ivf": (q_ann_ivf, SQL_ANN_BRUTEFORCE),
     "ann_ivf_index": (q_ann_ivf_index, SQL_ANN_BRUTEFORCE),
+    "ann_ivf_append": (q_ann_ivf_append, SQL_ANN_BRUTEFORCE),
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),

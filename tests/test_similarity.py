@@ -186,3 +186,48 @@ class TestPersistedIvfIndex:
 
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "list_id" in m.group(1)
+
+    def test_append_preserves_existing_files_and_centroids(
+        self, spark, corpus, queries, tmp_path
+    ):
+        """Append must be O(|delta|): existing corpus parquet files are
+        byte-untouched, centroids unchanged, and an exhaustive probe of
+        the appended index equals brute force over the full corpus."""
+        import os
+
+        idx = str(tmp_path / "ivf3")
+        base = corpus.filter("vec_id % 2 = 0")
+        delta = corpus.filter("vec_id % 2 = 1")
+        centers_before = SIM.build_ivf_index(base, idx, nlist=4)
+
+        def snapshot(root):
+            out = {}
+            for dirpath, _dirs, files in os.walk(f"{root}/corpus"):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(dirpath, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        before = snapshot(idx)
+        SIM.append_to_ivf_index(spark, idx, delta)
+        after = snapshot(idx)
+        # all pre-append files still present and untouched; new files added
+        for p, mtime in before.items():
+            assert p in after and after[p] == mtime, p
+        assert len(after) > len(before)
+        centers_after = [
+            list(r["center"])
+            for r in spark.read.parquet(f"{idx}/centroids").orderBy("list_id").collect()
+        ]
+        assert centers_after == centers_before
+
+        got = {}
+        for r in SIM.ivf_index_topk(spark, idx, queries, k=5, nprobe=4).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        exact = {}
+        for r in SIM.brute_force_topk(corpus, queries, k=5).collect():
+            exact.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        assert {q: sorted(v) for q, v in got.items()} == {
+            q: sorted(v) for q, v in exact.items()
+        }
