@@ -157,6 +157,7 @@ def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    batch_merges: int = 16,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Full BPE training (Sennrich et al. 2016, arXiv:1508.07909),
     distributed: returns (merges, final_vocab) where merges is
@@ -164,37 +165,77 @@ def train_bpe(
     (word, freq, seg) frame after all merges.
 
     Scale shape (module docstring): the corpus is reduced ONCE to the
-    vocab-sized (word, freq) frame; every merge round then (1) counts
+    vocab-sized (word, freq) frame; every merge ROUND then (1) counts
     adjacent symbol pairs on that frame — one vocab-sized shuffle, (2)
-    collects the single argmax pair (a 1-row driver action, within the
-    bounded-collect policy), (3) applies the merge as a narrow literal
-    ``replace`` projection. ``localCheckpoint`` after each round keeps the
-    lineage flat, so round k never recomputes rounds 0..k-1 (same guard
-    as transitive dedup clustering, operators/dedup.py). Ties break
-    (n desc, lhs asc, rhs asc) — engine- and partitioning-stable.
+    collects a bounded top-of-list of candidates (driver action within the
+    bounded-collect policy), (3) applies up to ``batch_merges`` merges as
+    one narrow literal ``replace`` projection. ``localCheckpoint`` per
+    ROUND keeps the lineage flat, so round k never recomputes earlier
+    rounds (same guard as transitive dedup clustering, operators/dedup.py).
+    Ties break (n desc, lhs asc, rhs asc) — engine- and
+    partitioning-stable.
+
+    Batched rounds are EXACTLY equivalent to one-merge-per-round Sennrich
+    training (asserted in tests/test_train_ops.py), by this argument: the
+    candidates are scanned in global rank order and accepted greedily
+    while pairwise symbol-disjoint (sharing neither lhs, rhs, nor the
+    merged string of any earlier accepted merge). A pair disjoint from
+    all accepted merges has an INVARIANT count under them (its symbol
+    slots cannot overlap theirs), while any pair whose count can change —
+    including brand-new pairs involving a merged symbol — shares a symbol
+    with some accepted merge, and every occurrence of such a new pair is
+    produced from an occurrence of a sharing pair, so its count is
+    bounded by the first sharing candidate's count ``stop_n``. Truncating
+    the accepted list to merges with count STRICTLY above ``stop_n``
+    (ties could flip the sequential argmax via lexicographic tie-break)
+    therefore reproduces the sequential merge sequence and its recorded
+    counts; when even the top candidate doesn't clear the bound the round
+    degrades to a single merge, which is trivially sequential. Driver
+    round-trips drop from O(n_merges) to ~O(n_merges / batch_merges): a
+    30k-merge tokenizer run goes from ~60k driver-coordinated jobs to
+    ~2-4k (VERDICT r3 ask #3).
     """
     vocab = segment_words(word_frequencies(df, text_col)).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    while len(merges) < n_merges:
+        m = min(batch_merges, n_merges - len(merges))
+        fetch = max(4 * m + 1, 16)
+        top = (
             symbol_pair_counts(vocab)
             .orderBy(F.col("n").desc(), F.col("lhs"), F.col("rhs"))
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
-        if not best:  # every word fully merged to a single symbol
+        if not top:  # every word fully merged to a single symbol
             break
-        lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
-        merged = lhs + rhs
-        merges.append((rank, lhs, rhs, merged, n))
-        vocab = vocab.withColumn(
-            "seg",
-            F.replace(
-                F.col("seg"),
-                F.lit(f" {lhs}  {rhs} "),
-                F.lit(f" {merged} "),
-            ),
-        ).localCheckpoint()
+        accepted: list[tuple[str, str, int]] = []
+        touched: set[str] = set()
+        stop_n = None  # count of the first candidate sharing a symbol
+        for r in top:
+            lhs, rhs, n = r["lhs"], r["rhs"], r["n"]
+            if lhs in touched or rhs in touched or (lhs + rhs) in touched:
+                stop_n = n
+                break
+            if len(accepted) < m:
+                accepted.append((lhs, rhs, n))
+                touched.update((lhs, rhs, lhs + rhs))
+            # disjoint candidates beyond m don't bound anything; keep
+            # scanning for the first SHARING candidate, which does
+        if stop_n is None and len(top) == fetch:
+            # sharing pairs may hide below the fetch horizon; every one of
+            # them ranks at or below the last fetched row
+            stop_n = top[-1]["n"]
+        if stop_n is not None:
+            safe = [t for t in accepted if t[2] > stop_n]
+            # n is sorted desc, so the strict filter keeps a prefix
+            accepted = safe if safe else accepted[:1]
+        seg = F.col("seg")
+        for lhs, rhs, n in accepted:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, n))
+            seg = F.replace(
+                seg, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        vocab = vocab.withColumn("seg", seg).localCheckpoint()
     return merges, vocab
 
 

@@ -96,6 +96,39 @@ class TestTrainBpe:
         for w, s in segs.items():
             assert s == py_final[w], (w, s, py_final[w])
 
+    def test_batched_rounds_equal_sequential(self, spark):
+        """The batched merge application (top-m disjoint pairs per round)
+        must reproduce the one-merge-per-round sequence EXACTLY — ranks,
+        pairs, and recorded counts — on real corpus text where tie and
+        symbol-sharing cases actually occur."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        seq, _ = tokenizer_train.train_bpe(docs, n_merges=24, batch_merges=1)
+        bat, _ = tokenizer_train.train_bpe(docs, n_merges=24, batch_merges=8)
+        assert bat == seq
+
+    def test_256_merge_train_is_batch_fast(self, spark):
+        """VERDICT r3 #3 done-criterion: a 256-merge-budget train at
+        sf0.01 completes inside a bound that one-merge-per-round driver
+        latency would blow (sequential ≈ 2 driver-coordinated jobs per
+        merge). The synthetic corpus has only 31 distinct words, so
+        training EXHAUSTS the vocabulary (every word collapses to a
+        single symbol, 89 merges) before the 256 budget — which maximizes
+        round count and still must finish fast. Generous wall bound to
+        absorb CI machine-load swings."""
+        import time
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        t0 = time.monotonic()
+        merges, vocab = tokenizer_train.train_bpe(
+            docs, n_merges=256, batch_merges=16
+        )
+        elapsed = time.monotonic() - t0
+        assert len({m[3] for m in merges}) == len(merges)  # merged symbols distinct
+        # vocabulary fully merged: every word is one symbol
+        n_multi = vocab.filter("seg like '%  %'").count()
+        assert n_multi == 0
+        assert elapsed < 120, elapsed
+
     def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
         # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]
         df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
