@@ -4,15 +4,17 @@ pandas functions via ``mapInPandas``.
 
 The decode kernels are REAL dependency-free codec parsers for the two
 container formats whose structure is fully specified by public byte
-layouts: PNG (signature + IHDR big-endian dims, RFC 2083 §3) and RIFF/WAV
-(fmt/data little-endian chunks). Payload synthesis builds genuinely
-structured bytes (correct chunk sizes and CRCs), so decode → dims is an
-end-to-end binary round trip, not a fake: a parser bug (endianness, chunk
-offset) breaks the DuckDB oracle, which recomputes the planted dims from
-the source columns. Pixel/sample *content* decoding (zlib inflate, PCM)
-is out of scope — there are no media libs in the container — and unknown
-codecs fall back to a clearly-marked deterministic sha-derived feature
-stub.
+layouts: PNG (signature + IHDR big-endian dims + zlib-deflated IDAT
+scanlines, RFC 2083) and RIFF/WAV (fmt/data little-endian chunks, 16-bit
+PCM). Payload synthesis builds genuinely structured bytes (correct chunk
+sizes, CRCs, filter bytes, PCM samples), so decode → dims AND decode →
+pixel/sample statistics are end-to-end binary round trips, not fakes: a
+parser bug (endianness, chunk offset, filter-byte handling, inflate
+length) breaks the DuckDB oracle, which recomputes the planted values in
+closed form from the source columns. Content decode uses only zlib +
+numpy (both in the base container); codecs that would need real media
+libs (JPEG, H.264, MP3) fall back to kind='unknown' with a clearly-marked
+deterministic sha-derived feature stub.
 
 Design for 100 TB of media:
 - payloads stay ``binary`` columns in parquet (or pointers to object-store
@@ -82,12 +84,26 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def synthesize_png_bytes(width: int, height: int) -> bytes:
-    """Header-valid 8-bit RGB PNG: signature + IHDR (correct CRC) + IEND.
-    No IDAT — pixel payload is out of scope; every byte present follows
-    the real format, so any spec-conformant header parser reads it."""
+def synthesize_png_bytes(
+    width: int, height: int, pixel_byte: int | None = None
+) -> bytes:
+    """Spec-valid 8-bit RGB PNG: signature + IHDR (correct CRC) + optional
+    IDAT + IEND. With ``pixel_byte`` set, a REAL zlib-deflated IDAT is
+    included: each scanline is a 0 (None) filter byte followed by w RGB
+    pixels — the FIRST pixel of row y carries value y in all channels (a
+    per-row sentinel that content decode must find at the right offsets;
+    requires height ≤ 256) and the remaining w-1 pixels carry
+    ``pixel_byte``. Without it, the stream is headers-only (legacy
+    fixture shape; content stats decode to null)."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    chunks = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if pixel_byte is not None:
+        raw = b"".join(
+            b"\x00" + bytes([y % 256] * 3) + bytes([pixel_byte] * 3) * (width - 1)
+            for y in range(height)
+        )
+        chunks += _png_chunk(b"IDAT", zlib.compress(raw))
+    return chunks + _png_chunk(b"IEND", b"")
 
 
 def decode_png_header(payload: bytes) -> tuple[int, int]:
@@ -102,16 +118,50 @@ def decode_png_header(payload: bytes) -> tuple[int, int]:
     return width, height
 
 
+def decode_png_content(payload: bytes) -> tuple[int, int] | None:
+    """Pixel-level stats from the IDAT stream: walk the chunk list,
+    concatenate IDAT bodies, zlib-inflate, validate the exact
+    h·(1 + 3w) scanline length, strip each row's leading filter byte
+    (only filter 0 is produced by our synthesizer; anything else is
+    rejected), and return (px_count, px_sum) over the channel bytes.
+    None when the stream has no IDAT (headers-only fixture)."""
+    import numpy as np
+
+    width, height = decode_png_header(payload)
+    pos, idat = 8, []
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack(">I4s", payload[pos : pos + 8])
+        if tag == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + length])
+        pos += 12 + length  # length + tag + body + crc
+    if not idat:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + 3 * width
+    if len(raw) != height * stride:
+        raise ValueError("PNG IDAT: unexpected scanline length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if rows[:, 0].any():
+        raise ValueError("PNG IDAT: unsupported filter type")
+    px = rows[:, 1:]
+    return int(px.size), int(px.sum(dtype=np.int64))
+
+
 def synthesize_wav_bytes(
     n_samples: int,
     rate: int = WAV_RATE,
     channels: int = WAV_CHANNELS,
     bits: int = WAV_BITS,
+    sample_value: int = 0,
 ) -> bytes:
-    """Structurally complete RIFF/WAVE: fmt chunk (PCM) + zero-filled data
-    chunk sized to ``n_samples`` — all sizes real, so duration is honestly
-    recomputable from the bytes alone."""
-    data = b"\x00" * (n_samples * channels * bits // 8)
+    """Structurally complete RIFF/WAVE: fmt chunk (PCM) + a data chunk of
+    ``n_samples`` little-endian 16-bit samples all holding
+    ``sample_value`` (negative values exercise two's-complement byte
+    order) — all sizes and sample bytes real, so duration AND sample
+    statistics are honestly recomputable from the bytes alone."""
+    data = struct.pack("<h", sample_value) * (n_samples * channels)
+    if bits != 16:  # non-16-bit fixtures keep the legacy zero fill
+        data = b"\x00" * (n_samples * channels * bits // 8)
     fmt = struct.pack(
         "<HHIIHH",
         1,  # PCM
@@ -156,6 +206,31 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
     return data_size * 1000 // byte_rate, rate, channels, bits
 
 
+def decode_wav_content(payload: bytes) -> tuple[int, int, int] | None:
+    """Sample-level stats from the data chunk: locate it by walking the
+    RIFF chunk list, reinterpret as little-endian int16 PCM, and return
+    (n_samples, pcm_sum, pcm_abs_max). None for non-16-bit streams."""
+    import numpy as np
+
+    _dur, _rate, channels, bits = decode_wav_header(payload)
+    if bits != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if tag == b"data":
+            samples = np.frombuffer(
+                payload[pos + 8 : pos + 8 + size], dtype="<i2"
+            )
+            return (
+                len(samples) // channels,
+                int(samples.sum(dtype=np.int64)),
+                int(np.abs(samples.astype(np.int64)).max(initial=0)),
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("not a WAV: missing data chunk")
+
+
 def _sha_features(payload: bytes) -> list[float]:
     """Placeholder feature extractor (sha-derived, deterministic) — the
     honest stand-in until a real embedding model runs next to the data."""
@@ -165,19 +240,35 @@ def _sha_features(payload: bytes) -> list[float]:
 
 def decode_media(payload: bytes):
     """Dispatch on magic bytes → (kind, width, height, duration_ms,
-    sample_rate, features). Unknown/corrupt payloads come back as kind
-    'unknown' with null dims — a poisoned row must not kill a 100 TB job;
-    callers filter or quarantine on kind."""
+    sample_rate, px_count, px_sum, pcm_n_samples, pcm_sum, pcm_abs_max,
+    features). Content stats are None where the modality doesn't define
+    them (or, for PNG, when the stream is headers-only). Unknown/corrupt
+    payloads come back as kind 'unknown' with null fields — a poisoned
+    row must not kill a 100 TB job; callers filter or quarantine on
+    kind."""
+    none5 = (None, None, None, None, None)
     try:
         if payload[:8] == PNG_SIGNATURE:
             w, h = decode_png_header(payload)
-            return ("png", w, h, None, None, _sha_features(payload))
+            px = decode_png_content(payload)
+            px_count, px_sum = px if px is not None else (None, None)
+            return (
+                ("png", w, h, None, None)
+                + (px_count, px_sum, None, None, None)
+                + (_sha_features(payload),)
+            )
         if payload[:4] == b"RIFF":
             dur, rate, _, _ = decode_wav_header(payload)
-            return ("wav", None, None, dur, rate, _sha_features(payload))
+            pcm = decode_wav_content(payload)
+            n, s, mx = pcm if pcm is not None else (None, None, None)
+            return (
+                ("wav", None, None, dur, rate)
+                + (None, None, n, s, mx)
+                + (_sha_features(payload),)
+            )
     except ValueError:
         pass
-    return ("unknown", None, None, None, None, _sha_features(payload))
+    return ("unknown", None, None, None, None) + none5 + (_sha_features(payload),)
 
 
 # --- Spark-side kernels -----------------------------------------------------------
@@ -185,16 +276,23 @@ def decode_media(payload: bytes):
 def attach_png_payloads(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Fixture ingestion: real header-valid PNG bytes per row, dims derived
-    from source columns (width = 64 + id mod 192, height = 64 + text
-    length mod 192) so an oracle can recompute what decode must read back
-    out of the bytes."""
+    """Fixture ingestion: real content-complete PNG bytes per row, with
+    every planted parameter derived from source columns so an oracle can
+    recompute in closed form what decode must read back out of the bytes:
+    width = 64 + id mod 192, height = 64 + text length mod 192 (≤ 255,
+    satisfying the row-sentinel bound), fill pixel = (7·id + text length)
+    mod 256. Planted pixel sums: row y holds sentinel y (3 channels) +
+    (w-1) fill pixels, so px_sum = 3·h(h-1)/2 + 3·h·(w-1)·fill."""
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             payloads = [
-                synthesize_png_bytes(64 + int(i) % 192, 64 + len(t or "") % 192)
+                synthesize_png_bytes(
+                    64 + int(i) % 192,
+                    64 + len(t or "") % 192,
+                    pixel_byte=(7 * int(i) + len(t or "")) % 256,
+                )
                 for i, t in zip(pdf[id_col], pdf[text_col])
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
@@ -208,15 +306,20 @@ def attach_png_payloads(
 def attach_wav_payloads(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Fixture ingestion: real RIFF/WAVE bytes per row, sample count
-    derived from the text length ((len mod 100 + 1)·80 samples @ 8 kHz →
-    duration (len mod 100 + 1)·10 ms)."""
+    """Fixture ingestion: real RIFF/WAVE bytes per row, planted from the
+    text length: (len mod 100 + 1)·80 samples @ 8 kHz (duration
+    (len mod 100 + 1)·10 ms), every 16-bit sample holding
+    (len mod 17) − 8 — negatives exercise two's-complement byte order in
+    content decode (pcm_sum = n·value, pcm_abs_max = |value|)."""
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
             payloads = [
-                synthesize_wav_bytes((len(t or "") % 100 + 1) * 80)
+                synthesize_wav_bytes(
+                    (len(t or "") % 100 + 1) * 80,
+                    sample_value=(len(t or "") % 17) - 8,
+                )
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
@@ -240,8 +343,21 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         + ", kind string, width int, height int, duration_ms int,"
-        + " sample_rate int, features array<double>"
+        + " sample_rate int, px_count bigint, px_sum bigint,"
+        + " pcm_n_samples bigint, pcm_sum bigint, pcm_abs_max bigint,"
+        + " features array<double>"
     )
+    int_cols = {
+        "width": "Int32",
+        "height": "Int32",
+        "duration_ms": "Int32",
+        "sample_rate": "Int32",
+        "px_count": "Int64",
+        "px_sum": "Int64",
+        "pcm_n_samples": "Int64",
+        "pcm_sum": "Int64",
+        "pcm_abs_max": "Int64",
+    }
 
     def kernel(batches):
         for pdf in batches:
@@ -250,14 +366,25 @@ def decode_and_featurize(df: DataFrame, payload_col: str = "payload") -> DataFra
             decoded = [decode_media(p) for p in pdf[payload_col]]
             pdf = pdf.copy()
             for i, name in enumerate(
-                ["kind", "width", "height", "duration_ms", "sample_rate"]
+                [
+                    "kind",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "sample_rate",
+                    "px_count",
+                    "px_sum",
+                    "pcm_n_samples",
+                    "pcm_sum",
+                    "pcm_abs_max",
+                ]
             ):
                 pdf[name] = pd.Series(
                     [d[i] for d in decoded],
                     index=pdf.index,
-                    dtype="object" if name == "kind" else "Int32",
+                    dtype=int_cols.get(name, "object"),
                 )
-            pdf["features"] = pd.Series([d[5] for d in decoded], index=pdf.index)
+            pdf["features"] = pd.Series([d[10] for d in decoded], index=pdf.index)
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)

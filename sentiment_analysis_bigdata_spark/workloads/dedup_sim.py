@@ -600,45 +600,86 @@ def q_ann_gemm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end binary round trip: synthesize REAL header-valid PNG bytes
-    per doc (width/height planted from doc_id / text length), then decode
-    them back by parsing the actual signature + big-endian IHDR
-    (operators/multimodal.py). The oracle recomputes the planted dims from
-    the source columns — a parser bug (endianness, chunk offset) breaks
+    """End-to-end binary round trip at CONTENT level: synthesize real
+    content-complete PNG bytes per doc (dims + fill pixel planted from
+    doc_id / text length; zlib-deflated IDAT with per-row sentinels),
+    then decode them back — signature + big-endian IHDR parse, IDAT
+    inflate, filter-byte strip, pixel aggregation
+    (operators/multimodal.py). The oracle recomputes dims AND the planted
+    pixel count/sum in closed form from the source columns — a parser bug
+    (endianness, chunk offset, scanline stride, filter handling) breaks
     the match."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
     docs = MM.attach_png_payloads(_docs(spark, sf))
     out = MM.decode_and_featurize(docs)
-    return out.select("doc_id", "kind", "width", "height")
+    return out.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "px_count",
+        "px_sum",
+        F.round(F.col("px_sum") / F.col("px_count"), 6).alias("px_mean"),
+    )
 
 
 SQL_MULTIMODAL_DECODE = """
+WITH planted AS (
+  SELECT doc_id,
+         64 + doc_id % 192 AS w,
+         64 + length(text) % 192 AS h,
+         (7 * doc_id + length(text)) % 256 AS fill
+  FROM documents
+)
 SELECT doc_id,
        'png' AS kind,
-       CAST(64 + doc_id % 192 AS INTEGER) AS width,
-       CAST(64 + length(text) % 192 AS INTEGER) AS height
-FROM documents
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 * w * h AS BIGINT) AS px_count,
+       CAST(3 * h * (h - 1) / 2 + 3 * h * (w - 1) * fill AS BIGINT) AS px_sum,
+       round((3 * h * (h - 1) / 2 + 3 * h * (w - 1) * fill)
+             / CAST(3 * w * h AS DOUBLE), 6) AS px_mean
+FROM planted
 """
 
 
 def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio twin of multimodal_decode: real RIFF/WAVE bytes (mono 16-bit
-    PCM @ 8 kHz, sample count planted from text length), duration read
-    back by walking the little-endian fmt/data chunks."""
+    """Audio twin of multimodal_decode at content level: real RIFF/WAVE
+    bytes (mono 16-bit PCM @ 8 kHz, sample count and constant sample
+    value planted from text length — negative values included), duration
+    read back by walking the little-endian fmt/data chunks and sample
+    stats by reinterpreting the data chunk as int16 PCM."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
     docs = MM.attach_wav_payloads(_docs(spark, sf))
     out = MM.decode_and_featurize(docs)
-    return out.select("doc_id", "kind", "duration_ms", "sample_rate")
+    return out.select(
+        "doc_id",
+        "kind",
+        "duration_ms",
+        "sample_rate",
+        "pcm_n_samples",
+        "pcm_sum",
+        "pcm_abs_max",
+    )
 
 
 SQL_MULTIMODAL_AUDIO = """
+WITH planted AS (
+  SELECT doc_id,
+         (length(text) % 100 + 1) * 80 AS n,
+         (length(text) % 17) - 8 AS v
+  FROM documents
+)
 SELECT doc_id,
        'wav' AS kind,
-       CAST((length(text) % 100 + 1) * 10 AS INTEGER) AS duration_ms,
-       CAST(8000 AS INTEGER) AS sample_rate
-FROM documents
+       CAST(n / 8 AS INTEGER) AS duration_ms,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS pcm_n_samples,
+       CAST(n * v AS BIGINT) AS pcm_sum,
+       CAST(abs(v) AS BIGINT) AS pcm_abs_max
+FROM planted
 """
 
 

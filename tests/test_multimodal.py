@@ -79,6 +79,40 @@ def test_wav_roundtrip_parses_real_bytes():
         MM.decode_wav_header(b"RIFFxxxxNOPE")
 
 
+def test_png_content_decode_roundtrip():
+    # 4x3 RGB, fill=200: row y = sentinel y (3 ch) + 3 fill pixels
+    raw = MM.synthesize_png_bytes(4, 3, pixel_byte=200)
+    assert MM.decode_png_header(raw) == (4, 3)
+    px_count, px_sum = MM.decode_png_content(raw)
+    assert px_count == 4 * 3 * 3
+    assert px_sum == 3 * (0 + 1 + 2) + 3 * 3 * 3 * 200
+    # headers-only stream → no content stats
+    assert MM.decode_png_content(MM.synthesize_png_bytes(4, 3)) is None
+    # truncated IDAT must be rejected, not misread
+    import struct as st
+    import zlib as zl
+
+    bad_idat = zl.compress(b"\x00" * 5)  # wrong scanline length for 4x3
+    bad = (
+        MM.PNG_SIGNATURE
+        + raw[8 : 8 + 25]  # IHDR chunk (len+tag+13+crc)
+        + st.pack(">I", len(bad_idat))
+        + b"IDAT"
+        + bad_idat
+        + st.pack(">I", zl.crc32(b"IDAT" + bad_idat) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        MM.decode_png_content(bad)
+
+
+def test_wav_content_decode_roundtrip():
+    raw = MM.synthesize_wav_bytes(160, sample_value=-7)
+    n, total, mx = MM.decode_wav_content(raw)
+    assert (n, total, mx) == (160, 160 * -7, 7)
+    # zero fill still decodes
+    assert MM.decode_wav_content(MM.synthesize_wav_bytes(80)) == (80, 0, 0)
+
+
 def test_decode_kernel_png_wav_end_to_end(spark):
     df = spark.createDataFrame(
         [(10, "abcdef"), (11, "x" * 30)], "doc_id long, text string"
