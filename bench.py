@@ -55,6 +55,20 @@ HEADLINE = [
     "pack_sequences",
 ]
 
+# Additive section (r4+): families the frozen 28-query headline set never
+# covered — BPE training, multimodal decode, warehouse (SCD2), streaming
+# sink, deterministic sampling, sparse cosine. Timed identically but
+# reported under separate keys so the frozen headline totals stay
+# round-over-round comparable (BASELINE.md continuity note).
+FAMILY_EXTRA = [
+    "bpe_merges",
+    "multimodal_decode",
+    "scd2_user_state",
+    "streaming_upsert",
+    "group_sample",
+    "sparse_cosine_pairs",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +115,18 @@ def main() -> None:
         run(qs[name](spark, sf_dir))
         warm[name] = round(time.time() - t0, 3)
 
+    extra: dict[str, float] = {}
+    extra_warm: dict[str, float] = {}
+    for name in FAMILY_EXTRA:
+        t0 = time.time()
+        run(qs[name](spark, sf_dir))
+        extra[name] = round(time.time() - t0, 3)
+        print(f"  [extra] {name}: {extra[name]:.3f}s", file=sys.stderr)
+    for name in FAMILY_EXTRA:
+        t0 = time.time()
+        run(qs[name](spark, sf_dir))
+        extra_warm[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -111,6 +137,10 @@ def main() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "family_extra_total": round(sum(extra.values()), 3),
+                "queries_extra": extra,
+                "family_extra_warm_total": round(sum(extra_warm.values()), 3),
+                "queries_extra_warm": extra_warm,
                 "sf": sf,
             }
         )
