@@ -14,6 +14,13 @@ global/collect limit) on the path is a plan that is guaranteed to OOM at
 100× and fails the audit (SCALING.md "broadcast policy"). Bounded frames
 (region/nation, 1-row aggregates, top-k limits) stay allowed.
 
+It ALSO appends the streaming state-store audit section
+(tools/streaming_audit.py): per streaming query, the documented state
+claim (stateless / output-bounded / watermark-evicting / key-bounded) is
+asserted from the stateOperators metrics of an actual multi-micro-batch
+run — streaming plans can't be explained post-execution, but their state
+footprint can be measured.
+
 Usage: python tools/plan_audit.py   (writes PLANS.md at the repo root)
 """
 
@@ -350,6 +357,16 @@ def main() -> None:
             "embeddings anywhere in the suite.\n"
         )
     failures.extend(bcast_failures)
+
+    # Streaming state-store audit: asserted from actual runs' progress
+    # metrics (plans can't be explained for executed streaming queries).
+    from tools import streaming_audit
+
+    stream_section, stream_failures = streaming_audit.audit(spark)
+    out.write(stream_section)
+    for name, problems in stream_failures:
+        print(f"  STREAMING VIOLATION {name}: {problems}", file=sys.stderr)
+    failures.extend(stream_failures)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(out.getvalue())

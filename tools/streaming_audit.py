@@ -1,0 +1,250 @@
+"""Streaming state-store audit (VERDICT r3 ask #4): verify each streaming
+query's documented state-footprint claim from the ``stateOperators``
+metrics of an ACTUAL incremental run, not code review.
+
+Method: the sf0.01 events table is staged into 4 time-range-partitioned
+parquet files and streamed with ``maxFilesPerTrigger=1`` + availableNow,
+so every job runs as 4 real micro-batches — watermarks advance between
+batches and eviction actually happens, which a single-file availableNow
+run can never show. For every job the audit then reads the final
+``StreamingQueryProgress`` and asserts the claim class:
+
+- ``output-bounded`` (complete-mode aggs: tumbling/sliding/sessions) —
+  state rows ≤ the batch-twin OUTPUT cardinality (#windows/#sessions),
+  never the input-event count;
+- ``watermark-evicting`` (append-mode dedup / stream-stream interval
+  join) — a state operator exists, the final watermark advanced past
+  epoch, rows were actually REMOVED by eviction, and final state is
+  strictly smaller than the input;
+- ``key-bounded`` (applyInPandasWithState EWMA) — state rows equal the
+  distinct key count exactly;
+- ``stateless`` (stream-static enrich, foreachBatch upsert sink) — no
+  state operator holds any rows.
+
+A stateful operator that fails its bound — or a watermark claim whose
+watermark never moved (state would grow forever on an unbounded source)
+— fails the audit. Run standalone (prints a table, exit 1 on violation)
+or via tools/plan_audit.py, which appends the section to PLANS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+EPOCH = "1970-01-01T00:00:00.000Z"
+N_FILES = 4
+
+
+def _staged_events_stream(spark, stage_dir: str):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.sources import load_table
+
+    if not os.path.isdir(os.path.join(stage_dir, "events")):
+        (
+            load_table(spark, SF, "events")
+            .repartitionByRange(N_FILES, F.col("ts"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, "events"))
+        )
+    schema = spark.read.parquet(os.path.join(stage_dir, "events")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "events"))
+    )
+
+
+def _run(df, name: str, mode: str, sink=None):
+    """Run to completion (availableNow), return the query handle with its
+    progress history intact. ``sink`` overrides the memory sink (upsert)."""
+    if sink is not None:
+        writer = df.writeStream.foreachBatch(sink)
+    else:
+        writer = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming audit job {name} did not finish")
+    return q
+
+
+def _metrics(q):
+    """(state_ops_final, rows_removed_total, final_watermark, input_rows)."""
+    progresses = list(q.recentProgress)
+    input_rows = sum(p["numInputRows"] for p in progresses)
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p.get("stateOperators") or []
+    )
+    final_ops, watermark = [], EPOCH
+    for p in progresses:
+        if p.get("stateOperators"):
+            final_ops = p["stateOperators"]
+        et = p.get("eventTime") or {}
+        watermark = et.get("watermark", watermark)
+    return final_ops, removed, watermark, input_rows
+
+
+def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.sources import load_table
+    from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+    from sentiment_analysis_bigdata_spark.streaming import stateful as ST
+
+    stage = os.path.join(tempfile.gettempdir(), "streaming_audit_stage")
+    events_batch = load_table(spark, SF, "events")
+    bounds = {
+        "tumbling": SJ.tumbling_counts(events_batch).count(),
+        "sliding": SJ.sliding_counts(events_batch).count(),
+        "sessions": SJ.sessionize_batch(events_batch).count(),
+        "events": events_batch.count(),
+        "users": events_batch.select("user_id").distinct().count(),
+    }
+
+    def stream():
+        return _staged_events_stream(spark, stage)
+
+    dim = (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 70, "heavy").otherwise("light").alias("tier"),
+        )
+    )
+    upsert_out = tempfile.mkdtemp(prefix="audit_upsert_")
+
+    def upsert_sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            f"{upsert_out}/batch_id={batch_id}"
+        )
+
+    # name -> (claim, build_fn -> (df, mode, sink), bound description, bound)
+    JOBS = {
+        "streaming_tumbling": (
+            "output-bounded",
+            lambda: (SJ.tumbling_counts(SJ.with_watermark(stream(), "1 hour")), "complete", None),
+            "#(window,event_type) groups",
+            bounds["tumbling"],
+        ),
+        "sliding_events": (
+            "output-bounded",
+            lambda: (SJ.sliding_counts(SJ.with_watermark(stream(), "1 hour")), "complete", None),
+            "#(window,event_type) groups",
+            bounds["sliding"],
+        ),
+        "streaming_sessions": (
+            "output-bounded",
+            lambda: (SJ.session_counts(SJ.with_watermark(stream(), "1 hour")), "complete", None),
+            "#sessions",
+            bounds["sessions"],
+        ),
+        "streaming_dedup": (
+            "watermark-evicting",
+            lambda: (
+                SJ.dedup_within_watermark(stream(), "1 hour").select("event_id", "event_type"),
+                "append",
+                None,
+            ),
+            "< input events (evicted)",
+            bounds["events"],
+        ),
+        "streaming_interval_join": (
+            "watermark-evicting",
+            lambda: (SJ.interval_join_clicks_purchases(stream(), within="1 hour"), "append", None),
+            "< 2 x input events (evicted)",
+            2 * bounds["events"],
+        ),
+        "streaming_static_join(enrich)": (
+            "stateless",
+            lambda: (SJ.enrich_with_dim(stream(), dim, "user_id"), "append", None),
+            "no state operator",
+            0,
+        ),
+        "streaming_upsert(sink)": (
+            "stateless",
+            lambda: (stream(), None, upsert_sink),
+            "no state operator (state lives in the versioned sink table)",
+            0,
+        ),
+        "stateful_ewma": (
+            "key-bounded",
+            lambda: (ST.ewma_stateful(stream()), "update", None),
+            "= distinct user_ids",
+            bounds["users"],
+        ),
+    }
+
+    rows, failures = [], []
+    for name, (claim, build, bound_desc, bound) in JOBS.items():
+        df, mode, sink = build()
+        q = _run(df, f"audit_{name.split('(')[0]}", mode, sink=sink)
+        ops, removed, watermark, input_rows = _metrics(q)
+        state_rows = sum(op["numRowsTotal"] for op in ops)
+        op_names = ",".join(op.get("operatorName", "?") for op in ops) or "-"
+        problems = []
+        if claim == "stateless":
+            if state_rows > 0:
+                problems.append(f"claimed stateless but holds {state_rows} state rows")
+        elif claim == "output-bounded":
+            if not ops:
+                problems.append("no state operator found")
+            if state_rows > bound:
+                problems.append(f"state rows {state_rows} > output bound {bound}")
+        elif claim == "watermark-evicting":
+            if not ops:
+                problems.append("no state operator found")
+            if watermark == EPOCH:
+                problems.append("watermark never advanced — state is unbounded")
+            if removed == 0:
+                problems.append("no rows ever evicted — state is unbounded")
+            if state_rows >= bound:
+                problems.append(f"final state rows {state_rows} not below bound {bound}")
+        elif claim == "key-bounded":
+            if state_rows != bound:
+                problems.append(f"state rows {state_rows} != distinct keys {bound}")
+        if problems:
+            failures.append((name, problems))
+        rows.append(
+            (name, claim, op_names, input_rows, state_rows, removed,
+             bound_desc, "FAIL: " + "; ".join(problems) if problems else "OK")
+        )
+
+    md = [
+        "\n## Streaming state-store audit\n",
+        f"\nEach job ran as {N_FILES} real micro-batches (time-ranged files, "
+        "maxFilesPerTrigger=1, availableNow) over sf0.01 events; metrics are "
+        "read from the run's own StreamingQueryProgress.stateOperators. "
+        "Generated by `python tools/streaming_audit.py`.\n",
+        "\n| query | claim | state operator | input rows | state rows | evicted | bound | status |",
+        "\n|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append("\n| " + " | ".join(f"`{r[0]}`" if i == 0 else str(v) for i, v in enumerate(r)) + " |")
+    md.append("\n")
+    return "".join(md), failures
+
+
+def main() -> None:
+    from sentiment_analysis_bigdata_spark import get_spark
+
+    spark = get_spark("streaming-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    section, failures = audit(spark)
+    print(section)
+    if failures:
+        print(f"STREAMING AUDIT FAILURES: {failures}", file=sys.stderr)
+        sys.exit(1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
