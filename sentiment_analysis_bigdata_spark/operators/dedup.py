@@ -658,3 +658,87 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram, slide a
+    window of ``w`` consecutive hashes, select the minimum per window, and
+    keep the distinct selected hashes as the document's fingerprint set.
+
+    Guarantees of the scheme: any shared substring of length >= k + w - 1
+    between two documents yields at least one SHARED fingerprint, while only
+    ~2/(w+1) of positions are selected — a contiguous-match detector with
+    bounded density (unlike MinHash, which sketches whole-document set
+    similarity, winnowing localizes copied passages).
+
+    Scale shape: the k-gram hash array is a narrow per-row projection (JVM
+    md5), posexplode is linear in characters, and the sliding min is a
+    bounded ROWS window partitioned by ``id_col`` — per-document work only,
+    no global sort, no shuffle beyond the doc_id hash partitioning. All
+    hashes are the md5-prefix family (functions/hashing.py), so a SQL
+    oracle replays fingerprints bit-for-bit.
+
+    Returns distinct (id_col, fp) pairs for docs with >= 1 full window.
+    """
+    from pyspark.sql import Window
+
+    c = F.lower(F.col(text_col))
+    n_starts = (F.length(c) - F.lit(k - 1)).alias("__ns")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
+        lambda i: H.md5_hash64_expr(c.substr(i, F.lit(k))),
+    )
+    base = df.filter(F.length(c) >= k + w - 1).select(
+        F.col(id_col), n_starts, F.posexplode(grams).alias("pos", "__h")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    return (
+        base.withColumn("fp", F.min("__h").over(win))
+        .filter(F.col("pos") <= F.col("__ns") - w)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document passage-overlap pairs via shared winnowing fingerprints.
+
+    Fingerprint-bucket equi self-join (the MOSS index shape): docs sharing
+    >= ``min_shared`` selected fingerprints are candidate contiguous-copy
+    pairs. Fingerprints appearing in more than ``max_df`` documents are
+    boilerplate (licence headers, templates) and are dropped BEFORE the
+    join, capping every bucket — the same df-cap discipline as the sparse
+    cosine inverted index (operators/affinity.py); never O(n²).
+
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    l, r = kept.alias("l"), kept.alias("r")
+    return (
+        l.join(r, "fp")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -760,6 +760,79 @@ HAVING count(*) >= 2
 """
 
 
+
+
+# --- Winnowing fingerprints (MOSS passage-overlap detection) ---------------------
+
+_WINNOW_K, _WINNOW_W = 20, 5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (operators/dedup.py
+    ``winnow_fingerprints`` — k=20 char-grams, window w=5, md5-prefix
+    hashes). The oracle replays gram hashing, the sliding window min, and
+    the distinct-selection in SQL, so fingerprint VALUES (min/max/sum) are
+    checked, not just counts."""
+    fps = DD.winnow_fingerprints(_docs(spark, sf), k=_WINNOW_K, w=_WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        # checksum mod a prime: a raw sum of ~100 60-bit hashes overflows
+        # BIGINT under ANSI arithmetic (and DuckDB would widen to HUGEINT)
+        F.sum(F.pmod("fp", F.lit(1_000_003))).alias("fp_checksum"),
+    )
+
+
+def _sql_winnow_fps(k: int, w: int) -> str:
+    gram = SQL_H60.format(t=f"substr(t, CAST(i AS INT), {k})")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {k + w - 1}
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos, length(t) - {k - 1} AS n_starts,
+         {gram} AS h
+  FROM docs, unnest(range(1, length(t) - {k} + 2)) AS u(i)
+),
+wins AS (
+  SELECT doc_id, pos, n_starts,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_starts - {w})
+"""
+
+
+SQL_WINNOW_FINGERPRINTS = _sql_winnow_fps(_WINNOW_K, _WINNOW_W) + """
+SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp,
+       CAST(sum(fp % 1000003) AS BIGINT) AS fp_checksum
+FROM fps GROUP BY 1
+"""
+
+
+def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-overlap candidate pairs via shared winnowing fingerprints
+    (operators/dedup.py ``winnow_overlap``): df-capped fingerprint-bucket
+    equi self-join — the MOSS index shape, never O(n^2)."""
+    return DD.winnow_overlap(
+        _docs(spark, sf), k=_WINNOW_K, w=_WINNOW_W, max_df=3, min_shared=3
+    )
+
+
+SQL_WINNOW_OVERLAP = _sql_winnow_fps(_WINNOW_K, _WINNOW_W) + """
+, rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 3
+),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
@@ -782,4 +855,6 @@ QUERIES = {
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
 }

@@ -189,3 +189,54 @@ def test_embedding_near_duplicates(spark):
     pairs = {(r["a"], r["b"]) for r in out.collect()}
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
+
+
+# --- winnowing fingerprints (MOSS) ----------------------------------------------
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 yields >= 1 shared
+    fingerprint (the winnowing guarantee); disjoint-alphabet docs share 0."""
+    k, w = 8, 4
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789"  # len 36 >= k+w-1
+    rows = [
+        (1, "PREFIXXX " + shared + " SUFFIXYY"),
+        (2, "zzz " + shared + " qqq"),
+        (3, "QWERTYUIOPQWERTYUIOPQWERTYUIOPQWERTYUIOP"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = DD.winnow_fingerprints(df, k=k, w=w)
+    by_doc: dict[int, set[int]] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_determinism(spark):
+    """Selected positions have density ~2/(w+1); rerun is identical."""
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    a = sorted(r["fp"] for r in DD.winnow_fingerprints(df, k=8, w=4).collect())
+    b = sorted(r["fp"] for r in DD.winnow_fingerprints(df, k=8, w=4).collect())
+    assert a == b and len(a) > 0
+    n_windows = len(text) - 8 + 1 - 4 + 1
+    density = len(a) / n_windows
+    assert 0.2 < density < 0.6  # theory: 2/(w+1) = 0.4 expected
+
+
+def test_winnow_overlap_finds_planted_copy(spark):
+    k, w = 8, 4
+    passage = "the same long copied passage appears in both documents verbatim"
+    rows = [
+        (1, "doc one begins " + passage + " and then diverges completely 111"),
+        (2, "totally other opening but " + passage + " closes differently 222"),
+        (3, "unrelated third document with its own words and nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.winnow_overlap(df, k=k, w=w, max_df=10, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
+    assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
