@@ -181,3 +181,72 @@ def sql_split_expr(weights: dict[str, float], id_col: str, seed: int) -> str:
         cum += weights[name]
         parts.append(f"WHEN {u} < {cum} THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    weight_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Target-ratio data mixing with deterministic up- AND down-sampling —
+    the pre-training mixture op (domain weights à la DoReMi / the Llama
+    data recipe): re-weight each source so its share of total
+    ``weight_col`` (tokens, chars, bytes) matches ``targets`` while
+    keeping the overall budget at the corpus total.
+
+    Per source s: rate_s = targets[s] · W_total / W_s. A rate < 1
+    downsamples (hash-Bernoulli keep); a rate > 1 upsamples by REPETITION
+    — floor(rate) guaranteed copies per row ("epochs") plus one more with
+    probability frac(rate). Every decision derives from
+    md5(id:copy:seed), so the emitted multiset is content-addressed:
+    reruns, engines, and partitionings agree row for row, and the SQL
+    oracle replays membership exactly. Sources absent from ``targets``
+    are dropped (rate 0).
+
+    Scale shape: one per-source aggregate (tiny), a 1-row total
+    (hint-broadcast; the per-source rate join carries NO hint — source
+    cardinality is data-dependent, AQE decides), then a narrow
+    explode(sequence(0, ceil(rate)-1)) + filter. No global shuffle of the
+    corpus; output size is ~W_total of weight regardless of skew.
+
+    Output: input columns + ``copy_id`` (0-based repetition index).
+    """
+    tot = df.agg(F.sum(weight_col).alias("__wt"))
+    per = df.groupBy(source_col).agg(F.sum(weight_col).alias("__ws"))
+    tmap = F.create_map(
+        *[x for kv in targets.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    rates = per.join(F.broadcast(tot)).select(
+        source_col,
+        (
+            F.coalesce(tmap[F.col(source_col)], F.lit(0.0))
+            * F.col("__wt")
+            / F.col("__ws")
+        ).alias("__rate"),
+    )
+    u = (
+        F.pmod(
+            H.md5_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("copy_id").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+    return (
+        df.join(rates, source_col)
+        .filter(F.col("__rate") > 0)
+        .withColumn(
+            "copy_id", F.explode(F.sequence(F.lit(0).cast("long"), F.ceil("__rate") - 1))
+        )
+        .filter((F.col("copy_id") < F.floor("__rate")) | (u < F.col("__rate") - F.floor("__rate")))
+        .drop("__rate")
+    )

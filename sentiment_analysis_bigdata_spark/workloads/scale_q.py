@@ -249,12 +249,67 @@ FROM ranked WHERE sample_rank <= 5
 SQL_GROUP_SAMPLE = _sql_group_sample()
 
 
+
+_MIX_TARGETS = {"en": 0.2, "zh": 0.2, "es": 0.2, "de": 0.2, "fr": 0.2}
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-ratio mixture resampling (operators/ordering.py
+    ``mixture_sample``): equalize every language's share of total chars.
+    The dominant lang (en, ~43% of chars) downsamples (rate < 1); minority
+    langs upsample by deterministic repetition (rate > 1, copy_id epochs) —
+    both paths exercised and replayed row-for-row by the SQL twin."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    mixed = ordering.mixture_sample(
+        docs, _MIX_TARGETS, weight_col="n_chars", source_col="lang"
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("w_out"),
+    )
+
+
+def _sql_mixture_sample() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH tot AS (SELECT sum(n_chars) AS wt FROM documents),
+per AS (SELECT lang, sum(n_chars) AS ws FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang, ({case}) * wt / ws AS rate FROM per CROSS JOIN tot
+),
+expanded AS (
+  SELECT d.doc_id, d.lang, d.n_chars, CAST(c AS BIGINT) AS copy_id, r.rate
+  FROM documents d JOIN rates r USING (lang),
+       unnest(range(0, CAST(ceil(r.rate) AS BIGINT))) AS u(c)
+  WHERE r.rate > 0
+),
+kept AS (
+  SELECT doc_id, lang, n_chars FROM expanded
+  WHERE copy_id < floor(rate)
+     OR ((CAST(('0x' || substr(md5(doc_id || ':' || copy_id || ':42'), 1, 15)) AS BIGINT)
+          % 1000000) / 1000000.0) < rate - floor(rate)
+)
+SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS w_out
+FROM kept GROUP BY 1
+"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "balance_sources": (q_balance_sources, SQL_BALANCE_SOURCES),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
     "stateful_ewma": (q_stateful_ewma, SQL_STATEFUL_EWMA),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
 from sentiment_analysis_bigdata_spark.operators import ordering
+from sentiment_analysis_bigdata_spark.operators import ordering as ORD
 
 
 class TestDeterministicShuffle:
@@ -175,3 +176,41 @@ class TestSamplePerGroup:
         # old ids' hashes are unchanged)
         old_in_big = {(g, i) for g, i in b if i < 100}
         assert old_in_big <= s
+
+
+# --- mixture_sample (target-ratio mixing with up/down-sampling) -----------------
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    rows = [(i, "big" if i < 800 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = ORD.mixture_sample(
+        df, {"big": 0.5, "small": 0.5}, weight_col="w"
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.sum("w").alias("n")).collect()}
+    total = sum(got.values())
+    # equal char share requested: each source within 10% of half the budget
+    assert abs(got["big"] / total - 0.5) < 0.1
+    assert abs(got["small"] / total - 0.5) < 0.1
+    # small source (20% of corpus, target 50%) upsamples: rate 2.5 means
+    # every row appears >= 2 times
+    copies = (
+        out.filter(F.col("source") == "small")
+        .groupBy("doc_id")
+        .count()
+        .agg(F.min("count").alias("mn"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    assert copies["mn"] >= 2 and copies["mx"] <= 3
+
+
+def test_mixture_sample_deterministic_and_drops_untargeted(spark):
+    rows = [(i, ["a", "b", "c"][i % 3], 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    t = {"a": 0.6, "b": 0.4}
+    one = sorted((r["doc_id"], r["copy_id"]) for r in ORD.mixture_sample(df, t, "w").collect())
+    two = sorted((r["doc_id"], r["copy_id"]) for r in ORD.mixture_sample(df, t, "w").collect())
+    assert one == two and len(one) > 0
+    assert not any(
+        r["source"] == "c" for r in ORD.mixture_sample(df, t, "w").collect()
+    )
