@@ -289,6 +289,58 @@ FROM pq
 """
 
 
+
+# --- HLL sketch rollup (mergeable distinct counts) -------------------------------
+
+def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-user counts via Apache DataSketches HLL
+    (``hll_sketch_agg`` / ``hll_union_agg`` — Spark built-ins): per-day
+    sketches union into per-event-type estimates WITHOUT re-touching the
+    fact table, the re-aggregation pattern that makes COUNT DISTINCT
+    feasible at 100 TB (a raw distinct re-shuffles the corpus per grain;
+    sketches roll up any grain from fixed-size state).
+
+    Correctness contract: the exact distinct count is value-checked
+    against the SQL oracle; the two estimate paths (direct sketch vs
+    per-day rollup union) are asserted within 5% of exact as boolean
+    columns the oracle pins to TRUE — a wrong estimate or a broken union
+    turns the row red, so the sketch path itself is driver-gated."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_rollup")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    tol = 0.05
+    return direct.join(rolled, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact"))
+            <= F.col("n_exact") * tol
+        ).alias("direct_within_tol"),
+        (
+            F.abs(F.col("est_rollup") - F.col("n_exact"))
+            <= F.col("n_exact") * tol
+        ).alias("rollup_within_tol"),
+    )
+
+
+SQL_HLL_USER_ROLLUP = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS direct_within_tol,
+       TRUE AS rollup_within_tol
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
@@ -299,4 +351,5 @@ QUERIES = {
     ),
     "robust_scaled_events": (q_robust_scaled_events, SQL_ROBUST_SCALED_EVENTS),
     "html_stripped_docs": (q_html_stripped_docs, SQL_HTML_STRIPPED_DOCS),
+    "hll_user_rollup": (q_hll_user_rollup, SQL_HLL_USER_ROLLUP),
 }

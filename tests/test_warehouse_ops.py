@@ -244,3 +244,28 @@ class TestDrift:
         b = self._counts(spark, [("x", 50), ("y", 50)])
         r = drift.divergence_from_counts(a, b).first()
         assert r.kl_ab > 0 and r.kl_ba > 0
+
+
+# --- HLL sketch rollup -----------------------------------------------------------
+
+
+def test_hll_rollup_union_matches_direct_estimate(spark):
+    """Per-partition sketches unioned must estimate the same set as a
+    direct sketch over the union — the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 9876).alias("u"), (F.col("id") % 10).alias("part")
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+    ).collect()[0]["est"]
+    rolled = (
+        df.groupBy("part")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = 9876
+    assert abs(direct - exact) <= 0.05 * exact
+    assert abs(rolled - exact) <= 0.05 * exact
