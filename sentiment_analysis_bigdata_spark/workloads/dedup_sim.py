@@ -833,6 +833,60 @@ HAVING count(*) >= 3
 """
 
 
+
+# --- similarity search: scalar-quantized (SQ8) top-k ----------------------------
+
+def q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 compressed-corpus top-k (operators/similarity.py ``sq8_topk``):
+    per-dim [min,max] codes 0..255, dequantized scoring vs float queries.
+    The oracle replays the quantizer bit-for-bit (floor-based rounding —
+    engine-neutral, unlike banker's/half-up round), so compression AND
+    ranking are value-checked, not just the output shape."""
+    emb = _emb(spark, sf)
+    out = SIM.sq8_topk(emb, _queries_frame(emb), k=TOP_K)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_SQ8 = f"""
+WITH stats AS (
+  SELECT CAST(i AS INT) AS pos,
+         min(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY 1
+),
+arrs AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM stats),
+dq AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN maxs[i] > mins[i]
+                     THEN mins[i] + floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                          / (maxs[i] - mins[i]) * 255.0 + 0.5)
+                          * (maxs[i] - mins[i]) / 255.0
+                     ELSE mins[i] END) AS v
+  FROM embeddings CROSS JOIN arrs
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, d.vec_id, {_sql_cosine('d.v', 'q.qv')} AS cos_raw
+  FROM dq d CROSS JOIN q
+  WHERE d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
@@ -856,5 +910,6 @@ QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
 }

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from sentiment_analysis_bigdata_spark.functions import vector as V
 from sentiment_analysis_bigdata_spark.operators import similarity as SIM
 
@@ -231,3 +233,47 @@ class TestPersistedIvfIndex:
         assert {q: sorted(v) for q, v in got.items()} == {
             q: sorted(v) for q, v in exact.items()
         }
+
+
+# --- SQ8 scalar quantization -----------------------------------------------------
+
+
+class TestSq8:
+    def _corpus(self, spark, n=200, dim=8, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_dequantization_error_bounded(self, spark):
+        corpus = self._corpus(spark)
+        dq = SIM.sq8_dequantized(corpus)
+        joined = corpus.join(dq, "vec_id").select(
+            F.expr(
+                "aggregate(zip_with(cast(embedding as array<double>), v,"
+                " (a, b) -> abs(a - b)), cast(0.0 as double),"
+                " (acc, x) -> greatest(acc, x))"
+            ).alias("max_err")
+        )
+        max_err = joined.agg(F.max("max_err")).collect()[0][0]
+        # per-dim step = (mx-mn)/255 <= 2/255; floor(t*255+.5) error <= step/2
+        assert max_err <= (2.0 / 255) / 2 + 1e-9
+
+    def test_sq8_topk_recall_vs_exact(self, spark):
+        corpus = self._corpus(spark, n=300)
+        queries = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in SIM.brute_force_topk(corpus, queries, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in SIM.sq8_topk(corpus, queries, k=10).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"SQ8 recall {recall}"
