@@ -362,3 +362,103 @@ def expected_calibration_error(
         ).alias("ece")
     ).first()
     return float(row["ece"])
+
+
+# Poisson(1) CDF thresholds P(X <= k), k = 0..4 (weights capped at 5).
+# Literal constants so Spark and any SQL oracle compare against identical
+# doubles; derived from e^-1 * sum(1/i!).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    seed: int = 42,
+    z: float = 1.96,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for a row-level metric mean
+    (e.g. accuracy = mean of a 0/1 ``correct`` column) — the standard
+    single-pass bootstrap for distributed data (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): replica b weights
+    each row Poisson(1), approximating multinomial resampling without ever
+    materializing a resample.
+
+    Every weight derives from md5(id:b:seed) through the Poisson(1)
+    inverse CDF (capped at 5), so replicas are content-addressed: reruns,
+    partitionings, and engines produce the same CI — unlike rand()-based
+    resampling, this is value-checkable by a SQL oracle.
+
+    Scale shape: one narrow explode of B = ``n_boot`` replica indexes per
+    row (map-side; partial aggregation collapses each partition to B
+    partial sums before the 1-shuffle to B rows), then a B-row final
+    reduce. With integer ``value_col`` the per-replica sums are exact
+    bigints, and the final mean/sd fold the B-array in sorted replica
+    order — bit-deterministic end to end.
+
+    Returns 1 row: (n_boot, mean, sd, ci_lo, ci_hi), unrounded.
+    """
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+
+    u = (
+        F.pmod(
+            H.md5_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("b").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
+    w = F.when(u < _POISSON1_CDF[0], 0)
+    for k in range(1, 5):
+        w = w.when(u < _POISSON1_CDF[k], k)
+    w = w.otherwise(5)
+    reps = (
+        df.select(F.col(id_col), F.col(value_col).alias("v"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w")).alias("m")
+        )
+    )
+    arr = reps.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "m"))), lambda s: s.getField("m")
+        ).alias("arr")
+    )
+    # fold in replica order on both engines — no partition-order float drift
+    stats = arr.select(
+        "arr",
+        (
+            F.aggregate("arr", F.lit(0.0), lambda a, x: a + x) / float(n_boot)
+        ).alias("mean"),
+    ).select(
+        F.lit(n_boot).alias("n_boot"),
+        "mean",
+        F.sqrt(
+            F.aggregate(
+                "arr", F.lit(0.0), lambda a, x: a + (x - F.col("mean")) * (x - F.col("mean"))
+            )
+            / float(n_boot - 1)
+        ).alias("sd"),
+    )
+    return stats.select(
+        "n_boot",
+        "mean",
+        "sd",
+        (F.col("mean") - F.lit(z) * F.col("sd")).alias("ci_lo"),
+        (F.col("mean") + F.lit(z) * F.col("sd")).alias("ci_hi"),
+    )

@@ -399,8 +399,81 @@ def q_ml_linear_svc(spark: SparkSession, sf: str) -> DataFrame:
     return _metrics_row(spark, m)
 
 
+
+# --- bootstrap confidence interval for accuracy ----------------------------------
+
+def q_bootstrap_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for accuracy (operators/evaluation.py
+    ``bootstrap_mean_ci``): 32 content-addressed replicas, each weighting
+    rows Poisson(1) from md5(doc_id:b:seed) — single pass, no resample
+    materialization. Integer weights x 0/1 correctness keep per-replica
+    sums exact, and the final mean/sd fold in replica order, so the CI is
+    bit-deterministic and the oracle replays it end to end."""
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 2).cast("int")
+            == ((F.col("doc_id") + F.col("n_chars")) % 3 % 2).cast("int"),
+            1,
+        )
+        .otherwise(0)
+        .alias("correct"),
+    )
+    out = EV.bootstrap_mean_ci(preds, "correct", "doc_id", n_boot=32)
+    return out.select(
+        "n_boot",
+        F.round("mean", 6).alias("acc_mean"),
+        F.round("sd", 6).alias("acc_sd"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+def _sql_bootstrap_accuracy() -> str:
+    from sentiment_analysis_bigdata_spark.operators.evaluation import _POISSON1_CDF
+
+    u = ("((CAST(('0x' || substr(md5(doc_id || ':' || b || ':42'), 1, 15)) AS BIGINT)"
+         " % 1000000) / 1000000.0)")
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN CAST(doc_id % 2 AS INTEGER)
+                   = CAST((doc_id + n_chars) % 3 % 2 AS INTEGER)
+              THEN 1 ELSE 0 END AS correct
+  FROM documents
+),
+weighted AS (
+  SELECT CAST(b AS INT) AS b, correct,
+         CASE {cases} ELSE 5 END AS w
+  FROM p, unnest(range(0, 32)) AS t(b)
+),
+reps AS (
+  SELECT b, CAST(sum(w * correct) AS DOUBLE) / sum(w) AS m
+  FROM weighted GROUP BY b
+),
+arr AS (SELECT list(m ORDER BY b) AS a FROM reps),
+s1 AS (SELECT a, list_sum(a) / 32.0 AS mean FROM arr),
+s2 AS (
+  SELECT mean,
+         sqrt(list_sum(list_transform(a, x -> (x - mean) * (x - mean))) / 31.0) AS sd
+  FROM s1
+)
+SELECT 32 AS n_boot, round(mean, 6) AS acc_mean, round(sd, 6) AS acc_sd,
+       round(mean - 1.96 * sd, 6) AS ci_lo, round(mean + 1.96 * sd, 6) AS ci_hi
+FROM s2
+"""
+
+
+SQL_BOOTSTRAP_ACCURACY = _sql_bootstrap_accuracy()
+
+
 QUERIES = {
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
+    "bootstrap_accuracy": (q_bootstrap_accuracy, SQL_BOOTSTRAP_ACCURACY),
     "accuracy": (q_accuracy, SQL_ACCURACY),
     "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),

@@ -166,3 +166,32 @@ class TestCalibration:
         bins = EV.calibration_bins(df, bins=10).collect()
         assert sum(r.n for r in bins) == 11  # score 1.0 clamps to bin 9
         assert max(r.bin for r in bins) == 9
+
+
+# --- Poisson bootstrap CI --------------------------------------------------------
+
+
+class TestBootstrapMeanCi:
+    def test_ci_covers_truth_and_matches_binomial_theory(self, spark):
+        import math
+
+        from sentiment_analysis_bigdata_spark.operators import evaluation as EVO
+
+        n, p = 2000, 0.75
+        rows = [(i, 1 if (i * 37 % 100) < p * 100 else 0) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, correct int")
+        true_mean = sum(r[1] for r in rows) / n
+        out = EVO.bootstrap_mean_ci(df, "correct", "doc_id", n_boot=32).collect()[0]
+        assert out["ci_lo"] <= true_mean <= out["ci_hi"]
+        assert abs(out["mean"] - true_mean) < 0.02
+        theory_sd = math.sqrt(true_mean * (1 - true_mean) / n)
+        assert 0.3 * theory_sd < out["sd"] < 3.0 * theory_sd
+
+    def test_deterministic_across_repartitioning(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import evaluation as EVO
+
+        rows = [(i, i % 3 == 0 and 1 or 0) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, correct int")
+        a = EVO.bootstrap_mean_ci(df, "correct", "doc_id").collect()[0]
+        b = EVO.bootstrap_mean_ci(df.repartition(17), "correct", "doc_id").collect()[0]
+        assert a == b
