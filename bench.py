@@ -67,6 +67,11 @@ FAMILY_EXTRA = [
     "streaming_upsert",
     "group_sample",
     "sparse_cosine_pairs",
+    "winnow_fingerprints",
+    "mixture_sample",
+    "ann_sq8",
+    "hll_user_rollup",
+    "bootstrap_accuracy",
 ]
 
 

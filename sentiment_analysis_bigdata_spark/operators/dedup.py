@@ -666,6 +666,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character k-gram, slide a
@@ -678,33 +679,45 @@ def winnow_fingerprints(
     bounded density (unlike MinHash, which sketches whole-document set
     similarity, winnowing localizes copied passages).
 
-    Scale shape: the k-gram hash array is a narrow per-row projection (JVM
-    md5), posexplode is linear in characters, and the sliding min is a
-    bounded ROWS window partitioned by ``id_col`` — per-document work only,
-    no global sort, no shuffle beyond the doc_id hash partitioning. All
-    hashes are the md5-prefix family (functions/hashing.py), so a SQL
-    oracle replays fingerprints bit-for-bit.
+    Scale shape: ZERO shuffle — the whole selection is a narrow per-row
+    pipeline. The k-gram hash array computes once per row (JVM md5,
+    let-bound with the single-element-transform idiom so interpreted eval
+    doesn't re-derive it per window — there is no CSE in HOF lambdas, see
+    SCALING.md), the per-window min is ``array_min(slice(hashes, j, w))``
+    over window starts, and ``array_distinct`` dedups in place; only the
+    ~2/(w+1)-dense fingerprint set ever explodes. An earlier formulation
+    posexploded every character position and ran a ROWS window over it —
+    same values, but it shuffled n_chars x 16 bytes per document for a
+    per-doc sliding min that needs no partitioning at all.
+
+    ``repartition_to``: optional parallelism floor for the hashing pass.
+    Parquet scans split at row-group granularity, so a small single-group
+    file yields ONE task no matter the core count; a tiny pre-shuffle then
+    unlocks every core for the md5-dominated projection. At 100 TB the
+    input has thousands of natural splits and the knob should stay None.
 
     Returns distinct (id_col, fp) pairs for docs with >= 1 full window.
     """
-    from pyspark.sql import Window
-
     c = F.lower(F.col(text_col))
-    n_starts = (F.length(c) - F.lit(k - 1)).alias("__ns")
     grams = F.transform(
         F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
         lambda i: H.md5_hash64_expr(c.substr(i, F.lit(k))),
     )
-    base = df.filter(F.length(c) >= k + w - 1).select(
-        F.col(id_col), n_starts, F.posexplode(grams).alias("pos", "__h")
-    )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
-    return (
-        base.withColumn("fp", F.min("__h").over(win))
-        .filter(F.col("pos") <= F.col("__ns") - w)  # full windows only
-        .select(id_col, "fp")
-        .distinct()
-    )
+
+    def select_fps(hs: Column) -> Column:
+        # window j covers hashes j..j+w-1 (1-based); starts 1..n_starts-w+1
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - F.lit(w - 1)),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+        )
+
+    fps = F.element_at(F.transform(F.array(grams), select_fps), 1)
+    base = df.filter(F.length(c) >= k + w - 1)
+    if repartition_to:
+        base = base.repartition(repartition_to, id_col)
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def winnow_overlap(
@@ -715,6 +728,7 @@ def winnow_overlap(
     w: int = 4,
     max_df: int = 50,
     min_shared: int = 2,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Cross-document passage-overlap pairs via shared winnowing fingerprints.
 
@@ -725,13 +739,21 @@ def winnow_overlap(
     join, capping every bucket — the same df-cap discipline as the sparse
     cosine inverted index (operators/affinity.py); never O(n²).
 
+    The df-cap is a count window over fp — NOT a separate aggregate joined
+    back — so the (md5-dominated) fingerprint pass is computed once, there
+    is a single fp shuffle, and the self-join's two sides arrive already
+    co-partitioned on fp from the window.
+
     Returns (doc_a, doc_b, n_shared) with doc_a < doc_b.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= max_df
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, repartition_to)
+    kept = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
     )
-    kept = fps.join(rare.select("fp"), "fp")
     l, r = kept.alias("l"), kept.alias("r")
     return (
         l.join(r, "fp")

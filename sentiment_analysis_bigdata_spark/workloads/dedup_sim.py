@@ -773,7 +773,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     hashes). The oracle replays gram hashing, the sliding window min, and
     the distinct-selection in SQL, so fingerprint VALUES (min/max/sum) are
     checked, not just counts."""
-    fps = DD.winnow_fingerprints(_docs(spark, sf), k=_WINNOW_K, w=_WINNOW_W)
+    fps = DD.winnow_fingerprints(
+        _docs(spark, sf),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp").alias("min_fp"),
@@ -817,7 +822,12 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.py ``winnow_overlap``): df-capped fingerprint-bucket
     equi self-join — the MOSS index shape, never O(n^2)."""
     return DD.winnow_overlap(
-        _docs(spark, sf), k=_WINNOW_K, w=_WINNOW_W, max_df=3, min_shared=3
+        _docs(spark, sf),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_df=3,
+        min_shared=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
