@@ -611,7 +611,12 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     the match."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
-    docs = MM.attach_png_payloads(_docs(spark, sf))
+    # single-row-group fixture parquet scans as ONE task; spread the
+    # zlib-heavy synthesize+decode across cores (no-op at real scale,
+    # where input splits provide natural parallelism)
+    docs = MM.attach_png_payloads(
+        _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     out = MM.decode_and_featurize(docs)
     return out.select(
         "doc_id",
@@ -652,7 +657,9 @@ def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     stats by reinterpreting the data chunk as int16 PCM."""
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
-    docs = MM.attach_wav_payloads(_docs(spark, sf))
+    docs = MM.attach_wav_payloads(
+        _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     out = MM.decode_and_featurize(docs)
     return out.select(
         "doc_id",
