@@ -715,7 +715,7 @@ def winnow_fingerprints(
 
     fps = F.element_at(F.transform(F.array(grams), select_fps), 1)
     base = df.filter(F.length(c) >= k + w - 1)
-    if repartition_to:
+    if repartition_to and base.rdd.getNumPartitions() < repartition_to:
         base = base.repartition(repartition_to, id_col)
     return base.select(F.col(id_col), F.explode(fps).alias("fp"))
 

@@ -1,4 +1,5 @@
 from sentiment_analysis_bigdata_spark.sources.catalog import (
+    ensure_min_parallelism,
     load_table,
     load_tables,
     read_csv,
@@ -11,6 +12,7 @@ from sentiment_analysis_bigdata_spark.sources.catalog import (
 )
 
 __all__ = [
+    "ensure_min_parallelism",
     "load_table",
     "load_tables",
     "read_csv",

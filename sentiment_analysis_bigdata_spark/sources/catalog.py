@@ -64,6 +64,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_parallelism(df: DataFrame, n: int, key: str | None = None) -> DataFrame:
+    """Parallelism floor for compute-heavy narrow pipelines: repartition to
+    ``n`` ONLY when the plan currently has fewer partitions. Parquet splits
+    at row-group granularity, so a small single-group file scans as one
+    task no matter the core count — a tiny pre-shuffle then unlocks every
+    core for md5/zlib/Arrow-kernel projections. When natural input splits
+    already provide >= n partitions (any realistic at-scale read), this is
+    a NO-OP and adds no shuffle.
+    """
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key) if key else df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once: ``tbl = load_tables(spark, d, 'orders', ...)``."""
     if not names:

@@ -16,7 +16,7 @@ from sentiment_analysis_bigdata_spark.functions import hashing as H
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
 from sentiment_analysis_bigdata_spark.operators import similarity as SIM
-from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism, load_table
 from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_FP, SQL_TOKS
 
 # 60-bit md5-prefix hash of a token, as a DuckDB expression
@@ -39,7 +39,9 @@ N_MINHASH = 4
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _docs(spark, sf)
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sigs = DD.minhash_signatures(
         docs, TXT.tokenize_nonempty("text"), "doc_id", N_MINHASH
     )
@@ -72,7 +74,11 @@ FROM base
 # --- SimHash ---------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return DD.simhash_signatures(_docs(spark, sf))
+    return DD.simhash_signatures(
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
 
 
 def _sql_simhash() -> str:
@@ -98,7 +104,11 @@ SQL_SIMHASH = _sql_simhash()
 
 def q_simhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return DD.simhash_signatures(
-        _docs(spark, sf), weighted=True, out_col="simhash_w"
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        ),
+        weighted=True,
+        out_col="simhash_w",
     )
 
 
@@ -615,7 +625,9 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     # zlib-heavy synthesize+decode across cores (no-op at real scale,
     # where input splits provide natural parallelism)
     docs = MM.attach_png_payloads(
-        _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     out = MM.decode_and_featurize(docs)
     return out.select(
@@ -658,7 +670,9 @@ def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators import multimodal as MM
 
     docs = MM.attach_wav_payloads(
-        _docs(spark, sf).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     out = MM.decode_and_featurize(docs)
     return out.select(
