@@ -341,6 +341,51 @@ GROUP BY 1
 """
 
 
+
+# --- one-pass table profile (ANALYZE-style column stats) -------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column count/ndv/min/max over orders in ONE aggregate pass
+    (operators/profiling.py) — the stats feed for CBO, data-quality gates,
+    and schema-drift alerts. The oracle recomputes every column's stats
+    independently, so a wrong partial-agg merge or unpivot wiring turns
+    the row red."""
+    from sentiment_analysis_bigdata_spark.operators import profiling
+
+    return profiling.profile_table(
+        load_table(spark, sf, "orders"), _PROFILE_COLS
+    )
+
+
+def _sql_table_profile() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    parts = []
+    for name in _PROFILE_COLS:
+        col = name if name != "o_orderdate" else "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"
+        if name in numeric:
+            vals = (f"CAST(min({col}) AS DOUBLE) AS min_numeric, "
+                    f"CAST(max({col}) AS DOUBLE) AS max_numeric, "
+                    "CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text")
+        else:
+            vals = ("CAST(NULL AS DOUBLE) AS min_numeric, CAST(NULL AS DOUBLE) AS max_numeric, "
+                    f"CAST(min({col}) AS VARCHAR) AS min_text, CAST(max({col}) AS VARCHAR) AS max_text")
+        parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows, "
+            f"count({col}) AS n_nonnull, count(DISTINCT {col}) AS n_distinct, {vals} "
+            "FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_PROFILE = _sql_table_profile()
+
+
 QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
@@ -352,4 +397,5 @@ QUERIES = {
     "robust_scaled_events": (q_robust_scaled_events, SQL_ROBUST_SCALED_EVENTS),
     "html_stripped_docs": (q_html_stripped_docs, SQL_HTML_STRIPPED_DOCS),
     "hll_user_rollup": (q_hll_user_rollup, SQL_HLL_USER_ROLLUP),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }

@@ -269,3 +269,23 @@ def test_hll_rollup_union_matches_direct_estimate(spark):
     exact = 9876
     assert abs(direct - exact) <= 0.05 * exact
     assert abs(rolled - exact) <= 0.05 * exact
+
+
+def test_profile_table_one_pass_stats(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        "k long, s string, v double",
+    )
+    out = {r["col_name"]: r for r in profiling.profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_numeric"] == 1.0 and out["k"]["max_numeric"] == 2.0
+    assert out["k"]["min_text"] is None
+    assert out["s"]["n_nonnull"] == 2 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_text"] == "a" and out["s"]["max_text"] == "b"
+    assert out["s"]["min_numeric"] is None
+    assert out["v"]["n_nonnull"] == 2 and out["v"]["max_numeric"] == 3.5
