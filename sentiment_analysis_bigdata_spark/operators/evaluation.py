@@ -383,6 +383,7 @@ def bootstrap_mean_ci(
     n_boot: int = 32,
     seed: int = 42,
     z: float = 1.96,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic Poisson bootstrap CI for a row-level metric mean
     (e.g. accuracy = mean of a 0/1 ``correct`` column) — the standard
@@ -403,7 +404,12 @@ def bootstrap_mean_ci(
     bigints, and the final mean/sd fold the B-array in sorted replica
     order — bit-deterministic end to end.
 
-    Returns 1 row: (n_boot, mean, sd, ci_lo, ci_hi), unrounded.
+    ``group_cols`` slices the CI per group (per-language accuracy, per-
+    source quality, …) — the replica explode and partial sums key on
+    (group, b), so slicing adds no extra pass.
+
+    Returns (group_cols..., n_boot, mean, sd, ci_lo, ci_hi), one row per
+    group (a single global row when ``group_cols`` is None), unrounded.
     """
     from sentiment_analysis_bigdata_spark.functions import hashing as H
 
@@ -425,27 +431,30 @@ def bootstrap_mean_ci(
     for k in range(1, 5):
         w = w.when(u < _POISSON1_CDF[k], k)
     w = w.otherwise(5)
+    groups = list(group_cols or [])
     reps = (
-        df.select(F.col(id_col), F.col(value_col).alias("v"))
+        df.select(*groups, F.col(id_col), F.col(value_col).alias("v"))
         .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
         .withColumn("w", w)
-        .groupBy("b")
+        .groupBy(*groups, "b")
         .agg(
             (F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w")).alias("m")
         )
     )
-    arr = reps.agg(
+    arr = reps.groupBy(*groups).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("b", "m"))), lambda s: s.getField("m")
         ).alias("arr")
     )
     # fold in replica order on both engines — no partition-order float drift
     stats = arr.select(
+        *groups,
         "arr",
         (
             F.aggregate("arr", F.lit(0.0), lambda a, x: a + x) / float(n_boot)
         ).alias("mean"),
     ).select(
+        *groups,
         F.lit(n_boot).alias("n_boot"),
         "mean",
         F.sqrt(
@@ -456,6 +465,7 @@ def bootstrap_mean_ci(
         ).alias("sd"),
     )
     return stats.select(
+        *groups,
         "n_boot",
         "mean",
         "sd",

@@ -471,9 +471,83 @@ FROM s2
 SQL_BOOTSTRAP_ACCURACY = _sql_bootstrap_accuracy()
 
 
+
+def q_accuracy_by_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliced evaluation: per-language accuracy with a bootstrap 95% CI
+    (``bootstrap_mean_ci(group_cols=["lang"])``) — the subgroup report an
+    eval pipeline ships so regressions on minority slices aren't hidden by
+    the aggregate. Same content-addressed replicas as bootstrap_accuracy;
+    slicing only re-keys the partial sums."""
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("doc_id") % 2).cast("int")
+            == ((F.col("doc_id") + F.col("n_chars")) % 3 % 2).cast("int"),
+            1,
+        )
+        .otherwise(0)
+        .alias("correct"),
+    )
+    out = EV.bootstrap_mean_ci(
+        preds, "correct", "doc_id", n_boot=32, group_cols=["lang"]
+    )
+    return out.select(
+        "lang",
+        "n_boot",
+        F.round("mean", 6).alias("acc_mean"),
+        F.round("sd", 6).alias("acc_sd"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+def _sql_accuracy_by_slice() -> str:
+    from sentiment_analysis_bigdata_spark.operators.evaluation import _POISSON1_CDF
+
+    u = ("((CAST(('0x' || substr(md5(doc_id || ':' || b || ':42'), 1, 15)) AS BIGINT)"
+         " % 1000000) / 1000000.0)")
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(doc_id % 2 AS INTEGER)
+                   = CAST((doc_id + n_chars) % 3 % 2 AS INTEGER)
+              THEN 1 ELSE 0 END AS correct
+  FROM documents
+),
+weighted AS (
+  SELECT lang, CAST(b AS INT) AS b, correct,
+         CASE {cases} ELSE 5 END AS w
+  FROM p, unnest(range(0, 32)) AS t(b)
+),
+reps AS (
+  SELECT lang, b, CAST(sum(w * correct) AS DOUBLE) / sum(w) AS m
+  FROM weighted GROUP BY lang, b
+),
+arr AS (SELECT lang, list(m ORDER BY b) AS a FROM reps GROUP BY lang),
+s1 AS (SELECT lang, a, list_sum(a) / 32.0 AS mean FROM arr),
+s2 AS (
+  SELECT lang, mean,
+         sqrt(list_sum(list_transform(a, x -> (x - mean) * (x - mean))) / 31.0) AS sd
+  FROM s1
+)
+SELECT lang, 32 AS n_boot, round(mean, 6) AS acc_mean, round(sd, 6) AS acc_sd,
+       round(mean - 1.96 * sd, 6) AS ci_lo, round(mean + 1.96 * sd, 6) AS ci_hi
+FROM s2
+"""
+
+
+SQL_ACCURACY_BY_SLICE = _sql_accuracy_by_slice()
+
+
 QUERIES = {
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "bootstrap_accuracy": (q_bootstrap_accuracy, SQL_BOOTSTRAP_ACCURACY),
+    "accuracy_by_slice": (q_accuracy_by_slice, SQL_ACCURACY_BY_SLICE),
     "accuracy": (q_accuracy, SQL_ACCURACY),
     "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
