@@ -918,6 +918,140 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+
+# --- leakage-safe splitting & hard-negative mining -------------------------------
+
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination-proof train/val/test split: assignment hashes the
+    near-dup CLUSTER id (transitive closure of near-duplicate pairs), not
+    the row id, so near-copies can never straddle train and eval — the
+    leakage mode a per-row split is blind to. Singletons cluster as
+    themselves; membership stays content-addressed and rerun-stable.
+    Output: per-split document and cluster counts (the cluster-atomicity
+    invariant — no cluster in two splits — is structural: one hash per
+    cluster). Oracle replays pairs → recursive closure → split."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    emb = _emb(spark, sf)
+    pairs = DD.embedding_near_duplicates(emb, threshold=0.25, n_bits=8)
+    comp = DD.connected_components(pairs)
+    clustered = emb.select("vec_id").join(
+        comp, emb["vec_id"] == comp["node"], "left"
+    ).select(
+        "vec_id", F.coalesce("component", "vec_id").alias("cluster")
+    )
+    split = ordering.split_by_hash(
+        clustered, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="cluster"
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    from sentiment_analysis_bigdata_spark.operators.ordering import sql_split_expr
+
+    split = sql_split_expr({"train": 0.8, "val": 0.1, "test": 0.1}, "cluster", 42)
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM (SELECT vec_id AS id, embedding AS v, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings) l
+  JOIN (SELECT vec_id AS id, embedding AS v, {_sql_sign_bucket('embedding')} AS bucket
+        FROM embeddings) r
+    ON l.bucket = r.bucket AND l.id < r.id
+  WHERE {_sql_cosine('l.v', 'r.v')} >= 0.25
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT e.vec_id, coalesce(c.component, e.vec_id) AS cluster
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+)
+SELECT {split} AS split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters
+FROM clustered
+GROUP BY 1
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors with a DIFFERENT label — the negatives that
+    actually move a contrastive loss (random negatives are trivially
+    separable). Same broadcast-query/corpus-scan shape as ann_bruteforce
+    plus a label-mismatch predicate; at scale the candidate generation
+    swaps to the IVF/LSH index, identical downstream."""
+    emb = _emb(spark, sf)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.crossJoin(q)
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            SIM.V.cosine_similarity(
+                F.col("embedding"), F.col("qv")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, round(cos_raw, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
@@ -942,5 +1076,7 @@ QUERIES = {
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
 }

@@ -240,3 +240,23 @@ def test_winnow_overlap_finds_planted_copy(spark):
     pairs = DD.winnow_overlap(df, k=k, w=w, max_df=10, min_shared=1).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
     assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Near-dup cluster members always land in the same split."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    comp = DD.connected_components(pairs)
+    clustered = ids.join(comp, ids["vec_id"] == comp["node"], "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("cluster")
+    )
+    split = ordering.split_by_hash(
+        clustered, {"train": 0.5, "val": 0.5}, id_col="cluster"
+    )
+    rows = {r["vec_id"]: r["split"] for r in split.collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[5] == rows[6]
