@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
 from sentiment_analysis_bigdata_spark.operators import features as FE
-from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism, load_table
 
 # SQL fragments shared by the oracles -----------------------------------------
 
@@ -260,7 +260,11 @@ GROUP BY doc_id
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _docs(spark, sf)
+    # regex-dense narrow projection: floor the scan parallelism (the
+    # single-row-group fixture otherwise runs it on one core; no-op at scale)
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select("doc_id", F.round(TXT.quality_score("text"), 4).alias("quality"))
 
 
@@ -285,7 +289,9 @@ FROM base
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _docs(spark, sf)
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select("doc_id", TXT.lang_id("text").alias("lang_guess"))
 
 
