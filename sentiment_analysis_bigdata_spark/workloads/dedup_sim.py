@@ -993,11 +993,15 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     swaps to the IVF/LSH index, identical downstream."""
     emb = _emb(spark, sf)
     q = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("label").alias("qlabel"),
         )
+        # no-op (the filter already yields N_QUERIES rows) but makes the
+        # broadcast side's boundedness plan-visible for tools/plan_audit.py
+        .limit(N_QUERIES)
     )
     from pyspark.sql import Window
 
