@@ -93,6 +93,31 @@ AUDIT = {
         "data-dependent, so no forced hint); only the 1-row global min "
         "carries a hint; the sampler itself is a narrow filter",
     ),
+    "winnow_fingerprints": (
+        ["Generate", "!Window"],
+        "winnowing's sliding-window min is a let-bound in-array HOF — the "
+        "plan has NO window operator (the posexplode+ROWS-window "
+        "formulation would shuffle n_chars x 16B per doc); only the "
+        "~2/(w+1)-dense fingerprint set explodes (Generate)",
+    ),
+    "winnow_overlap": (
+        ["Window", "!CartesianProduct"],
+        "the df-cap is a count window over fp (single fp shuffle; the "
+        "md5-dominated gram pass runs once) and the candidate join is a "
+        "fingerprint-bucket equi join — never O(n^2)",
+    ),
+    "ann_sq8": (
+        ["BroadcastNestedLoopJoin|BroadcastHashJoin", "!CartesianProduct", "HashAggregate"],
+        "SQ8 quantization stats are a dim-sized keyless aggregate "
+        "(bounded 1-row broadcast); scoring joins the bounded query side "
+        "via broadcast — the compressed corpus scan itself never shuffles",
+    ),
+    "mixture_sample": (
+        ["!CartesianProduct", "Generate"],
+        "per-source rates join back via an equi join (AQE-decided, no "
+        "hint on the data-dependent side; only the 1-row total carries "
+        "one); upsampling is a narrow explode of ceil(rate) copy indexes",
+    ),
     "incremental_dedup": (
         ["BroadcastHashJoin|SortMergeJoin", "LeftAnti"],
         "delta-vs-history dedup is an anti join on distinct fingerprints "
