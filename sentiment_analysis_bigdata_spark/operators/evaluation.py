@@ -472,3 +472,63 @@ def bootstrap_mean_ci(
         (F.col("mean") - F.lit(z) * F.col("sd")).alias("ci_lo"),
         (F.col("mean") + F.lit(z) * F.col("sd")).alias("ci_hi"),
     )
+
+
+def model_agreement(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_a_col: str = "pred_a",
+    pred_b_col: str = "pred_b",
+    alpha_chi2: float = 3.841458820694124,
+) -> DataFrame:
+    """Paired comparison of two classifiers on the same examples, in one
+    aggregate pass: per-model accuracy, Cohen's kappa (agreement beyond
+    chance between the two prediction columns), and McNemar's test on the
+    discordant pairs — the correct significance test for "is model B
+    better than A on the SAME data" (a two-proportion test ignores the
+    pairing and overstates variance).
+
+    McNemar with continuity correction: chi2 = (|b - c| - 1)^2 / (b + c),
+    b = A right & B wrong, c = A wrong & B right; ``significant`` compares
+    against the chi-square(1) critical value (default alpha = 0.05).
+    Kappa = (p_o - p_e) / (1 - p_e) with the chance agreement p_e from the
+    two models' marginal label rates (binary labels assumed, as in the
+    reference's sentiment task).
+
+    Everything reduces to integer counts in a single partial-aggregated
+    pass — no shuffle beyond a 1-row final combine — so the statistics are
+    exact and engine-reproducible.
+    """
+    lbl, pa, pb = F.col(label_col), F.col(pred_a_col), F.col(pred_b_col)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pa == lbl).cast("long")).alias("na"),
+        F.sum((pb == lbl).cast("long")).alias("nb"),
+        F.sum(((pa == lbl) & (pb != lbl)).cast("long")).alias("b"),
+        F.sum(((pa != lbl) & (pb == lbl)).cast("long")).alias("c"),
+        F.sum((pa == pb).cast("long")).alias("agree"),
+        F.sum((pa == 1).cast("long")).alias("pa1"),
+        F.sum((pb == 1).cast("long")).alias("pb1"),
+    )
+    n = F.col("n").cast("double")
+    p_o = F.col("agree") / n
+    p_e = (F.col("pa1") / n) * (F.col("pb1") / n) + (
+        (n - F.col("pa1")) / n
+    ) * ((n - F.col("pb1")) / n)
+    disc = (F.col("b") + F.col("c")).cast("double")
+    chi2 = F.when(
+        disc > 0,
+        (F.abs(F.col("b") - F.col("c")) - F.lit(1.0))
+        * (F.abs(F.col("b") - F.col("c")) - F.lit(1.0))
+        / disc,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n",
+        (F.col("na") / n).alias("accuracy_a"),
+        (F.col("nb") / n).alias("accuracy_b"),
+        ((p_o - p_e) / (F.lit(1.0) - p_e)).alias("kappa"),
+        "b",
+        "c",
+        chi2.alias("mcnemar_chi2"),
+        (chi2 > F.lit(alpha_chi2)).alias("significant"),
+    )

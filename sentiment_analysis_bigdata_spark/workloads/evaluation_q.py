@@ -544,10 +544,88 @@ FROM s2
 SQL_ACCURACY_BY_SLICE = _sql_accuracy_by_slice()
 
 
+
+def q_model_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired comparison of two deterministic classifiers on the same
+    rows (operators/evaluation.py ``model_agreement``): accuracies, Cohen's
+    kappa, and McNemar's test over the discordant pairs — single
+    partial-aggregated pass, exact integer counts, value-checked against a
+    SQL replay of the identical formulas."""
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        ((F.col("doc_id") + F.col("n_chars")) % 3 % 2).cast("int").alias("pred_a"),
+        (
+            (
+                (F.col("doc_id") * 37 % 101).cast("double") / 100.0 * 0.7
+                + (F.col("doc_id") % 2).cast("double") * 0.3
+            )
+            >= 0.5
+        )
+        .cast("int")
+        .alias("pred_b"),
+    )
+    out = EV.model_agreement(preds)
+    return out.select(
+        "n",
+        F.round("accuracy_a", 6).alias("accuracy_a"),
+        F.round("accuracy_b", 6).alias("accuracy_b"),
+        F.round("kappa", 6).alias("kappa"),
+        "b",
+        "c",
+        F.round("mcnemar_chi2", 6).alias("mcnemar_chi2"),
+        "significant",
+    )
+
+
+SQL_MODEL_AGREEMENT = """
+WITH p AS (
+  SELECT CAST(doc_id % 2 AS INTEGER) AS label,
+         CAST((doc_id + n_chars) % 3 % 2 AS INTEGER) AS pred_a,
+         CAST((CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+               + CAST(doc_id % 2 AS DOUBLE) * 0.3) >= 0.5 AS INTEGER) AS pred_b
+  FROM documents
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN pred_a = label THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN pred_b = label THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN pred_a = label AND pred_b <> label THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN pred_a <> label AND pred_b = label THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END) AS agree,
+         sum(CASE WHEN pred_a = 1 THEN 1 ELSE 0 END) AS pa1,
+         sum(CASE WHEN pred_b = 1 THEN 1 ELSE 0 END) AS pb1
+  FROM p
+),
+stats AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         na / CAST(n AS DOUBLE) AS accuracy_a,
+         nb / CAST(n AS DOUBLE) AS accuracy_b,
+         (agree / CAST(n AS DOUBLE)
+          - ((pa1 / CAST(n AS DOUBLE)) * (pb1 / CAST(n AS DOUBLE))
+             + ((CAST(n AS DOUBLE) - pa1) / CAST(n AS DOUBLE))
+               * ((CAST(n AS DOUBLE) - pb1) / CAST(n AS DOUBLE))))
+         / (1.0 - ((pa1 / CAST(n AS DOUBLE)) * (pb1 / CAST(n AS DOUBLE))
+             + ((CAST(n AS DOUBLE) - pa1) / CAST(n AS DOUBLE))
+               * ((CAST(n AS DOUBLE) - pb1) / CAST(n AS DOUBLE)))) AS kappa,
+         CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+         CASE WHEN (b + c) > 0
+              THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / CAST(b + c AS DOUBLE)
+              ELSE 0.0 END AS mcnemar_chi2
+  FROM agg
+)
+SELECT n, round(accuracy_a, 6) AS accuracy_a, round(accuracy_b, 6) AS accuracy_b,
+       round(kappa, 6) AS kappa, b, c, round(mcnemar_chi2, 6) AS mcnemar_chi2,
+       mcnemar_chi2 > 3.841458820694124 AS significant
+FROM stats
+"""
+
+
 QUERIES = {
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "bootstrap_accuracy": (q_bootstrap_accuracy, SQL_BOOTSTRAP_ACCURACY),
     "accuracy_by_slice": (q_accuracy_by_slice, SQL_ACCURACY_BY_SLICE),
+    "model_agreement": (q_model_agreement, SQL_MODEL_AGREEMENT),
     "accuracy": (q_accuracy, SQL_ACCURACY),
     "classification_report": (q_classification_report, SQL_CLASSIFICATION_REPORT),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),

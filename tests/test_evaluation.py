@@ -195,3 +195,35 @@ class TestBootstrapMeanCi:
         a = EVO.bootstrap_mean_ci(df, "correct", "doc_id").collect()[0]
         b = EVO.bootstrap_mean_ci(df.repartition(17), "correct", "doc_id").collect()[0]
         assert a == b
+
+
+class TestModelAgreement:
+    def test_known_counts_and_kappa(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import evaluation as EVO
+
+        # label always 1; A right 8/10, B right 6/10; b/c constructed
+        rows = []
+        for i in range(10):
+            pa = 1 if i < 8 else 0
+            pb = 1 if i < 4 or (6 <= i < 8) else 0
+            rows.append((1, pa, pb))
+        df = spark.createDataFrame(rows, "label int, pred_a int, pred_b int")
+        out = EVO.model_agreement(df).collect()[0]
+        assert out["n"] == 10
+        assert out["accuracy_a"] == 0.8 and out["accuracy_b"] == 0.6
+        # discordant: A right & B wrong = rows 4,5 (pa=1,pb=0) -> b=2? recompute:
+        # i<8: pa=1. pb=1 for i in 0..3 and 6..7. So pa=1&pb=0: i=4,5 -> b=2
+        # pa=0 (i=8,9) & pb=1: none -> c=0
+        assert out["b"] == 2 and out["c"] == 0
+        # chi2 = (|2-0|-1)^2/2 = 0.5, not significant
+        assert abs(out["mcnemar_chi2"] - 0.5) < 1e-9
+        assert out["significant"] is False
+
+    def test_identical_models_perfect_kappa(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import evaluation as EVO
+
+        rows = [(i % 2, i % 2, i % 2) for i in range(20)]
+        df = spark.createDataFrame(rows, "label int, pred_a int, pred_b int")
+        out = EVO.model_agreement(df).collect()[0]
+        assert out["kappa"] == 1.0
+        assert out["b"] == 0 and out["c"] == 0 and out["mcnemar_chi2"] == 0.0
