@@ -244,10 +244,69 @@ GROUP BY 1, 2
 """
 
 
+
+def q_bpe_encode_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus encoding with the TRAINED tokenizer: train 3 merges
+    (identical recursion to bpe_merges), then apply the merge list to
+    every document's tokens (operators/tokenizer_train.bpe_segment) and
+    report per-doc token/subword counts. Closes the loop the training
+    queries leave open — the oracle independently re-derives the merges
+    AND replays the encoder over the corpus, so a wrong merge order or a
+    broken replace-encoding shows up as a value mismatch."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+    docs = load_table(spark, sf, "documents")
+    merges, _ = tokenizer_train.train_bpe(docs, n_merges=3)
+    pairs = [(lhs, rhs) for _r, lhs, rhs, _m, _n in merges]
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokenize_nonempty("text")).alias("t")
+    )
+    enc = toks.select(
+        "doc_id",
+        F.size(
+            F.element_at(
+                tokenizer_train.bpe_segment(F.array(F.col("t")), pairs), 1
+            )
+        ).alias("n_sub"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n_sub").alias("n_subwords"),
+    )
+
+
+def _sql_bpe_encode_corpus() -> str:
+    from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
+
+    enc = "regexp_replace(t, '(.)', ' \\1 ', 'g')"
+    for i in range(3):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT lhs FROM best{i}) || '  ' || "
+            f"(SELECT rhs FROM best{i}) || ' ', ' ' || (SELECT merged FROM best{i}) || ' ')"
+        )
+    return _sql_bpe_ctes(3) + f""",
+docs_toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents
+),
+enc AS (
+  SELECT doc_id, len(string_split(trim({enc}, ' '), '  ')) AS n_sub
+  FROM docs_toks
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM enc GROUP BY 1
+"""
+
+
+SQL_BPE_ENCODE_CORPUS = _sql_bpe_encode_corpus()
+
+
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
+    "bpe_encode_corpus": (q_bpe_encode_corpus, SQL_BPE_ENCODE_CORPUS),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "groupwise_regression": (q_groupwise_regression, SQL_GROUPWISE_REGRESSION),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
