@@ -874,7 +874,12 @@ def q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
     engine-neutral, unlike banker's/half-up round), so compression AND
     ranking are value-checked, not just the output shape."""
     emb = _emb(spark, sf)
-    out = SIM.sq8_topk(emb, _queries_frame(emb), k=TOP_K)
+    # floor the scan parallelism: the per-element quantize+score projection
+    # is the hot loop and the fixture parquet is a single row group
+    corpus = ensure_min_parallelism(
+        emb, spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    out = SIM.sq8_topk(corpus, _queries_frame(emb), k=TOP_K)
     return out.select(
         "query_id",
         "vec_id",
