@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sentiment_analysis_bigdata_spark.operators.graph import pagerank
+from sentiment_analysis_bigdata_spark.operators.graph import pagerank, triangle_count
 from sentiment_analysis_bigdata_spark.sources import load_table
 
 PR_ITERATIONS = 3
@@ -69,6 +69,39 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 SQL_PAGERANK_PURCHASES = _sql_pagerank()
 
 
+
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts ordered together in
+    >= 2 orders): ordered-wedge formulation — each triangle x<y<z builds
+    exactly once from wedge (x,y)+(y,z) closed by a semi join on (x,z), so
+    two equi joins and no permutation double-counting
+    (operators/graph.py triangle_count). The oracle replays the identical
+    census; edges/wedges/triangles are all value-checked."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+e AS (
+  SELECT a.item AS a, c.item AS b
+  FROM b a JOIN b c ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM e e1 JOIN e e2 ON e1.b = e2.a) AS n_wedges,
+       (SELECT count(*) FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }

@@ -222,3 +222,31 @@ class TestPagerank:
         edges = spark.createDataFrame([("a", "b")], "src string, dst string")
         with _pytest.raises(ValueError, match="iterations"):
             pagerank(edges, iterations=0)
+
+
+class TestTriangleCount:
+    def test_known_graphs(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import triangle_count
+
+        # K4: 6 edges, 4 triangles; plus a disjoint path a-b-c (0 triangles)
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        path = [(10, 11), (11, 12)]
+        edges = spark.createDataFrame(k4 + path, "a long, b long")
+        row = triangle_count(edges).collect()[0]
+        assert row["n_edges"] == 8
+        assert row["n_triangles"] == 4
+        # ordered wedges (x<y<z, both edges present): K4 has one per
+        # vertex triple = C(4,3) = 4; the path contributes 1
+        assert row["n_wedges"] == 4 + 1
+
+    def test_degree_cap_drops_hub(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import triangle_count
+
+        # star center 0 with 5 leaves + one leaf-leaf edge forming 1 triangle
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)] + [(1, 2)], "a long, b long"
+        )
+        full = triangle_count(edges).collect()[0]
+        assert full["n_triangles"] == 1
+        capped = triangle_count(edges, max_degree=2).collect()[0]
+        assert capped["n_triangles"] == 0  # hub (deg 5) dropped
