@@ -413,6 +413,9 @@ def bootstrap_mean_ci(
     """
     from sentiment_analysis_bigdata_spark.functions import hashing as H
 
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2 for a sample sd, got {n_boot}")
+
     u = (
         F.pmod(
             H.md5_hash64(
