@@ -710,8 +710,60 @@ FROM grams
 """
 
 
+
+def q_lexical_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document lexical statistics: token count, type count,
+    type-token ratio, and Shannon entropy of the within-doc token
+    distribution — the repetitiveness/diversity signals quality filters
+    threshold on (low entropy = boilerplate/keyword stuffing).
+
+    Shape: explode → (doc, token) counts → per-doc total (window on the
+    counts frame, which is already partitioned by the groupBy) → one
+    aggregate. Exact integer counts feed the rounded doubles, so the
+    result is cross-engine stable at 6 dp."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf)
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokenize_nonempty("text")).alias("t")
+    )
+    counts = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = (F.col("c") / F.col("n")).cast("double")
+    withp = counts.withColumn("n", F.sum("c").over(w)).withColumn(
+        "plogp", p * F.log(p)
+    )
+    return withp.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round((F.count(F.lit(1)) / F.max("n")).cast("double"), 6).alias("ttr"),
+        F.round(-F.sum("plogp"), 6).alias("entropy"),
+    )
+
+
+SQL_LEXICAL_STATS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) / CAST(t.n AS DOUBLE), 6) AS ttr,
+       round(-sum((c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE))), 6) AS entropy
+FROM counts c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
+    "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "chunk_token_windows": (q_chunk_token_windows, SQL_CHUNK_TOKEN_WINDOWS),

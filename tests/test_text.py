@@ -241,3 +241,40 @@ class TestChunkTokens:
         df = spark.createDataFrame([(1, ["a"])], "doc_id int, toks array<string>")
         with _pytest.raises(ValueError, match="size and stride"):
             chunk_tokens(df, "toks", size=0, stride=3)
+
+
+class TestLexicalStats:
+    def test_entropy_and_ttr_known_values(self, spark):
+        import math
+
+        from sentiment_analysis_bigdata_spark.workloads.text_q import q_lexical_stats
+
+        # inline twin of the query path on a tiny frame via the operator
+        # composition: uniform tokens -> entropy ln(k); all-same -> 0
+        from pyspark.sql import Window, functions as F
+        from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x x x x"), (3, "a a b b")],
+            "doc_id long, text string",
+        )
+        tok = docs.select("doc_id", F.explode(TXT.tokenize_nonempty("text")).alias("t"))
+        counts = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("doc_id")
+        p = (F.col("c") / F.col("n")).cast("double")
+        out = {
+            r["doc_id"]: r
+            for r in counts.withColumn("n", F.sum("c").over(w))
+            .withColumn("plogp", p * F.log(p))
+            .groupBy("doc_id")
+            .agg(
+                F.max("n").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.round(-F.sum("plogp"), 6).alias("entropy"),
+            )
+            .collect()
+        }
+        assert out[1]["n_types"] == 4
+        assert abs(out[1]["entropy"] - math.log(4)) < 1e-6
+        assert out[2]["entropy"] == 0.0 and out[2]["n_types"] == 1
+        assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
