@@ -1061,6 +1061,86 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+
+def q_ann_sq8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the SQ8 compressed scan vs the exact float scan, both
+    computed in Spark and the number itself value-checked (the oracle
+    recomputes BOTH top-k sets with the quantizer replayed in SQL) — the
+    compression/recall trade is a hard per-round number, like ann_recall
+    is for the LSH path."""
+    emb = _emb(spark, sf)
+    corpus = ensure_min_parallelism(
+        emb, spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    exact = SIM.brute_force_topk(emb, _queries_frame(emb), k=TOP_K)
+    approx = SIM.sq8_topk(corpus, _queries_frame(emb), k=TOP_K)
+    hits = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(TOP_K), 6))
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_SQ8_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOP_K}
+),
+stats AS (
+  SELECT CAST(i AS INT) AS pos,
+         min(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY 1
+),
+arrs AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM stats),
+dq AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN maxs[i] > mins[i]
+                     THEN mins[i] + floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                          / (maxs[i] - mins[i]) * 255.0 + 0.5)
+                          * (maxs[i] - mins[i]) / 255.0
+                     ELSE mins[i] END) AS v
+  FROM embeddings CROSS JOIN arrs
+),
+approx_scored AS (
+  SELECT q.query_id, d.vec_id, {_sql_cosine('d.v', 'q.qv')} AS cos_raw
+  FROM dq d CROSS JOIN q
+  WHERE d.vec_id <> q.query_id
+),
+approx_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM approx_scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS INTEGER) AS n_hits,
+       round(count(a.vec_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_topk e
+LEFT JOIN approx_topk a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
@@ -1085,6 +1165,7 @@ QUERIES = {
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+    "ann_sq8_recall": (q_ann_sq8_recall, SQL_ANN_SQ8_RECALL),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
