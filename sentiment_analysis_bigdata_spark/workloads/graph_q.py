@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sentiment_analysis_bigdata_spark.operators.graph import pagerank, triangle_count
+from sentiment_analysis_bigdata_spark.operators.graph import (
+    clustering_coefficients,
+    pagerank,
+    triangle_count,
+)
 from sentiment_analysis_bigdata_spark.sources import load_table
 
 PR_ITERATIONS = 3
@@ -101,7 +105,59 @@ SELECT (SELECT count(*) FROM e) AS n_edges,
 """
 
 
+
+def q_clustering_coeffs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient of the co-purchase graph
+    (operators/graph.py clustering_coefficients): each triangle enumerates
+    once (ordered wedges) and credits its three corners; cc = 2T/deg(deg-1),
+    rounded for cross-engine float parity. Value-checks degree, per-node
+    triangle count, AND the coefficient for every node."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    out = clustering_coefficients(edges)
+    return out.select(
+        "node", "degree", "n_triangles", F.round("clustering_coeff", 6).alias("cc")
+    )
+
+
+SQL_CLUSTERING_COEFFS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+e AS (
+  SELECT a.item AS a, c.item AS b
+  FROM b a JOIN b c ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(p.n_triangles, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS cc
+FROM deg d LEFT JOIN per_node p USING (node)
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "clustering_coeffs": (q_clustering_coeffs, SQL_CLUSTERING_COEFFS),
 }

@@ -250,3 +250,21 @@ class TestTriangleCount:
         assert full["n_triangles"] == 1
         capped = triangle_count(edges, max_degree=2).collect()[0]
         assert capped["n_triangles"] == 0  # hub (deg 5) dropped
+
+
+class TestClusteringCoefficients:
+    def test_known_values(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import (
+            clustering_coefficients,
+        )
+
+        # K3 (perfect cc=1 everywhere) + pendant node 3 attached to 0
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (0, 3)], "a long, b long"
+        )
+        out = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+        assert out[1]["clustering_coeff"] == 1.0
+        assert out[2]["clustering_coeff"] == 1.0
+        # node 0: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+        assert abs(out[0]["clustering_coeff"] - 1 / 3) < 1e-9
+        assert out[3]["degree"] == 1 and out[3]["clustering_coeff"] == 0.0
