@@ -69,3 +69,40 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         + " min_numeric, max_numeric, min_text, max_text)"
     )
     return row.selectExpr(stack)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostics for a prospective shuffle/join key —
+    the numbers that decide between a plain shuffle join, salting, and
+    AQE skew splitting: row count, distinct keys, mean rows/key, the
+    heaviest key's share, and the top-``top_k`` keys' combined share.
+
+    One groupBy(key) pass (map-side partials) feeding a bounded top-k
+    (TakeOrderedAndProject) and a keyless 1-row summary — nothing
+    driver-side, nothing proportional to ndv on the driver.
+
+    Returns 1 row: (n_rows, n_keys, mean_rows_per_key, max_key,
+    max_key_rows, max_key_share, topk_share).
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("k").asc()).limit(top_k)
+    top_sum = top.agg(
+        F.sum("c").alias("topc"),
+        F.max(F.struct("c", "k")).alias("m"),
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return totals.crossJoin(F.broadcast(top_sum)).select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows") / F.col("n_keys"), 6).alias("mean_rows_per_key"),
+        F.col("m").getField("k").alias("max_key"),
+        F.col("m").getField("c").alias("max_key_rows"),
+        F.round(F.col("m").getField("c") / F.col("n_rows"), 6).alias("max_key_share"),
+        F.round(F.col("topc") / F.col("n_rows"), 6).alias("topk_share"),
+    )

@@ -386,6 +386,42 @@ def _sql_table_profile() -> str:
 SQL_TABLE_PROFILE = _sql_table_profile()
 
 
+
+def q_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for lineitem.l_orderkey
+    (operators/profiling.py key_skew_report): the pre-join decision
+    numbers (plain shuffle vs salting vs AQE skew split). Oracle
+    recomputes the full distribution independently."""
+    from sentiment_analysis_bigdata_spark.operators import profiling
+
+    return profiling.key_skew_report(
+        load_table(spark, sf, "lineitem"), "l_orderkey", top_k=10
+    )
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH counts AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+),
+top AS (
+  SELECT k, c FROM counts ORDER BY c DESC, k ASC LIMIT 10
+),
+tops AS (
+  SELECT sum(c) AS topc,
+         (SELECT k FROM top ORDER BY c DESC, k DESC LIMIT 1) AS max_key,
+         max(c) AS max_key_rows
+  FROM top
+),
+tot AS (SELECT sum(c) AS n_rows, count(*) AS n_keys FROM counts)
+SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       round(n_rows / CAST(n_keys AS DOUBLE), 6) AS mean_rows_per_key,
+       max_key, CAST(max_key_rows AS BIGINT) AS max_key_rows,
+       round(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS max_key_share,
+       round(topc / CAST(n_rows AS DOUBLE), 6) AS topk_share
+FROM tot CROSS JOIN tops
+"""
+
+
 QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
@@ -398,4 +434,5 @@ QUERIES = {
     "html_stripped_docs": (q_html_stripped_docs, SQL_HTML_STRIPPED_DOCS),
     "hll_user_rollup": (q_hll_user_rollup, SQL_HLL_USER_ROLLUP),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
 }
