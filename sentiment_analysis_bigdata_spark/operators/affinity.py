@@ -127,3 +127,75 @@ def sparse_cosine_pairs(
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocations ranked by pointwise mutual information.
+
+    PMI(a, b) = ln( P(a,b) / (P(a) P(b)) ) with P(a,b) = n_ab / B (B =
+    total adjacent bigrams) and P(a) = n_a / N (N = total tokens) — the
+    classic collocation-mining statistic (Church & Hanks 1990): high-PMI
+    pairs co-occur far more than their unigram frequencies predict
+    ("boilerplate phrase" vs "two common words next to each other"), which
+    is the signal a training-data pipeline uses to spot templated text.
+
+    Scale shape: two vocab-sized aggregations (unigrams, bigrams), the
+    ``min_count`` prune applied to the bigram side BEFORE either join (the
+    long tail of hapax bigrams — the overwhelming majority — never reaches
+    a join), then two term-keyed equi joins against the unigram counts
+    (vocab-sized, no hint — AQE owns the strategy) and one 1-row totals
+    cross join (auto-broadcast). N and B come from a single narrow agg
+    over token-array lengths — no second pass over exploded rows. No
+    all-pairs anything; the only fan-out is the explode, linear in corpus
+    token count.
+
+    Output: (bigram, n_pair, pmi) — pmi pre-rounded to 6 dp so the
+    ordering key is identical across engines (ulp-stable vs the DuckDB
+    oracle).
+    """
+    toks = docs.select(F.col(tokens_col).alias("l"))
+    totals = toks.agg(
+        F.sum(F.size("l")).cast("double").alias("n_tok"),
+        F.sum(F.greatest(F.size("l") - F.lit(1), F.lit(0)))
+        .cast("double")
+        .alias("n_big"),
+    )
+    uni = (
+        toks.select(F.explode("l").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from sentiment_analysis_bigdata_spark.functions.text import ngrams
+
+    big = (
+        docs.select(F.explode(ngrams(F.col(tokens_col), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .withColumn("parts", F.split("bigram", " "))
+        .withColumn("term_a", F.col("parts").getItem(0))
+        .withColumn("term_b", F.col("parts").getItem(1))
+    )
+    ua = uni.select(F.col("token").alias("term_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("token").alias("term_b"), F.col("n").alias("n_b"))
+    return (
+        big.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(totals)
+        .select(
+            "bigram",
+            "n_pair",
+            F.round(
+                F.log(F.col("n_pair").cast("double"))
+                - F.log("n_big")
+                - F.log(F.col("n_a").cast("double"))
+                - F.log(F.col("n_b").cast("double"))
+                + F.lit(2.0) * F.log("n_tok"),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -221,3 +221,62 @@ def hashing_tf_indices(
 def idf_vector_model_parity(m: int, df: int) -> float:
     """Scalar IDF formula used by both forms (unit-test helper)."""
     return math.log((m + 1.0) / (df + 1.0))
+
+
+def chi2_terms(
+    docs: DataFrame,
+    label_col: str = "label",
+    tokens_col: str = "tokens",
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-term chi-squared statistic of term-presence vs class label —
+    the standard feature-selection / distinctive-vocabulary score (a term
+    with high chi2 is strongly associated with specific classes, e.g.
+    language- or source-identifying words).
+
+    For each term t and class c, the 2×L contingency table over document
+    presence: O_tc = #docs of class c containing t, E_tc = df_t · n_c / N.
+    chi2_t = Σ_c [ (O_tc − E_tc)² / E_tc + (E_tc − O_tc)² / (n_c − E_tc) ]
+    (present + absent cells; the absent cell's deviation is the negation
+    of the present cell's). Cells with n_c − E_tc ≤ 0 (term in every doc)
+    contribute 0 — the standard degenerate-cell guard.
+
+    Scale shape: ``array_distinct`` before the explode (per-doc presence,
+    narrow), ONE (term, label) aggregation, then everything downstream is
+    vocab-sized or smaller: df per term (second agg over the first's
+    output, not the corpus), class counts (L rows), N (1 row). The full
+    term × class grid is built by crossing the ``min_df``-PRUNED term list
+    with the L-row class table (so absent O_tc = 0 cells exist) and left
+    joining the observed counts — AQE broadcasts the tiny sides at
+    runtime; no hint, no corpus re-scan, no all-pairs.
+
+    Output: (term, df, chi2) with chi2 pre-rounded to 6 dp (ulp-stable
+    ordering key vs the SQL oracle twin).
+    """
+    pres = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("term"),
+    )
+    otc = pres.groupBy("term", "label").agg(F.count(F.lit(1)).alias("o"))
+    dft = (
+        otc.groupBy("term")
+        .agg(F.sum("o").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    nc = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    e = F.col("df") * F.col("n_c") / F.col("n")
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    present = (o - e) * (o - e) / e
+    absent = F.when(
+        F.col("n_c") > e, (e - o) * (e - o) / (F.col("n_c") - e)
+    ).otherwise(F.lit(0.0))
+    return (
+        dft.crossJoin(nc)
+        .crossJoin(n)
+        .join(otc, ["term", "label"], "left")
+        .groupBy("term", "df")
+        .agg(F.round(F.sum(present + absent), 6).alias("chi2"))
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions import text as TXT
+from sentiment_analysis_bigdata_spark.operators import affinity as AFF
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
 from sentiment_analysis_bigdata_spark.operators import features as FE
 from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism, load_table
@@ -761,6 +762,87 @@ GROUP BY c.doc_id, t.n
 """
 
 
+# --- collocation mining: adjacent-bigram PMI --------------------------------------
+
+def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (min_count=3 at
+    harness sf; the ordering key is the 6-dp-rounded PMI so Spark and the
+    oracle sort identically)."""
+    docs = _docs(spark, sf).select(TXT.tokenize_nonempty("text").alias("tokens"))
+    out = AFF.collocation_pmi(docs, "tokens", min_count=3)
+    return out.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(25)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents),
+tot AS (
+  SELECT CAST(sum(len(l)) AS DOUBLE) AS n_tok,
+         CAST(sum(greatest(len(l) - 1, 0)) AS DOUBLE) AS n_big
+  FROM toks
+),
+uni AS (
+  SELECT t AS token, count(*) AS n
+  FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t
+),
+big AS (
+  SELECT bigram, count(*) AS n_pair
+  FROM (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        FROM toks WHERE len(l) >= 2)
+  GROUP BY bigram
+  HAVING count(*) >= 3
+)
+SELECT b.bigram, b.n_pair,
+       round(ln(CAST(b.n_pair AS DOUBLE)) - ln(t.n_big)
+             - ln(CAST(ua.n AS DOUBLE)) - ln(CAST(ub.n AS DOUBLE))
+             + 2 * ln(t.n_tok), 6) AS pmi
+FROM big b
+JOIN uni ua ON ua.token = string_split(b.bigram, ' ')[1]
+JOIN uni ub ON ub.token = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot t
+ORDER BY pmi DESC, bigram ASC
+LIMIT 25
+"""
+
+
+# --- feature selection: chi-squared term-vs-language association -------------------
+
+def q_chi2_lang_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Terms most associated with a specific language (presence chi2 over
+    the 2×L contingency table) — the distinctive-vocabulary signal a
+    lang-ID or source-mix pipeline selects features with."""
+    docs = _docs(spark, sf).select(
+        F.col("lang"), TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    out = FE.chi2_terms(docs, label_col="lang", tokens_col="tokens", min_df=5)
+    return out.orderBy(F.col("chi2").desc(), F.col("term").asc()).limit(30)
+
+
+SQL_CHI2_LANG_TERMS = f"""
+WITH pres AS (
+  SELECT lang, t AS term
+  FROM (SELECT lang, unnest(list_distinct({SQL_TOKS})) AS t FROM documents)
+),
+otc AS (SELECT term, lang, count(*) AS o FROM pres GROUP BY term, lang),
+dft AS (SELECT term, sum(o) AS df FROM otc GROUP BY term HAVING sum(o) >= 5),
+nc AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+grid AS (
+  SELECT d.term, d.df, c.n_c,
+         COALESCE(o.o, 0) AS o,
+         d.df * c.n_c / n.n AS e
+  FROM dft d CROSS JOIN nc c CROSS JOIN n
+  LEFT JOIN otc o ON o.term = d.term AND o.lang = c.lang
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       round(sum((o - e) * (o - e) / e
+                 + CASE WHEN n_c > e THEN (e - o) * (e - o) / (n_c - e) ELSE 0 END), 6) AS chi2
+FROM grid
+GROUP BY term, df
+ORDER BY chi2 DESC, term ASC
+LIMIT 30
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
@@ -772,6 +854,8 @@ QUERIES = {
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "chi2_lang_terms": (q_chi2_lang_terms, SQL_CHI2_LANG_TERMS),
     "doc_frequency_idf": (q_doc_frequency_idf, SQL_DOC_FREQUENCY_IDF),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "countvec_vocab": (q_countvec_vocab, SQL_COUNTVEC_VOCAB),

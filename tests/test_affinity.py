@@ -90,3 +90,35 @@ class TestSparseCosine:
             self._docs(spark), threshold=0.99, max_df=None
         ).collect()
         assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+class TestCollocationPMI:
+    def test_hand_computed(self, spark):
+        # Corpus: "a b" x3, "a c", "c a"  → N=10 tokens, B=5 bigrams
+        # unigrams: a=5, b=3, c=2; bigram "a b" n=3
+        # PMI(a,b) = ln( (3/5) / ((5/10)*(3/10)) ) = ln(4)
+        df = spark.createDataFrame(
+            [Row(tokens=["a", "b"])] * 3
+            + [Row(tokens=["a", "c"]), Row(tokens=["c", "a"])]
+        )
+        got = {
+            r.bigram: (r.n_pair, r.pmi)
+            for r in affinity.collocation_pmi(df, "tokens", min_count=1).collect()
+        }
+        assert got["a b"] == (3, round(math.log(4.0), 6))
+        assert got["a c"] == (1, round(math.log((1 / 5) / (0.5 * 0.2)), 6))
+        assert set(got) == {"a b", "a c", "c a"}
+
+    def test_min_count_prunes_before_join(self, spark):
+        df = spark.createDataFrame(
+            [Row(tokens=["a", "b"])] * 3 + [Row(tokens=["a", "c"])]
+        )
+        got = affinity.collocation_pmi(df, "tokens", min_count=2).collect()
+        assert [r.bigram for r in got] == ["a b"]
+
+    def test_short_docs_no_bigrams(self, spark):
+        df = spark.createDataFrame(
+            [Row(tokens=["solo"]), Row(tokens=[]), Row(tokens=["x", "y"])]
+        )
+        got = affinity.collocation_pmi(df, "tokens", min_count=1).collect()
+        assert [r.bigram for r in got] == ["x y"]

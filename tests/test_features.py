@@ -141,3 +141,56 @@ def test_unigram_logprob_hand_computed(spark):
     assert rows[0]["avg_logprob"] == pytest.approx(round(math.log(0.75), 6))
     expected1 = round((math.log(0.75) + math.log(0.25)) / 2, 6)
     assert rows[1]["avg_logprob"] == pytest.approx(expected1)
+
+
+def test_chi2_terms_hand_computed(spark):
+    from pyspark.sql import Row
+
+    # 4 docs, 2 classes (2 each). "hot" only in class A docs; "the" in all.
+    df = spark.createDataFrame(
+        [
+            Row(label="A", tokens=["hot", "the"]),
+            Row(label="A", tokens=["hot", "the", "hot"]),
+            Row(label="B", tokens=["the", "cold"]),
+            Row(label="B", tokens=["the"]),
+        ]
+    )
+    got = {
+        r.term: (r.df, r.chi2)
+        for r in FE.chi2_terms(df, "label", "tokens", min_df=1).collect()
+    }
+    # "hot": df=2, per class E=1. O_A=2, O_B=0.
+    # chi2 = (2-1)^2/1 + (1-2+1... ) present cells: (2-1)^2/1 + (0-1)^2/1 = 2
+    # absent cells: (n_c - O - (n_c - E))^2/(n_c-E) = (E-O)^2/(n_c-E) = 1/1 + 1/1 = 2
+    assert got["hot"] == (2, 4.0)
+    assert got["cold"] == (1, pytest.approx(4 / 3, abs=1e-6))
+    # "the" appears in every doc → absent cells degenerate (n_c == E), chi2 = 0
+    assert got["the"] == (4, 0.0)
+
+
+def test_chi2_terms_min_df(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(label="A", tokens=["rare"]),
+            Row(label="B", tokens=["common"]),
+            Row(label="A", tokens=["common"]),
+        ]
+    )
+    got = FE.chi2_terms(df, "label", "tokens", min_df=2).collect()
+    assert [r.term for r in got] == ["common"]
+
+
+def test_chi2_presence_not_multiplicity(spark):
+    from pyspark.sql import Row
+
+    # token repeated inside one doc counts once (presence semantics)
+    df = spark.createDataFrame(
+        [
+            Row(label="A", tokens=["x", "x", "x"]),
+            Row(label="B", tokens=["x"]),
+        ]
+    )
+    got = FE.chi2_terms(df, "label", "tokens", min_df=1).collect()
+    assert [(r.term, r.df, r.chi2) for r in got] == [("x", 2, 0.0)]
