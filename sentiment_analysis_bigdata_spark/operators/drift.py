@@ -64,3 +64,66 @@ def divergence_from_counts(
             F.sum(p * F.log(p / m)) / 2 + F.sum(q * F.log(q / m)) / 2
         ).alias("js_divergence"),
     )
+
+
+def ks_two_sample(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    value_col: str,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two numeric
+    distributions: D = sup_x |F_a(x) − F_b(x)| — the nonparametric
+    complement to KL/JS for CONTINUOUS drift (model scores, lengths,
+    latencies), where category counts don't apply.
+
+    Distributed shape (the roc_points pattern): each side reduces to a
+    (value, count) frame first (one vocab/support-sized aggregation), the
+    two frames full-outer join on the value, and the cumulative window
+    runs over #distinct-values rows — never raw rows. For genuinely
+    continuous data the distinct support can approach n, so
+    ``round_digits`` bins values before counting (the histogram variant:
+    binning perturbs each CDF by at most the bin's probability mass, the
+    same exactness trade roc_auc_hist documents); with it set, the sorted
+    window sees a bounded number of bins at any corpus size.
+
+    Returns one row: (n_a, n_b, n_support, ks_stat, ks_scaled) where
+    ks_scaled = D·√(n_a·n_b/(n_a+n_b)) — the statistic compared against
+    the Kolmogorov critical values (1.358 ≈ α 0.05).
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col)
+        if round_digits is not None:
+            v = F.round(v, round_digits)
+        return df.select(v.alias("x")).groupBy("x").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    joined = (
+        side(sample_a, "na")
+        .join(side(sample_b, "nb"), "x", "full_outer")
+        .na.fill({"na": 0, "nb": 0})
+    )
+    tot = joined.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = joined.select(
+        "x",
+        F.sum("na").over(w).alias("cna"),
+        F.sum("nb").over(w).alias("cnb"),
+    ).join(F.broadcast(tot))
+    d = F.abs(F.col("cna") / F.col("ta") - F.col("cnb") / F.col("tb"))
+    return cum.agg(
+        F.max(F.col("ta").cast("bigint")).alias("n_a"),
+        F.max(F.col("tb").cast("bigint")).alias("n_b"),
+        F.count(F.lit(1)).alias("n_support"),
+        F.max(d).alias("ks_stat"),
+        (
+            F.max(d)
+            * F.sqrt(F.max("ta") * F.max("tb") / (F.max("ta") + F.max("tb")))
+        ).alias("ks_scaled"),
+    )

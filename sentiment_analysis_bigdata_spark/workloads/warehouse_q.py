@@ -422,8 +422,62 @@ FROM tot CROSS JOIN tops
 """
 
 
+# --- KS drift over a continuous score distribution --------------------------------
+
+def q_score_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of click vs view events (operators/drift.py) — the
+    continuous-drift guardrail next to source_token_drift's categorical
+    KL/JS. Values are binned to 3 dp so the cumulative window runs over a
+    bounded support at any corpus size."""
+    from sentiment_analysis_bigdata_spark.operators import drift
+
+    ev = load_table(spark, sf, "events")
+    out = drift.ks_two_sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        round_digits=3,
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_support",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("ks_scaled", 6).alias("ks_scaled"),
+    )
+
+
+SQL_SCORE_DRIFT_KS = """
+WITH a AS (
+  SELECT round(value, 3) AS x, count(*) AS na
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT round(value, 3) AS x, count(*) AS nb
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(a.x, b.x) AS x, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM a FULL OUTER JOIN b ON a.x = b.x
+),
+t AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb FROM j),
+c AS (
+  SELECT sum(na) OVER (ORDER BY x) AS cna, sum(nb) OVER (ORDER BY x) AS cnb FROM j
+)
+SELECT CAST(t.ta AS BIGINT) AS n_a,
+       CAST(t.tb AS BIGINT) AS n_b,
+       count(*) AS n_support,
+       round(max(abs(cna / t.ta - cnb / t.tb)), 6) AS ks_stat,
+       round(max(abs(cna / t.ta - cnb / t.tb)) * sqrt(t.ta * t.tb / (t.ta + t.tb)), 6) AS ks_scaled
+FROM c CROSS JOIN t
+GROUP BY t.ta, t.tb
+"""
+
+
 QUERIES = {
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "score_drift_ks": (q_score_drift_ks, SQL_SCORE_DRIFT_KS),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
     "runtime_filtered_join": (q_runtime_filtered_join, SQL_RUNTIME_FILTERED_JOIN),
     "winsorized_doc_lengths": (

@@ -289,3 +289,44 @@ def test_profile_table_one_pass_stats(spark):
     assert out["s"]["min_text"] == "a" and out["s"]["max_text"] == "b"
     assert out["s"]["min_numeric"] is None
     assert out["v"]["n_nonnull"] == 2 and out["v"]["max_numeric"] == 3.5
+
+
+class TestKSTwoSample:
+    def _vals(self, spark, xs):
+        return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+    def test_hand_computed(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: D peaks at x=2: F_a=0.5, F_b=0 → 0.5
+        a = self._vals(spark, [1, 2, 3, 4])
+        b = self._vals(spark, [3, 4, 5, 6])
+        r = drift.ks_two_sample(a, b, "v").first()
+        assert (r.n_a, r.n_b, r.n_support) == (4, 4, 6)
+        assert r.ks_stat == pytest.approx(0.5)
+        assert r.ks_scaled == pytest.approx(0.5 * math.sqrt(16 / 8))
+
+    def test_identical_zero(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._vals(spark, [1, 1, 2, 3])
+        b = self._vals(spark, [1, 1, 2, 3])
+        r = drift.ks_two_sample(a, b, "v").first()
+        assert r.ks_stat == pytest.approx(0.0)
+
+    def test_disjoint_is_one(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        r = drift.ks_two_sample(
+            self._vals(spark, [1, 2]), self._vals(spark, [10, 20]), "v"
+        ).first()
+        assert r.ks_stat == pytest.approx(1.0)
+
+    def test_binning_bounds_support(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._vals(spark, [0.1001, 0.1002, 0.1003, 0.9])
+        b = self._vals(spark, [0.1004, 0.9])
+        r = drift.ks_two_sample(a, b, "v", round_digits=1).first()
+        assert r.n_support == 2  # {0.1, 0.9}
+        assert r.ks_stat == pytest.approx(abs(3 / 4 - 1 / 2))
