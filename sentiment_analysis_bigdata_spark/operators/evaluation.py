@@ -535,3 +535,77 @@ def model_agreement(
         chi2.alias("mcnemar_chi2"),
         (chi2 > F.lit(alpha_chi2)).alias("significant"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    total_relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval-quality metrics over a ranked result list: mean MRR,
+    nDCG@k, precision@k, and recall@k — the IR/RAG-evaluation complement
+    to the classification metrics above (confusion matrix, ROC, PR).
+
+    Inputs: ``ranked`` = (query_id, rank 1.., rel ∈ {0,1}) — one row per
+    retrieved item; ``total_relevant`` = (query_id, n_rel_total) — corpus
+    ground truth per query, needed for recall and the nDCG ideal (IDCG
+    truncates at min(k, R) with binary gains).
+
+    Scale shape: one filter (rank ≤ k) → one per-query aggregation (the
+    retrieved lists are k-bounded, so per-query state is tiny) → an equi
+    join with the query-sized ground-truth frame → one global mean. The
+    IDCG closed form Σ_{i=1..min(k,R)} 1/log2(i+1) is a sequence+aggregate
+    HOF over ≤ k elements — pure codegen, no lookup table. Queries with
+    R = 0 contribute 0 to nDCG/recall (degenerate-query guard).
+
+    Returns one row: (n_queries, mrr, ndcg_at_k, precision_at_k,
+    recall_at_k), unrounded (callers round for oracle parity).
+    """
+    rel = F.col(rel_col).cast("double")
+    per_q = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(F.col(query_col).alias("query_id"))
+        .agg(
+            F.sum(rel).alias("nrel_k"),
+            F.sum(rel / F.log2(F.col(rank_col).cast("double") + 1.0)).alias("dcg"),
+            F.min(F.when(rel == 1.0, F.col(rank_col))).alias("first_rel"),
+        )
+    )
+    r = F.col("n_rel_total").cast("int")
+    m = F.least(F.lit(k), r)
+    idcg = F.when(
+        m >= 1,
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        per_q.join(
+            total_relevant.select(
+                F.col(query_col).alias("query_id"), "n_rel_total"
+            ),
+            "query_id",
+        )
+        .withColumn("idcg", idcg)
+        .select(
+            "query_id",
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+            (F.col("nrel_k") / F.lit(float(k))).alias("prec"),
+            F.when(r > 0, F.col("nrel_k") / r).otherwise(F.lit(0.0)).alias("rec"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ndcg").alias("ndcg_at_k"),
+        F.avg("prec").alias("precision_at_k"),
+        F.avg("rec").alias("recall_at_k"),
+    )

@@ -1141,6 +1141,103 @@ ORDER BY e.query_id
 """
 
 
+# --- retrieval-quality metrics (MRR / nDCG@k / P@k / R@k) --------------------------
+
+_RM_QUERIES = 20
+_RM_K = 5
+
+
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean MRR, nDCG@k, precision@k, recall@k of exact cosine retrieval
+    with label-match relevance (operators/evaluation.py ranking_metrics)
+    — the RAG-eval IR metrics next to ann_recall's approximation check.
+    Ground-truth R per query = same-label corpus size minus self."""
+    from sentiment_analysis_bigdata_spark.operators import evaluation as EV
+
+    emb = _emb(spark, sf)
+    q = (
+        emb.filter(F.col("vec_id") < _RM_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("qlabel"),
+        )
+        .limit(_RM_QUERIES)  # no-op; makes broadcast boundedness plan-visible
+    )
+    ranked = SIM.brute_force_topk(
+        emb, q.select("query_id", "query_vec"), k=_RM_K
+    )
+    rel = (
+        ranked.join(emb.select("vec_id", "label"), "vec_id")
+        .join(q.select("query_id", "qlabel"), "query_id")
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("int"))
+    )
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    total_rel = q.join(
+        label_counts, q["qlabel"] == label_counts["label"]
+    ).select("query_id", (F.col("n_lab") - F.lit(1)).alias("n_rel_total"))
+    out = EV.ranking_metrics(rel, total_rel, k=_RM_K)
+    return out.select(
+        "n_queries",
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+    )
+
+
+SQL_RETRIEVAL_METRICS = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {_RM_QUERIES}
+),
+ranked AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, rank, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE rank <= {_RM_K}
+),
+per_q AS (
+  SELECT query_id,
+         sum(rel) AS nrel_k,
+         sum(rel / log2(rank + 1.0)) AS dcg,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+  FROM topk GROUP BY query_id
+),
+tot AS (
+  SELECT q.query_id, count(*) - 1 AS n_rel_total
+  FROM q JOIN embeddings e ON e.label = q.qlabel
+  GROUP BY q.query_id
+),
+scored AS (
+  SELECT p.query_id,
+         COALESCE(1.0 / p.first_rel, 0.0) AS rr,
+         CASE WHEN t.n_rel_total >= 1 THEN
+           p.dcg / list_sum(list_transform(
+             range(1, least({_RM_K}, t.n_rel_total) + 1),
+             i -> 1.0 / log2(i + 1.0)))
+         ELSE 0.0 END AS ndcg,
+         p.nrel_k / {_RM_K}.0 AS prec,
+         CASE WHEN t.n_rel_total > 0 THEN CAST(p.nrel_k AS DOUBLE) / t.n_rel_total
+              ELSE 0.0 END AS rec
+  FROM per_q p JOIN tot t USING (query_id)
+)
+SELECT count(*) AS n_queries,
+       round(avg(rr), 6) AS mrr,
+       round(avg(ndcg), 6) AS ndcg_at_k,
+       round(avg(prec), 6) AS precision_at_k,
+       round(avg(rec), 6) AS recall_at_k
+FROM scored
+"""
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
@@ -1154,6 +1251,7 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "retrieval_metrics": (q_retrieval_metrics, SQL_RETRIEVAL_METRICS),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "hashing_tf": (q_hashing_tf, _sql_hashing_tf(11695, 3796098974, 251817)),

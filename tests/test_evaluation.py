@@ -227,3 +227,51 @@ class TestModelAgreement:
         out = EVO.model_agreement(df).collect()[0]
         assert out["kappa"] == 1.0
         assert out["b"] == 0 and out["c"] == 0 and out["mcnemar_chi2"] == 0.0
+
+
+class TestRankingMetrics:
+    def _run(self, spark, ranked_rows, totals, k):
+        ranked = spark.createDataFrame(
+            ranked_rows, "query_id long, rank long, rel int"
+        )
+        tot = spark.createDataFrame(totals, "query_id long, n_rel_total long")
+        return EV.ranking_metrics(ranked, tot, k=k).first()
+
+    def test_hand_computed(self, spark):
+        import math
+
+        # q1: rel at ranks 1,3 of 3; R=2 → RR=1, DCG=1+1/2, IDCG=1+1/log2(3)
+        # q2: no rel in top-3; R=1 → all zeros except precision
+        rows = [
+            (1, 1, 1), (1, 2, 0), (1, 3, 1),
+            (2, 1, 0), (2, 2, 0), (2, 3, 0),
+        ]
+        r = self._run(spark, rows, [(1, 2), (2, 1)], k=3)
+        dcg = 1.0 + 1.0 / math.log2(4)
+        idcg = 1.0 + 1.0 / math.log2(3)
+        assert r.n_queries == 2
+        assert r.mrr == pytest.approx((1.0 + 0.0) / 2)
+        assert r.ndcg_at_k == pytest.approx((dcg / idcg + 0.0) / 2)
+        assert r.precision_at_k == pytest.approx((2 / 3 + 0.0) / 2)
+        assert r.recall_at_k == pytest.approx((2 / 2 + 0.0) / 2)
+
+    def test_perfect_ranking_is_one(self, spark):
+        rows = [(1, 1, 1), (1, 2, 1), (1, 3, 0)]
+        r = self._run(spark, rows, [(1, 2)], k=3)
+        assert r.mrr == pytest.approx(1.0)
+        assert r.ndcg_at_k == pytest.approx(1.0)
+        assert r.recall_at_k == pytest.approx(1.0)
+
+    def test_idcg_truncates_at_k(self, spark):
+        import math
+
+        # R=10 but k=2: IDCG must use min(k, R)=2 terms
+        rows = [(1, 1, 1), (1, 2, 0)]
+        r = self._run(spark, rows, [(1, 10)], k=2)
+        idcg = 1.0 + 1.0 / math.log2(3)
+        assert r.ndcg_at_k == pytest.approx(1.0 / idcg)
+
+    def test_zero_relevant_guard(self, spark):
+        rows = [(1, 1, 0), (1, 2, 0)]
+        r = self._run(spark, rows, [(1, 0)], k=2)
+        assert (r.mrr, r.ndcg_at_k, r.recall_at_k) == (0.0, 0.0, 0.0)
