@@ -199,3 +199,75 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Directed association rules a → b with support, confidence and lift.
+
+    confidence(a → b) = support(a, b) / support(a)
+    lift(a → b)       = confidence(a → b) / (support(b) / N)
+
+    with N = number of distinct baskets — the Agrawal-style rule mining
+    step a recommender / basket analysis runs on top of the co-occurrence
+    pairs. Both rule directions are emitted (confidence is asymmetric;
+    lift is shared).
+
+    Scale shape: pair generation reuses :func:`co_occurrence_pairs`
+    (basket-keyed self-join, ``max_basket`` skew guard — never corpus ×
+    corpus). Item supports are an item-cardinality aggregate, joined to
+    the pair table on the item key (vocab-sized side, no hint — AQE owns
+    the strategy); the basket total N is a 1-row aggregate cross-joined
+    in (auto-broadcast). Nothing here rescans the basket table beyond the
+    two distinct-pass aggregates.
+
+    Output columns: (antecedent, consequent, support, confidence, lift) —
+    ratios pre-rounded to 6 dp for cross-engine value stability.
+    """
+    pairs = co_occurrence_pairs(
+        baskets, basket_col, item_col, min_support=min_support,
+        max_basket=max_basket,
+    )
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_support = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    totals = b.agg(F.countDistinct("basket").cast("double").alias("n_baskets"))
+    # both directions: (a → b) and (b → a)
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "support",
+        )
+    )
+    ante = item_support.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    cons = item_support.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    conf = F.col("support") / F.col("n_ante")
+    return (
+        directed.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .crossJoin(totals)
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("n_cons") / F.col("n_baskets")), 6).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )

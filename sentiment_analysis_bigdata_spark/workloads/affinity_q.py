@@ -75,7 +75,48 @@ HAVING sum(a.weight * b.weight) >= 0.3
 """
 
 
+# --- association rules (confidence / lift) --------------------------------------
+
+def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed part-pair association rules over TPC-H orders: rules with
+    pair support ≥ 2 and confidence ≥ 0.1 — "customers who ordered part A
+    also ordered part B". Pair generation is the basket-keyed self-join;
+    supports and totals are item-/1-row-sized sides."""
+    li = load_table(spark, sf, "lineitem")
+    return affinity.association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2, min_confidence=0.1
+    )
+
+
+SQL_ASSOCIATION_RULES = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b, count(*) AS support
+  FROM b a JOIN b c ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, support FROM pairs
+),
+sup AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n_baskets FROM b)
+SELECT d.antecedent, d.consequent, d.support,
+       round(d.support / sa.n_item, 6) AS confidence,
+       round((d.support / sa.n_item) / (sc.n_item / t.n_baskets), 6) AS lift
+FROM directed d
+JOIN sup sa ON sa.item = d.antecedent
+JOIN sup sc ON sc.item = d.consequent
+CROSS JOIN tot t
+WHERE d.support / sa.n_item >= 0.1
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),
+    "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
 }

@@ -122,3 +122,39 @@ class TestCollocationPMI:
         )
         got = affinity.collocation_pmi(df, "tokens", min_count=1).collect()
         assert [r.bigram for r in got] == ["x y"]
+
+
+class TestAssociationRules:
+    def _baskets(self, spark):
+        # 4 baskets: x in all 4, y in 3, z in 1
+        rows = [
+            Row(b=1, i="x"), Row(b=1, i="y"), Row(b=1, i="z"),
+            Row(b=2, i="x"), Row(b=2, i="y"),
+            Row(b=3, i="x"), Row(b=3, i="y"),
+            Row(b=4, i="x"),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_hand_computed(self, spark):
+        got = {
+            (r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+            for r in affinity.association_rules(
+                self._baskets(spark), "b", "i", min_support=1
+            ).collect()
+        }
+        # support(x,y)=3, support(x)=4, support(y)=3, N=4
+        # x→y: conf 3/4, lift (3/4)/(3/4)=1.0 ; y→x: conf 1, lift 1/(4/4)=1.0
+        assert got[("x", "y")] == (3, 0.75, 1.0)
+        assert got[("y", "x")] == (3, 1.0, 1.0)
+        # x→z: conf 1/4, lift (1/4)/(1/4)=1 ; z→x: conf 1, lift 1.0
+        assert got[("x", "z")] == (1, 0.25, 1.0)
+        assert got[("z", "y")] == (1, 1.0, round(1 / 0.75, 6))
+
+    def test_min_confidence_filters(self, spark):
+        got = affinity.association_rules(
+            self._baskets(spark), "b", "i", min_support=1, min_confidence=0.9
+        ).collect()
+        assert all(r.confidence >= 0.9 for r in got)
+        assert {(r.antecedent, r.consequent) for r in got} == {
+            ("y", "x"), ("z", "x"), ("z", "y")
+        }
