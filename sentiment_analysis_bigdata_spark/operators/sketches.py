@@ -69,3 +69,112 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), F.col(col).asc()).limit(k)
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over a key
+    column as a (row, bucket, cnt) cell table.
+
+    Each occurrence of a key increments ``depth`` cells, one per hash row:
+    bucket_r(k) = md5_hash64(k ':' r ':' seed) mod width. The sketch is a
+    fixed-size summary — at most depth × width rows REGARDLESS of corpus
+    size or key cardinality — and is mergeable: sketches of two corpora
+    (same depth/width/seed) combine by summing cells (:func:`cms_merge`),
+    which is what makes per-day / per-source frequency summaries
+    re-aggregable without ever re-scanning raw data (same role HLL plays
+    for distinct counts, here for point frequencies).
+
+    Scale shape: one explode (× depth, a constant) over the key column,
+    then a single aggregation whose key space is capped at depth × width —
+    partial map-side combine makes the shuffle sketch-sized, not
+    corpus-sized. Hashes are md5-derived so DuckDB replays the sketch
+    bit-for-bit (functions/hashing.py idiom).
+
+    Guarantee: estimate ≥ true count always (cells only overcount on
+    collision); estimate ≤ true + εN with probability 1−δ for
+    width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    """
+    from sentiment_analysis_bigdata_spark.functions.hashing import md5_hash64
+
+    rows = df.select(F.col(col).cast("string").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    e = rows.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    )
+    bucket = F.pmod(
+        md5_hash64(
+            F.concat_ws(
+                ":", F.col("k"), F.col("r").cast("string"), F.lit(str(seed))
+            )
+        ),
+        F.lit(width),
+    )
+    return (
+        e.select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-shaped count-min sketches by summing cells."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a count-min sketch:
+    min over hash rows of the addressed cell (0 when the cell is absent —
+    an empty cell means no key ever touched it).
+
+    The probe table is |keys| × depth rows; the join is an equi join on
+    (r, b) against the sketch, whose size is bounded at depth × width BY
+    CONSTRUCTION (the groupBy in :func:`cms_build` caps it), so the
+    broadcast hint is safe at any corpus scale — this is the "capped
+    vocab" exception in the broadcast policy.
+
+    Returns (col, est_n).
+    """
+    from sentiment_analysis_bigdata_spark.functions.hashing import md5_hash64
+
+    probes = (
+        keys.select(F.col(col).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+        )
+    )
+    bucket = F.pmod(
+        md5_hash64(
+            F.concat_ws(
+                ":", F.col("k"), F.col("r").cast("string"), F.lit(str(seed))
+            )
+        ),
+        F.lit(width),
+    )
+    probes = probes.select("k", "r", bucket.alias("b"))
+    joined = probes.join(F.broadcast(sketch), ["r", "b"], "left").select(
+        "k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return (
+        joined.groupBy("k")
+        .agg(F.min("cnt").alias("est_n"))
+        .withColumnRenamed("k", col)
+    )

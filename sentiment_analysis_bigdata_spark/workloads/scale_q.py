@@ -303,8 +303,67 @@ FROM kept GROUP BY 1
 SQL_MIXTURE_SAMPLE = _sql_mixture_sample()
 
 
+def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch frequency estimation: build a mergeable
+    depth=4 × width=1024 sketch over the corpus token stream (fixed-size
+    summary, corpus-size-independent), then probe it for the exact top-20
+    tokens. Output pairs the estimate with the exact count so the
+    overcount-only CMS guarantee (est ≥ exact) is itself value-checked;
+    the md5-derived cell hashes make the whole sketch replayable
+    bit-for-bit in SQL."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+    sketch = sketches.cms_build(tokens, "token", depth=4, width=1024, seed=0)
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sketch, exact, "token", depth=4, width=1024, seed=0)
+    return exact.join(est, "token").select(
+        "token",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
+    )
+
+
+SQL_CMS_TOKEN_COUNTS = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+e AS (SELECT token, r FROM toks CROSS JOIN (SELECT unnest(range(4)) AS r)),
+sketch AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(token || ':' || r || ':0'), 1, 15)) AS BIGINT)
+           % 1024 AS b,
+         count(*) AS cnt
+  FROM e GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, count(*) AS exact_n FROM toks
+  GROUP BY token ORDER BY exact_n DESC, token ASC LIMIT 20
+),
+probes AS (
+  SELECT token, r,
+         CAST(('0x' || substr(md5(token || ':' || r || ':0'), 1, 15)) AS BIGINT)
+           % 1024 AS b
+  FROM exact CROSS JOIN (SELECT unnest(range(4)) AS r)
+),
+est AS (
+  SELECT p.token, min(coalesce(s.cnt, 0)) AS est_n
+  FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+  GROUP BY p.token
+)
+SELECT x.token, x.exact_n, est.est_n, est.est_n >= x.exact_n AS no_undercount
+FROM exact x JOIN est USING (token)
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

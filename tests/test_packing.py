@@ -85,3 +85,58 @@ class TestStratifiedSample:
         assert sorted(tuple(r) for r in again.collect()) == sorted(
             tuple(r) for r in out.collect()
         )
+
+
+class TestCountMinSketch:
+    def _tokens(self, spark):
+        rows = [(f"tok{i % 20}",) for i in range(400)] + [("rare",)] * 3
+        return spark.createDataFrame(rows, "token string").repartition(4)
+
+    def test_never_undercounts(self, spark):
+        df = self._tokens(spark)
+        sketch = sketches.cms_build(df, "token", depth=4, width=64, seed=0)
+        keys = df.distinct()
+        est = {
+            r.token: r.est_n
+            for r in sketches.cms_estimate(
+                sketch, keys, "token", depth=4, width=64, seed=0
+            ).collect()
+        }
+        exact = {
+            r.token: r.n
+            for r in df.groupBy("token").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[k] >= exact[k] for k in exact)
+
+    def test_exact_when_wide(self, spark):
+        # width far above key cardinality → collisions vanishingly unlikely
+        # across 4 independent rows; min over rows recovers exact counts
+        df = self._tokens(spark)
+        sketch = sketches.cms_build(df, "token", depth=4, width=65536, seed=0)
+        est = {
+            r.token: r.est_n
+            for r in sketches.cms_estimate(
+                sketch, df.distinct(), "token", depth=4, width=65536, seed=0
+            ).collect()
+        }
+        assert est["rare"] == 3
+        assert est["tok0"] == 20
+
+    def test_sketch_size_capped(self, spark):
+        sketch = sketches.cms_build(
+            self._tokens(spark), "token", depth=4, width=32, seed=0
+        )
+        assert sketch.count() <= 4 * 32
+
+    def test_merge_equals_single_build(self, spark):
+        df = self._tokens(spark)
+        a = df.filter("token like 'tok1%'")
+        b = df.filter("token not like 'tok1%'")
+        sa = sketches.cms_build(a, "token", depth=4, width=64, seed=0)
+        sb = sketches.cms_build(b, "token", depth=4, width=64, seed=0)
+        merged = sketches.cms_merge(sa, sb)
+        whole = sketches.cms_build(df, "token", depth=4, width=64, seed=0)
+        assert sorted(
+            (r.r, r.b, r.cnt) for r in merged.collect()
+        ) == sorted((r.r, r.b, r.cnt) for r in whole.collect())
