@@ -253,3 +253,54 @@ def bpe_segment(tokens: Column, merges: list[tuple[str, str]]) -> Column:
         return F.split(F.trim(seg), "  ")
 
     return F.transform(tokens, encode)
+
+
+def wordpiece_scores(segmented: DataFrame, freq_col: str = "freq") -> DataFrame:
+    """WordPiece merge scoring over the current segmentation (Schuster &
+    Nakajima 2012; the likelihood-gain rule HuggingFace's WordPiece trainer
+    uses): rank candidate merges by
+
+        score(a, b) = count(ab) / (count(a) · count(b))
+
+    instead of BPE's raw pair count — merging the pair that maximizes the
+    unigram-LM likelihood gain rather than the most frequent one, which
+    systematically prefers gluing RARE-but-always-together symbols over
+    frequent-by-chance neighbors. Emitted as ``score_ln`` = ln n_pair −
+    ln n_lhs − ln n_rhs (monotone in the ratio; 6-dp-rounded so the
+    ranking key is ulp-stable across engines).
+
+    Scale shape: identical to BPE's — pair counts AND freq-weighted
+    unigram symbol counts are two vocab-sized aggregations over the
+    segmented frame; the two score joins are symbol-keyed, vocab-sized on
+    both sides (no hint, AQE owns the strategy). The corpus is never
+    touched (it was reduced to (word, freq) once, upstream).
+
+    Returns (lhs, rhs, n, n_lhs, n_rhs, score_ln).
+    """
+    pairs = symbol_pair_counts(segmented, freq_col)
+    syms = (
+        segmented.select(
+            F.explode(_symbols(F.col("seg"))).alias("sym"), F.col(freq_col)
+        )
+        .groupBy("sym")
+        .agg(F.sum(freq_col).alias("n_sym"))
+    )
+    lhs_n = syms.select(F.col("sym").alias("lhs"), F.col("n_sym").alias("n_lhs"))
+    rhs_n = syms.select(F.col("sym").alias("rhs"), F.col("n_sym").alias("n_rhs"))
+    return (
+        pairs.join(lhs_n, "lhs")
+        .join(rhs_n, "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            "n",
+            "n_lhs",
+            "n_rhs",
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.log(F.col("n_lhs").cast("double"))
+                - F.log(F.col("n_rhs").cast("double")),
+                6,
+            ).alias("score_ln"),
+        )
+    )

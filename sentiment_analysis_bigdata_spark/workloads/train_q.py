@@ -302,8 +302,59 @@ FROM enc GROUP BY 1
 SQL_BPE_ENCODE_CORPUS = _sql_bpe_encode_corpus()
 
 
+def q_wordpiece_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 WordPiece-scored merge candidates (round 0): pairs ranked by
+    the likelihood-gain ratio count(ab)/(count(a)·count(b)) rather than
+    BPE's raw count — the Schuster-Nakajima scoring rule. Both the pair
+    and unigram aggregates are vocab-sized; only n ≥ 5 pairs rank (the
+    ratio is noise for hapax pairs)."""
+    docs = load_table(spark, sf, "documents")
+    vocab = tokenizer_train.segment_words(
+        tokenizer_train.word_frequencies(docs, "text")
+    )
+    scored = tokenizer_train.wordpiece_scores(vocab).filter(F.col("n") >= 5)
+    return scored.orderBy(
+        F.col("score_ln").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(20)
+
+
+SQL_WORDPIECE_CANDIDATES = """
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substring(word, CAST(i AS INT), 1) AS lhs,
+         substring(word, CAST(i + 1 AS INT), 1) AS rhs,
+         CAST(sum(freq) AS BIGINT) AS n
+  FROM words, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+  GROUP BY 1, 2
+  HAVING sum(freq) >= 5
+),
+syms AS (
+  SELECT substring(word, CAST(i AS INT), 1) AS sym, CAST(sum(freq) AS BIGINT) AS n_sym
+  FROM words, unnest(range(1, length(word) + 1)) AS t(i)
+  GROUP BY 1
+)
+SELECT p.lhs, p.rhs, p.n, a.n_sym AS n_lhs, b.n_sym AS n_rhs,
+       round(ln(p.n) - ln(a.n_sym) - ln(b.n_sym), 6) AS score_ln
+FROM pairs p
+JOIN syms a ON a.sym = p.lhs
+JOIN syms b ON b.sym = p.rhs
+ORDER BY score_ln DESC, p.lhs, p.rhs
+LIMIT 20
+"""
+
+
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "wordpiece_candidates": (q_wordpiece_candidates, SQL_WORDPIECE_CANDIDATES),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "bpe_encode_corpus": (q_bpe_encode_corpus, SQL_BPE_ENCODE_CORPUS),

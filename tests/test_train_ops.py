@@ -270,3 +270,41 @@ class TestGroupwiseRegression:
         }
         assert pd_["c"].slope is None and pd_["c"].n == 1
         assert pd_["d"].slope is None and pd_["d"].n == 2
+
+
+class TestWordpieceScores:
+    def test_prefers_rare_but_exclusive_pairs(self, spark):
+        # corpus: "ab" ×3, "cd" ×1 →
+        #   BPE count rank:       (a,b) n=3  beats (c,d) n=1
+        #   WordPiece score rank: (c,d) 1/(1·1)=1 beats (a,b) 3/(3·3)=1/3
+        df = spark.createDataFrame(
+            [Row(text="ab ab ab cd")], "text string"
+        )
+        vocab = tokenizer_train.segment_words(
+            tokenizer_train.word_frequencies(df)
+        )
+        scored = {
+            (r.lhs, r.rhs): r
+            for r in tokenizer_train.wordpiece_scores(vocab).collect()
+        }
+        ab, cd = scored[("a", "b")], scored[("c", "d")]
+        assert (ab.n, ab.n_lhs, ab.n_rhs) == (3, 3, 3)
+        assert (cd.n, cd.n_lhs, cd.n_rhs) == (1, 1, 1)
+        import math
+
+        assert ab.score_ln == round(math.log(3) - 2 * math.log(3), 6)
+        assert cd.score_ln == 0.0
+        assert cd.score_ln > ab.score_ln  # the WordPiece inversion
+
+    def test_unigram_counts_freq_weighted(self, spark):
+        df = spark.createDataFrame(
+            [Row(text="xy xy"), Row(text="xy")], "text string"
+        )
+        vocab = tokenizer_train.segment_words(
+            tokenizer_train.word_frequencies(df)
+        )
+        r = tokenizer_train.wordpiece_scores(vocab).collect()
+        assert len(r) == 1
+        assert (r[0].lhs, r[0].rhs, r[0].n, r[0].n_lhs, r[0].n_rhs) == (
+            "x", "y", 3, 3, 3,
+        )
