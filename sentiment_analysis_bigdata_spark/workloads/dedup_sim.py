@@ -1238,8 +1238,93 @@ FROM scored
 """
 
 
+# --- PCA over the embedding table ------------------------------------------------
+
+def q_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal component of the 64-dim embedding corpus:
+    one-pass d²-sized moments (Arrow GEMM kernel), algebraic covariance,
+    12 fixed power-iteration rounds on the driver's 64×64 matrix
+    (operators/pca.py). The oracle independently recomputes the covariance
+    and replays the identical iteration unrolled as SQL CTEs."""
+    from sentiment_analysis_bigdata_spark.operators import pca
+
+    emb = ensure_min_parallelism(
+        load_table(spark, sf, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+        "vec_id",
+    )
+    out = pca.pca_top_component(emb, "embedding", dim=64, iters=12)
+    return out.select(
+        "i",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("explained_ratio", 6).alias("explained_ratio"),
+    )
+
+
+def _sql_embedding_pca(dim: int = 64, iters: int = 12) -> str:
+    """Unrolled power-iteration oracle (same technique as the BPE CTE
+    recursion): covariance from first principles, then v0 → v12, λ = vᵀCv,
+    trace, and the max-|loading| sign rule."""
+    ctes = [
+        f"idx AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range({dim}) t(i))",
+        "nr AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        """xs AS MATERIALIZED (
+  SELECT vec_id, idx.i AS i, CAST(embedding[idx.i + 1] AS DOUBLE) AS x
+  FROM embeddings, idx
+)""",
+        "mu AS MATERIALIZED (SELECT i, sum(x) AS s FROM xs GROUP BY 1)",
+        """gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM xs a JOIN xs b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+)""",
+        """cov AS MATERIALIZED (
+  SELECT g.i, g.j, (g.g - mi.s * mj.s / nr.n) / (nr.n - 1) AS c
+  FROM gram g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j, nr
+)""",
+        f"v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt({dim}) AS x FROM idx)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT c.j AS i, sum(c.c * v.x) AS y "
+            f"FROM cov c JOIN v{t - 1} v ON v.i = c.i GROUP BY c.j)"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y{t}) AS x "
+            f"FROM y{t})"
+        )
+    vf = f"v{iters}"
+    ctes += [
+        f"""cv AS MATERIALIZED (
+  SELECT c.j AS i, sum(c.c * v.x) AS y
+  FROM cov c JOIN {vf} v ON v.i = c.i GROUP BY c.j
+)""",
+        f"lam AS MATERIALIZED (SELECT sum(cv.y * v.x) AS l FROM cv JOIN {vf} v USING (i))",
+        "tr AS MATERIALIZED (SELECT sum(c) AS t FROM cov WHERE i = j)",
+        f"""sgn AS MATERIALIZED (
+  SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM {vf} ORDER BY abs(x) DESC, i ASC LIMIT 1
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.i, round(sgn.s * v.x, 6) AS loading,
+       round(lam.l, 6) AS eigenvalue,
+       round(lam.l / tr.t, 6) AS explained_ratio
+FROM {vf} v, sgn, lam, tr
+"""
+    )
+
+
+SQL_EMBEDDING_PCA = _sql_embedding_pca()
+
+
 QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
+    "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),

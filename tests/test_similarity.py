@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions import vector as V
+from sentiment_analysis_bigdata_spark.operators import pca
 from sentiment_analysis_bigdata_spark.operators import similarity as SIM
 
 DIM = 16
@@ -277,3 +278,41 @@ class TestSq8:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, f"SQ8 recall {recall}"
+
+
+class TestPca:
+    def test_rank_one_hand_values(self, spark):
+        # points on the line y = 2x → covariance is rank-1; the top
+        # component is (1,2)/sqrt(5) with lambda = trace, explained = 1
+        import math
+
+        rows = [([1.0, 2.0],), ([-1.0, -2.0],), ([2.0, 4.0],), ([-2.0, -4.0],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r.i: r for r in pca.pca_top_component(df, "embedding", dim=2).collect()}
+        s5 = math.sqrt(5)
+        assert abs(out[0].loading - 1 / s5) < 1e-9
+        assert abs(out[1].loading - 2 / s5) < 1e-9
+        assert abs(out[0].eigenvalue - 50.0 / 3.0) < 1e-9
+        assert abs(out[0].explained_ratio - 1.0) < 1e-12
+
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        X = rng.randn(40, 3)
+        df = spark.createDataFrame(
+            [(list(map(float, r)),) for r in X], "embedding array<double>"
+        ).repartition(5)
+        got = {(r.i, r.j): r.c for r in pca.covariance_matrix(df, "embedding", 3).collect()}
+        want = np.cov(X, rowvar=False)
+        for i in range(3):
+            for j in range(3):
+                assert abs(got[(i, j)] - want[i][j]) < 1e-9
+
+    def test_sign_rule_max_abs_positive(self, spark):
+        rows = [([0.0, -3.0],), ([0.0, 3.0],), ([0.1, -6.0],), ([-0.1, 6.0],)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {r.i: r for r in pca.pca_top_component(df, "embedding", dim=2).collect()}
+        # dominant direction is ~e1; the max-|loading| component must be positive
+        assert abs(out[1].loading) > abs(out[0].loading)
+        assert out[1].loading > 0
