@@ -1238,6 +1238,215 @@ FROM scored
 """
 
 
+# --- product-quantization ANN -----------------------------------------------------
+
+PQ_M = 8          # sub-spaces
+PQ_K = 16         # codes per sub-space
+PQ_DSUB = 8       # dims per sub-space (64 / PQ_M)
+
+
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate cosine top-k over 4-byte PQ codes (64× compression):
+    deterministic one-Lloyd-iteration codebooks (init = k smallest-id
+    rows), Arrow-kernel encode + asymmetric scoring against the codebook
+    reconstruction (operators/pq.py). The oracle replays the ENTIRE
+    trainer — init, argmin assignment, grouped means with empty-cluster
+    fallback — plus encoding and scoring in SQL, so the compressed
+    index's contents are value-checked, not just its output shape."""
+    from sentiment_analysis_bigdata_spark.operators import pq as PQ
+
+    emb = ensure_min_parallelism(
+        _emb(spark, sf), spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    out = PQ.pq_topk(
+        emb, _queries_frame(emb), k=TOP_K, m=PQ_M, n_codes=PQ_K, dim=64
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sql_ann_pq_ctes() -> str:
+    """The shared MATERIALIZED CTE chain replaying PQ end-to-end in
+    DuckDB: codebook training (deterministic init → argmin assignment →
+    per-dim means, empty clusters keep init), encoding, and asymmetric
+    cosine scoring. MATERIALIZED stops DuckDB's CTE inlining from
+    re-expanding the chain (same trick as the PCA oracle)."""
+    m, k, dsub, d1 = PQ_M, PQ_K, PQ_DSUB, PQ_DSUB + 1
+    d2 = (
+        "list_sum(list_transform(range(1, {d1}), "
+        "j -> (x.xvec[j] - {b}.cvec[j]) * (x.xvec[j] - {b}.cvec[j])))"
+    )
+    return f"""
+WITH dims AS MATERIALIZED (SELECT CAST(s AS INT) AS s FROM range({m}) t(s)),
+init AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+initsub AS MATERIALIZED (
+  SELECT i.code, d.s,
+         list_transform(range(1, {d1}),
+                        j -> CAST(i.embedding[d.s * {dsub} + j] AS DOUBLE)) AS cvec
+  FROM init i CROSS JOIN dims d
+),
+corsub AS MATERIALIZED (
+  SELECT e.vec_id, d.s,
+         list_transform(range(1, {d1}),
+                        j -> CAST(e.embedding[d.s * {dsub} + j] AS DOUBLE)) AS xvec
+  FROM embeddings e CROSS JOIN dims d
+),
+assign0 AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, i.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {d2.format(d1=d1, b='i')} ASC, i.code ASC
+           ) AS rn
+    FROM corsub x JOIN initsub i ON i.s = x.s
+  ) WHERE rn = 1
+),
+means AS MATERIALIZED (
+  SELECT a.s, a.code, t.j, avg(x.xvec[t.j]) AS v
+  FROM assign0 a
+  JOIN corsub x ON x.vec_id = a.vec_id AND x.s = a.s
+  CROSS JOIN (SELECT CAST(j AS INT) AS j FROM range(1, {d1}) t(j)) t
+  GROUP BY 1, 2, 3
+),
+mlists AS MATERIALIZED (
+  SELECT s, code, list(v ORDER BY j) AS cvec FROM means GROUP BY 1, 2
+),
+books AS MATERIALIZED (
+  SELECT i.s, i.code, coalesce(ml.cvec, i.cvec) AS cvec
+  FROM initsub i LEFT JOIN mlists ml ON ml.s = i.s AND ml.code = i.code
+),
+assign1 AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, b.code,
+           row_number() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {d2.format(d1=d1, b='b')} ASC, b.code ASC
+           ) AS rn
+    FROM corsub x JOIN books b ON b.s = x.s
+  ) WHERE rn = 1
+),
+recon AS MATERIALIZED (
+  SELECT a.vec_id, a.s, b.cvec
+  FROM assign1 a JOIN books b ON b.s = a.s AND b.code = a.code
+),
+rnorm AS MATERIALIZED (
+  SELECT vec_id,
+         sum(list_sum(list_transform(range(1, {d1}), j -> cvec[j] * cvec[j]))) AS n2
+  FROM recon GROUP BY 1
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(range(1, {m * dsub + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qsub AS MATERIALIZED (
+  SELECT q.query_id, d.s,
+         list_transform(range(1, {d1}),
+                        j -> CAST(q.qv[d.s * {dsub} + j] AS DOUBLE)) AS qvec
+  FROM q CROSS JOIN dims d
+),
+pdots AS MATERIALIZED (
+  SELECT qs.query_id, r.vec_id,
+         sum(list_sum(list_transform(range(1, {d1}),
+             j -> qs.qvec[j] * r.cvec[j]))) AS dot
+  FROM qsub qs JOIN recon r ON r.s = qs.s
+  GROUP BY 1, 2
+),
+pq_scored AS MATERIALIZED (
+  SELECT p.query_id, p.vec_id,
+         CASE WHEN q.qn * sqrt(rn.n2) > 0
+              THEN p.dot / (q.qn * sqrt(rn.n2)) ELSE 0.0 END AS score_raw
+  FROM pdots p
+  JOIN q ON q.query_id = p.query_id
+  JOIN rnorm rn ON rn.vec_id = p.vec_id
+  WHERE p.vec_id <> p.query_id
+),
+pq_ranked AS MATERIALIZED (
+  SELECT query_id, vec_id, score_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_raw DESC, vec_id ASC) AS rank
+  FROM pq_scored
+)"""
+
+
+SQL_ANN_PQ = (
+    _sql_ann_pq_ctes()
+    + f"""
+SELECT query_id, vec_id, round(score_raw, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM pq_ranked WHERE rank <= {TOP_K}
+"""
+)
+
+
+def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the PQ index against the exact brute-force top-k, both
+    inside Spark — the compression/recall trade as a value-checked number
+    (the SQ8/LSH pattern applied to PQ)."""
+    from sentiment_analysis_bigdata_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf)
+    exact = SIM.brute_force_topk(emb, _queries_frame(emb), k=TOP_K)
+    approx = PQ.pq_topk(
+        ensure_min_parallelism(
+            emb, spark.sparkContext.defaultParallelism, "vec_id"
+        ),
+        _queries_frame(emb),
+        k=TOP_K,
+        m=PQ_M,
+        n_codes=PQ_K,
+        dim=64,
+    )
+    hits = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(TOP_K), 6))
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_PQ_RECALL = (
+    _sql_ann_pq_ctes()
+    + f""",
+pq_topk AS MATERIALIZED (
+  SELECT query_id, vec_id FROM pq_ranked WHERE rank <= {TOP_K}
+),
+exact_scored AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact_topk AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT x.query_id,
+       CAST(count(p.vec_id) AS INTEGER) AS n_hits,
+       round(count(p.vec_id) / {TOP_K}.0, 6) AS recall
+FROM exact_topk x
+LEFT JOIN pq_topk p ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+GROUP BY 1
+ORDER BY 1
+"""
+)
+
+
 # --- PCA over the embedding table ------------------------------------------------
 
 def q_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
@@ -1347,6 +1556,8 @@ QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_sq8_recall": (q_ann_sq8_recall, SQL_ANN_SQ8_RECALL),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),

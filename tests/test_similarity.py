@@ -316,3 +316,70 @@ class TestPca:
         # dominant direction is ~e1; the max-|loading| component must be positive
         assert abs(out[1].loading) > abs(out[0].loading)
         assert out[1].loading > 0
+
+
+class TestProductQuantization:
+    def _clustered(self, spark, n_clusters=10, per=20):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        centers = rng.randn(n_clusters, 64) * 5.0
+        rows = []
+        for i in range(n_clusters * per):
+            c = i % n_clusters  # interleaved: the k smallest ids span clusters
+            v = centers[c] + 0.1 * rng.randn(64)
+            rows.append((i, [float(x) for x in v], c))
+        return (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, cluster int"
+            ).repartition(6),
+            {i: i % n_clusters for i in range(n_clusters * per)},
+        )
+
+    def test_same_cluster_same_codes(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import pq
+
+        df, cluster_of = self._clustered(spark)
+        books = pq.train_pq_codebooks(df, m=8, k=16, dim=64)
+        codes = {
+            r.vec_id: tuple(r.codes)
+            for r in pq.pq_encode(df, books).collect()
+        }
+        # separation >> noise: per sub-space, the codes a cluster uses are
+        # NEVER shared with another cluster (a point may waver between its
+        # cluster's near-duplicate init centroids, but not across clusters)
+        for s in range(8):
+            used = {}
+            for vid, cd in codes.items():
+                used.setdefault(cluster_of[vid], set()).add(cd[s])
+            clusters = list(used)
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    assert not (used[clusters[i]] & used[clusters[j]])
+
+    def test_topk_stays_in_cluster(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import pq
+
+        df, cluster_of = self._clustered(spark)
+        queries = df.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = pq.pq_topk(df, queries, k=5, m=8, n_codes=16, dim=64)
+        rows = out.collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert cluster_of[r.vec_id] == cluster_of[r.query_id]
+
+    def test_empty_clusters_keep_init(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import pq
+
+        # 3 distinct rows but k=16 requested: the codebook clamps to n
+        rows = [(i, [float(i)] * 64) for i in range(3)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = pq.train_pq_codebooks(df, m=8, k=16, dim=64)
+        # codebook shrinks to k_eff = n rows
+        assert len(books) == 8 and all(len(b) == 3 for b in books)
+        codes = {r.vec_id: tuple(r.codes) for r in pq.pq_encode(df, books).collect()}
+        assert len(codes) == 3
+        assert codes[0] != codes[2]
