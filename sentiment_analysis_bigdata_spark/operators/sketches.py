@@ -145,9 +145,11 @@ def cms_estimate(
 
     The probe table is |keys| × depth rows; the join is an equi join on
     (r, b) against the sketch, whose size is bounded at depth × width BY
-    CONSTRUCTION (the groupBy in :func:`cms_build` caps it), so the
-    broadcast hint is safe at any corpus scale — this is the "capped
-    vocab" exception in the broadcast policy.
+    CONSTRUCTION (the groupBy in :func:`cms_build` caps it). No broadcast
+    hint even so: the sketch's subtree scans the corpus, and the plan
+    audit (tools/plan_audit.py) conservatively rejects hint-forced
+    broadcasts over SF-scaled scans — AQE sees the post-aggregation size
+    and broadcasts it at runtime anyway.
 
     Returns (col, est_n).
     """
@@ -170,7 +172,7 @@ def cms_estimate(
         F.lit(width),
     )
     probes = probes.select("k", "r", bucket.alias("b"))
-    joined = probes.join(F.broadcast(sketch), ["r", "b"], "left").select(
+    joined = probes.join(sketch, ["r", "b"], "left").select(
         "k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return (
