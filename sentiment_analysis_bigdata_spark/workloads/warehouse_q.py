@@ -475,7 +475,74 @@ GROUP BY t.ta, t.tb
 """
 
 
+def q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality gate over orders: five row-local
+    constraints compiled into ONE aggregation pass (not-null / unique PK /
+    price range / status domain / priority shape) plus customer-FK
+    referential integrity as a distinct-key anti join (operators/dq.py).
+    One row per check with its violation count and pass flag."""
+    from sentiment_analysis_bigdata_spark.operators import dq
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    cols = dq.column_checks(
+        orders,
+        [
+            dq.not_null("o_orderkey"),
+            dq.unique("o_orderkey"),
+            dq.in_range("o_totalprice", 0, 1_000_000),
+            dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            dq.matches_regex("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    fk = dq.fk_check(orders, "o_custkey", cust, "c_custkey")
+    return dq.dq_report([cols, fk]).orderBy("check")
+
+
+SQL_DQ_ORDERS = """
+WITH rows_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+cols AS (
+  SELECT 'not_null:o_orderkey' AS "check", rows_total.n AS metric,
+         (SELECT CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) FROM orders) AS violations
+  FROM rows_total
+  UNION ALL
+  SELECT 'unique:o_orderkey', rows_total.n,
+         (SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+  FROM rows_total
+  UNION ALL
+  SELECT 'range:o_totalprice', rows_total.n,
+         (SELECT CAST(count(*) FILTER (
+            WHERE NOT coalesce(o_totalprice BETWEEN 0 AND 1000000, FALSE)) AS BIGINT) FROM orders)
+  FROM rows_total
+  UNION ALL
+  SELECT 'accepted:o_orderstatus', rows_total.n,
+         (SELECT CAST(count(*) FILTER (
+            WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)) AS BIGINT) FROM orders)
+  FROM rows_total
+  UNION ALL
+  SELECT 'regex:o_orderpriority', rows_total.n,
+         (SELECT CAST(count(*) FILTER (
+            WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) AS BIGINT) FROM orders)
+  FROM rows_total
+),
+fk AS (
+  SELECT 'fk:o_custkey' AS "check",
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+          WHERE o_custkey IS NOT NULL) AS metric,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+            EXCEPT
+            SELECT DISTINCT c_custkey FROM customer
+         )) AS violations
+)
+SELECT "check", metric, violations, violations = 0 AS passed
+FROM (SELECT * FROM cols UNION ALL SELECT * FROM fk)
+ORDER BY "check"
+"""
+
+
 QUERIES = {
+    "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "score_drift_ks": (q_score_drift_ks, SQL_SCORE_DRIFT_KS),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),

@@ -330,3 +330,59 @@ class TestKSTwoSample:
         r = drift.ks_two_sample(a, b, "v", round_digits=1).first()
         assert r.n_support == 2  # {0.1, 0.9}
         assert r.ks_stat == pytest.approx(abs(3 / 4 - 1 / 2))
+
+
+class TestDqChecks:
+    def test_column_checks_one_pass(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import dq
+
+        df = spark.createDataFrame(
+            [
+                Row(id=1, price=10.0, status="O"),
+                Row(id=2, price=-5.0, status="X"),
+                Row(id=2, price=None, status="O"),
+                Row(id=None, price=50.0, status="F"),
+            ]
+        )
+        out = {
+            r.check: (r.metric, r.violations, r.passed)
+            for r in dq.column_checks(
+                df,
+                [
+                    dq.not_null("id"),
+                    dq.unique("id"),
+                    dq.in_range("price", 0, 100),
+                    dq.accepted_values("status", ["O", "F", "P"]),
+                ],
+            ).collect()
+        }
+        assert out["not_null:id"] == (4, 1, False)
+        # 3 non-null ids, 2 distinct → 1 duplicate
+        assert out["unique:id"] == (4, 1, False)
+        # -5 out of range, NULL price cannot prove the constraint → 2
+        assert out["range:price"] == (4, 2, False)
+        assert out["accepted:status"] == (4, 1, False)
+
+    def test_fk_check_distinct_keys(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import dq
+
+        child = spark.createDataFrame(
+            [Row(fk=1), Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]
+        )
+        parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+        r = dq.fk_check(child, "fk", parent, "pk").collect()[0]
+        # 3 distinct non-null child keys, 1 orphan (99)
+        assert (r.check, r.metric, r.violations, r.passed) == ("fk:fk", 3, 1, False)
+
+    def test_all_green_passes(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import dq
+
+        df = spark.createDataFrame([Row(id=1), Row(id=2)])
+        out = dq.column_checks(df, [dq.not_null("id"), dq.unique("id")]).collect()
+        assert all(r.passed and r.violations == 0 for r in out)
