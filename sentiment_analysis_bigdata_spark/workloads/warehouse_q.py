@@ -541,8 +541,68 @@ ORDER BY "check"
 """
 
 
+def q_incremental_order_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained monthly order rollup: the history is split
+    into three disjoint eras (pre-1997 base state, 1997 delta, 1998+
+    delta), each reduced to keyed MERGEABLE partials in its own pass, then
+    folded with `merge_states` — union + one combine agg over
+    key-cardinality rows, never a history rescan (operators/incremental.py).
+    The oracle is the DIRECT aggregate over all of orders: merged
+    incremental state must be indistinguishable from a full recompute."""
+    from sentiment_analysis_bigdata_spark.operators import incremental
+
+    orders = load_table(spark, sf, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    specs = [
+        ("n_orders", "*", "count"),
+        ("sum_cents", "cents", "sum"),
+        ("min_price", "o_totalprice", "min"),
+        ("max_price", "o_totalprice", "max"),
+    ]
+    eras = [
+        orders.filter(F.col("o_orderdate") < "1997-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ),
+        orders.filter(F.col("o_orderdate") >= "1998-01-01"),
+    ]
+    parts = [incremental.partial_agg(e, ["month"], specs) for e in eras]
+    state = incremental.merge_states(["month"], specs, *parts)
+    return incremental.finalize(
+        state, {"avg_price": ("sum_cents", "n_orders")}
+    ).select(
+        "month",
+        "n_orders",
+        "sum_cents",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round(F.col("avg_price") / 100.0, 4).alias("avg_price"),
+    )
+
+
+SQL_INCREMENTAL_ORDER_ROLLUP = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*) / 100.0, 4)
+         AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
+    "incremental_order_rollup": (
+        q_incremental_order_rollup,
+        SQL_INCREMENTAL_ORDER_ROLLUP,
+    ),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "score_drift_ks": (q_score_drift_ks, SQL_SCORE_DRIFT_KS),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),

@@ -386,3 +386,50 @@ class TestDqChecks:
         df = spark.createDataFrame([Row(id=1), Row(id=2)])
         out = dq.column_checks(df, [dq.not_null("id"), dq.unique("id")]).collect()
         assert all(r.passed and r.violations == 0 for r in out)
+
+
+class TestIncrementalAgg:
+    _SPECS = [
+        ("n", "*", "count"),
+        ("s", "v", "sum"),
+        ("mn", "v", "min"),
+        ("mx", "v", "max"),
+    ]
+
+    def test_merge_equals_direct(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import incremental
+
+        rows = [Row(k="a", v=i) for i in range(10)] + [
+            Row(k="b", v=100 + i) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows)
+        d1, d2, d3 = df.filter("v % 3 = 0"), df.filter("v % 3 = 1"), df.filter("v % 3 = 2")
+        parts = [incremental.partial_agg(d, ["k"], self._SPECS) for d in (d1, d2, d3)]
+        merged = {
+            r.k: (r.n, r.s, r.mn, r.mx)
+            for r in incremental.merge_states(["k"], self._SPECS, *parts).collect()
+        }
+        direct = {
+            r.k: (r.n, r.s, r.mn, r.mx)
+            for r in incremental.partial_agg(df, ["k"], self._SPECS).collect()
+        }
+        assert merged == direct
+
+    def test_merge_order_invariant(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import incremental
+
+        df = spark.createDataFrame([Row(k="a", v=1), Row(k="a", v=9), Row(k="b", v=4)])
+        p1 = incremental.partial_agg(df.filter("v < 5"), ["k"], self._SPECS)
+        p2 = incremental.partial_agg(df.filter("v >= 5"), ["k"], self._SPECS)
+        ab = incremental.merge_states(["k"], self._SPECS, p1, p2).collect()
+        ba = incremental.merge_states(["k"], self._SPECS, p2, p1).collect()
+        key = lambda r: r.k
+        assert sorted(map(tuple, ab), key=str) == sorted(map(tuple, ba), key=str)
+
+    def test_finalize_avg(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import incremental
+
+        df = spark.createDataFrame([Row(k="a", v=2), Row(k="a", v=4)])
+        st = incremental.partial_agg(df, ["k"], self._SPECS)
+        out = incremental.finalize(st, {"avg": ("s", "n")}).collect()[0]
+        assert out.avg == 3.0
