@@ -22,7 +22,7 @@ Spark-first iterative design, like ``dedup.connected_components``:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -185,3 +185,58 @@ def clustering_coefficients(
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with a DETERMINISTIC vote: each round every node adopts the most
+    frequent label among its neighbors, ties broken by smallest label —
+    so a fixed round count yields an engine-independent labeling that a
+    SQL oracle can replay round-for-round (the async/random-order variant
+    of the original paper converges faster but is irreproducible; the
+    synchronous form is what distributed implementations use).
+
+    Scale shape: per round one (edge ⋈ labels) equi join on the node key,
+    one (node, label) count aggregation, one per-node argmax window —
+    PageRank's exact join+agg skeleton, reusing the same partitioning key
+    every round. ``localCheckpoint`` per round keeps lineage flat (the
+    connected-components guard). Isolated nodes keep their own label.
+
+    Returns (node, community) for every node of the undirected graph.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    e = fwd.unionByName(
+        edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+    ).distinct()
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        neigh = e.join(
+            labels.select(F.col("node").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -156,8 +156,77 @@ FROM deg d LEFT JOIN per_node p USING (node)
 """
 
 
+LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection over the co-purchase graph: 4 synchronous
+    label-propagation rounds with the deterministic (count desc, label asc)
+    vote (operators/graph.py label_propagation). Per-node community ids
+    are value-checked; the oracle replays every round as unrolled
+    MATERIALIZED CTEs."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+    from sentiment_analysis_bigdata_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+def _sql_label_propagation(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT a.item AS a, c.item AS b
+  FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) c
+    ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        """e AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+)""",
+        "n AS MATERIALIZED (SELECT DISTINCT s AS node FROM e)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM n)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT e.s AS node, l.label, count(*) AS cnt
+  FROM e JOIN l{r - 1} l ON l.node = e.d
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT n.node, coalesce(b.label, n.node) AS label
+  FROM n LEFT JOIN b{r} b USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{rounds}"
+    )
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "clustering_coeffs": (q_clustering_coeffs, SQL_CLUSTERING_COEFFS),
 }

@@ -268,3 +268,45 @@ class TestClusteringCoefficients:
         # node 0: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
         assert abs(out[0]["clustering_coeff"] - 1 / 3) < 1e-9
         assert out[3]["degree"] == 1 and out[3]["clustering_coeff"] == 0.0
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import label_propagation
+
+        # K3 {1,2,3} + K3 {10,11,12} joined by one bridge 3-10: after
+        # enough rounds each triangle converges to its min label; the
+        # bridge is outvoted by each side's clique
+        edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, rounds=6).collect()
+        }
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == got[12]
+        assert got[10] != got[1]
+
+    def test_isolated_pair_keeps_min(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(5, 7)], "a long, b long")
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, rounds=2).collect()
+        }
+        # a 2-cycle oscillates label-swaps; an even round count returns
+        # each node's own label — determinism is the contract, and the
+        # vote is neighbors-only by construction
+        assert set(got) == {5, 7}
+        assert got[5] in (5, 7) and got[7] in (5, 7)
+
+    def test_deterministic_across_layouts(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import label_propagation
+
+        edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 4), (2, 6)]
+        a = spark.createDataFrame(edges, "a long, b long").repartition(2)
+        b = spark.createDataFrame(list(reversed(edges)), "a long, b long").repartition(7)
+        ra = sorted((r.node, r.community) for r in label_propagation(a, rounds=4).collect())
+        rb = sorted((r.node, r.community) for r in label_propagation(b, rounds=4).collect())
+        assert ra == rb
