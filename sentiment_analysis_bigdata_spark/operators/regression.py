@@ -104,3 +104,82 @@ def groupwise_ols_pandas(
         )
 
     return df.select(*keys, x, y).groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def _tie_avg_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Tie-averaged (fractional) ranks of ``col`` via the distinct-value
+    pre-aggregation: per distinct value, rank = cum_count − (count−1)/2.
+    The window runs over DISTINCT values (support-sized, the roc_auc
+    shape — never a corpus-sized global sort); rows get their rank back
+    through a value-keyed equi join."""
+    from pyspark.sql import Window
+
+    by_val = df.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = by_val.select(
+        "__v",
+        (
+            F.sum("__n").over(w).cast("double")
+            - (F.col("__n") - 1) / 2.0
+        ).alias(out),
+    )
+    return df.join(ranks, df[col] == ranks["__v"]).drop("__v")
+
+
+def rank_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_cols: int | None = None,
+) -> DataFrame:
+    """Spearman's ρ between two numeric columns (+ Pearson's r for
+    contrast), exact under ties via tie-averaged fractional ranks.
+
+    ρ = Pearson correlation of the rank variables, assembled from one
+    final aggregation of rank sums/products — no corpus-sized sort: each
+    column's ranks come from a support-sized distinct-value window
+    (:func:`_tie_avg_ranks`). ``round_cols`` pre-rounds both columns,
+    bounding the support at any corpus size (the KS-drift knob) at the
+    cost of coarser ties. Output: 1 row (n, pearson_r, spearman_rho).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.select(
+        (F.round(a, round_cols) if round_cols is not None else a)
+        .cast("double")
+        .alias("__a"),
+        (F.round(b, round_cols) if round_cols is not None else b)
+        .cast("double")
+        .alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    ranked = _tie_avg_ranks(
+        _tie_avg_ranks(base, "__a", "__ra"), "__b", "__rb"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__ra").alias("sa"),
+        F.sum("__rb").alias("sb"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("saa"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("sbb"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("sab"),
+        F.sum("__a").alias("xa"),
+        F.sum("__b").alias("xb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("xaa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("xbb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("xab"),
+    )
+
+    # guarded Pearson from explicit sums (F.corr raises DIVIDE_BY_ZERO
+    # under ANSI on zero-variance input; the n-1 factors cancel anyway)
+    def _r(sxy, sx, sy, sxx, syy):
+        cov = F.col(sxy) - F.col(sx) * F.col(sy) / F.col("n")
+        vx = F.col(sxx) - F.col(sx) * F.col(sx) / F.col("n")
+        vy = F.col(syy) - F.col(sy) * F.col(sy) / F.col("n")
+        return F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(_r("xab", "xa", "xb", "xaa", "xbb"), 6).alias("pearson_r"),
+        F.round(_r("sab", "sa", "sb", "saa", "sbb"), 6).alias("spearman_rho"),
+    )

@@ -621,8 +621,59 @@ FROM stats
 """
 
 
+def q_rank_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman's ρ (tie-averaged fractional ranks) + Pearson's r between
+    lineitem quantity and extended price — monotone-association vs linear
+    association in one row. Ranks come from support-sized distinct-value
+    windows (the roc_auc shape), never a corpus-wide sort
+    (operators/regression.py rank_correlation)."""
+    from sentiment_analysis_bigdata_spark.operators.regression import (
+        rank_correlation,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return rank_correlation(li, "l_quantity", "l_extendedprice")
+
+
+SQL_RANK_CORRELATION = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS a, CAST(l_extendedprice AS DOUBLE) AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+va AS (SELECT a AS v, count(*) AS n FROM base GROUP BY 1),
+ra AS (SELECT v, sum(n) OVER (ORDER BY v) - (n - 1) / 2.0 AS r FROM va),
+vb AS (SELECT b AS v, count(*) AS n FROM base GROUP BY 1),
+rb AS (SELECT v, sum(n) OVER (ORDER BY v) - (n - 1) / 2.0 AS r FROM vb),
+ranked AS (
+  SELECT base.a, base.b, ra.r AS rnk_a, rb.r AS rnk_b
+  FROM base JOIN ra ON ra.v = base.a JOIN rb ON rb.v = base.b
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(rnk_a) AS sa, sum(rnk_b) AS sb,
+         sum(rnk_a * rnk_a) AS saa, sum(rnk_b * rnk_b) AS sbb,
+         sum(rnk_a * rnk_b) AS sab,
+         sum(a) AS xa, sum(b) AS xb,
+         sum(a * a) AS xaa, sum(b * b) AS xbb, sum(a * b) AS xab
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN (xaa - xa * xa / n) > 0 AND (xbb - xb * xb / n) > 0
+                  THEN (xab - xa * xb / n)
+                       / sqrt((xaa - xa * xa / n) * (xbb - xb * xb / n))
+             END, 6) AS pearson_r,
+       round(CASE WHEN (saa - sa * sa / n) > 0 AND (sbb - sb * sb / n) > 0
+                  THEN (sab - sa * sb / n)
+                       / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+             END, 6) AS spearman_rho
+FROM agg
+"""
+
+
 QUERIES = {
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
+    "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
     "bootstrap_accuracy": (q_bootstrap_accuracy, SQL_BOOTSTRAP_ACCURACY),
     "accuracy_by_slice": (q_accuracy_by_slice, SQL_ACCURACY_BY_SLICE),
     "model_agreement": (q_model_agreement, SQL_MODEL_AGREEMENT),

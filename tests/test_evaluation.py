@@ -275,3 +275,35 @@ class TestRankingMetrics:
         rows = [(1, 1, 0), (1, 2, 0)]
         r = self._run(spark, rows, [(1, 0)], k=2)
         assert (r.mrr, r.ndcg_at_k, r.recall_at_k) == (0.0, 0.0, 0.0)
+
+
+class TestRankCorrelation:
+    def _rc(self, spark, pairs):
+        from sentiment_analysis_bigdata_spark.operators.regression import (
+            rank_correlation,
+        )
+
+        df = spark.createDataFrame(pairs, "x double, y double")
+        return rank_correlation(df, "x", "y").collect()[0]
+
+    def test_perfect_monotone_nonlinear(self, spark):
+        # y = x³ is monotone but nonlinear: Spearman 1, Pearson < 1
+        pts = [(float(x), float(x**3)) for x in range(-5, 6)]
+        r = self._rc(spark, pts)
+        assert r.spearman_rho == 1.0
+        assert r.pearson_r < 1.0
+
+    def test_perfect_inverse(self, spark):
+        pts = [(float(x), float(-x)) for x in range(10)]
+        r = self._rc(spark, pts)
+        assert r.spearman_rho == -1.0
+        assert r.pearson_r == -1.0
+
+    def test_ties_fractional_ranks(self, spark):
+        # scipy-checked: spearmanr([1,1,2], [1,2,3]) = 0.866025...
+        r = self._rc(spark, [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)])
+        assert r.spearman_rho == 0.866025
+
+    def test_constant_column_null(self, spark):
+        r = self._rc(spark, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])
+        assert r.spearman_rho is None
