@@ -764,3 +764,92 @@ def winnow_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    → (node, component), component = min node id — the SAME contract as
+    :func:`connected_components`, reached in O(log n) rounds instead of
+    O(diameter).
+
+    Why both exist: min-label propagation does one join+agg per round but
+    needs as many rounds as the graph's diameter — fine for near-dup
+    clusters (tiny diameters), catastrophic for chain-shaped graphs at
+    100 TB. Star contraction rewires the edge set itself toward a star
+    per component:
+
+    - large-star (per node u): every neighbor LARGER than u re-attaches
+      to u's smallest neighbor-or-self m;
+    - small-star (per node u, over min-oriented edges): every neighbor
+      ≤ u re-attaches to m, and u attaches to m.
+
+    Each half-round is one groupBy-min + one equi join on the node key;
+    the edge set provably shrinks toward (node → component-min) stars,
+    with convergence detected by an unchanged edge multiset (cheap count
+    after subtract on the checkpointed frames). Deterministic throughout
+    — no tie-breaks needed (min is total on node ids).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # --- large star: symmetric neighborhoods; v > u re-attaches to m
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small star: min-orient (u ≥ v); all small neighbors + u → m
+        ori = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        ms = ori.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ori.join(ms, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(ms.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # convergence: edge multiset unchanged (both frames are distinct
+        # sets, so two empty set-differences ⇔ equality)
+        if (
+            small.exceptAll(e).isEmpty()
+            and e.exceptAll(small).isEmpty()
+        ):
+            e = small
+            break
+        e = small
+    # final edge set is (node → root) stars; roots and isolated nodes map
+    # to themselves
+    roots = all_nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("component")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+    return roots

@@ -215,6 +215,16 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return DD.connected_components(pairs)
 
 
+def q_dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same transitive clustering, computed by alternating large-star /
+    small-star contraction (O(log n) rounds — the 100 TB-correct algorithm
+    for high-diameter graphs; min-label propagation needs O(diameter)).
+    Shares dedup_components' recursive-CTE oracle: both must produce the
+    identical (node, min-reachable-id) labeling."""
+    pairs = DD.embedding_near_duplicates(_emb(spark, sf), threshold=0.25, n_bits=8)
+    return DD.connected_components_star(pairs)
+
+
 SQL_DEDUP_COMPONENTS = f"""
 WITH RECURSIVE
 pairs AS (
@@ -1542,6 +1552,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

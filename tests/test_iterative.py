@@ -310,3 +310,45 @@ class TestLabelPropagation:
         ra = sorted((r.node, r.community) for r in label_propagation(a, rounds=4).collect())
         rb = sorted((r.node, r.community) for r in label_propagation(b, rounds=4).collect())
         assert ra == rb
+
+
+class TestConnectedComponentsStar:
+    def _cc(self, spark, edges, prop_iters=40):
+        from sentiment_analysis_bigdata_spark.operators import dedup
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        star = {
+            r.node: r.component
+            for r in dedup.connected_components_star(df).collect()
+        }
+        # min-label propagation needs >= diameter rounds — exactly the
+        # weakness star contraction removes (its default 20 would silently
+        # underconverge on the 30-edge chain)
+        prop = {
+            r.node: r.component
+            for r in dedup.connected_components(df, max_iterations=prop_iters).collect()
+        }
+        return star, prop
+
+    def test_equals_label_propagation_on_chain(self, spark):
+        # long chain: the diameter-killer case star contraction exists for
+        edges = [(i, i + 1) for i in range(30)]
+        star, prop = self._cc(spark, edges)
+        assert star == prop
+        assert set(star.values()) == {0}
+
+    def test_equals_label_propagation_random(self, spark):
+        import random
+
+        rng = random.Random(3)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        star, prop = self._cc(spark, edges)
+        assert star == prop
+
+    def test_two_components_and_isolated_root(self, spark):
+        edges = [(7, 3), (3, 9), (20, 21)]
+        star, _ = self._cc(spark, edges)
+        assert star == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
