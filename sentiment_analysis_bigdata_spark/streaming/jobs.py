@@ -227,6 +227,50 @@ def interval_join_clicks_purchases(
     )
 
 
+def interval_join_left_outer(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits — with
+    its attributing click(s) when one exists in the preceding ``within``
+    window, else ONCE with nulls after the watermark proves no late click
+    can still match (the attribution-with-misses shape; the inner variant
+    above silently drops unattributed purchases).
+
+    Outer-join emission semantics are the part worth being precise about
+    at scale: a matched row emits on arrival, but an UNMATCHED purchase
+    can only emit when ``watermark`` has passed its event time — so rows
+    in the final watermark horizon of a bounded (availableNow) run are
+    still held in state when the stream ends and are NOT in the output.
+    That is correct streaming behavior, not data loss; consumers (and the
+    value-checked query in workloads/temporal_q.py) must bound their read
+    to ``purchase_ts ≤ max_ts − (watermark + within)``. Both sides carry
+    watermarks and the condition time-bounds the match, so buffered state
+    stays finite.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.c_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return purchases.join(clicks, cond, "leftOuter").select(
+        "purchase_id", "user_id", "purchase_ts", "value", "click_id", "click_ts"
+    )
+
+
 def enrich_with_dim(
     events: DataFrame,
     dim: DataFrame,

@@ -503,6 +503,96 @@ JOIN events p
 """
 
 
+def q_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution WITH misses: batch form of the left-outer interval join
+    — every purchase, null click columns when nothing attributes it."""
+    out = SJ.interval_join_left_outer(_events(spark, sf), within="1 hour")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+        "click_id",
+        F.date_format("click_ts", TS_FMT).alias("click_ts"),
+    )
+
+
+SQL_INTERVAL_JOIN_OUTER = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       strftime(p.ts, '{SQL_TS_FMT}') AS purchase_ts,
+       round(p.value, 4) AS value,
+       c.event_id AS click_id,
+       strftime(c.ts, '{SQL_TS_FMT}') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_streaming_interval_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """The left-outer interval join as a true incremental run. Unmatched
+    purchases inside the stream-end watermark horizon are STILL IN STATE
+    when a bounded run finishes (correct outer-join semantics — see
+    streaming/jobs.py interval_join_left_outer). The effective join
+    watermark is the MIN of the per-column watermarks (each from its own
+    side's max event time), so both this query and its oracle bound the
+    read to purchase_ts ≤ least(max click_ts, max purchase_ts) − 4 hours
+    (watermark 2 h + within 1 h + 1 h slack); inside that horizon the
+    incremental run must reproduce the batch left join exactly, nulls
+    included."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    joined = SJ.interval_join_left_outer(stream, within="1 hour")
+    SJ.run_stream_to_memory(
+        joined, "stream_interval_outer", timeout_s=120, output_mode="append"
+    )
+    ev = _events(spark, sf)
+    cutoff = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(F.col("m") - F.expr("INTERVAL 4 hours"))
+        .first()[0]
+    )
+    return (
+        spark.table("stream_interval_outer")
+        .filter(F.col("purchase_ts") <= F.lit(cutoff))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+            F.round("value", 4).alias("value"),
+            "click_id",
+            F.date_format("click_ts", TS_FMT).alias("click_ts"),
+        )
+    )
+
+
+SQL_STREAMING_INTERVAL_JOIN_OUTER = f"""
+WITH cutoff AS (
+  SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 4 HOUR AS m
+  FROM events
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       strftime(p.ts, '{SQL_TS_FMT}') AS purchase_ts,
+       round(p.value, 4) AS value,
+       c.event_id AS click_id,
+       strftime(c.ts, '{SQL_TS_FMT}') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE p.ts <= (SELECT m FROM cutoff)
+"""
+
+
 def q_streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """The SAME interval-join body as a true incremental stream-stream join
     (append mode — inner matches emit on arrival; watermarks bound state).
@@ -716,7 +806,12 @@ QUERIES = {
     "rate_anomalies": (q_rate_anomalies, SQL_RATE_ANOMALIES),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "interval_join_outer": (q_interval_join_outer, SQL_INTERVAL_JOIN_OUTER),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),
+    "streaming_interval_join_outer": (
+        q_streaming_interval_join_outer,
+        SQL_STREAMING_INTERVAL_JOIN_OUTER,
+    ),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),

@@ -222,3 +222,36 @@ def test_upsert_sink_replay_after_repoint(spark, tmp_path):
     assert got == {1: (100, "click"), 2: (101, "view")}
     versions = sorted(n for n in os.listdir(out) if n.startswith("_v"))
     assert versions == ["_v0", "_v0_retry"]
+
+
+def test_streaming_interval_join_outer_equals_batch(spark, sf_dir):
+    """Left-outer stream-stream join: inside the stream-end watermark
+    horizon (min-side max ts − watermark − within − slack) the incremental
+    run reproduces
+    the batch left join EXACTLY, nulls included; beyond it unmatched rows
+    are legitimately still in state."""
+    ev = load_table(spark, sf_dir, "events")
+    # effective join watermark = min of the two sides' column watermarks
+    cutoff = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        )
+        - F.expr("INTERVAL 4 hours")
+    ).first()[0]
+    batch = SJ.interval_join_left_outer(ev, within="1 hour").filter(
+        F.col("purchase_ts") <= F.lit(cutoff)
+    )
+    stream = SJ.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    joined = SJ.interval_join_left_outer(stream, within="1 hour")
+    SJ.run_stream_to_memory(joined, "t_ivjo", timeout_s=120, output_mode="append")
+    got_all = spark.table("t_ivjo")
+    got = sorted(
+        tuple(r)
+        for r in got_all.filter(F.col("purchase_ts") <= F.lit(cutoff)).collect()
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # the outer semantics actually exercised: null rows present
+    assert any(r[-2] is None for r in got)
+    assert len(got) > 0
