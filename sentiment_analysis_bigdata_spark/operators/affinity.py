@@ -271,3 +271,84 @@ def association_rules(
         )
         .filter(F.col("confidence") >= min_confidence)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents per query over the corpus
+    inverted index (Robertson & Walker 1994) — the lexical ranking
+    complement to dense ANN (operators/similarity.py) and the scoring
+    standard for hybrid retrieval / RAG candidate generation.
+
+        score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                                 / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene form)
+
+    Scale shape: one corpus pass builds (doc, term, tf) postings plus the
+    per-doc length; df/N/avgdl are term-/1-row-sized aggregates. The
+    query side EXPLODES to (query, term) rows and equi-joins the postings
+    on the term key — candidate generation touches only postings of query
+    terms (index-pruned, never a corpus scan per query), and the final
+    per-query top-k is a window over the candidate union. Duplicate query
+    terms count once (set semantics, the standard convention).
+
+    Returns (query_id, doc, score, rank), rank 1..top_k, tie-broken
+    (score desc, doc asc).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokenize_nonempty(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(query_terms_col))).alias("term"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        qt.join(tf, "term")
+        .join(dfreq, "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc", (idf * tf_part).alias("partial")
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum("partial").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc", "score", "rank")
+    )

@@ -115,8 +115,69 @@ WHERE d.support / sa.n_item >= 0.1
 """
 
 
+# --- BM25 retrieval ---------------------------------------------------------------
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 per query (operators/affinity.py bm25_scores):
+    queries are the distinct first-5 tokens of the three smallest doc_ids
+    (deterministic on both engines), candidates come only from the query
+    terms' postings — index-pruned, never a per-query corpus scan."""
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+    docs = load_table(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(tokenize_nonempty(F.col("text")), 1, 5).alias("terms"),
+    )
+    out = affinity.bm25_scores(docs, queries, top_k=10)
+    return out.select(
+        "query_id",
+        "doc",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+tf AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(l[1:5])) AS term
+  FROM toks WHERE doc_id < 3
+),
+scored AS (
+  SELECT q.query_id, tf.doc,
+         sum(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
 }

@@ -158,3 +158,59 @@ class TestAssociationRules:
         assert {(r.antecedent, r.consequent) for r in got} == {
             ("y", "x"), ("z", "x"), ("z", "y")
         }
+
+
+class TestBm25:
+    def _corpus(self, spark):
+        rows = [
+            Row(doc_id=1, text="cat sat mat"),
+            Row(doc_id=2, text="cat cat cat cat"),
+            Row(doc_id=3, text="dog ran far away today"),
+            Row(doc_id=4, text="cat dog"),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_hand_computed_single_term(self, spark):
+        import math
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame([Row(query_id=0, terms=["dog"])])
+        got = {
+            r.doc: r.score
+            for r in affinity.bm25_scores(docs, q, top_k=10).collect()
+        }
+        # df(dog)=2, N=4 → idf = ln(1 + 2.5/2.5) = ln 2; avgdl = 14/4
+        k1, b = 1.2, 0.75
+        avgdl = 14 / 4
+
+        def s(tf, dl):
+            return math.log(2) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert set(got) == {3, 4}
+        assert abs(got[3] - s(1, 5)) < 1e-9
+        assert abs(got[4] - s(1, 2)) < 1e-9
+        # shorter doc outranks at equal tf (length normalization)
+        assert got[4] > got[3]
+
+    def test_saturation_and_dup_query_terms(self, spark):
+        docs = self._corpus(spark)
+        q = spark.createDataFrame(
+            [Row(query_id=0, terms=["cat"]), Row(query_id=1, terms=["cat", "cat"])]
+        )
+        out = affinity.bm25_scores(docs, q, top_k=10).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, {})[r.doc] = r.score
+        # duplicate query terms count once
+        assert by_q[0] == by_q[1]
+        # tf saturation: 4 occurrences score < 4× one occurrence
+        one = by_q[0][1]
+        four = by_q[0][2]
+        assert four < 4 * one
+
+    def test_rank_order_and_limit(self, spark):
+        docs = self._corpus(spark)
+        q = spark.createDataFrame([Row(query_id=9, terms=["cat", "dog"])])
+        out = affinity.bm25_scores(docs, q, top_k=2).collect()
+        assert len(out) == 2
+        assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
