@@ -72,6 +72,13 @@ FAMILY_EXTRA = [
     "ann_sq8",
     "hll_user_rollup",
     "bootstrap_accuracy",
+    # round-4 additions (new families: PQ serving, PCA, graph communities,
+    # BM25 retrieval, DQ gate)
+    "ann_pq",
+    "embedding_pca",
+    "label_propagation",
+    "bm25_search",
+    "dq_orders",
 ]
 
 

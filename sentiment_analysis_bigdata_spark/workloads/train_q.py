@@ -352,9 +352,110 @@ LIMIT 20
 """
 
 
+UNI_MAX_PIECE = 4
+UNI_MAX_WORD = 12
+UNI_MIN_FREQ = 5
+UNI_MAX_PIECES = 2000
+
+
+def q_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation: piece vocab
+    = top-2000 substrings (≤ 4 chars, freq ≥ 5) + full alphabet with
+    ln(n/total) log-probs; every distinct corpus word ≤ 12 chars gets its
+    maximum-likelihood piece split (operators/tokenizer_unigram.py). The
+    oracle re-derives the vocabulary AND replays the DP — 12 unrolled
+    MATERIALIZED steps with the identical smallest-split tie-break."""
+    from sentiment_analysis_bigdata_spark.operators import tokenizer_unigram as TU
+
+    docs = load_table(spark, sf, "documents")
+    vocab = TU.piece_vocab(
+        docs,
+        max_len=UNI_MAX_PIECE,
+        min_freq=UNI_MIN_FREQ,
+        max_pieces=UNI_MAX_PIECES,
+    )
+    words = tokenizer_train.word_frequencies(docs, "text").filter(
+        F.length("word") <= UNI_MAX_WORD
+    )
+    seg = TU.viterbi_segment(words, vocab, max_piece_len=UNI_MAX_PIECE)
+    return seg.select("word", "seg", F.round("logp", 6).alias("logp"))
+
+
+def _sql_unigram_segment() -> str:
+    mp, mw, mf, mx = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_MIN_FREQ, UNI_MAX_PIECES
+    ctes = [
+        """words AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY 1
+)""",
+        f"""cand AS MATERIALIZED (
+  SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         sum(freq) AS n
+  FROM words,
+       unnest(range(1, {mp + 1})) AS tl(l),
+       unnest(range(1, length(word) - l + 2)) AS ti(i)
+  GROUP BY 1
+)""",
+        "tot AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cand)",
+        f"""kept AS MATERIALIZED (
+  SELECT piece, n FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n FROM cand
+    WHERE length(piece) >= 2 AND n >= {mf}
+    ORDER BY n DESC, piece ASC LIMIT {mx}
+  )
+)""",
+        """vocab AS MATERIALIZED (
+  SELECT piece, round(ln(n / total), 12) AS logp FROM kept, tot
+)""",
+        f"wsel AS MATERIALIZED (SELECT word FROM words WHERE length(word) <= {mw})",
+        "b0 AS MATERIALIZED (SELECT word, CAST(0.0 AS DOUBLE) AS best, '' AS seg FROM wsel)",
+    ]
+    for i in range(1, mw + 1):
+        js = range(max(0, i - mp), i)
+        branches = []
+        for j in js:
+            piece = f"substring(b.word, {j + 1}, {i - j})"
+            branches.append(
+                f"""  SELECT b.word, b.best + v.logp AS best,
+         CASE WHEN b.seg = '' THEN {piece}
+              ELSE b.seg || '|' || {piece} END AS seg,
+         {j} AS j
+  FROM b{j} b JOIN vocab v ON v.piece = {piece}
+  WHERE length(b.word) >= {i}"""
+            )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT word, best, seg FROM (
+    SELECT word, best, seg,
+           row_number() OVER (PARTITION BY word ORDER BY best DESC, j ASC) AS rn
+    FROM (
+{chr(10).join("  UNION ALL" + chr(10) + br if k else br for k, br in enumerate(branches))}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT b.word, b.seg, round(b.best, 6) AS logp "
+        f"FROM b{i} b WHERE length(b.word) = {i}"
+        for i in range(1, mw + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{finals}\n)"
+
+
+SQL_UNIGRAM_SEGMENT = _sql_unigram_segment()
+
+
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "wordpiece_candidates": (q_wordpiece_candidates, SQL_WORDPIECE_CANDIDATES),
+    "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "bpe_encode_corpus": (q_bpe_encode_corpus, SQL_BPE_ENCODE_CORPUS),

@@ -308,3 +308,64 @@ class TestWordpieceScores:
         assert (r[0].lhs, r[0].rhs, r[0].n, r[0].n_lhs, r[0].n_rhs) == (
             "x", "y", 3, 3, 3,
         )
+
+
+class TestUnigramSegment:
+    def _vocab(self, spark, entries):
+        return spark.createDataFrame(
+            [(p, 1, lp) for p, lp in entries], "piece string, n long, logp double"
+        )
+
+    def test_prefers_higher_likelihood_split(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import tokenizer_unigram as TU
+
+        vocab = self._vocab(
+            spark, [("a", -3.0), ("b", -3.0), ("ab", -2.0)]
+        )
+        words = spark.createDataFrame([("abab",)], "word string")
+        r = TU.viterbi_segment(words, vocab).collect()[0]
+        # ab|ab = -4 beats a|b|a|b = -12 and ab|a|b = -8
+        assert r.seg == "ab|ab"
+        assert r.logp == -4.0
+
+    def test_oov_character_null(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import tokenizer_unigram as TU
+
+        vocab = self._vocab(spark, [("a", -1.0)])
+        words = spark.createDataFrame([("az",)], "word string")
+        r = TU.viterbi_segment(words, vocab).collect()[0]
+        assert r.seg is None and r.logp is None
+
+    def test_tie_breaks_smallest_split(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import tokenizer_unigram as TU
+
+        # "ab" as a|b (= -2-2 = -4) vs "ab" piece (-4.0): exact tie →
+        # the smaller split point j wins at each step → prefers the
+        # single piece "ab" (j=0) over extending a|b (j=1)
+        vocab = self._vocab(spark, [("a", -2.0), ("b", -2.0), ("ab", -4.0)])
+        words = spark.createDataFrame([("ab",)], "word string")
+        r = TU.viterbi_segment(words, vocab).collect()[0]
+        assert r.seg == "ab"
+
+    def test_alphabet_coverage_end_to_end(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import tokenizer_unigram as TU
+        from sentiment_analysis_bigdata_spark.operators.tokenizer_train import (
+            word_frequencies,
+        )
+
+        docs = spark.createDataFrame(
+            [("zq xxyy xxyy zq zq",)], "text string"
+        )
+        vocab = TU.piece_vocab(docs, min_freq=2, max_pieces=10)
+        wf = word_frequencies(docs)
+        segs = {r.word: r for r in TU.viterbi_segment(wf, vocab).collect()}
+        # every corpus word is segmentable (single chars always in vocab)
+        assert all(r.seg is not None for r in segs.values())
+        counts = {
+            r.piece: r.n
+            for r in TU.unigram_piece_counts(
+                TU.viterbi_segment(wf, vocab), wf
+            ).collect()
+        }
+        # hard-EM counts are freq-weighted over the chosen segmentation
+        assert sum(n for n in counts.values()) > 0
