@@ -106,3 +106,37 @@ def key_skew_report(
         F.round(F.col("m").getField("c") / F.col("n_rows"), 6).alias("max_key_share"),
         F.round(F.col("topc") / F.col("n_rows"), 6).alias("topk_share"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_n`` corpus terms: OLS of ln(freq)
+    on ln(rank) → (n_terms, slope, intercept, r2). Natural language sits
+    near slope −1; flat slopes flag boilerplate/templated corpora. One
+    vocab-sized aggregate + a support-sized rank window (deterministic
+    (freq desc, token asc) tie-break) + constant-state regr_* aggregates.
+    """
+    from pyspark.sql import Window
+
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+    freqs = (
+        docs.select(F.explode(tokenize_nonempty(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    top = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

@@ -843,8 +843,42 @@ LIMIT 30
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 corpus terms: OLS slope of
+    ln(freq) on ln(rank) — the corpus-health number that flags templated
+    or synthetic text (natural language sits near slope −1; flat slopes
+    mean boilerplate-dominated frequency mass). One vocab-sized aggregate,
+    a support-sized rank window (deterministic (freq desc, token asc)
+    tie-break), then the regr_* algebraic aggregates — constant-width
+    state, no corpus re-scan."""
+    from sentiment_analysis_bigdata_spark.operators.profiling import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, top_n=100)
+
+
+SQL_ZIPF_FIT = f"""
+WITH freqs AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY 1
+),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM freqs QUALIFY rank <= 100
+),
+pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM pts
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),

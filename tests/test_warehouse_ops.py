@@ -433,3 +433,24 @@ class TestIncrementalAgg:
         st = incremental.partial_agg(df, ["k"], self._SPECS)
         out = incremental.finalize(st, {"avg": ("s", "n")}).collect()[0]
         assert out.avg == 3.0
+
+
+class TestZipfFit:
+    def test_exact_zipf_slope_minus_one(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.profiling import zipf_fit
+
+        # f_k = 12/k exactly for ranks 1..4 → ln f = ln 12 − ln k:
+        # slope −1, r² = 1
+        text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+        df = spark.createDataFrame([(text,)], "text string")
+        r = zipf_fit(df, top_n=10).collect()[0]
+        assert r.n_terms == 4
+        assert r.slope == -1.0
+        assert r.r2 == 1.0
+
+    def test_uniform_corpus_flat_slope(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.profiling import zipf_fit
+
+        df = spark.createDataFrame([("x y z w x y z w",)], "text string")
+        r = zipf_fit(df, top_n=10).collect()[0]
+        assert r.slope == 0.0

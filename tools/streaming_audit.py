@@ -163,6 +163,13 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
             "< 2 x input events (evicted)",
             2 * bounds["events"],
         ),
+        "streaming_interval_join_outer": (
+            "watermark-evicting",
+            lambda: (SJ.interval_join_left_outer(stream(), within="1 hour"), "append", None),
+            "< 2 x input events (evicted; unmatched rows inside the final "
+            "horizon remain until watermark passes)",
+            2 * bounds["events"],
+        ),
         "streaming_static_join(enrich)": (
             "stateless",
             lambda: (SJ.enrich_with_dim(stream(), dim, "user_id"), "append", None),
