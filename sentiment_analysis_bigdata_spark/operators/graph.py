@@ -240,3 +240,51 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted shortest-path (hop) distances from a seed set by
+    frontier BFS: (node, hop) for every node within ``max_hops`` of any
+    seed — multi-source, so "distance to nearest seed" (the reachability /
+    blast-radius / crawl-depth primitive).
+
+    Scale shape: per hop ONE equi join of the FRONTIER (not the full
+    visited set) against the edge list plus one anti join to drop
+    already-visited nodes — work per round is proportional to the
+    frontier, total work to edges-within-radius. ``localCheckpoint`` per
+    round keeps lineage flat; an empty frontier stops early. The hop cap
+    bounds the recursion for the oracle (a DuckDB recursive CTE with the
+    same cap) and for pathological graphs.
+    """
+    fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    e = fwd.unionByName(
+        edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+    ).distinct().localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -224,9 +224,59 @@ def _sql_label_propagation(rounds: int = LPA_ROUNDS) -> str:
 SQL_LABEL_PROPAGATION = _sql_label_propagation()
 
 
+BFS_MAX_HOPS = 6
+
+
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance to the
+    nearest of the 3 smallest part ids in the graph, capped at 6 hops
+    (operators/graph.py bfs_hops — frontier-proportional work per round).
+    The oracle replays the capped recursion as a recursive CTE taking
+    min(depth) per node."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+    from sentiment_analysis_bigdata_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.item AS a, c.item AS b
+  FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) c
+    ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+seeds AS (SELECT node FROM n ORDER BY node LIMIT 3),
+walk(node, hop) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.d, walk.hop + 1
+  FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "clustering_coeffs": (q_clustering_coeffs, SQL_CLUSTERING_COEFFS),
 }

@@ -352,3 +352,42 @@ class TestConnectedComponentsStar:
         edges = [(7, 3), (3, 9), (20, 21)]
         star, _ = self._cc(spark, edges)
         assert star == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+class TestBfsHops:
+    def test_chain_distances_and_cap(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "a long, b long"
+        )
+        seeds = spark.createDataFrame([Row(node=0)])
+        got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=5).collect()}
+        # hops beyond the cap are absent
+        assert got == {i: i for i in range(6)}
+
+    def test_multi_source_nearest_seed(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "a long, b long"
+        )
+        seeds = spark.createDataFrame([Row(node=0), Row(node=10)])
+        got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+        assert got[5] == 5
+        assert got[7] == 3  # nearer to seed 10
+        assert got[0] == 0 and got[10] == 0
+
+    def test_disconnected_unreached(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame([(1, 2), (8, 9)], "a long, b long")
+        seeds = spark.createDataFrame([Row(node=1)])
+        got = {r.node: r.hop for r in bfs_hops(edges, seeds).collect()}
+        assert got == {1: 0, 2: 1}
