@@ -88,3 +88,57 @@ def finalize(
             ),
         )
     return out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed snapshot diff: per row-key, classify ``added`` / ``removed``
+    / ``changed`` (any compare column differs, null-safely) — the
+    validation step behind CDC reconciliation, backfill verification, and
+    "what did this pipeline change" reports.
+
+    One full-outer equi join on the key; change detection compares the
+    two sides' compare-columns with null-safe equality, so NULL → value
+    and value → NULL both count as changes. Unchanged rows are dropped
+    (at 100 TB they are the overwhelming majority — the output is
+    delta-sized, and the join is the only shuffle).
+
+    Returns key columns + (change, n_changed_cols).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(key_cols)],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(key_cols)],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    keys = [f"__k{i}" for i in range(len(key_cols))]
+    j = o.join(n, keys, "full_outer")
+    diff_flags = [
+        (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("int")
+        for c in compare_cols
+    ]
+    n_diff = sum(diff_flags[1:], diff_flags[0]) if diff_flags else F.lit(0)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(n_diff > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.col(f"__k{i}").alias(k) for i, k in enumerate(key_cols)],
+            "change",
+            F.when(F.col("change") == "changed", n_diff)
+            .otherwise(F.lit(0))
+            .alias("n_changed_cols"),
+        )
+    )

@@ -597,8 +597,60 @@ GROUP BY 1
 """
 
 
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed snapshot diff over two deterministic synthetic snapshots of
+    orders (old drops keys ≡0 mod 7; new drops ≡0 mod 5 and bumps
+    totalprice on ≡0 mod 11): per-key added/removed/changed rows, one
+    full-outer join, unchanged majority dropped
+    (operators/incremental.py table_diff)."""
+    from sentiment_analysis_bigdata_spark.operators import incremental
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return incremental.table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+SQL_TABLE_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice AS INT)
+           + CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS INT)
+           AS n_diff
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN in_old AND in_new THEN n_diff ELSE 0 END AS n_changed_cols
+FROM j
+WHERE NOT in_old OR NOT in_new OR n_diff > 0
+"""
+
+
 QUERIES = {
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "incremental_order_rollup": (
         q_incremental_order_rollup,
         SQL_INCREMENTAL_ORDER_ROLLUP,

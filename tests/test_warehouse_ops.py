@@ -454,3 +454,34 @@ class TestZipfFit:
         df = spark.createDataFrame([("x y z w x y z w",)], "text string")
         r = zipf_fit(df, top_n=10).collect()[0]
         assert r.slope == 0.0
+
+
+class TestTableDiff:
+    def test_classification(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import incremental
+
+        old = spark.createDataFrame(
+            [Row(k=1, v=10, s="a"), Row(k=2, v=20, s="b"), Row(k=3, v=30, s="c"),
+             Row(k=5, v=None, s="e")]
+        )
+        new = spark.createDataFrame(
+            [Row(k=1, v=10, s="a"), Row(k=2, v=21, s="x"), Row(k=4, v=40, s="d"),
+             Row(k=5, v=50, s="e")]
+        )
+        got = {
+            r.k: (r.change, r.n_changed_cols)
+            for r in incremental.table_diff(old, new, ["k"], ["v", "s"]).collect()
+        }
+        # k=1 unchanged → absent; k=2 both cols changed; k=3 removed;
+        # k=4 added; k=5 NULL→50 counts as a change (null-safe compare)
+        assert 1 not in got
+        assert got[2] == ("changed", 2)
+        assert got[3] == ("removed", 0)
+        assert got[4] == ("added", 0)
+        assert got[5] == ("changed", 1)
+
+    def test_identical_snapshots_empty(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import incremental
+
+        df = spark.createDataFrame([Row(k=1, v=1), Row(k=2, v=2)])
+        assert incremental.table_diff(df, df, ["k"], ["v"]).isEmpty()
