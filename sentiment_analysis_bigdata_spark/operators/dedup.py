@@ -853,3 +853,44 @@ def connected_components_star(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
     return roots
+
+
+def fuzzy_pairs(
+    entities: DataFrame,
+    name_col: str,
+    block: Column,
+    max_distance: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance matching (entity resolution): candidate
+    pairs share a BLOCKING KEY (the classic record-linkage trick — a
+    cheap deterministic function both near-duplicates agree on), then
+    exact Levenshtein filters within the block. Never all-pairs: the
+    self-join is keyed on the block, fan-out (block size choose 2), with
+    the same ``max_block`` skew guard as co-occurrence
+    (operators/affinity.py) for pathological blocks.
+
+    Input should already be entity-grained (e.g. DISTINCT names — at
+    100 TB you dedupe to the entity table first; row-grained matching
+    re-joins the pairs back). Returns (name_a, name_b, distance),
+    name_a < name_b.
+    """
+    b = entities.select(
+        F.col(name_col).alias("name"), block.alias("block")
+    ).distinct()
+    if max_block is not None:
+        sizes = b.groupBy("block").agg(F.count(F.lit(1)).alias("__n"))
+        oversize = sizes.filter(F.col("__n") > max_block).select("block")
+        b = b.join(oversize, "block", "left_anti")
+    left = b.select("block", F.col("name").alias("name_a"))
+    right = b.select("block", F.col("name").alias("name_b"))
+    return (
+        left.join(right, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

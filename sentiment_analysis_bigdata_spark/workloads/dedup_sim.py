@@ -167,6 +167,37 @@ FROM grams ga JOIN grams gb ON gb.doc_id = ga.doc_id + 1
 """
 
 
+# --- blocked fuzzy (edit-distance) matching -----------------------------------------
+
+def q_fuzzy_part_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution candidate pairs over DISTINCT part names:
+    blocking key = the name's last word (the noun — near-variants of the
+    same product share it), exact Levenshtein ≤ 4 within the block
+    (operators/dedup.py fuzzy_pairs). Never all-pairs: the self-join is
+    block-keyed."""
+    part = load_table(spark, sf, "part")
+    names = part.select("p_name").distinct()
+    return DD.fuzzy_pairs(
+        names,
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=4,
+    )
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         list_extract(string_split(p_name, ' '), -1) AS block
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS distance
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 # --- embedding near-duplicates ------------------------------------------------------
 
 # cosine with explicit, order-identical arithmetic on both engines
@@ -1550,6 +1581,7 @@ QUERIES = {
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
     "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
+    "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),

@@ -260,3 +260,47 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     rows = {r["vec_id"]: r["split"] for r in split.collect()}
     assert rows[0] == rows[1] == rows[2]
     assert rows[5] == rows[6]
+
+
+class TestFuzzyPairs:
+    def test_blocked_levenshtein(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import dedup
+
+        rows = [
+            Row(name="acme corp"), Row(name="acm corp"), Row(name="acme co"),
+            Row(name="zenith ltd"), Row(name="zenth ltd"),
+            Row(name="other corp"),  # same block as acme corp but distance 5
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r.name_a, r.name_b): r.distance
+            for r in dedup.fuzzy_pairs(
+                df, "name",
+                F.element_at(F.split(F.col("name"), " "), -1),
+                max_distance=2,
+            ).collect()
+        }
+        assert got[("acm corp", "acme corp")] == 1
+        assert got[("zenith ltd", "zenth ltd")] == 1
+        assert ("acme corp", "other corp") not in got  # distance 5 > 2
+        # different blocks never pair, even at distance <= 2
+        assert all(a.split()[-1] == b.split()[-1] for a, b in got)
+
+    def test_max_block_guard(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import dedup
+
+        rows = [Row(name=f"x{i} blk") for i in range(5)] + [
+            Row(name="a solo"), Row(name="b solo")
+        ]
+        df = spark.createDataFrame(rows)
+        got = dedup.fuzzy_pairs(
+            df, "name",
+            F.element_at(F.split(F.col("name"), " "), -1),
+            max_distance=10, max_block=3,
+        ).collect()
+        # the 5-member 'blk' block is dropped; only the solo pair remains
+        assert {(r.name_a, r.name_b) for r in got} == {("a solo", "b solo")}
