@@ -114,11 +114,60 @@ def plain_top_orders_per_customer(spark, sf):
     )
 
 
+def plain_bm25_search(spark, sf):
+    # identical semantics to workloads.affinity_q.q_bm25_search (Lucene-form
+    # idf, k1=1.2 b=0.75, query = distinct first-5 tokens of doc_id < 3,
+    # top-10 per query with (score desc, doc asc) tie-break)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k1, b = 1.2, 0.75
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    tf = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(toks).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, 5))).alias("term"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfp = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        q.join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc", (idf * tfp).alias("p"))
+        .groupBy("query_id", "doc")
+        .agg(F.sum("p").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "doc", F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 PAIRS = {
     "pricing_summary": plain_pricing_summary,
     "region_revenue": plain_region_revenue,
     "token_topk_nostop": plain_token_topk_nostop,
     "top_orders_per_customer": plain_top_orders_per_customer,
+    "bm25_search": plain_bm25_search,
 }
 
 
