@@ -180,3 +180,91 @@ def cms_estimate(
         .agg(F.min("cnt").alias("est_n"))
         .withColumnRenamed("k", col)
     )
+
+
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable fixed-range histogram sketch of a numeric column:
+    (keys..., bucket, cnt) with bucket = clamp(⌊(x−lo)/w⌋, 0, bins−1),
+    w = (hi−lo)/bins. Per key the sketch is ≤ ``bins`` cells regardless
+    of row count, and sketches merge by cell-sum (:func:`hist_merge`) —
+    the quantile analogue of the HLL/CMS rollup story: persist per-day
+    histograms, answer per-week P95s without re-reading raw data.
+
+    Fixed, data-independent bucket edges are the point: quantile error is
+    bounded a priori by one bin width (asserted by the oracle query), and
+    two independently-built sketches are mergeable BECAUSE they share
+    edges — adaptive sketches (t-digest, KLL) trade that determinism for
+    tighter tails. Out-of-range values clamp into the edge buckets.
+    """
+    w = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    gcols = list(keys or [])
+    return (
+        df.filter(x.isNotNull())
+        .select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(keys: list[str], *sketches: DataFrame) -> DataFrame:
+    """Merge same-edged histogram sketches by cell-sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per key and quantile
+    q, the UPPER EDGE of the first bucket whose cumulative count reaches
+    ⌈q·total⌉ — deterministic, so an oracle replays it exactly, and never
+    more than one bin width above the true quantile (the bound the
+    oracle's ``within_bound`` column value-checks).
+
+    One cumulative window over ≤ ``bins`` rows per key (support-sized,
+    the roc_auc/KS shape) + a ≤ |qs|-row quantile grid join.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(keys or [])
+    w = (hi - lo) / bins
+    win = Window.partitionBy(*[F.col(k) for k in gcols]).orderBy("bucket")
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = sketch.groupBy(*gcols).agg(F.sum("cnt").alias("total"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    joined = cum.join(totals, gcols) if gcols else cum.crossJoin(totals)
+    hit = joined.join(qdf).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    return (
+        hit.groupBy(*gcols, "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            *gcols,
+            "q",
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("est"),
+        )
+    )

@@ -361,9 +361,102 @@ FROM exact x JOIN est USING (token)
 """
 
 
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation: 250-bin fixed-range
+    sketch of event values per event_type (sketch ≤ bins cells/key at any
+    corpus size; merges by cell-sum), p50/p95 read off the cumulative
+    histogram. Output pairs each estimate with the exact rank-based
+    quantile and value-checks the a-priori error bound 0 ≤ est − exact ≤
+    bin width (operators/sketches.py hist_sketch/hist_quantiles)."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+    from pyspark.sql import Window
+
+    LO, HI, BINS = 0.0, 500.0, 250
+    W = (HI - LO) / BINS
+    ev = load_table(spark, sf, "events")
+    sk = sketches.hist_sketch(ev, "value", LO, HI, BINS, keys=["event_type"])
+    est = sketches.hist_quantiles(
+        sk, [0.5, 0.95], LO, HI, BINS, keys=["event_type"]
+    )
+    # exact rank-based quantile (value at rank ceil(q*total)) via the
+    # same support-sized cumulative shape
+    by_val = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = Window.partitionBy("event_type").orderBy("v")
+    cum = by_val.withColumn(
+        "cum", F.sum("cnt").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = by_val.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    qdf = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    exact = (
+        cum.join(totals, "event_type")
+        .join(qdf)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("event_type", "q")
+        .agg(F.min("v").alias("exact"))
+    )
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.round("est", 6).alias("est"),
+        F.round("exact", 6).alias("exact"),
+        (
+            (F.col("est") - F.col("exact") >= 0)
+            & (F.col("est") - F.col("exact") <= W)
+        ).alias("within_bound"),
+    )
+
+
+SQL_HIST_QUANTILES = """
+WITH sk AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 2.0), 0), 249) AS INT) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sk
+),
+tot AS (SELECT event_type, sum(cnt) AS total FROM sk GROUP BY 1),
+qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+est AS (
+  SELECT c.event_type, q.q, CAST((min(c.bucket) + 1) * 2.0 AS DOUBLE) AS est
+  FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+  WHERE c.cum >= ceil(q.q * t.total)
+  GROUP BY 1, 2
+),
+byval AS (
+  SELECT event_type, value AS v, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+vcum AS (
+  SELECT event_type, v, sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM byval
+),
+exact AS (
+  SELECT vc.event_type, q.q, min(vc.v) AS exact
+  FROM vcum vc JOIN tot t USING (event_type) CROSS JOIN qs q
+  WHERE vc.cum >= ceil(q.q * t.total)
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.q,
+       round(e.est, 6) AS est,
+       round(x.exact, 6) AS exact,
+       e.est - x.exact >= 0 AND e.est - x.exact <= 2.0 AS within_bound
+FROM est e JOIN exact x ON x.event_type = e.event_type AND x.q = e.q
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
+    "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

@@ -140,3 +140,43 @@ class TestCountMinSketch:
         assert sorted(
             (r.r, r.b, r.cnt) for r in merged.collect()
         ) == sorted((r.r, r.b, r.cnt) for r in whole.collect())
+
+
+class TestHistQuantileSketch:
+    def test_estimate_within_one_bin(self, spark):
+        rows = [(float(i),) for i in range(1000)]
+        df = spark.createDataFrame(rows, "v double").repartition(6)
+        sk = sketches.hist_sketch(df, "v", 0.0, 1000.0, bins=100)
+        est = {
+            r.q: r.est
+            for r in sketches.hist_quantiles(
+                sk, [0.1, 0.5, 0.9], 0.0, 1000.0, bins=100
+            ).collect()
+        }
+        # true quantiles ~100/500/900; estimate = bucket upper edge
+        assert abs(est[0.1] - 100) <= 10
+        assert abs(est[0.5] - 500) <= 10
+        assert abs(est[0.9] - 900) <= 10
+        # upper-edge property: never below the true rank value
+        assert est[0.5] >= 499.0
+
+    def test_merge_equals_single_build(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(200)], "v double")
+        a, b = df.filter("v < 77"), df.filter("v >= 77")
+        merged = sketches.hist_merge(
+            [],
+            sketches.hist_sketch(a, "v", 0.0, 200.0, bins=20),
+            sketches.hist_sketch(b, "v", 0.0, 200.0, bins=20),
+        )
+        whole = sketches.hist_sketch(df, "v", 0.0, 200.0, bins=20)
+        assert sorted((r.bucket, r.cnt) for r in merged.collect()) == sorted(
+            (r.bucket, r.cnt) for r in whole.collect()
+        )
+
+    def test_out_of_range_clamps(self, spark):
+        df = spark.createDataFrame([(-5.0,), (999.0,)], "v double")
+        got = {
+            r.bucket: r.cnt
+            for r in sketches.hist_sketch(df, "v", 0.0, 100.0, bins=10).collect()
+        }
+        assert got == {0: 1, 9: 1}
