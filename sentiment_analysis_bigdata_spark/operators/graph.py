@@ -212,14 +212,18 @@ def label_propagation(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-    e = fwd.unionByName(
-        edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
-    ).distinct()
-    nodes = e.select(F.col("s").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
+    # materialize the (possibly expensive) edge derivation ONCE — without
+    # this every round's plan re-runs the upstream edge generation (e.g.
+    # the co-purchase basket self-join), which dominated the measured cost
+    e = (
+        fwd.unionByName(
+            edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
     for _ in range(rounds):
         neigh = e.join(
             labels.select(F.col("node").alias("d"), "label"), "d"
@@ -227,11 +231,15 @@ def label_propagation(
         counts = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
+        # deterministic argmax (cnt desc, label asc) as ONE aggregation:
+        # max(struct(cnt, -label)) — labels are numeric node ids, so the
+        # negation turns "smallest label" into the struct-max tie-break
+        # (one shuffle; the window form added a per-partition sort)
+        best = counts.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("label"))
         labels = (
             nodes.join(best, "node", "left")
             .select(
