@@ -119,3 +119,41 @@ def resample_ffill(
         F.last("obs_v", ignorenulls=True).over(w).alias(value_col),
         F.col("obs_v").isNotNull().alias("observed"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition estimates over per-key event
+    sequences: (from_state, to_state, n, p) with p = n / Σ n(from_state)
+    — the behavior-model / session-simulation primitive.
+
+    One shuffle on the key: successor extraction is a lead window over
+    (ts, tiebreak) inside each key partition; the transition count is a
+    state²-bounded aggregation (partial map-side combine), and the row
+    normalizer joins back on the state-cardinality from_state key. The
+    deterministic tiebreak column makes same-timestamp ordering (and so
+    the counts) engine-independent.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = events.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").alias("tot"))
+    return counts.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )

@@ -144,6 +144,40 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+# --- Markov transition matrix ----------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user sequences
+    ((ts, event_id)-ordered — deterministic under timestamp ties): counts
+    and row-normalized probabilities (operators/timeseries.py
+    transition_matrix). One user-keyed shuffle; the aggregate is
+    state²-bounded."""
+    from sentiment_analysis_bigdata_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    ev = _events(spark, sf)
+    return transition_matrix(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_state
+  FROM events
+),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM steps WHERE to_state IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT from_state, sum(n) AS tot FROM counts GROUP BY 1)
+SELECT c.from_state, c.to_state, c.n, round(c.n / t.tot, 6) AS p
+FROM counts c JOIN totals t USING (from_state)
+"""
+
+
 # --- retention cohorts ---------------------------------------------------------------------
 
 def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
@@ -805,6 +839,7 @@ QUERIES = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "rate_anomalies": (q_rate_anomalies, SQL_RATE_ANOMALIES),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "interval_join_outer": (q_interval_join_outer, SQL_INTERVAL_JOIN_OUTER),
     "streaming_interval_join": (q_streaming_interval_join, SQL_INTERVAL_JOIN),

@@ -391,3 +391,63 @@ class TestBfsHops:
         seeds = spark.createDataFrame([Row(node=1)])
         got = {r.node: r.hop for r in bfs_hops(edges, seeds).collect()}
         assert got == {1: 0, 2: 1}
+
+
+class TestTransitionMatrix:
+    def test_hand_counts_and_probs(self, spark):
+        from datetime import datetime
+
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import (
+            transition_matrix,
+        )
+
+        def ev(u, i, t):
+            return Row(
+                user_id=u, event_id=i, event_type=t,
+                ts=datetime(2024, 1, 1, 0, i),
+            )
+
+        # user 1: a→b→a→c ; user 2: b→b
+        rows = [ev(1, 1, "a"), ev(1, 2, "b"), ev(1, 3, "a"), ev(1, 4, "c"),
+                ev(2, 5, "b"), ev(2, 6, "b")]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r.from_state, r.to_state): (r.n, r.p)
+            for r in transition_matrix(df).collect()
+        }
+        assert got[("a", "b")] == (1, 0.5)
+        assert got[("a", "c")] == (1, 0.5)
+        assert got[("b", "a")] == (1, 0.5)
+        assert got[("b", "b")] == (1, 0.5)
+        # no cross-user transition (user 1's last → user 2's first absent)
+        assert ("c", "b") not in got
+
+    def test_row_stochastic(self, spark):
+        from datetime import datetime
+        import random
+
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.timeseries import (
+            transition_matrix,
+        )
+
+        rng = random.Random(1)
+        rows = [
+            Row(user_id=u, event_id=i, event_type=rng.choice("xyz"),
+                ts=datetime(2024, 1, 1, 0, i // 60, i % 60))
+            for i in range(90)
+            for u in [i % 5]
+        ]
+        df = spark.createDataFrame(rows)
+        from pyspark.sql import functions as F
+
+        sums = (
+            transition_matrix(df)
+            .groupBy("from_state")
+            .agg(F.round(F.sum("p"), 4).alias("s"))
+            .collect()
+        )
+        assert all(abs(r.s - 1.0) < 1e-3 for r in sums)
