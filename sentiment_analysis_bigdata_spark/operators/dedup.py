@@ -894,3 +894,83 @@ def fuzzy_pairs(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin family,
+    Xiao et al. 2008): all document pairs with token-set Jaccard ≥ t,
+    with NO all-pairs join and no approximation — the exact-threshold
+    complement to MinHash-LSH (probabilistic recall) in this module.
+
+    The filter: order the vocabulary globally by (df asc, token asc) —
+    rarest first — and sort each document's token set by that order. Two
+    sets with Jaccard ≥ t must overlap in ≥ ⌈t/(1+t)·(|a|+|b|)⌉ tokens,
+    so each can discard all but its first |d| − ⌈t·|d|⌉ + 1 tokens (the
+    PREFIX) and any qualifying pair still shares ≥ 1 prefix token.
+    Candidates therefore come from an equi join on PREFIX-token postings
+    — and because prefixes start at the RAREST tokens, posting lists stay
+    short exactly where the join fans out.
+
+    Scale shape: one corpus pass to distinct (doc, token); a vocab-sized
+    df ranking (support-sized window — the one global sort, over the
+    vocabulary, not the corpus); per-doc sorted rank arrays (narrow);
+    prefix explode → token-keyed candidate join → exact verify via
+    array_intersect on the two rank arrays. Everything is integer
+    arithmetic, so the oracle replays it bit-for-bit.
+
+    Returns (a, b, jaccard) with a < b, jaccard rounded to 6 dp.
+    """
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(tokenize_nonempty(F.col(text_col)))).alias(
+                "token"
+            ),
+        )
+        .distinct()
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    rank = dfreq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("token").asc())),
+    ).select("token", "rank")
+    ranked = toks.join(rank, "token").select("doc", "rank")
+    sets = ranked.groupBy("doc").agg(
+        F.sort_array(F.collect_list("rank")).alias("ranks")
+    )
+    sz = F.size("ranks")
+    prefix_len = sz - F.ceil(sz * F.lit(threshold)).cast("int") + 1
+    pre = sets.select(
+        "doc", "ranks", F.slice("ranks", 1, prefix_len).alias("prefix")
+    )
+    postings = pre.select("doc", F.explode("prefix").alias("rank"))
+    cand = (
+        postings.alias("x")
+        .join(postings.alias("y"), "rank")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("a"), F.col("ranks").alias("ra"))
+    sb = sets.select(F.col("doc").alias("b"), F.col("ranks").alias("rb"))
+    inter = F.size(F.array_intersect("ra", "rb"))
+    union = F.size("ra") + F.size("rb") - inter
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

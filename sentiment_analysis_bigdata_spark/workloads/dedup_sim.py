@@ -198,6 +198,57 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+# --- prefix-filtered exact Jaccard join ---------------------------------------------
+
+PPJOIN_T = 0.6
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-set Jaccard ≥ 0.6 pairs via PPJoin prefix filtering
+    (operators/dedup.py prefix_filtered_jaccard_pairs): rarest-first
+    vocabulary order, per-doc prefixes, prefix-postings equi join, exact
+    integer verify — the exact-threshold complement to minhash_near_dups.
+    The oracle replays ranking, prefixes, candidates, AND the verify."""
+    docs = _docs(spark, sf)
+    return DD.prefix_filtered_jaccard_pairs(docs, PPJOIN_T)
+
+
+SQL_PPJOIN_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct({SQL_TOKS})) AS token FROM documents
+),
+dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+rnk AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY df ASC, token ASC) AS INT) AS rank
+  FROM dfreq
+),
+ranked AS (SELECT doc, rank FROM toks JOIN rnk USING (token)),
+sets AS (SELECT doc, list_sort(list(rank)) AS ranks FROM ranked GROUP BY 1),
+pre AS (
+  SELECT doc, ranks,
+         list_slice(ranks, 1,
+                    len(ranks) - CAST(ceil(len(ranks) * CAST({PPJOIN_T} AS DOUBLE)) AS INT) + 1)
+           AS prefix
+  FROM sets
+),
+postings AS (SELECT doc, unnest(prefix) AS rank FROM pre),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM postings x JOIN postings y ON x.rank = y.rank AND x.doc < y.doc
+),
+verified AS (
+  SELECT c.a, c.b,
+         round(CAST(len(list_intersect(sa.ranks, sb.ranks)) AS DOUBLE)
+               / (len(sa.ranks) + len(sb.ranks)
+                  - len(list_intersect(sa.ranks, sb.ranks))), 6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc = c.a
+  JOIN sets sb ON sb.doc = c.b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= CAST({PPJOIN_T} AS DOUBLE)
+"""
+
+
 # --- embedding near-duplicates ------------------------------------------------------
 
 # cosine with explicit, order-identical arithmetic on both engines
@@ -1582,6 +1633,7 @@ QUERIES = {
     "simhash_weighted": (q_simhash_weighted, SQL_SIMHASH_WEIGHTED),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD_ADJACENT),
     "fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
+    "ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),

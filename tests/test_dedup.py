@@ -304,3 +304,47 @@ class TestFuzzyPairs:
         ).collect()
         # the 5-member 'blk' block is dropped; only the solo pair remains
         assert {(r.name_a, r.name_b) for r in got} == {("a solo", "b solo")}
+
+
+class TestPrefixFilteredJaccard:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d f"),      # J(1,2)=4/6=0.667
+            Row(doc_id=3, text="a b c d e"),      # J(1,3)=1.0
+            Row(doc_id=4, text="x y z"),          # disjoint
+            Row(doc_id=5, text="a x y z"),        # J(4,5)=3/4=0.75
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_equals_brute_force(self, spark):
+        from itertools import combinations
+
+        from sentiment_analysis_bigdata_spark.operators import dedup
+
+        df = self._docs(spark)
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.prefix_filtered_jaccard_pairs(df, 0.6).collect()
+        }
+        texts = {r.doc_id: set(r.text.split()) for r in df.collect()}
+        want = {}
+        for a, b in combinations(sorted(texts), 2):
+            j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+            if round(j, 6) >= 0.6:
+                want[(a, b)] = round(j, 6)
+        assert got == want
+        assert got[(1, 3)] == 1.0 and got[(4, 5)] == 0.75
+
+    def test_high_threshold_prunes(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import dedup
+
+        got = {
+            (r.a, r.b)
+            for r in dedup.prefix_filtered_jaccard_pairs(
+                self._docs(spark), 0.9
+            ).collect()
+        }
+        assert got == {(1, 3)}
