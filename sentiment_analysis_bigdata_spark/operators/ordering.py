@@ -250,3 +250,36 @@ def mixture_sample(
         .filter((F.col("copy_id") < F.floor("__rate")) | (u < F.col("__rate") - F.floor("__rate")))
         .drop("__rate")
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content fingerprint of a table: one row
+    (n_rows, fingerprint) where fingerprint = Σ md5_hash64(canonical row
+    string) mod 2⁶¹ (the modulus fits a signed int64 literal) — identical for any partitioning, row order, or
+    engine computing the same rows, different (w.h.p.) for any changed,
+    added, or dropped row. The cheap dataset-version id a reproducible
+    training pipeline records next to its outputs (the content-addressed
+    complement to deterministic_shuffle/split_by_hash in this module).
+
+    Canonical row string: '\\x1f'-joined column values in the caller's
+    column order with NULL → '␀' — so column ORDER matters (part of the
+    schema identity) but row order never does. Commutative sum ⇒ partial
+    aggregation map-side; one narrow pass, one 1-row result.
+    """
+    from sentiment_analysis_bigdata_spark.functions.hashing import md5_hash64
+
+    use = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in use]
+    )
+    h = md5_hash64(canon)
+    # the raw sum of 60-bit hashes overflows int64 on big tables — run
+    # the accumulation in decimal(38) (fits ~2^126) and reduce mod 2⁶¹
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.pmod(F.sum(h.cast("decimal(38,0)")), F.lit(1 << 61))
+        .cast("bigint")
+        .alias("fingerprint"),
+    )

@@ -91,6 +91,34 @@ FROM ordered
 """
 
 
+def q_dataset_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent content fingerprint of the documents table
+    (operators/ordering.py dataset_fingerprint): Σ md5-row-hashes mod 2⁶¹
+    + row count — identical under any partitioning or row order, so the
+    oracle's sequential scan must land on the same value. The dataset-
+    version id a reproducible pipeline records next to its outputs."""
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    docs = load_table(spark, sf, "documents")
+    return ordering.dataset_fingerprint(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+SQL_DATASET_FINGERPRINT = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(
+              concat_ws(chr(31),
+                        coalesce(CAST(doc_id AS VARCHAR), '␀'),
+                        coalesce(text, '␀'),
+                        coalesce(lang, '␀'),
+                        coalesce(source, '␀'),
+                        coalesce(CAST(n_chars AS VARCHAR), '␀'))
+            ), 1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Two-pass exact-count top-k tokens: map-side bounded candidate
     generation (no full-keyspace shuffle), then an exact recount of only the
@@ -457,6 +485,7 @@ QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
+    "dataset_fingerprint": (q_dataset_fingerprint, SQL_DATASET_FINGERPRINT),
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

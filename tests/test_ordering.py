@@ -214,3 +214,41 @@ def test_mixture_sample_deterministic_and_drops_untargeted(spark):
     assert not any(
         r["source"] == "c" for r in ORD.mixture_sample(df, t, "w").collect()
     )
+
+
+class TestDatasetFingerprint:
+    def test_layout_and_order_invariant(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import ordering
+
+        rows = [(i, f"t{i}") for i in range(200)]
+        a = spark.createDataFrame(rows, "id long, t string").repartition(7)
+        b = spark.createDataFrame(list(reversed(rows)), "id long, t string").repartition(2)
+        fa = ordering.dataset_fingerprint(a).collect()[0]
+        fb = ordering.dataset_fingerprint(b).collect()[0]
+        assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+
+    def test_any_row_change_changes_fingerprint(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import ordering
+
+        rows = [(i, f"t{i}") for i in range(50)]
+        base = spark.createDataFrame(rows, "id long, t string")
+        mut = spark.createDataFrame(
+            [(i, "t999" if i == 7 else f"t{i}") for i in range(50)],
+            "id long, t string",
+        )
+        dropped = base.filter("id <> 7")
+        f0 = ordering.dataset_fingerprint(base).collect()[0].fingerprint
+        assert ordering.dataset_fingerprint(mut).collect()[0].fingerprint != f0
+        assert ordering.dataset_fingerprint(dropped).collect()[0].fingerprint != f0
+
+    def test_null_canonicalization(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators import ordering
+
+        a = spark.createDataFrame([Row(id=1, t=None)], "id long, t string")
+        b = spark.createDataFrame([Row(id=1, t="␀")], "id long, t string")
+        # NULL canonicalizes to the sentinel string — documented identity
+        fa = ordering.dataset_fingerprint(a).collect()[0].fingerprint
+        fb = ordering.dataset_fingerprint(b).collect()[0].fingerprint
+        assert fa == fb
