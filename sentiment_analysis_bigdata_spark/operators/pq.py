@@ -251,3 +251,142 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def coarse_probes(
+    q_rows,
+    coarse: list[list[float]],
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """Per collected query row: the ``nprobe`` nearest coarse centroids
+    by squared L2, ties to the smaller list id. Pure-Python sequential
+    sums so the SQL oracle's list_sum replays the identical arithmetic.
+    Returns (query_id, list_id) pairs."""
+    out = []
+    for r in q_rows:
+        qid, vec = r[0], [float(x) for x in r[1]]
+        d2 = []
+        for li, c in enumerate(coarse):
+            s = 0.0
+            for a, b in zip(vec, c):
+                s += (a - b) * (a - b)
+            d2.append((s, li))
+        d2.sort()
+        out.extend((qid, li) for _, li in d2[:nprobe])
+    return out
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ serving (the FAISS IVFx,PQy shape): a coarse inverted file
+    prunes the corpus to each query's ``nprobe``/``nlist`` share, then PQ
+    codes score the survivors by asymmetric cosine — compression (64×)
+    AND candidate pruning composed, which is how billion-vector serving
+    actually runs.
+
+    Both quantizers reuse the deterministic one-Lloyd trainer: the coarse
+    quantizer IS :func:`train_pq_codebooks` with m=1 (one full-dim
+    sub-space of ``nlist`` centroids = flat k-means), so the whole index
+    — coarse lists, codebooks, assignments — replays in SQL and the
+    oracle value-checks the index contents, not just the output. This
+    variant scores PQ codes of the ORIGINAL vectors (IVF prunes only);
+    residual encoding (PQ of x − coarse centroid, tighter at the same
+    bit budget) is the production refinement and would slot in as one
+    extra subtraction before :func:`pq_encode`.
+
+    Scale shape: candidate generation is a broadcast-sized (query ×
+    nprobe) probe table equi-joined to the encoded corpus on list_id —
+    at scale the encoded table is written PARTITIONED BY list_id and the
+    join becomes pruned I/O (the persisted-IVF-index story,
+    operators/similarity.py). Scoring emits per-batch top-k only.
+    """
+    coarse_books = train_pq_codebooks(
+        corpus, m=1, k=nlist, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        dim=dim,
+    )
+    coarse = coarse_books[0]
+    assigned = pq_encode(corpus, coarse_books, corpus_id, corpus_vec).select(
+        "vec_id", F.element_at("codes", 1).alias("list_id")
+    )
+    books = train_pq_codebooks(
+        corpus, m=m, k=n_codes, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        dim=dim,
+    )
+    books_np = _np(books)
+    encoded = pq_encode(corpus, books, corpus_id, corpus_vec).join(
+        assigned, "vec_id"
+    )
+    q_rows = queries.select(query_id, query_vec).collect()
+    probes = coarse_probes(q_rows, coarse, nprobe)
+    spark = corpus.sparkSession
+    probes_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    cand = encoded.join(F.broadcast(probes_df), "list_id").select(
+        "query_id", "vec_id", "codes"
+    )
+    qmap = {r[0]: r[1] for r in q_rows}
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = {
+            qid: np.asarray(v, dtype=np.float64) for qid, v in qmap.items()
+        }
+        qn = {qid: float(np.sqrt((v * v).sum())) for qid, v in Q.items()}
+        mm, kk, dsub = books_np.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            R = books_np[np.arange(mm)[None, :], codes, :].reshape(
+                len(codes), mm * dsub
+            )
+            rn = np.sqrt((R * R).sum(axis=1))
+            qcol = pdf["query_id"].to_numpy()
+            vcol = pdf["vec_id"].to_numpy()
+            frames = []
+            for qid in np.unique(qcol):
+                mask = qcol == qid
+                Rg, rg = R[mask], rn[mask]
+                ids = vcol[mask]
+                keep = ids != qid
+                dots = Rg[keep] @ Q[qid]
+                denom = rg[keep] * qn[qid]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, 0.0)
+                sel = np.lexsort((ids[keep], -cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": ids[keep][sel],
+                            "score": cos[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

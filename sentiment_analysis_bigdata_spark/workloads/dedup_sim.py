@@ -1478,6 +1478,134 @@ FROM pq_ranked WHERE rank <= {TOP_K}
 )
 
 
+IVFPQ_NLIST = 8
+IVFPQ_NPROBE = 2
+
+
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ serving (FAISS IVF8,PQ8 shape): deterministic coarse
+    quantizer (= the PQ trainer with m=1) prunes each query to its
+    nprobe=2 of nlist=8 inverted lists, PQ codes score the survivors
+    (operators/pq.py ivfpq_topk). The oracle replays BOTH quantizers'
+    training, the corpus list assignment, the query probes, and the
+    pruned ADC ranking — the complete index is value-checked."""
+    from sentiment_analysis_bigdata_spark.operators import pq as PQ
+
+    emb = ensure_min_parallelism(
+        _emb(spark, sf), spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    out = PQ.ivfpq_topk(
+        emb,
+        _queries_frame(emb),
+        k=TOP_K,
+        nlist=IVFPQ_NLIST,
+        nprobe=IVFPQ_NPROBE,
+        m=PQ_M,
+        n_codes=PQ_K,
+        dim=64,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sql_ann_ivfpq() -> str:
+    """IVF-PQ oracle: the PQ chain (training/encoding/scoring) plus a
+    coarse-quantizer chain (the same one-Lloyd recipe at m=1), query
+    probes, and candidate-pruned ranking."""
+    nlist, nprobe, d = IVFPQ_NLIST, IVFPQ_NPROBE, 64
+    d1 = d + 1
+    cd2 = (
+        f"list_sum(list_transform(range(1, {d1}), "
+        "j -> ({x}[j] - {c}[j]) * ({x}[j] - {c}[j])))"
+    )
+    coarse = f""",
+initc AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS lc,
+         list_transform(range(1, {d1}),
+                        j -> CAST(embedding[j] AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+corfull AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {d1}),
+                        j -> CAST(embedding[j] AS DOUBLE)) AS xvec
+  FROM embeddings
+),
+cassign0 AS MATERIALIZED (
+  SELECT vec_id, lc FROM (
+    SELECT x.vec_id, i.lc,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {cd2.format(x='x.xvec', c='i.cvec')} ASC, i.lc ASC
+           ) AS rn
+    FROM corfull x CROSS JOIN initc i
+  ) WHERE rn = 1
+),
+cmeans AS MATERIALIZED (
+  SELECT a.lc, t.j, avg(x.xvec[t.j]) AS v
+  FROM cassign0 a
+  JOIN corfull x USING (vec_id)
+  CROSS JOIN (SELECT CAST(j AS INT) AS j FROM range(1, {d1}) t(j)) t
+  GROUP BY 1, 2
+),
+cml AS MATERIALIZED (SELECT lc, list(v ORDER BY j) AS cvec FROM cmeans GROUP BY 1),
+cbooks AS MATERIALIZED (
+  SELECT i.lc, coalesce(ml2.cvec, i.cvec) AS cvec
+  FROM initc i LEFT JOIN cml ml2 USING (lc)
+),
+cassign1 AS MATERIALIZED (
+  SELECT vec_id, lc AS list_id FROM (
+    SELECT x.vec_id, b.lc,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {cd2.format(x='x.xvec', c='b.cvec')} ASC, b.lc ASC
+           ) AS rn
+    FROM corfull x CROSS JOIN cbooks b
+  ) WHERE rn = 1
+),
+qfull AS MATERIALIZED (
+  SELECT query_id,
+         list_transform(range(1, {d1}), j -> CAST(qv[j] AS DOUBLE)) AS xvec
+  FROM q
+),
+qprobes AS MATERIALIZED (
+  SELECT query_id, lc AS list_id FROM (
+    SELECT qf.query_id, b.lc,
+           row_number() OVER (
+             PARTITION BY qf.query_id
+             ORDER BY {cd2.format(x='qf.xvec', c='b.cvec')} ASC, b.lc ASC
+           ) AS rn
+    FROM qfull qf CROSS JOIN cbooks b
+  ) WHERE rn <= {nprobe}
+),
+cands AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id
+  FROM qprobes p JOIN cassign1 a ON a.list_id = p.list_id
+),
+ivfpq_ranked AS MATERIALIZED (
+  SELECT s.query_id, s.vec_id, s.score_raw,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score_raw DESC, s.vec_id ASC) AS rank
+  FROM pq_scored s
+  JOIN cands c ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+)"""
+    return (
+        _sql_ann_pq_ctes()
+        + coarse
+        + f"""
+SELECT query_id, vec_id, round(score_raw, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM ivfpq_ranked WHERE rank <= {TOP_K}
+"""
+    )
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()
+
+
 def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the PQ index against the exact brute-force top-k, both
     inside Spark — the compression/recall trade as a value-checked number
@@ -1652,6 +1780,7 @@ QUERIES = {
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_sq8_recall": (q_ann_sq8_recall, SQL_ANN_SQ8_RECALL),

@@ -383,3 +383,58 @@ class TestProductQuantization:
         codes = {r.vec_id: tuple(r.codes) for r in pq.pq_encode(df, books).collect()}
         assert len(codes) == 3
         assert codes[0] != codes[2]
+
+
+class TestIvfPq:
+    def test_exhaustive_probe_equals_plain_pq(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import pq
+
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        rows = [
+            (i, [float(x) for x in rng.randn(64)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        full = pq.ivfpq_topk(
+            df, queries, k=5, nlist=4, nprobe=4, m=8, n_codes=8, dim=64
+        )
+        plain = pq.pq_topk(df, queries, k=5, m=8, n_codes=8, dim=64)
+        assert sorted(
+            (r.query_id, r.vec_id, r.rank) for r in full.collect()
+        ) == sorted((r.query_id, r.vec_id, r.rank) for r in plain.collect())
+
+    def test_pruning_restricts_to_probed_lists(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import pq
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = pq.ivfpq_topk(
+            df, queries, k=50, nlist=4, nprobe=1, m=8, n_codes=8, dim=64
+        )
+        # single-probe results must all come from the query's own list
+        coarse_books = pq.train_pq_codebooks(df, m=1, k=4, dim=64)
+        assigned = {
+            r.vec_id: r.codes[0]
+            for r in pq.pq_encode(df, coarse_books).collect()
+        }
+        probes = dict(
+            pq.coarse_probes(
+                [(r.query_id, r.query_vec) for r in queries.collect()],
+                coarse_books[0],
+                1,
+            )
+        )
+        for r in out.collect():
+            assert assigned[r.vec_id] == probes[r.query_id]
