@@ -78,27 +78,34 @@ _FAMILIES: list[tuple[str, list]] = [
 # this list may mention queries added in later rounds without breaking.
 _HEADLINE: dict[str, list[str]] = {
     "relational": ["pricing_summary", "top_revenue_orders", "top_orders_per_customer"],
-    "text": ["clean_documents", "token_topk_nostop", "lang_id", "tfidf_top_terms"],
+    "text": ["clean_documents", "token_topk_nostop", "zipf_fit", "lang_id", "tfidf_top_terms"],
     "dedup_sim": [
         "minhash_near_dups",
+        "ann_ivfpq",
         "ann_ivf_index",
+        "ppjoin_pairs",
         "multimodal_decode",
         "ann_recall",
+        "embedding_pca",
         "simhash_near_dups",
         "ann_ivf_append",
         "embedding_near_dup",
     ],
     "temporal": [
         "streaming_upsert",
+        "streaming_interval_join_outer",
         "streaming_tumbling",
+        "event_transitions",
         "asof_purchase_signup",
         "streaming_dedup",
         "streaming_sessions",
     ],
-    "train": ["bpe_merges", "bpe_vocab"],
-    "evaluation": ["confusion_matrix", "roc_auc", "ml_logistic_regression"],
-    "warehouse": ["scd2_user_state", "source_token_drift"],
-    "scale": ["group_sample", "heavy_hitters", "stateful_ewma"],
+    "train": ["bpe_merges", "unigram_segment", "wordpiece_candidates", "bpe_vocab"],
+    "evaluation": ["confusion_matrix", "rank_correlation", "roc_auc", "ml_logistic_regression"],
+    "warehouse": ["scd2_user_state", "dq_orders", "incremental_order_rollup", "table_diff", "source_token_drift"],
+    "scale": ["group_sample", "cms_token_counts", "hist_quantiles", "dataset_fingerprint", "heavy_hitters", "stateful_ewma"],
+    "affinity": ["co_purchase_pairs", "bm25_search", "association_rules"],
+    "graph": ["pagerank_purchases", "label_propagation", "bfs_hops"],
 }
 
 
