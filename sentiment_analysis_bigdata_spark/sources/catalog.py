@@ -194,3 +194,29 @@ def write_orc(df: DataFrame, path: str, num_files: int | None = None) -> None:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (schema from file metadata, vectorized reader)."""
     return spark.read.orc(path)
+
+
+def write_text(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """Plain-text lines sink: exactly one string column, one line per
+    row — the interchange format for raw-corpus handoff to tokenizer /
+    dedup tooling that speaks line-delimited text. Framing caveat is the
+    caller's: a newline inside the column splits that row into two lines
+    on read-back (escape upstream if the text can contain newlines —
+    silently replacing here would change the data)."""
+    cols = df.columns
+    if len(cols) != 1:
+        raise ValueError(f"text sink needs exactly one column, got {cols}")
+    out = df.withColumnRenamed(cols[0], "value")
+    if num_files is not None:
+        out = out.coalesce(num_files)
+    out.write.mode("overwrite").text(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """Plain-text source: one row per line (``value`` string), or with
+    ``whole=True`` one row per FILE — the raw-document ingestion shape
+    (wholetext keeps a document's newlines; per-file rows mean file size,
+    not line count, bounds a row)."""
+    return spark.read.text(path, wholetext=whole)

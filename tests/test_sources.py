@@ -108,3 +108,28 @@ class TestParquetSink:
         # pruning happened at listing time, not per-row
         assert "Filter (" not in plan
         assert scan.count() == 30
+
+
+def test_text_source_sink_round_trip(spark, tmp_path):
+    from sentiment_analysis_bigdata_spark.sources import catalog
+
+    df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "line string")
+    out = str(tmp_path / "txt")
+    catalog.write_text(df, out, num_files=1)
+    back = catalog.read_text(spark, out)
+    assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+    # whole=True: one row per FILE, newlines preserved (NOTE: needs the
+    # text() wholetext kwarg — .option("wholetext", ...) silently no-ops)
+    whole = catalog.read_text(spark, out, whole=True).collect()
+    assert len(whole) == 1
+    assert sorted(whole[0].value.strip().split("\n")) == ["alpha", "beta", "gamma"]
+
+
+def test_text_sink_rejects_multi_column(spark):
+    import pytest as _pytest
+
+    from sentiment_analysis_bigdata_spark.sources import catalog
+
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    with _pytest.raises(ValueError):
+        catalog.write_text(df, "/tmp/never-written")
