@@ -1,0 +1,132 @@
+"""Deterministic Lloyd's k-means over an embedding column.
+
+The reference has no clustering surface (its 1,077 LoC stop at three
+classifiers — SURVEY §2.6), but a training-data pipeline organizes a
+corpus by clustering its embeddings (topic balancing, per-cluster
+sampling, duplicate-cluster inspection). MLlib's ``KMeans`` is the
+production path, but its kmeans|| init is RNG-dependent and therefore
+not SQL-replayable; this operator is the *value-checkable* twin: every
+step is a plain DataFrame composition with fixed, documented arithmetic,
+so a DuckDB oracle can replay the identical recursion (see
+``workloads/cluster_q.py``).
+
+Determinism contract (what makes the oracle exact):
+
+- **Init**: the centroids are the vectors of the ``k`` smallest ids
+  (cluster_id = rank of the seed id). No RNG.
+- **Assign**: squared L2 distance computed left-to-right over the
+  dimensions (``F.aggregate`` over ``zip_with`` — the same sequential
+  IEEE sum as DuckDB's ``list_sum(list_transform(...))``); argmin tie
+  breaks to the lowest cluster_id via lexicographic ``array_min`` on
+  ``(dist, cluster_id)`` structs.
+- **Re-estimate**: per-(cluster, dim) mean via ``posexplode`` →
+  ``groupBy`` → ``avg``, ROUNDED to ``round_digits`` (default 9) before
+  becoming the next iteration's literals. Both engines consume the same
+  rounded values, so cross-engine float drift (partial-agg association
+  order, ~1e-15) cannot cascade into a flipped assignment.
+- An empty cluster keeps its previous centroid (documented, replayed
+  identically by the oracle via COALESCE).
+
+Scale shape (100 TB): each iteration is ONE shuffle — ``posexplode``
+then a partial+final hash agg keyed (cluster_id, dim) with k×d output
+rows; the k×d centroid model rides to the executors as codegen'd
+literals (k ≤ a few hundred; beyond that you'd switch the assign step
+to a broadcast join on a centroid frame). Driver traffic per iteration
+is k×d doubles. No global sort, no cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec_col: str, center: list[float]) -> Column:
+    """Sequential left-to-right sum of squared per-dim diffs (matches
+    DuckDB ``list_sum`` order for bit-stable cross-engine replay)."""
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in center]),
+        lambda x, c: (x - c) * (x - c),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
+    """Add ``cluster_id`` (argmin of squared L2; ties → lowest id) and
+    ``dist2`` columns. Pure codegen — centroids are literals."""
+    cands = F.array(
+        *[
+            F.struct(
+                _sqdist(vec_col, ctr).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    best = F.array_min(cands)
+    return df.withColumn("cluster_id", best["cid"]).withColumn("dist2", best["d"])
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds from the k-smallest-id seeds and
+    return the final assignment frame: ``(id_col, cluster_id, dist2)``.
+
+    ``iterations`` counts re-estimation rounds; the returned assignment
+    uses the centroids produced by the last round.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centers: list[list[float]] = [list(r["v"]) for r in seeds]
+
+    for _ in range(iterations):
+        assigned = _assign(df, vec_col, centers)
+        rows = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "val"
+                ),
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .collect()
+        )
+        new_centers = [list(c) for c in centers]  # empty cluster keeps old
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+        for cid, dims in by_cid.items():
+            new_centers[cid] = [dims[i] for i in range(dim)]
+        centers = new_centers
+
+    return _assign(df, vec_col, centers).select(
+        F.col(id_col), "cluster_id", "dist2"
+    )
+
+
+def kmeans_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances), the
+    standard clustering fit report."""
+    assigned = kmeans_lloyd(df, vec_col, id_col, k=k, iterations=iterations)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("dist2"), 6).alias("inertia"),
+    )

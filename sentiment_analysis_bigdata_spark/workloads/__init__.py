@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sentiment_analysis_bigdata_spark.workloads import (
     affinity_q,
+    cluster_q,
     dedup_sim,
     evaluation_q,
     modern_q,
@@ -71,6 +72,7 @@ _FAMILIES: list[tuple[str, list]] = [
     ("affinity", [affinity_q]),
     ("modern", [modern_q]),
     ("graph", [graph_q]),
+    ("cluster", [cluster_q]),
 ]
 
 # Flagship queries pulled to the front of their family lane so they land
@@ -106,6 +108,7 @@ _HEADLINE: dict[str, list[str]] = {
     "scale": ["group_sample", "cms_token_counts", "hist_quantiles", "dataset_fingerprint", "heavy_hitters", "stateful_ewma"],
     "affinity": ["co_purchase_pairs", "bm25_search", "association_rules"],
     "graph": ["pagerank_purchases", "label_propagation", "bfs_hops"],
+    "cluster": ["kmeans_clusters"],
 }
 
 

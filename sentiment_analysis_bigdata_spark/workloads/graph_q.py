@@ -7,9 +7,10 @@ IEEE arithmetic, so the final round-6 values match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
 from sentiment_analysis_bigdata_spark.operators.graph import (
     clustering_coefficients,
     pagerank,
@@ -273,8 +274,101 @@ SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
 """
 
 
+def q_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword extraction: undirected
+    token co-occurrence graph from adjacent-token bigrams across the
+    corpus (self-loops dropped, parallel edges accumulate to weights),
+    ranked with the SAME weighted PageRank recursion as
+    ``pagerank_purchases`` (3 iterations, damping 0.85), top 10 by
+    rounded rank with token tie-break.
+
+    Scale shape: the edge frame is vocabulary-bounded (tokens × adjacent
+    tokens), so every per-iteration join/agg runs over a model-sized
+    frame, not the corpus; the corpus is touched exactly once to build
+    bigram counts (explode → groupBy — one shuffle). At web scale the
+    vocabulary would first pass through a df-cap / heavy-hitter filter
+    (see ``heavy_hitters``) — here the synthetic vocabulary is tiny.
+    """
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(TXT.tokenize_nonempty("text").alias("l")).where(
+        F.size("l") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.struct(
+                    F.element_at("l", i).alias("a"),
+                    F.element_at("l", i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").where(F.col("a") != F.col("b"))
+    edges = bi.unionByName(bi.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ranks = pagerank(
+        edges, src_col="a", dst_col="b", iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    # rank on the ROUNDED value so the cutoff ordering is identical in
+    # both engines even at float-drift ties; keyword breaks exact ties
+    w = Window.orderBy(F.col("rank").desc(), F.col("keyword"))
+    return (
+        ranks.select(
+            F.col("node").alias("keyword"), F.round("rank", 6).alias("rank")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 10)
+    )
+
+
+def _sql_textrank() -> str:
+    base = 1.0 - PR_DAMPING
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         {base} + {PR_DAMPING} * coalesce(sum(p.rank * m.share), 0) AS rank
+  FROM nodes n
+  LEFT JOIN norm m ON m.dst = n.node
+  LEFT JOIN {prev} p ON p.node = m.src
+  GROUP BY n.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH toks AS (SELECT {SQL_TOKS} AS l FROM documents),
+bi AS (
+  SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2 AND l[CAST(i AS INT)] <> l[CAST(i AS INT) + 1]
+),
+e AS (
+  SELECT a AS src, b AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT a, b FROM bi UNION ALL SELECT b AS a, a AS b FROM bi)
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+norm AS (SELECT e.src, e.dst, e.w / outw.ow AS share FROM e JOIN outw ON outw.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{",".join(iters)}
+SELECT keyword, rank, CAST(pos AS INT) AS pos FROM (
+  SELECT node AS keyword, round(rank, 6) AS rank,
+         row_number() OVER (ORDER BY round(rank, 6) DESC, node) AS pos
+  FROM {prev})
+WHERE pos <= 10
+"""
+
+
+SQL_TEXTRANK_KEYWORDS = _sql_textrank()
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),

@@ -1,0 +1,63 @@
+"""Deterministic Lloyd's k-means: planted-cluster recovery, invariants
+(partition of the input, monotone inertia), and rerun stability."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sentiment_analysis_bigdata_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_summary,
+)
+
+DIM = 8
+PER = 20
+
+
+def _planted(spark):
+    """Three well-separated gaussian blobs; ids interleave the blobs so
+    the k-smallest-id seeds land one per blob."""
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[5.0] * DIM, [-5.0] * DIM, [5.0] * (DIM // 2) + [-5.0] * (DIM // 2)]
+    )
+    rows = []
+    for j in range(PER):
+        for b in range(3):
+            v = centers[b] + 0.1 * rng.normal(size=DIM)
+            rows.append((j * 3 + b, [float(x) for x in v], b))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, blob int")
+
+
+def test_recovers_planted_blobs(spark):
+    df = _planted(spark)
+    out = kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2)
+    joined = out.join(df.select("vec_id", "blob"), "vec_id").collect()
+    # every blob maps to exactly one cluster and vice versa
+    mapping = {}
+    for r in joined:
+        mapping.setdefault(r["blob"], set()).add(r["cluster_id"])
+    assert all(len(cids) == 1 for cids in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+
+
+def test_partition_and_inertia_monotone(spark):
+    df = _planted(spark)
+    s1 = {
+        r["cluster_id"]: (r["n_points"], r["inertia"])
+        for r in kmeans_summary(df, "embedding", "vec_id", k=3, iterations=1).collect()
+    }
+    s2 = {
+        r["cluster_id"]: (r["n_points"], r["inertia"])
+        for r in kmeans_summary(df, "embedding", "vec_id", k=3, iterations=3).collect()
+    }
+    assert sum(n for n, _ in s1.values()) == 3 * PER
+    assert sum(n for n, _ in s2.values()) == 3 * PER
+    assert sum(i for _, i in s2.values()) <= sum(i for _, i in s1.values()) + 1e-9
+
+
+def test_rerun_stable(spark):
+    df = _planted(spark)
+    a = sorted(map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2).collect()))
+    assert a == b

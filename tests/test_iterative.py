@@ -451,3 +451,27 @@ class TestTransitionMatrix:
             .collect()
         )
         assert all(abs(r.s - 1.0) < 1e-3 for r in sums)
+
+
+class TestTextrank:
+    def test_hub_word_ranks_first(self, spark):
+        from sentiment_analysis_bigdata_spark.workloads.graph_q import (
+            q_textrank_keywords,
+        )
+
+        # "hub" neighbors every other word; spokes only touch the hub
+        docs = spark.createDataFrame(
+            [
+                (i, f"hub w{i} hub w{i}", "en", "s", 10)
+                for i in range(8)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            out = q_textrank_keywords(spark, d).collect()
+        top = sorted(out, key=lambda r: r["pos"])
+        assert top[0]["keyword"] == "hub"
+        assert all(r["rank"] <= top[0]["rank"] for r in out)
