@@ -974,3 +974,90 @@ def prefix_filtered_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_cascade(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    minhash_threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    cosine_threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """End-to-end dedup pipeline report: exact → MinHash-LSH → semantic,
+    each stage consuming the previous stage's survivors, with a
+    deterministic **keep-first** removal policy (a doc is removed when it
+    has a verified near-dup of smaller id — the higher id of every pair
+    drops, no iterative clustering). Returns one row per stage:
+    ``(stage, stage_order, n_in, n_removed, n_out)``.
+
+    This is the cheap-to-expensive cascade order every large-corpus
+    curation run uses (exact hashing first removes the bulk for pennies;
+    LSH banding next; embedding cosine last over what remains). ``emb``
+    must share ``docs``'s id domain (``emb_id_col`` values are doc ids).
+
+    Scale shape: survivor frames are ``localCheckpoint``-materialized
+    between stages — the single-process stand-in for what a production
+    run does by writing each stage's survivors to parquet; every stage
+    is the already-audited shape of its standalone operator (groupBy
+    fingerprint / banded equi join / sign-LSH bucket join — never
+    O(n²)).
+    """
+    total = docs.select(F.col(id_col).alias("doc_id"))
+    s1 = exact_dedup(docs, text_col, id_col).localCheckpoint(eager=True)
+    mh_pairs = minhash_near_duplicates(
+        s1,
+        text_col,
+        id_col,
+        threshold=minhash_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    mh_removed = mh_pairs.select(F.col("b").alias(id_col)).distinct()
+    s2 = s1.join(mh_removed, [id_col], "left_anti").localCheckpoint(eager=True)
+    sem_base = emb.join(
+        s2.select(F.col(id_col).alias(emb_id_col)), [emb_id_col], "left_semi"
+    )
+    sem_pairs = embedding_near_duplicates(
+        sem_base, emb_vec_col, emb_id_col, threshold=cosine_threshold, n_bits=n_bits
+    )
+    sem_removed = sem_pairs.select(F.col("b").alias(id_col)).distinct()
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    c = (
+        _cnt(total, "n0")
+        .crossJoin(_cnt(s1.select(id_col), "n1"))
+        .crossJoin(_cnt(mh_removed, "rm2"))
+        .crossJoin(_cnt(sem_removed, "rm3"))
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("exact").alias("stage"),
+            F.lit(1).alias("stage_order"),
+            F.col("n0").alias("n_in"),
+            (F.col("n0") - F.col("n1")).alias("n_removed"),
+            F.col("n1").alias("n_out"),
+        ),
+        F.struct(
+            F.lit("minhash").alias("stage"),
+            F.lit(2).alias("stage_order"),
+            F.col("n1").alias("n_in"),
+            F.col("rm2").alias("n_removed"),
+            (F.col("n1") - F.col("rm2")).alias("n_out"),
+        ),
+        F.struct(
+            F.lit("semantic").alias("stage"),
+            F.lit(3).alias("stage_order"),
+            (F.col("n1") - F.col("rm2")).alias("n_in"),
+            F.col("rm3").alias("n_removed"),
+            (F.col("n1") - F.col("rm2") - F.col("rm3")).alias("n_out"),
+        ),
+    )
+    return c.select(F.explode(stages).alias("s")).select("s.*")

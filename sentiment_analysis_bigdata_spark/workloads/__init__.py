@@ -83,6 +83,7 @@ _HEADLINE: dict[str, list[str]] = {
     "text": ["clean_documents", "token_topk_nostop", "zipf_fit", "lang_id", "tfidf_top_terms"],
     "dedup_sim": [
         "minhash_near_dups",
+        "dedup_cascade",
         "ann_ivfpq",
         "ann_ivf_index",
         "ppjoin_pairs",

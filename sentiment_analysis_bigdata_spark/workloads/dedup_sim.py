@@ -495,7 +495,14 @@ def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _sql_minhash_near_dups(threshold: float = 0.5, num_hashes: int = 16, bands: int = 4) -> str:
+def _sql_minhash_near_dups(
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    docs_src: str = "documents",
+) -> str:
+    """CTE chain ending in ``mpairs`` (a, b, jaccard) — wrap with
+    ``WITH`` (or chain after other CTEs) and select from ``mpairs``."""
     r = num_hashes // bands
     h31 = SQL_H31.format(t="t")
     sig_cols = []
@@ -517,9 +524,10 @@ def _sql_minhash_near_dups(threshold: float = 0.5, num_hashes: int = 16, bands: 
     bands_sql = "\nUNION ALL\n".join(band_selects)
     inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
     union = f"(len(ta.toks) + len(tb.toks) - {inter})"
-    return f"""
-WITH base AS (
-  SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM documents
+    # mpairs is the reusable tail: the cascade oracle chains it over a
+    # filtered doc source (docs_src) instead of the raw table
+    return f"""base AS (
+  SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM {docs_src}
 ),
 sigs AS (
   SELECT doc_id, toks,
@@ -533,19 +541,22 @@ cands AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bk l JOIN bk r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+mpairs AS (
+  SELECT c.a, c.b,
+         round(CASE WHEN {union} > 0
+                    THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END, 6) AS jaccard
+  FROM cands c
+  JOIN base ta ON ta.doc_id = c.a
+  JOIN base tb ON tb.doc_id = c.b
+  WHERE CASE WHEN {union} > 0
+             THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END >= {threshold}
+)"""
+
+
+SQL_MINHASH_NEAR_DUPS = (
+    "WITH " + _sql_minhash_near_dups() + "\nSELECT a, b, jaccard FROM mpairs"
 )
-SELECT c.a, c.b,
-       round(CASE WHEN {union} > 0
-                  THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END, 6) AS jaccard
-FROM cands c
-JOIN base ta ON ta.doc_id = c.a
-JOIN base tb ON tb.doc_id = c.b
-WHERE CASE WHEN {union} > 0
-           THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END >= {threshold}
-"""
-
-
-SQL_MINHASH_NEAR_DUPS = _sql_minhash_near_dups()
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -1751,7 +1762,63 @@ FROM {vf} v, sgn, lam, tr
 SQL_EMBEDDING_PCA = _sql_embedding_pca()
 
 
+def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-stage dedup pipeline report (exact → MinHash-LSH →
+    semantic), keep-first removal policy (operators/dedup.dedup_cascade).
+    Stage thresholds match the standalone queries (minhash 0.5 over 16
+    hashes / 4 bands; cosine 0.25 over 8 sign bits — see
+    q_embedding_near_dup's isotropy note), so the oracle can chain the
+    SAME SQL twins over each stage's survivor set and every stage count
+    is value-checked end-to-end."""
+    return DD.dedup_cascade(
+        _docs(spark, sf),
+        _emb(spark, sf),
+        minhash_threshold=0.5,
+        num_hashes=16,
+        bands=4,
+        cosine_threshold=0.25,
+        n_bits=8,
+    )
+
+
+SQL_DEDUP_CASCADE = f"""
+WITH ex AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {SQL_FP})
+),
+{_sql_minhash_near_dups(docs_src="ex")},
+mh_removed AS (SELECT DISTINCT b AS doc_id FROM mpairs),
+s2 AS (
+  SELECT doc_id FROM ex
+  WHERE doc_id NOT IN (SELECT doc_id FROM mh_removed)
+),
+sem_base AS (
+  SELECT e.vec_id AS id, e.embedding AS v, {_sql_sign_bucket('e.embedding')} AS bucket
+  FROM embeddings e JOIN s2 ON s2.doc_id = e.vec_id
+),
+sem_pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM sem_base l JOIN sem_base r ON l.bucket = r.bucket AND l.id < r.id
+  WHERE {_sql_cosine('l.v', 'r.v')} >= 0.25
+),
+sem_removed AS (SELECT DISTINCT b AS doc_id FROM sem_pairs),
+c AS (
+  SELECT (SELECT count(*) FROM documents) AS n0,
+         (SELECT count(*) FROM ex) AS n1,
+         (SELECT count(*) FROM mh_removed) AS rm2,
+         (SELECT count(*) FROM sem_removed) AS rm3
+)
+SELECT 'exact' AS stage, CAST(1 AS INT) AS stage_order,
+       n0 AS n_in, n0 - n1 AS n_removed, n1 AS n_out FROM c
+UNION ALL
+SELECT 'minhash', CAST(2 AS INT), n1, rm2, n1 - rm2 FROM c
+UNION ALL
+SELECT 'semantic', CAST(3 AS INT), n1 - rm2, rm3, n1 - rm2 - rm3 FROM c
+"""
+
+
 QUERIES = {
+    "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),

@@ -348,3 +348,40 @@ class TestPrefixFilteredJaccard:
             ).collect()
         }
         assert got == {(1, 3)}
+
+
+class TestDedupCascade:
+    def test_stage_arithmetic_and_planted_dups(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import dedup_cascade
+
+        # 0/1 exact dups; 2 reorders 0's tokens (not an exact dup, but an
+        # identical token SET -> identical minhash signature, jaccard 1.0,
+        # so the LSH candidate is guaranteed, not probabilistic); 3 unique
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "zeta alpha beta gamma delta epsilon"),
+                (3, "one two three four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0, 0.0]) for i in (0, 2)]
+            + [(3, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["stage"]: r
+            for r in dedup_cascade(
+                docs, emb, minhash_threshold=0.5, cosine_threshold=0.9, n_bits=4
+            ).collect()
+        }
+        assert out["exact"]["n_in"] == 4 and out["exact"]["n_removed"] == 1
+        # doc 2 is jaccard 5/7 ≈ 0.714 to doc 0 → removed by minhash
+        assert out["minhash"]["n_in"] == 3 and out["minhash"]["n_removed"] == 1
+        # remaining 0 and 3 have orthogonal embeddings → nothing removed
+        assert out["semantic"]["n_removed"] == 0 and out["semantic"]["n_out"] == 2
+        # chain arithmetic: n_out of each stage == n_in of the next
+        assert out["exact"]["n_out"] == out["minhash"]["n_in"]
+        assert out["minhash"]["n_out"] == out["semantic"]["n_in"]
