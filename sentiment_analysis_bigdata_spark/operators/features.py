@@ -280,3 +280,60 @@ def chi2_terms(
         .groupBy("term", "df")
         .agg(F.round(F.sum(present + absent), 6).alias("chi2"))
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Per-document mean add-one-smoothed bigram log-probability — the
+    second rung of the LM-quality ladder above
+    :func:`unigram_logprob_scores` (word-order sensitivity: a bag of
+    plausible words in implausible order scores low here but fine on
+    unigrams).
+
+        P(b | a) = (c(a,b) + 1) / (c(a·) + V)
+        score(d) = avg over d's bigrams of ln P(b | a)
+
+    where ``c(a,b)`` is the corpus bigram count, ``c(a·)`` the count of
+    bigrams starting with ``a``, and ``V`` the corpus vocabulary size
+    (add-one smoothing denominator, Jurafsky & Martin ch. 3).
+
+    Plan shape: bigram extraction is a narrow per-doc transform (no
+    shuffle); the model is two aggregations over the bigram frame
+    (vocab²-bounded by Heaps' law but unbounded in principle → NO
+    broadcast hints, AQE decides); scoring is two equi joins plus a
+    per-doc fold. Only the 1-row vocabulary count is hint-broadcast.
+    Documents with fewer than 2 tokens drop (no bigrams ⇒ no score).
+    """
+    bg = docs.where(F.size(tokens_col) >= 2).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens_col) - 1),
+                lambda i: F.struct(
+                    F.element_at(tokens_col, i).alias("a"),
+                    F.element_at(tokens_col, i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    model = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = docs.select(F.explode(tokens_col).alias("t")).agg(
+        F.countDistinct("t").alias("_v")
+    )
+    scored = (
+        bg.join(model, ["a", "b"])
+        .join(ctx, ["a"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_ab") + F.lit(1.0)) / (F.col("c_a") + F.col("_v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )

@@ -260,6 +260,39 @@ GROUP BY doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean add-one-smoothed bigram log-probability against the
+    corpus's own bigram LM (operators/features.bigram_logprob_scores) —
+    the word-order-sensitive quality score one rung above
+    ``doc_logprob``."""
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    return FE.bigram_logprob_scores(docs)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKS} AS l FROM documents
+),
+bg AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS a, l[CAST(i AS INT) + 1] AS b
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+),
+m AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+ctx AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT term) AS vs
+  FROM (SELECT unnest({SQL_TOKS}) AS term FROM documents)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((c_ab + 1.0) / (c_a + vs))), 6) AS avg_logprob
+FROM bg JOIN m USING (a, b) JOIN ctx USING (a) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     # regex-dense narrow projection: floor the scan parallelism (the
     # single-row-group fixture otherwise runs it on one core; no-op at scale)
@@ -885,6 +918,7 @@ QUERIES = {
     "chunk_token_windows": (q_chunk_token_windows, SQL_CHUNK_TOKEN_WINDOWS),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "doc_logprob": (q_doc_logprob, SQL_DOC_LOGPROB),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "token_topk_nostop": (q_token_topk_nostop, SQL_TOKEN_TOPK_NOSTOP),
     "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),

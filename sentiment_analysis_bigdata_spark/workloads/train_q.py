@@ -452,8 +452,69 @@ def _sql_unigram_segment() -> str:
 SQL_UNIGRAM_SEGMENT = _sql_unigram_segment()
 
 
+def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth feature discretization of order totalprice: exact
+    decile boundaries (one constant-width aggregate — NOT a global
+    NTILE sort, which would single-partition at 100 TB), rounded to 6
+    decimals in both engines, then a codegen'd strictly-greater
+    boundary count assigns each row its bin. Per-bin count / min / max /
+    sum (sums of 2-decimal money are exact multiples of 0.01, so
+    round(…, 2) is cross-engine safe; avg is deliberately avoided).
+
+    DuckDB ``quantile_cont`` and Spark ``percentile`` share the linear
+    interpolation definition (verified value-identical at 6 dp)."""
+    orders = load_table(spark, sf, "orders")
+    bounds = orders.agg(
+        F.transform(
+            F.percentile(
+                "o_totalprice",
+                F.lit([i / 10 for i in range(1, 10)]).cast("array<double>"),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bounds")
+    )
+    binned = orders.crossJoin(bounds).select(
+        F.aggregate(
+            "bounds",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("o_totalprice") > b, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH b AS (
+  SELECT list_transform(quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+         x -> round(x, 6)) AS bounds
+  FROM orders
+),
+binned AS (
+  SELECT CAST(len(list_filter(b.bounds, x -> o_totalprice > x)) AS INT) AS bin,
+         o_totalprice
+  FROM orders CROSS JOIN b
+)
+SELECT bin,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM binned
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "quantile_bins": (q_quantile_bins, SQL_QUANTILE_BINS),
     "wordpiece_candidates": (q_wordpiece_candidates, SQL_WORDPIECE_CANDIDATES),
     "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),

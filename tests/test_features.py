@@ -194,3 +194,30 @@ def test_chi2_presence_not_multiplicity(spark):
     )
     got = FE.chi2_terms(df, "label", "tokens", min_df=1).collect()
     assert [(r.term, r.df, r.chi2) for r in got] == [("x", 2, 0.0)]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus bigrams: (a,b)x2, (b,a)x1 → c(a·)=2, c(b·)=1; V={a,b,x}=3
+    # P(b|a) = (2+1)/(2+3) = 0.6 ; P(a|b) = (1+1)/(1+3) = 0.5
+    df = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["a", "b", "a"]), (2, ["x"])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {r["doc_id"]: r for r in FE.bigram_logprob_scores(df).collect()}
+    assert set(rows) == {0, 1}  # single-token doc has no bigrams
+    assert rows[0]["n_bigrams"] == 1
+    assert rows[0]["avg_logprob"] == pytest.approx(round(math.log(0.6), 6))
+    expected1 = round((math.log(0.6) + math.log(0.5)) / 2, 6)
+    assert rows[1]["avg_logprob"] == pytest.approx(expected1)
+
+
+def test_bigram_logprob_order_sensitive(spark):
+    # ten docs share a dominant word order; one scrambles it. Unigram LM
+    # can't tell them apart; the bigram LM must score the scramble lower.
+    common = [(i, ["the", "quick", "brown", "fox"]) for i in range(10)]
+    df = spark.createDataFrame(
+        common + [(10, ["fox", "the", "brown", "quick"])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {r["doc_id"]: r["avg_logprob"] for r in FE.bigram_logprob_scores(df).collect()}
+    assert rows[10] < rows[0]

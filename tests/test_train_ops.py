@@ -369,3 +369,19 @@ class TestUnigramSegment:
         }
         # hard-EM counts are freq-weighted over the chosen segmentation
         assert sum(n for n in counts.values()) > 0
+
+
+class TestQuantileBins:
+    def test_equi_depth_and_cover(self, spark):
+        from sentiment_analysis_bigdata_spark.workloads.train_q import q_quantile_bins
+
+        out = q_quantile_bins(spark, "/root/testdata/sf0.001").collect()
+        n = sum(r["n_orders"] for r in out)
+        assert len(out) == 10
+        # equi-depth: every decile holds ~n/10 rows (ties can skew slightly)
+        for r in out:
+            assert abs(r["n_orders"] - n / 10) <= max(2, 0.02 * n)
+        # bins tile the value range in order
+        by_bin = sorted(out, key=lambda r: r["bin"])
+        for lo, hi in zip(by_bin, by_bin[1:]):
+            assert lo["max_price"] <= hi["min_price"]
