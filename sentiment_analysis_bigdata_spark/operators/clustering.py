@@ -130,3 +130,53 @@ def kmeans_summary(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("dist2"), 6).alias("inertia"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then inside each cluster remove every point with cosine
+    ≥ ``threshold`` to a lower-id point. Clustering bounds the pairwise
+    check to within-cluster blocks — the k-means step is what makes
+    semantic dedup sub-quadratic (``k`` grows with the corpus so block
+    sizes stay bounded; the paper uses 50k clusters for LAION).
+
+    Keep-first policy (remove the higher id of every pair), same as
+    :func:`~..operators.dedup.dedup_cascade`. Returns the per-cluster
+    report ``(cluster_id, n_points, n_removed, n_kept)``.
+    """
+    from sentiment_analysis_bigdata_spark.functions import vector as V
+
+    assigned = kmeans_lloyd(emb, vec_col, id_col, k=k, iterations=iterations)
+    base = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(
+            assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
+        )
+        .localCheckpoint(eager=True)
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.cluster_id") == F.col("r.cluster_id"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).where(
+        V.cosine_similarity(F.col("l.v"), F.col("r.v")) >= threshold
+    )
+    removed = pairs.select(F.col("r.id").alias("id")).distinct().withColumn(
+        "_rm", F.lit(1)
+    )
+    flagged = base.join(removed, "id", "left")
+    return flagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.coalesce(F.col("_rm"), F.lit(0))).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_rm").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_kept"),
+    )

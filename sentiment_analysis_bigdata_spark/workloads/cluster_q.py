@@ -15,7 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sentiment_analysis_bigdata_spark.operators.clustering import kmeans_summary
+from sentiment_analysis_bigdata_spark.operators.clustering import (
+    kmeans_summary,
+    semdedup,
+)
 from sentiment_analysis_bigdata_spark.sources import load_table
 
 K = 4
@@ -73,8 +76,11 @@ def _sql_reestimate(mname: str, cname: str, assign: str, prev: str) -> str:
 )"""
 
 
-SQL_KMEANS_CLUSTERS = f"""
-WITH seeds AS (
+def sql_kmeans_ctes() -> str:
+    """CTE chain replaying the full K={K}, {ITERATIONS}-round Lloyd
+    recursion, ending in ``a3`` (vec_id, cid, d) — the final assignment.
+    Shared by the clustering report and the SemDeDup oracle."""
+    return f"""seeds AS (
   SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K}
 ),
 c0 AS (
@@ -86,7 +92,11 @@ c0 AS (
 {_sql_reestimate("m1", "c1", "a1", "c0")},
 {_sql_assign("a2", "c1")},
 {_sql_reestimate("m2", "c2", "a2", "c1")},
-{_sql_assign("a3", "c2")}
+{_sql_assign("a3", "c2")}"""
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH {sql_kmeans_ctes()}
 SELECT cid AS cluster_id,
        count(*) AS n_points,
        round(sum(d), 6) AS inertia
@@ -95,6 +105,51 @@ GROUP BY 1
 """
 
 
+SEM_THRESHOLD = 0.25  # embeddings are near-isotropic (see q_embedding_near_dup)
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup per-cluster pruning report: k-means blocks then
+    within-cluster cosine keep-first removal
+    (operators/clustering.semdedup). The oracle chains the full Lloyd
+    CTE recursion with the in-cluster pair check, so cluster sizes AND
+    removal counts are value-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    return semdedup(
+        emb, "embedding", "vec_id", k=K, iterations=ITERATIONS,
+        threshold=SEM_THRESHOLD,
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+SQL_SEMDEDUP = f"""
+WITH {sql_kmeans_ctes()},
+sem AS (
+  SELECT a3.vec_id AS id, a3.cid, e.embedding AS v
+  FROM a3 JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM sem l JOIN sem r ON l.cid = r.cid AND l.id < r.id
+  WHERE {_sql_cosine('l.v', 'r.v')} >= {SEM_THRESHOLD}
+),
+removed AS (SELECT DISTINCT b AS id FROM pairs)
+SELECT s.cid AS cluster_id,
+       count(*) AS n_points,
+       CAST(sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM sem s LEFT JOIN removed r ON r.id = s.id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
 }

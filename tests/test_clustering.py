@@ -61,3 +61,21 @@ def test_rerun_stable(spark):
     a = sorted(map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2).collect()))
     b = sorted(map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2).collect()))
     assert a == b
+
+
+def test_semdedup_planted_near_dup(spark):
+    from sentiment_analysis_bigdata_spark.operators.clustering import semdedup
+
+    df = _planted(spark)
+    # duplicate blob-0 point with a new highest id -> must be removed
+    dup = df.where("vec_id = 0").selectExpr(
+        "CAST(999 AS LONG) AS vec_id", "embedding", "blob"
+    )
+    out = semdedup(
+        df.unionByName(dup), "embedding", "vec_id", k=3, iterations=2,
+        threshold=0.99,
+    ).collect()
+    assert sum(r["n_points"] for r in out) == 3 * PER + 1
+    assert sum(r["n_removed"] for r in out) >= 1
+    for r in out:
+        assert r["n_removed"] + r["n_kept"] == r["n_points"]
