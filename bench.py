@@ -79,6 +79,14 @@ FAMILY_EXTRA = [
     "label_propagation",
     "bm25_search",
     "dq_orders",
+    # late-r4 additions (clustering, composed-pipeline, LM-quality,
+    # discretization, keyword-graph families)
+    "kmeans_clusters",
+    "semdedup",
+    "dedup_cascade",
+    "bigram_logprob",
+    "quantile_bins",
+    "textrank_keywords",
 ]
 
 

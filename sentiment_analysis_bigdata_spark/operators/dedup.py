@@ -18,7 +18,7 @@ results are deterministic across engines (oracle-checkable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions import hashing as H
@@ -1061,3 +1061,74 @@ def dedup_cascade(
         ),
     )
     return c.select(F.explode(stages).alias("s")).select("s.*")
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring accounting — the distributed analogue
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    every token ``k``-gram occurring ≥ ``min_occurrences`` times
+    corpus-wide (across OR within documents) marks its ``k`` positions
+    duplicated; per document the marked intervals are unioned and
+    reported as ``(doc_id, n_tokens, dup_tokens, dup_fraction)``.
+
+    Where the paper builds one giant suffix array, this uses the
+    shuffle-friendly fixed-``k`` formulation: explode positional
+    k-grams (narrow, no shuffle) → ONE hash aggregation over gram keys
+    (the only corpus-sized shuffle) → semi join positions back → per-doc
+    interval union. The union exploits equal-length intervals: sorted by
+    start, each contributes ``min(k, start - prev_start)`` (first
+    contributes ``k``) — one lag window per doc, no per-position
+    explode. Docs shorter than ``k`` tokens report 0 duplicated.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), TXT.tokenize_nonempty(text_col).alias("l")
+    )
+    sized = toks.select("doc_id", F.size("l").alias("n_tokens"), "l")
+    grams = sized.where(F.col("n_tokens") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("l", i, k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_occurrences)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = dup_pos.withColumn("prev", F.lag("pos").over(w)).select(
+        "doc_id",
+        F.when(F.col("prev").isNull(), F.lit(k))
+        .otherwise(F.least(F.lit(k), F.col("pos") - F.col("prev")))
+        .alias("contrib"),
+    )
+    per_doc = covered.groupBy("doc_id").agg(F.sum("contrib").alias("dup_tokens"))
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -84,6 +84,7 @@ _HEADLINE: dict[str, list[str]] = {
     "dedup_sim": [
         "minhash_near_dups",
         "dedup_cascade",
+        "dup_ngram_spans",
         "ann_ivfpq",
         "ann_ivf_index",
         "ppjoin_pairs",

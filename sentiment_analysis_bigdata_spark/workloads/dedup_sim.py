@@ -1762,6 +1762,46 @@ FROM {vf} v, sgn, lam, tr
 SQL_EMBEDDING_PCA = _sql_embedding_pca()
 
 
+_SPAN_K = 5
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring accounting per document
+    (operators/dedup.duplicated_span_stats — the fixed-k distributed
+    analogue of Lee et al. 2022's suffix-array substring dedup): fraction
+    of each doc's tokens covered by a 5-gram that repeats anywhere in the
+    corpus."""
+    return DD.duplicated_span_stats(_docs(spark, sf), k=_SPAN_K)
+
+
+SQL_DUP_NGRAM_SPANS = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+sized AS (SELECT doc_id, CAST(len(l) AS INT) AS n_tokens, l FROM toks),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + {_SPAN_K - 1}), ' ') AS gram
+  FROM sized, unnest(range(1, n_tokens - {_SPAN_K - 2})) AS t(i)
+  WHERE n_tokens >= {_SPAN_K}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN {_SPAN_K}
+              ELSE least({_SPAN_K},
+                         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos))
+         END AS contrib
+  FROM dp
+),
+pd AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens FROM cov GROUP BY 1)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(pd.dup_tokens, 0) / greatest(s.n_tokens, 1), 6) AS dup_fraction
+FROM sized s LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     """Three-stage dedup pipeline report (exact → MinHash-LSH →
     semantic), keep-first removal policy (operators/dedup.dedup_cascade).
@@ -1819,6 +1859,7 @@ SELECT 'semantic', CAST(3 AS INT), n1 - rm2, rm3, n1 - rm2 - rm3 FROM c
 
 QUERIES = {
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
+    "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),

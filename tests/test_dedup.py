@@ -385,3 +385,52 @@ class TestDedupCascade:
         # chain arithmetic: n_out of each stage == n_in of the next
         assert out["exact"]["n_out"] == out["minhash"]["n_in"]
         assert out["minhash"]["n_out"] == out["semantic"]["n_in"]
+
+
+class TestDuplicatedSpanStats:
+    def test_hand_computed_union(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        # docs 0/1 share the 5-gram "a b c d e"; doc 0 embeds it twice
+        # overlapping at offsets 0 and 2 (a b a b c d e -> only one
+        # duplicated 5-gram "a b c d e" at pos 3); doc 2 is clean.
+        docs = spark.createDataFrame(
+            [
+                (0, "a b a b c d e f"),
+                (1, "x a b c d e y z"),
+                (2, "p q r s t u v w"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicated_span_stats(docs, k=5).collect()}
+        assert out[0]["n_tokens"] == 8 and out[0]["dup_tokens"] == 5
+        assert out[1]["dup_tokens"] == 5
+        assert out[2]["dup_tokens"] == 0 and out[2]["dup_fraction"] == 0.0
+        assert out[1]["dup_fraction"] == 0.625
+
+    def test_overlapping_spans_union_not_sum(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        # "a a a a a a" (6 tokens): both 5-grams at pos 1,2 are the same
+        # gram (occurs twice) -> positions {1,2}, union = 5 + min(5,1) = 6
+        docs = spark.createDataFrame(
+            [(0, "a a a a a a"), (1, "b c d e f g")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in duplicated_span_stats(docs, k=5).collect()}
+        assert out[0]["dup_tokens"] == 6 and out[0]["dup_fraction"] == 1.0
+
+    def test_short_docs_report_zero(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a b")], "doc_id long, text string"
+        )
+        out = duplicated_span_stats(docs, k=5).collect()
+        assert all(r["dup_tokens"] == 0 for r in out)
