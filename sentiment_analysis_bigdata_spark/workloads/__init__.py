@@ -85,6 +85,7 @@ _HEADLINE: dict[str, list[str]] = {
         "minhash_near_dups",
         "dedup_cascade",
         "dup_ngram_spans",
+        "minhash_recall",
         "ann_ivfpq",
         "ann_ivf_index",
         "ppjoin_pairs",

@@ -1762,6 +1762,55 @@ FROM {vf} v, sgn, lam, tr
 SQL_EMBEDDING_PCA = _sql_embedding_pca()
 
 
+def q_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall of MinHash-LSH near-dup detection against EXACT ground
+    truth — the text-side analogue of ``ann_recall``: PPJoin
+    (prefix-filtered, exact) enumerates ALL Jaccard ≥ 0.5 pairs, the
+    banded MinHash pipeline finds what its buckets surface (precision is
+    1.0 by construction — candidates are exact-verified), and the ratio
+    makes the LSH banding's probabilistic recall a value-checked number
+    per round instead of a pytest-only claim. Both sides are the
+    already-audited standalone operators; the oracle recomputes truth
+    brute-force over the same token sets (fine at oracle scale; the
+    Spark side stays prefix-filtered)."""
+    docs = _docs(spark, sf)
+    truth = DD.prefix_filtered_jaccard_pairs(docs, 0.5)
+    found = DD.minhash_near_duplicates(
+        docs, threshold=0.5, num_hashes=16, bands=4
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    f_ = found.agg(F.count(F.lit(1)).alias("n_found_pairs"))
+    return t.crossJoin(f_).select(
+        "n_true_pairs",
+        "n_found_pairs",
+        F.round(
+            F.col("n_found_pairs") / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _sql_minhash_recall() -> str:
+    inter = "len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))"
+    union = f"(len(ta.toks) + len(tb.toks) - {inter})"
+    jac = f"CASE WHEN {union} > 0 THEN CAST({inter} AS DOUBLE) / {union} ELSE 0.0 END"
+    return f"""
+WITH {_sql_minhash_near_dups()},
+truth AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b
+  FROM base ta JOIN base tb ON ta.doc_id < tb.doc_id
+  WHERE {jac} >= 0.5
+)
+SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+       (SELECT count(*) FROM mpairs) AS n_found_pairs,
+       round((SELECT count(*) FROM mpairs)
+             / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+"""
+
+
+SQL_MINHASH_RECALL = _sql_minhash_recall()
+
+
 _SPAN_K = 5
 
 
@@ -1860,6 +1909,7 @@ SELECT 'semantic', CAST(3 AS INT), n1 - rm2, rm3, n1 - rm2 - rm3 FROM c
 QUERIES = {
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
+    "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),

@@ -434,3 +434,33 @@ class TestDuplicatedSpanStats:
         )
         out = duplicated_span_stats(docs, k=5).collect()
         assert all(r["dup_tokens"] == 0 for r in out)
+
+
+class TestMinhashRecall:
+    def test_found_is_subset_of_truth(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_minhash_recall,
+        )
+
+        r = q_minhash_recall(spark, sf_dir).first()
+        assert 0 <= r["n_found_pairs"] <= r["n_true_pairs"]
+        assert 0.0 <= r["recall"] <= 1.0
+
+    def test_identical_docs_always_found(self, spark):
+        # jaccard-1.0 pairs have identical signatures -> every band
+        # collides -> recall must be exactly 1.0
+        import tempfile
+
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_minhash_recall,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon") for i in range(4)]
+            + [(9, "unrelated words entirely here now")],
+            "doc_id long, text string",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            r = q_minhash_recall(spark, d).first()
+        assert r["n_true_pairs"] == 6 and r["recall"] == 1.0
