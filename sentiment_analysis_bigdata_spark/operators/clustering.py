@@ -41,30 +41,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sqdist(vec_col: str, center: list[float]) -> Column:
+def _sqdist_sql(vec_col: str, center: list[float]) -> str:
     """Sequential left-to-right sum of squared per-dim diffs (matches
-    DuckDB ``list_sum`` order for bit-stable cross-engine replay)."""
-    diffs = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.array(*[F.lit(float(x)) for x in center]),
-        lambda x, c: (x - c) * (x - c),
+    DuckDB ``list_sum`` order for bit-stable cross-engine replay).
+
+    Emitted as SQL TEXT, not Column-API calls: k centroids × (zip_with +
+    aggregate + 2 lambdas) through py4j cost ~1.7 s of driver time PER
+    assign at k=16 — rebuilt every Lloyd round; one ``selectExpr`` parse
+    of the same expressions is milliseconds, and the parsed plan (and so
+    the arithmetic) is identical. Float literals use repr(), which
+    round-trips exactly."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in center) + ")"
+    return (
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), {arr}, "
+        f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
-    """Add ``cluster_id`` (argmin of squared L2; ties → lowest id) and
-    ``dist2`` columns. Pure codegen — centroids are literals."""
-    cands = F.array(
-        *[
-            F.struct(
-                _sqdist(vec_col, ctr).alias("d"), F.lit(i).alias("cid")
-            )
-            for i, ctr in enumerate(centers)
-        ]
+    """Add ``cluster_id`` (argmin of squared L2; ties → lowest cid via
+    lexicographic struct array_min) and ``dist2`` columns. Centroids are
+    inline literals; the struct is selected once and fields projected in
+    a second step (a top-level alias is not re-inlined, so the k folds
+    run once per row)."""
+    cands = ", ".join(
+        f"struct({_sqdist_sql(vec_col, ctr)} AS d, {i} AS cid)"
+        for i, ctr in enumerate(centers)
     )
-    best = F.array_min(cands)
-    return df.withColumn("cluster_id", best["cid"]).withColumn("dist2", best["d"])
+    return (
+        df.selectExpr("*", f"array_min(array({cands})) AS _best")
+        .selectExpr("*", "_best.cid AS cluster_id", "_best.d AS dist2")
+        .drop("_best")
+    )
 
 
 def kmeans_lloyd(
@@ -81,7 +89,6 @@ def kmeans_lloyd(
     ``iterations`` counts re-estimation rounds; the returned assignment
     uses the centroids produced by the last round.
     """
-    dim = len(df.select(vec_col).first()[0])
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -89,6 +96,7 @@ def kmeans_lloyd(
         .collect()
     )
     centers: list[list[float]] = [list(r["v"]) for r in seeds]
+    dim = len(centers[0])
 
     for _ in range(iterations):
         assigned = _assign(df, vec_col, centers)
@@ -150,26 +158,47 @@ def semdedup(
     Keep-first policy (remove the higher id of every pair), same as
     :func:`~..operators.dedup.dedup_cascade`. Returns the per-cluster
     report ``(cluster_id, n_points, n_removed, n_kept)``.
+
+    Per-pair cost: the L2 norms are precomputed ONCE per row (HOF folds
+    are interpreted, no CSE — evaluating them per pair multiplies the
+    in-cluster block cost ~5×), so each candidate pair pays exactly one
+    dot-product fold; the cosine value ``dot/(na·nb)`` is IEEE-identical
+    to the per-pair formulation, so the oracle is unchanged.
     """
     from sentiment_analysis_bigdata_spark.functions import vector as V
 
     assigned = kmeans_lloyd(emb, vec_col, id_col, k=k, iterations=iterations)
     base = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            V.norm(F.col(vec_col)).alias("nrm"),
+        )
         .join(
             assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
         )
         .localCheckpoint(eager=True)
     )
     l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.cluster_id") == F.col("r.cluster_id"))
-        & (F.col("l.id") < F.col("r.id")),
-    ).where(
-        V.cosine_similarity(F.col("l.v"), F.col("r.v")) >= threshold
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cluster_id") == F.col("r.cluster_id"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.when(
+                denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
     )
-    removed = pairs.select(F.col("r.id").alias("id")).distinct().withColumn(
+    removed = pairs.select(F.col("b").alias("id")).distinct().withColumn(
         "_rm", F.lit(1)
     )
     flagged = base.join(removed, "id", "left")

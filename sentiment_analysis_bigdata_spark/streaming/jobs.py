@@ -352,9 +352,6 @@ def run_stream_upsert_to_parquet(
     proportional to table size — so this sink suits dimension-scale state,
     while fact-scale streams should use the append sink above.
     """
-    import os
-    import shutil
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         merged = batch_df
@@ -370,23 +367,77 @@ def run_stream_upsert_to_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # never write the directory we are reading from (replay after a
-        # repoint-then-crash): alternate to a _retry sibling in that case
-        target = f"_v{batch_id}" if current != f"_v{batch_id}" else f"_v{batch_id}_retry"
-        latest.write.mode("overwrite").parquet(f"{out_dir}/{target}")
-        tmp = f"{out_dir}/_LATEST.tmp"
-        os.makedirs(out_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            f.write(target)
-        os.replace(tmp, f"{out_dir}/_LATEST")  # atomic repoint
-        # retention: keep the new version + its predecessor, drop the rest
-        keep = {target, current}
-        for name in os.listdir(out_dir):
-            if name.startswith("_v") and name not in keep:
-                shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
+        _commit_version(latest, out_dir, batch_id, current)
 
     q = (
         stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
+def _commit_version(df: DataFrame, out_dir: str, batch_id: int, current: str | None) -> None:
+    """Versioned-table commit shared by the foreachBatch table sinks:
+    write ``df`` to a NEW version directory, atomically repoint the
+    _LATEST marker, then apply retention (keep the new version + its
+    immediate predecessor). Never writes the directory currently being
+    read (replay after a repoint-then-crash alternates to a ``_retry``
+    sibling) — see run_stream_upsert_to_parquet's docstring for the
+    exactly-once argument."""
+    import os
+    import shutil
+
+    target = f"_v{batch_id}" if current != f"_v{batch_id}" else f"_v{batch_id}_retry"
+    df.write.mode("overwrite").parquet(f"{out_dir}/{target}")
+    tmp = f"{out_dir}/_LATEST.tmp"
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(target)
+    os.replace(tmp, f"{out_dir}/_LATEST")  # atomic repoint
+    keep = {target, current}
+    for name in os.listdir(out_dir):
+        if name.startswith("_v") and name not in keep:
+            shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
+
+
+def run_stream_topk_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    order_cols: list[str],
+    k: int,
+    timeout_s: float = 120.0,
+) -> None:
+    """Bounded-state top-k streaming sink: each micro-batch merges into a
+    k-row parquet-backed leaderboard — union the previous top-k with the
+    batch, keep the k largest by descending ``order_cols`` (make the last
+    one unique, e.g. an event id, so the cut is a total order).
+
+    Top-k under a total order is a monoid: ``topk(topk(A) ∪ B) =
+    topk(A ∪ B)``, so per-batch folding is exact, state is k rows
+    REGARDLESS of stream length (the bounded-state complement to the
+    keyed upsert sink, whose state grows with #keys), and each merge
+    sorts only ``k + |batch|`` rows. Versioned-commit/replay semantics
+    are shared with the upsert sink (:func:`_commit_version`).
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = batch_df
+        current = _read_marker(out_dir)
+        if current is not None:
+            merged = spark.read.parquet(f"{out_dir}/{current}").unionByName(
+                batch_df
+            )
+        top = merged.orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        ).limit(k)
+        _commit_version(top, out_dir, batch_id, current)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -19,7 +19,10 @@ from sentiment_analysis_bigdata_spark.operators.clustering import (
     kmeans_summary,
     semdedup,
 )
-from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.sources import (
+    ensure_min_parallelism,
+    load_table,
+)
 
 K = 4
 ITERATIONS = 2
@@ -76,12 +79,12 @@ def _sql_reestimate(mname: str, cname: str, assign: str, prev: str) -> str:
 )"""
 
 
-def sql_kmeans_ctes() -> str:
-    """CTE chain replaying the full K={K}, {ITERATIONS}-round Lloyd
+def sql_kmeans_ctes(k: int = K) -> str:
+    """CTE chain replaying the full k-centroid, {ITERATIONS}-round Lloyd
     recursion, ending in ``a3`` (vec_id, cid, d) — the final assignment.
     Shared by the clustering report and the SemDeDup oracle."""
     return f"""seeds AS (
-  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K}
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -106,6 +109,7 @@ GROUP BY 1
 
 
 SEM_THRESHOLD = 0.25  # embeddings are near-isotropic (see q_embedding_near_dup)
+SEM_K = 16  # more blocks than the report query: in-cluster pairs ∝ n²/k
 
 
 def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -113,10 +117,16 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     within-cluster cosine keep-first removal
     (operators/clustering.semdedup). The oracle chains the full Lloyd
     CTE recursion with the in-cluster pair check, so cluster sizes AND
-    removal counts are value-checked."""
-    emb = load_table(spark, sf, "embeddings")
+    removal counts are value-checked. k=16 here (vs the report query's
+    4): the whole point of SemDeDup's clustering step is that per-block
+    pair work shrinks as n²/k."""
+    emb = ensure_min_parallelism(
+        load_table(spark, sf, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+        "vec_id",
+    )
     return semdedup(
-        emb, "embedding", "vec_id", k=K, iterations=ITERATIONS,
+        emb, "embedding", "vec_id", k=SEM_K, iterations=ITERATIONS,
         threshold=SEM_THRESHOLD,
     )
 
@@ -129,7 +139,7 @@ def _sql_cosine(a: str, b: str) -> str:
 
 
 SQL_SEMDEDUP = f"""
-WITH {sql_kmeans_ctes()},
+WITH {sql_kmeans_ctes(SEM_K)},
 sem AS (
   SELECT a3.vec_id AS id, a3.cid, e.embedding AS v
   FROM a3 JOIN embeddings e USING (vec_id)

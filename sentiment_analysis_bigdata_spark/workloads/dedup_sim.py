@@ -500,9 +500,12 @@ def _sql_minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     docs_src: str = "documents",
+    bucket_cap: int | None = None,
 ) -> str:
     """CTE chain ending in ``mpairs`` (a, b, jaccard) — wrap with
-    ``WITH`` (or chain after other CTEs) and select from ``mpairs``."""
+    ``WITH`` (or chain after other CTEs) and select from ``mpairs``.
+    ``bucket_cap`` replays the operator's ``max_bucket`` degenerate-
+    bucket guard (buckets with more members generate no candidates)."""
     r = num_hashes // bands
     h31 = SQL_H31.format(t="t")
     sig_cols = []
@@ -534,8 +537,10 @@ sigs AS (
          {", ".join(sig_cols)}
   FROM base
 ),
-bk AS (
+bk0 AS (
 {bands_sql}
+),
+bk AS ({"SELECT bk0.* FROM bk0 JOIN (SELECT band, band_key, count(*) AS bn FROM bk0 GROUP BY 1, 2) bs USING (band, band_key) WHERE bs.bn <= " + str(bucket_cap) if bucket_cap is not None else "SELECT * FROM bk0"}
 ),
 cands AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -1858,13 +1863,24 @@ def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     hashes / 4 bands; cosine 0.25 over 8 sign bits — see
     q_embedding_near_dup's isotropy note), so the oracle can chain the
     SAME SQL twins over each stage's survivor set and every stage count
-    is value-checked end-to-end."""
+    is value-checked end-to-end.
+
+    The LSH stage runs with the production ``max_bucket=50`` guard: the
+    synthetic corpus is pathologically self-similar (30-word vocab — the
+    majority of ALL pairs clear Jaccard 0.5), so uncapped banding
+    degenerates to a near-quadratic candidate set; the cap bounds
+    candidates at the documented recall cost (``minhash_recall`` is the
+    query that measures exactly that trade)."""
+    from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
+
+    par = spark.sparkContext.defaultParallelism
     return DD.dedup_cascade(
-        _docs(spark, sf),
-        _emb(spark, sf),
+        ensure_min_parallelism(_docs(spark, sf), par, "doc_id"),
+        ensure_min_parallelism(_emb(spark, sf), par, "vec_id"),
         minhash_threshold=0.5,
         num_hashes=16,
         bands=4,
+        minhash_max_bucket=50,
         cosine_threshold=0.25,
         n_bits=8,
     )
@@ -1875,7 +1891,7 @@ WITH ex AS (
   SELECT * FROM documents
   WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {SQL_FP})
 ),
-{_sql_minhash_near_dups(docs_src="ex")},
+{_sql_minhash_near_dups(docs_src="ex", bucket_cap=50)},
 mh_removed AS (SELECT DISTINCT b AS doc_id FROM mpairs),
 s2 AS (
   SELECT doc_id FROM ex

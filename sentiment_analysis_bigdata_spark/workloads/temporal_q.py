@@ -730,6 +730,53 @@ def q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state top-k streaming sink: the event stream folds into a
+    20-row leaderboard (largest ``value``, event_id tie-break) across
+    micro-batches via the monoid merge topk(topk(A) ∪ B) = topk(A ∪ B)
+    (streaming/jobs.py run_stream_topk_to_parquet — k-row state no
+    matter the stream length). The oracle is the batch global top-k:
+    any dropped batch, stale version read, or wrong cut breaks it."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="topk_table_")
+    ckpt = tempfile.mkdtemp(prefix="topk_ckpt_")
+    try:
+        stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+        SJ.run_stream_topk_to_parquet(
+            stream.select("event_id", "user_id", "ts", "event_type", "value"),
+            out,
+            ckpt,
+            order_cols=["value", "event_id"],
+            k=20,
+            timeout_s=120,
+        )
+        top = SJ.read_upsert_table(spark, out).select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+        rows = top.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, top.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_TOPK = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type,
+       round(value, 4) AS value
+FROM events
+ORDER BY value DESC, event_id DESC
+LIMIT 20
+"""
+
+
 SQL_STREAMING_UPSERT = """
 WITH ranked AS (
   SELECT user_id, event_id, ts, event_type,
@@ -852,4 +899,5 @@ QUERIES = {
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
     "streaming_upsert": (q_streaming_upsert, SQL_STREAMING_UPSERT),
+    "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
 }
