@@ -98,6 +98,7 @@ _HEADLINE: dict[str, list[str]] = {
     ],
     "temporal": [
         "streaming_upsert",
+        "streaming_topk",
         "streaming_interval_join_outer",
         "streaming_tumbling",
         "event_transitions",

@@ -255,3 +255,43 @@ def test_streaming_interval_join_outer_equals_batch(spark, sf_dir):
     # the outer semantics actually exercised: null rows present
     assert any(r[-2] is None for r in got)
     assert len(got) > 0
+
+
+def test_topk_sink_multi_batch_exact_fold(spark, tmp_path):
+    """Two micro-batches: the k-row leaderboard after the fold must equal
+    the batch global top-k — including a batch-2 row displacing a batch-1
+    row, and rows beyond k dropped."""
+    import datetime as dt
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows1 = [(1, 100, t0, "click", 5.0, "{}"), (2, 101, t0, "view", 9.0, "{}"),
+             (3, 102, t0, "click", 1.0, "{}")]
+    rows2 = [(4, 103, t0, "purchase", 7.0, "{}"), (5, 104, t0, "view", 0.5, "{}")]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    for name, rows in [("f1.parquet", rows1), ("f2.parquet", rows2)]:
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(d / name), coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("event_id", "value")
+    )
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    SJ.run_stream_topk_to_parquet(
+        stream, out, ckpt, order_cols=["value", "event_id"], k=3
+    )
+    got = [
+        (r["event_id"], r["value"])
+        for r in SJ.read_upsert_table(spark, out)
+        .orderBy(F.col("value").desc())
+        .collect()
+    ]
+    # global top-3 of both batches: 9.0, 7.0 (batch 2 displaces), 5.0
+    assert got == [(101, 9.0), (103, 7.0), (100, 5.0)]

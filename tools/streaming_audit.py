@@ -127,6 +127,22 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
             f"{upsert_out}/batch_id={batch_id}"
         )
 
+    topk_out = tempfile.mkdtemp(prefix="audit_topk_")
+
+    def topk_sink(batch_df, batch_id):
+        # the real monoid fold + versioned commit, across micro-batches
+        spark_ = batch_df.sparkSession
+        current = SJ._read_marker(topk_out)
+        merged = (
+            batch_df
+            if current is None
+            else spark_.read.parquet(f"{topk_out}/{current}").unionByName(batch_df)
+        )
+        top = merged.orderBy(
+            F.col("value").desc(), F.col("event_id").desc()
+        ).limit(20)
+        SJ._commit_version(top, topk_out, batch_id, current)
+
     # name -> (claim, build_fn -> (df, mode, sink), bound description, bound)
     JOBS = {
         "streaming_tumbling": (
@@ -180,6 +196,12 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
             "stateless",
             lambda: (stream(), None, upsert_sink),
             "no state operator (state lives in the versioned sink table)",
+            0,
+        ),
+        "streaming_topk(sink)": (
+            "stateless",
+            lambda: (stream(), None, topk_sink),
+            "no state operator (k-row leaderboard lives in the versioned sink table)",
             0,
         ),
         "stateful_ewma": (
