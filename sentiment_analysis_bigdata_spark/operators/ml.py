@@ -125,6 +125,75 @@ def build_pipeline(model: str, cfg: PipelineConfig | None = None) -> Pipeline:
     return Pipeline(stages=stages + [clf])
 
 
+def _scored_metrics(scored: DataFrame, with_score: DataFrame, cfg: "PipelineConfig") -> dict:
+    """Distributed metrics over a cached scored frame (same dict shape as
+    the reference's metrics JSONs)."""
+    return {
+        "accuracy": evaluation.accuracy(scored, cfg.label_col, "prediction"),
+        "f1": evaluation.weighted_f1(scored, cfg.label_col, "prediction"),
+        "roc_auc": evaluation.roc_auc(with_score, cfg.label_col, "score"),
+        "confusion_matrix": {
+            f"{r['label']}_{r['prediction']}": r["n"]
+            for r in evaluation.confusion_matrix(scored, cfg.label_col, "prediction")
+            .orderBy("label", "prediction")
+            .collect()
+        },
+        "test_rows": scored.count(),
+    }
+
+
+def fit_and_evaluate(
+    train: DataFrame,
+    test: DataFrame,
+    model: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Fit on an EXPLICIT train frame, evaluate on an explicit test frame
+    — the building block for deterministic k-fold cross-validation
+    (hash folds, no RNG), where the caller owns the split."""
+    cfg = cfg or PipelineConfig()
+    fitted = build_pipeline(model, cfg).fit(train)
+    scored = fitted.transform(test).cache()
+    try:
+        from pyspark.ml.functions import vector_to_array
+
+        with_score = scored.withColumn(
+            "score", vector_to_array(F.col("rawPrediction"))[1]
+        )
+        return _scored_metrics(scored, with_score, cfg)
+    finally:
+        scored.unpersist()
+
+
+def cross_validate_folds(
+    df: DataFrame,
+    model: str,
+    k: int = 3,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+) -> list[tuple[int, dict]]:
+    """Deterministic k-fold cross-validation: fold = ``id % k`` (a stable
+    hash split on a unique id — NO RNG, so the folds are reproducible
+    across runs, machines, and engines), each fold held out once.
+    Returns [(fold, metrics_dict)].
+
+    Complements :func:`tune` (MLlib CrossValidator, RNG folds, selection
+    only): this variant reports the full per-fold metric set and is
+    value-checkable by a golden oracle because every step is
+    deterministic. Cost is k sequential fits — the standard CV price;
+    each fit is the already-audited pipeline shape.
+    """
+    cfg = cfg or PipelineConfig()
+    out: list[tuple[int, dict]] = []
+    fold = F.pmod(F.col(id_col), F.lit(k))
+    keyed = df.withColumn("__fold", fold)
+    for f in range(k):
+        train = keyed.filter(F.col("__fold") != f).drop("__fold", id_col)
+        test = keyed.filter(F.col("__fold") == f).drop("__fold", id_col)
+        out.append((f, fit_and_evaluate(train, test, model, cfg)))
+    return out
+
+
 def train_and_evaluate(
     df: DataFrame,
     model: str,
@@ -152,18 +221,7 @@ def train_and_evaluate(
         from pyspark.ml.functions import vector_to_array
 
         with_score = scored.withColumn("score", vector_to_array(F.col("rawPrediction"))[1])
-        metrics = {
-            "accuracy": evaluation.accuracy(scored, cfg.label_col, "prediction"),
-            "f1": evaluation.weighted_f1(scored, cfg.label_col, "prediction"),
-            "roc_auc": evaluation.roc_auc(with_score, cfg.label_col, "score"),
-            "confusion_matrix": {
-                f"{r['label']}_{r['prediction']}": r["n"]
-                for r in evaluation.confusion_matrix(scored, cfg.label_col, "prediction")
-                .orderBy("label", "prediction")
-                .collect()
-            },
-            "test_rows": scored.count(),
-        }
+        metrics = _scored_metrics(scored, with_score, cfg)
         if charts_dir:
             # reference chart parity (model_logistic_regression.py:261-296),
             # rendered from the distributed aggregates while the scored

@@ -400,6 +400,60 @@ def q_ml_linear_svc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_ml_crossval(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 3-fold cross-validation of the LR pipeline
+    (operators/ml.cross_validate_folds): fold = doc_id % 3 — a stable
+    hash split, NO RNG — so per-fold metrics are bitwise-reproducible
+    and carry a golden oracle like the single-split ml_* queries. The
+    per-fold spread is the variance estimate a single split can't give."""
+    from sentiment_analysis_bigdata_spark.operators import ml as ML
+
+    docs = load_table(spark, sf, "documents")
+    base = (
+        docs.select(
+            (F.col("doc_id") % 2).cast("int").alias("label"), "text", "doc_id"
+        )
+        .filter(F.length("text") > 0)
+        .repartition(8, "doc_id")
+    )
+    cfg = ML.PipelineConfig(num_features=2**16)
+    folds = ML.cross_validate_folds(base, "lr", k=3, cfg=cfg, id_col="doc_id")
+    rows = []
+    for f, m in folds:
+        cm = m["confusion_matrix"]
+        rows.append(
+            (
+                f,
+                int(m["test_rows"]),
+                int(cm.get("1_1", 0)),
+                int(cm.get("0_1", 0)),
+                int(cm.get("1_0", 0)),
+                int(cm.get("0_0", 0)),
+                int(round(m["accuracy"] * 1_000_000)),
+                int(round(m["f1"] * 1_000_000)),
+                int(round(m["roc_auc"] * 1_000_000)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fold int, n_test bigint, tp bigint, fp bigint, fn bigint, tn bigint, "
+        "accuracy_ppm bigint, f1_ppm bigint, auc_ppm bigint",
+    )
+
+
+def _crossval_literal_sql(rows: list[tuple]) -> str:
+    """Golden 3-row oracle (same contract as _metrics_literal_sql)."""
+    selects = [
+        f"SELECT CAST({f} AS INT) AS fold, CAST({n} AS BIGINT) AS n_test, "
+        f"CAST({tp} AS BIGINT) AS tp, CAST({fp} AS BIGINT) AS fp, "
+        f"CAST({fn} AS BIGINT) AS fn, CAST({tn} AS BIGINT) AS tn, "
+        f"CAST({acc} AS BIGINT) AS accuracy_ppm, CAST({f1} AS BIGINT) AS f1_ppm, "
+        f"CAST({auc} AS BIGINT) AS auc_ppm"
+        for (f, n, tp, fp, fn, tn, acc, f1, auc) in rows
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 # --- bootstrap confidence interval for accuracy ----------------------------------
 
 def q_bootstrap_accuracy(spark: SparkSession, sf: str) -> DataFrame:
@@ -701,5 +755,15 @@ QUERIES = {
     "ml_linear_svc": (
         q_ml_linear_svc,
         _metrics_literal_sql(108, 21, 23, 34, 30, 472222, 467711, 486106),
+    ),
+    "ml_crossval": (
+        q_ml_crossval,
+        _crossval_literal_sql(
+            [
+                (0, 167, 41, 40, 42, 44, 508982, 508876, 523236),
+                (1, 167, 38, 38, 46, 45, 497006, 495994, 481641),
+                (2, 166, 35, 43, 48, 40, 451807, 451309, 466686),
+            ]
+        ),
     ),
 }

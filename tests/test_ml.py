@@ -93,3 +93,24 @@ def test_save_load_roundtrip(spark, tweets):
     a = model.transform(tweets).select("prediction").collect()
     b = loaded.transform(tweets).select("prediction").collect()
     assert a == b
+
+
+def test_cross_validate_folds_deterministic_and_exhaustive(spark):
+    # id-keyed tweets: fold = id % k must partition the data exactly,
+    # learn the label-correlated vocabulary, and be rerun-stable
+    rows = []
+    for i in range(300):
+        label = i % 2
+        words = (WORDS_POS if label else WORDS_NEG)[: 3 + i % 4]
+        rows.append((i, label, " ".join(words + ["the", "day"])))
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    cfg = ML.PipelineConfig(num_features=2**12, max_iter=5)
+    folds = ML.cross_validate_folds(df, "lr", k=3, cfg=cfg, id_col="doc_id")
+    assert [f for f, _ in folds] == [0, 1, 2]
+    assert sum(m["test_rows"] for _, m in folds) == 300
+    for _, m in folds:
+        assert m["accuracy"] > 0.9  # separable vocabulary must be learned
+    again = ML.cross_validate_folds(df, "lr", k=3, cfg=cfg, id_col="doc_id")
+    assert [m["confusion_matrix"] for _, m in folds] == [
+        m["confusion_matrix"] for _, m in again
+    ]
