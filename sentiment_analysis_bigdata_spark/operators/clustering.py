@@ -209,3 +209,58 @@ def semdedup(
             F.when(F.col("_rm").isNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_kept"),
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iterations: int = 2,
+    n_neighbors: int = 3,
+) -> DataFrame:
+    """Approximate kNN graph via cluster blocking: each vector's top
+    ``n_neighbors`` by cosine among its OWN k-means cluster — the
+    IVF-nprobe=1 shape for building similarity graphs (diversity
+    sampling, graph-based label propagation over corpus neighborhoods).
+    Deterministic cut: (cosine desc, neighbor id asc) row_number.
+
+    Same scale shape as :func:`semdedup`: per-cluster blocks bound the
+    pair work at n²/k, row norms precomputed once, one window per
+    cluster-blocked pair frame. Recall vs exact kNN is a measurable
+    trade (raise k and probe adjacent clusters to improve it — see
+    ``similarity.ivf_topk`` for the multi-probe variant).
+    """
+    from pyspark.sql import Window
+
+    from sentiment_analysis_bigdata_spark.functions import vector as V
+
+    assigned = kmeans_lloyd(emb, vec_col, id_col, k=k, iterations=iterations)
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            V.norm(F.col(vec_col)).alias("nrm"),
+        )
+        .join(assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id")
+        .localCheckpoint(eager=True)
+    )
+    l, r = base.alias("l"), base.alias("r")
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    pairs = l.join(
+        r,
+        (F.col("l.cluster_id") == F.col("r.cluster_id"))
+        & (F.col("l.id") != F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id"),
+        F.col("r.id").alias("neighbor"),
+        F.when(denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_neighbors)
+        .select("id", "neighbor", F.round("cos", 6).alias("cosine"), "rank")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sentiment_analysis_bigdata_spark.operators.clustering import (
     kmeans_summary,
+    knn_graph,
     semdedup,
 )
 from sentiment_analysis_bigdata_spark.sources import (
@@ -159,7 +160,47 @@ GROUP BY 1
 """
 
 
+N_NEIGHBORS = 3
+
+
+def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-blocked approximate kNN graph
+    (operators/clustering.knn_graph): each vector's top-3 cosine
+    neighbors within its own k=16 k-means block, deterministic
+    (cos desc, neighbor asc) cut. The oracle chains the Lloyd CTEs with
+    the in-cluster ranking, value-checking every edge."""
+    emb = ensure_min_parallelism(
+        load_table(spark, sf, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+        "vec_id",
+    )
+    return knn_graph(
+        emb, "embedding", "vec_id", k=SEM_K, iterations=ITERATIONS,
+        n_neighbors=N_NEIGHBORS,
+    )
+
+
+SQL_KNN_GRAPH = f"""
+WITH {sql_kmeans_ctes(SEM_K)},
+sem AS (
+  SELECT a3.vec_id AS id, a3.cid, e.embedding AS v
+  FROM a3 JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT l.id AS id, r.id AS neighbor, {_sql_cosine('l.v', 'r.v')} AS cos
+  FROM sem l JOIN sem r ON l.cid = r.cid AND l.id <> r.id
+)
+SELECT id, neighbor, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT id, neighbor, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rank
+  FROM pairs)
+WHERE rank <= {N_NEIGHBORS}
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
 }

@@ -79,3 +79,28 @@ def test_semdedup_planted_near_dup(spark):
     assert sum(r["n_removed"] for r in out) >= 1
     for r in out:
         assert r["n_removed"] + r["n_kept"] == r["n_points"]
+
+
+def test_knn_graph_planted_neighbor(spark):
+    from sentiment_analysis_bigdata_spark.operators.clustering import knn_graph
+
+    df = _planted(spark)
+    # clone point 0 with tiny noise as id 999: each must be the other's
+    # top neighbor (same blob -> same cluster)
+    import numpy as np
+
+    v0 = df.where("vec_id = 0").first()["embedding"]
+    rng = np.random.default_rng(3)
+    near = [float(x + 0.001 * rng.normal()) for x in v0]
+    dup = spark.createDataFrame([(999, near, 0)], df.schema)
+    out = knn_graph(
+        df.unionByName(dup), "embedding", "vec_id", k=3, iterations=2,
+        n_neighbors=2,
+    ).collect()
+    top = {r["id"]: r["neighbor"] for r in out if r["rank"] == 1}
+    assert top[0] == 999 and top[999] == 0
+    # every vector gets exactly n_neighbors edges (blocks are large enough)
+    from collections import Counter
+
+    c = Counter(r["id"] for r in out)
+    assert all(v == 2 for v in c.values())
