@@ -5,7 +5,7 @@ oracle that reimplements the identical semantics in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions import text as TXT
@@ -257,6 +257,95 @@ SELECT doc_id,
        round(avg(ln(CAST(cnt AS DOUBLE) / t)), 6) AS avg_logprob
 FROM toks JOIN lm USING (term) CROSS JOIN total
 GROUP BY doc_id
+"""
+
+
+def q_corpus_filter_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed Gopher/C4-style corpus filter gate (Rae et al. 2021
+    §A1.1 flavor, over this engine's own signals): five keep rules —
+    length ≥ 50 chars, lang-id 'en', quality ≥ 0.5, 3-gram repetition
+    ≤ 0.2, exact-dedup survivor — evaluated in ONE corpus pass (plus the
+    dedup fingerprint window), reported as per-rule pass/fail counts and
+    the final all-rules keep count. This is the decision report a
+    curation run publishes before materializing the filtered corpus;
+    every count is value-checked by chaining the individual rules' SQL
+    twins. Rule thresholds compare the ROUNDED scores on both engines
+    (cross-engine float-safe cuts)."""
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = Window.partitionBy(TXT.fingerprint("text"))
+    flags = docs.select(
+        (F.length("text") >= 50).alias("r_len"),
+        (TXT.lang_id("text") == "en").alias("r_lang"),
+        (F.round(TXT.quality_score("text"), 4) >= 0.5).alias("r_quality"),
+        (F.round(TXT.repetition_ratio("text"), 6) <= 0.2).alias("r_rep"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("r_dedup"),
+    )
+    rules = ["r_len", "r_lang", "r_quality", "r_rep", "r_dedup"]
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.col(r).cast("bigint")).alias(f"_p_{r}") for r in rules],
+        F.sum(
+            F.expr(" AND ".join(rules)).cast("bigint")
+        ).alias("_p_all"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col(f"_p_{r}").alias("n_pass"),
+                (F.col("_n") - F.col(f"_p_{r}")).alias("n_fail"),
+            )
+            for r in rules
+        ],
+        F.struct(
+            F.lit("keep_all").alias("rule"),
+            F.col("_p_all").alias("n_pass"),
+            (F.col("_n") - F.col("_p_all")).alias("n_fail"),
+        ),
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def _sql_corpus_filter_report() -> str:
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+lg AS ({SQL_LANG_ID}),
+rp AS ({SQL_REPETITION_RATIO}),
+dups AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY {SQL_FP}) AS r_dedup
+  FROM documents
+),
+flags AS (
+  SELECT d.doc_id,
+         length(d.text) >= 50 AS r_len,
+         lg.lang_guess = 'en' AS r_lang,
+         q.quality >= 0.5 AS r_quality,
+         rp.rep3 <= 0.2 AS r_rep,
+         dups.r_dedup
+  FROM documents d
+  JOIN q USING (doc_id) JOIN lg USING (doc_id)
+  JOIN rp USING (doc_id) JOIN dups USING (doc_id)
+),
+c AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+         CAST(sum(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) AS p_lang,
+         CAST(sum(CASE WHEN r_quality THEN 1 ELSE 0 END) AS BIGINT) AS p_quality,
+         CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS p_rep,
+         CAST(sum(CASE WHEN r_dedup THEN 1 ELSE 0 END) AS BIGINT) AS p_dedup,
+         CAST(sum(CASE WHEN r_len AND r_lang AND r_quality AND r_rep AND r_dedup
+                  THEN 1 ELSE 0 END) AS BIGINT) AS p_all
+  FROM flags
+)
+SELECT 'r_len' AS rule, p_len AS n_pass, n - p_len AS n_fail FROM c
+UNION ALL SELECT 'r_lang', p_lang, n - p_lang FROM c
+UNION ALL SELECT 'r_quality', p_quality, n - p_quality FROM c
+UNION ALL SELECT 'r_rep', p_rep, n - p_rep FROM c
+UNION ALL SELECT 'r_dedup', p_dedup, n - p_dedup FROM c
+UNION ALL SELECT 'keep_all', p_all, n - p_all FROM c
 """
 
 
@@ -929,6 +1018,7 @@ QUERIES = {
     "countvec_vocab": (q_countvec_vocab, SQL_COUNTVEC_VOCAB),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "corpus_filter_report": (q_corpus_filter_report, _sql_corpus_filter_report()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),

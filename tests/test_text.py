@@ -278,3 +278,23 @@ class TestLexicalStats:
         assert abs(out[1]["entropy"] - math.log(4)) < 1e-6
         assert out[2]["entropy"] == 0.0 and out[2]["n_types"] == 1
         assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
+
+
+class TestCorpusFilterReport:
+    def test_rule_counts_and_keep_bound(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import (
+            q_corpus_filter_report,
+        )
+
+        rows = {r["rule"]: r for r in q_corpus_filter_report(spark, sf_dir).collect()}
+        assert set(rows) == {
+            "r_len", "r_lang", "r_quality", "r_rep", "r_dedup", "keep_all",
+        }
+        n = rows["r_len"]["n_pass"] + rows["r_len"]["n_fail"]
+        for r in rows.values():
+            assert r["n_pass"] + r["n_fail"] == n
+        # keep_all is an AND of all rules: can't exceed any single rule's passes
+        keep = rows["keep_all"]["n_pass"]
+        assert all(
+            keep <= rows[k]["n_pass"] for k in rows if k != "keep_all"
+        )
