@@ -9,7 +9,7 @@ north-star warehouse/curation inventory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions.text import HTML_PATTERNS, strip_html
@@ -648,8 +648,69 @@ WHERE NOT in_old OR NOT in_new OR n_diff > 0
 """
 
 
+_COMPACT_TARGET = 64 * 1024  # bytes per output file
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (the Delta/Iceberg OPTIMIZE
+    bin-packing step, planned declaratively): build a per-(day,
+    event_type) file inventory from the events table (bytes = payload
+    length + fixed row overhead), then assign files to output targets by
+    ORDERED bin packing — each file's start offset is the running byte
+    sum within its day (deterministic event_type order) and its target
+    file is ``floor(start / target)``. Output: per (day, target_file)
+    the file count and byte total.
+
+    Scale shape: the inventory is one corpus aggregation; the packing is
+    one per-day window over the (partitions × types)-sized inventory —
+    never touches raw rows again. The contiguous-range policy is what
+    table formats actually do (rewrite adjacent small files together so
+    clustering survives the rewrite)."""
+    events = load_table(spark, sf, "events")
+    inv = events.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg((F.sum(F.length("props")) + F.count(F.lit(1)) * 32).alias("bytes"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plan = inv.withColumn(
+        "start", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("target_file", F.floor(F.col("start") / _COMPACT_TARGET))
+    return plan.groupBy("day", "target_file").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH inv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(sum(length(props)) + count(*) * 32 AS BIGINT) AS bytes
+  FROM events
+  GROUP BY 1, 2
+),
+plan AS (
+  SELECT day, event_type, bytes,
+         coalesce(sum(bytes) OVER (PARTITION BY day ORDER BY event_type
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM inv
+)
+SELECT day,
+       CAST(floor(start / {_COMPACT_TARGET}) AS BIGINT) AS target_file,
+       count(*) AS n_files,
+       sum(bytes) AS total_bytes
+FROM plan
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "incremental_order_rollup": (
         q_incremental_order_rollup,

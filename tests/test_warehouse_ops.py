@@ -485,3 +485,25 @@ class TestTableDiff:
 
         df = spark.createDataFrame([Row(k=1, v=1), Row(k=2, v=2)])
         assert incremental.table_diff(df, df, ["k"], ["v"]).isEmpty()
+
+
+class TestCompactionPlan:
+    def test_contiguous_packing_invariants(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            _COMPACT_TARGET,
+            q_compaction_plan,
+        )
+
+        rows = q_compaction_plan(spark, sf_dir).collect()
+        by_day = {}
+        for r in rows:
+            by_day.setdefault(r["day"], []).append(r)
+        for day, files in by_day.items():
+            ids = sorted(r["target_file"] for r in files)
+            # target files are dense 0..m (contiguous-range policy)
+            assert ids == list(range(len(ids)))
+            # every target except possibly the last holds >= 1 file and
+            # starts within budget: a file beyond target k exists only if
+            # cumulative bytes crossed k * target
+            total = sum(r["total_bytes"] for r in files)
+            assert max(ids) <= total // _COMPACT_TARGET
