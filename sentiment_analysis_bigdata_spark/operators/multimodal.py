@@ -403,3 +403,67 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_ts_ms",
         F.explode(F.sequence(F.lit(0), duration, F.lit(every_ms))),
     )
+
+
+def resize_stats(
+    df: DataFrame, payload_col: str = "payload", factor: int = 2
+) -> DataFrame:
+    """Nearest-neighbor downsample by ``factor`` over REAL decoded PNG
+    pixels (the standard thumbnail/preprocess step of an image-curation
+    pipeline), reporting the downsampled grid's dims and pixel stats.
+
+    Decode path is :func:`decode_png_content`'s (chunk walk, IDAT
+    inflate, filter-byte strip); sampling keeps every ``factor``-th row
+    and column starting at (0, 0) — the deterministic nearest-neighbor
+    policy an oracle can recompute in closed form on planted fixtures.
+    Arrow batches in/out via ``mapInPandas``; per-batch Python cost only,
+    same scale shape as :func:`decode_and_featurize`. Headers-only
+    payloads (no IDAT) yield null stats rather than failing the batch.
+    """
+    import numpy as np
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "out_width": [], "out_height": [], "ds_px_count": [],
+                "ds_px_sum": [],
+            }
+            keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                width, height = decode_png_header(b)
+                pos, idat = 8, []
+                while pos + 8 <= len(b):
+                    length, tag = struct.unpack(">I4s", b[pos : pos + 8])
+                    if tag == b"IDAT":
+                        idat.append(b[pos + 8 : pos + 8 + length])
+                    pos += 12 + length
+                if not idat:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                raw = zlib.decompress(b"".join(idat))
+                stride = 1 + 3 * width
+                rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+                if rows[:, 0].any():
+                    raise ValueError("PNG IDAT: unsupported filter type")
+                px = rows[:, 1:].reshape(height, width, 3)
+                ds = px[0::factor, 0::factor, :]
+                out["out_width"].append(ds.shape[1])
+                out["out_height"].append(ds.shape[0])
+                out["ds_px_count"].append(int(ds.size))
+                out["ds_px_sum"].append(int(ds.sum(dtype=np.int64)))
+            yield pd.DataFrame({**keep, **out})
+
+    in_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        kernel,
+        schema=f"{in_cols}, out_width int, out_height int, "
+        "ds_px_count bigint, ds_px_sum bigint",
+    )

@@ -90,6 +90,7 @@ _HEADLINE: dict[str, list[str]] = {
         "ann_ivf_index",
         "ppjoin_pairs",
         "multimodal_decode",
+        "multimodal_resize",
         "ann_recall",
         "embedding_pca",
         "simhash_near_dups",

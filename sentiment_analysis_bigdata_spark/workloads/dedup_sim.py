@@ -769,6 +769,50 @@ FROM planted
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor 2× downsample over the REAL decoded pixels
+    (operators/multimodal.resize_stats): the thumbnail step of an image
+    pipeline, value-checked — the oracle recomputes the sampled grid's
+    dims and pixel sum in closed form from the planted layout (row
+    sentinels land on even rows only; fill pixels everywhere else), so a
+    wrong stride, offset, or axis order breaks the match."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_png_payloads(
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
+    return MM.resize_stats(docs, factor=2).select(
+        "doc_id", "out_width", "out_height", "ds_px_count", "ds_px_sum"
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH planted AS (
+  SELECT doc_id,
+         64 + doc_id % 192 AS w,
+         64 + length(text) % 192 AS h,
+         (7 * doc_id + length(text)) % 256 AS fill
+  FROM documents
+),
+ds AS (
+  SELECT doc_id, fill,
+         CAST((w + 1) // 2 AS BIGINT) AS ow,
+         CAST((h + 1) // 2 AS BIGINT) AS oh
+  FROM planted
+)
+SELECT doc_id,
+       CAST(ow AS INTEGER) AS out_width,
+       CAST(oh AS INTEGER) AS out_height,
+       CAST(3 * ow * oh AS BIGINT) AS ds_px_count,
+       -- sampled rows are the even originals y = 2j: sentinel sum per
+       -- channel = sum 2j = oh*(oh-1); plus (ow-1) fill pixels per row
+       CAST(3 * oh * (oh - 1) + 3 * oh * (ow - 1) * fill AS BIGINT) AS ds_px_sum
+FROM ds
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     """Audio twin of multimodal_decode at content level: real RIFF/WAVE
     bytes (mono 16-bit PCM @ 8 kHz, sample count and constant sample
@@ -1952,6 +1996,7 @@ QUERIES = {
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),

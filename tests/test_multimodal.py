@@ -161,3 +161,26 @@ def test_binaryfile_source_feeds_decode(spark, tmp_path):
     assert out["a.png"]["kind"] == "png"
     assert (out["a.png"]["width"], out["a.png"]["height"]) == (100, 50)
     assert (out["b.png"]["width"], out["b.png"]["height"]) == (300, 200)
+
+
+class TestResizeStats:
+    def test_hand_computed_downsample(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+        # 4x4 image, fill 10, row sentinels 0..3: downsampled grid is
+        # rows {0,2} x cols {0,2}; sampled pixels per row: sentinel(y), fill
+        payload = MM.synthesize_png_bytes(4, 4, pixel_byte=10)
+        df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+        r = MM.resize_stats(df).first()
+        assert (r["out_width"], r["out_height"]) == (2, 2)
+        assert r["ds_px_count"] == 12  # 2*2 pixels * 3 channels
+        # pixels: (0,0)=0, (0,2)=10, (2,0)=2, (2,2)=10 -> sum*3 = 66
+        assert r["ds_px_sum"] == 3 * (0 + 10 + 2 + 10)
+
+    def test_headers_only_yields_null(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+        payload = MM.synthesize_png_bytes(8, 8)  # no IDAT
+        df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+        r = MM.resize_stats(df).first()
+        assert r["ds_px_count"] is None and r["ds_px_sum"] is None
