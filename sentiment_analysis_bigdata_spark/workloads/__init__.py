@@ -110,7 +110,7 @@ _HEADLINE: dict[str, list[str]] = {
     "train": ["bpe_merges", "unigram_segment", "wordpiece_candidates", "bpe_vocab"],
     "evaluation": ["confusion_matrix", "rank_correlation", "roc_auc", "ml_logistic_regression", "ml_crossval"],
     "warehouse": ["scd2_user_state", "dq_orders", "compaction_plan", "incremental_order_rollup", "table_diff", "source_token_drift"],
-    "scale": ["group_sample", "cms_token_counts", "hist_quantiles", "dataset_fingerprint", "heavy_hitters", "stateful_ewma"],
+    "scale": ["group_sample", "cms_token_counts", "mixture_plan", "hist_quantiles", "dataset_fingerprint", "heavy_hitters", "stateful_ewma"],
     "affinity": ["co_purchase_pairs", "bm25_search", "association_rules"],
     "graph": ["pagerank_purchases", "label_propagation", "bfs_hops"],
     "cluster": ["kmeans_clusters", "semdedup", "knn_graph"],

@@ -481,8 +481,73 @@ FROM est e JOIN exact x ON x.event_type = e.event_type AND x.q = e.q
 """
 
 
+_MIX_TEMP = 2.0  # temperature: w_s ∝ p_s^(1/T) (T=1 natural, T→∞ uniform)
+
+
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted data-recipe computation (the per-source
+    sampling table of a multilingual/multi-source pretraining run, cf.
+    mC4/XLM-R's p^α reweighting): per source, token counts → natural
+    share p_s → temperature weight w_s ∝ p_s^(1/T) → effective epochs
+    w_s·B/tokens_s at a one-total-budget B. Two tiny aggregates (source-
+    cardinality frame + 1-row totals, hint-broadcast); the corpus is
+    scanned once for token counts. Complements ``mixture_sample`` (which
+    MATERIALIZES a resampled corpus): this publishes the recipe numbers
+    a training config consumes. Rounded at 6 dp in both engines."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TXT.tokenize_nonempty("text"))).alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("_total"),
+    )
+    powed = per_src.join(F.broadcast(tot)).withColumn(
+        "_pw",
+        F.pow(F.col("tokens") / F.col("_total"), 1.0 / _MIX_TEMP),
+    )
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("_total"), 6).alias("p_natural"),
+            F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+            F.round(
+                (F.col("_pw") / F.col("_z")) * F.col("_total") / F.col("tokens"),
+                6,
+            ).alias("epochs"),
+        )
+    )
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM per_src),
+powed AS (
+  SELECT per_src.*, tot.total,
+         pow(tokens / tot.total, {1.0 / _MIX_TEMP}) AS pw
+  FROM per_src CROSS JOIN tot
+),
+z AS (SELECT sum(pw) AS z FROM powed)
+SELECT source, n_docs, tokens,
+       round(tokens / total, 6) AS p_natural,
+       round(pw / z.z, 6) AS weight,
+       round((pw / z.z) * total / tokens, 6) AS epochs
+FROM powed CROSS JOIN z
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "dataset_fingerprint": (q_dataset_fingerprint, SQL_DATASET_FINGERPRINT),

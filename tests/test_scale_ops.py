@@ -174,3 +174,18 @@ class TestStatefulEwma:
             sn, sewma = latest[uid]
             assert sn == n
             assert sewma == pytest.approx(ewma, rel=1e-9)
+
+
+class TestMixturePlan:
+    def test_recipe_invariants(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.scale_q import q_mixture_plan
+
+        rows = q_mixture_plan(spark, sf_dir).collect()
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        assert abs(sum(r["p_natural"] for r in rows) - 1.0) < 1e-4
+        # temperature flattening: big sources downweight (epochs < 1),
+        # small sources upweight (epochs > 1)
+        big = max(rows, key=lambda r: r["tokens"])
+        small = min(rows, key=lambda r: r["tokens"])
+        if big["tokens"] > small["tokens"]:
+            assert big["epochs"] < 1.0 < small["epochs"]
