@@ -103,6 +103,7 @@ _HEADLINE: dict[str, list[str]] = {
         "streaming_interval_join_outer",
         "streaming_tumbling",
         "event_transitions",
+        "forecast_backtest",
         "asof_purchase_signup",
         "streaming_dedup",
         "streaming_sessions",

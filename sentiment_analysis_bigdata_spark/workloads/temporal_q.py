@@ -730,6 +730,65 @@ def q_streaming_upsert(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin forecast backtest: per month, 'forecast' revenue as
+    the trailing 3-month moving average and score it against the actual
+    (absolute percentage error) — the standard out-of-sample evaluation
+    loop for any time-series model, run declaratively. Agg-over-agg
+    shape: the window runs over the month-cardinality rollup (≈ tens of
+    rows), never raw orders; the single-partition window is bounded by
+    the calendar, not the data (same pattern as rate_anomalies).
+    Cross-engine: monthly revenues are integer-cent money sums, the
+    forecast averages the ROUNDED monthly values, and ape rounds at 6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.round(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0),
+            2,
+        ).alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(-3, -1)
+    cnt = F.count("revenue").over(w)
+    fc = F.avg("revenue").over(w)
+    return (
+        monthly.withColumn("_n", cnt)
+        .withColumn("forecast", F.round(fc, 6))
+        .where(F.col("_n") == 3)
+        .select(
+            "month",
+            "revenue",
+            "forecast",
+            F.round(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 6).alias("ape"),
+        )
+    )
+
+
+SQL_FORECAST_BACKTEST = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+fc AS (
+  SELECT month, revenue,
+         count(revenue) OVER w AS n,
+         round(avg(revenue) OVER w, 6) AS forecast
+  FROM monthly
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT month, revenue, forecast,
+       round(abs(revenue - forecast) / revenue, 6) AS ape
+FROM fc WHERE n = 3
+"""
+
+
 def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded-state top-k streaming sink: the event stream folds into a
     20-row leaderboard (largest ``value``, event_id tie-break) across
@@ -900,4 +959,5 @@ QUERIES = {
     "streaming_static_join": (q_streaming_static_join, SQL_STREAMING_STATIC_JOIN),
     "streaming_upsert": (q_streaming_upsert, SQL_STREAMING_UPSERT),
     "streaming_topk": (q_streaming_topk, SQL_STREAMING_TOPK),
+    "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
 }

@@ -507,3 +507,20 @@ class TestCompactionPlan:
             # cumulative bytes crossed k * target
             total = sum(r["total_bytes"] for r in files)
             assert max(ids) <= total // _COMPACT_TARGET
+
+
+class TestForecastBacktest:
+    def test_window_and_ape(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_forecast_backtest,
+        )
+
+        rows = sorted(
+            q_forecast_backtest(spark, sf_dir).collect(), key=lambda r: r["month"]
+        )
+        assert rows, "expected at least one backtest month"
+        for r in rows:
+            assert r["ape"] >= 0.0
+        # the first three months have no full trailing window -> excluded
+        months = [r["month"] for r in rows]
+        assert len(set(months)) == len(months)
