@@ -87,6 +87,17 @@ FAMILY_EXTRA = [
     "bigram_logprob",
     "quantile_bins",
     "textrank_keywords",
+    # final r4 composition (substring dedup, recall gate, kNN graph,
+    # filter gate, compaction, resize, recipe, top-k sink, backtest)
+    "dup_ngram_spans",
+    "minhash_recall",
+    "knn_graph",
+    "corpus_filter_report",
+    "compaction_plan",
+    "multimodal_resize",
+    "mixture_plan",
+    "streaming_topk",
+    "forecast_backtest",
 ]
 
 

@@ -14,6 +14,7 @@ three classifiers); this is north-star surface for corpus organization
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators.clustering import (
     kmeans_summary,
@@ -199,8 +200,87 @@ WHERE rank <= {N_NEIGHBORS}
 """
 
 
+def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of the cluster-blocked kNN graph against EXACT brute
+    force — the approximation gate for ``knn_graph``, same pattern as
+    ``ann_recall``/``minhash_recall``: both sides run in Spark (brute
+    force is the all-pairs verifier, viable at oracle scale and bounded
+    by blocking in production), the oracle replays both, and the recall
+    number is value-checked per round. An approx edge counts as a hit
+    when it appears in the exact top-3.
+
+    Honest number: ~0.26 on the sf0.01 fixture — the embeddings are
+    near-isotropic random vectors, the worst case for single-probe
+    cluster blocking (blocks carry little neighborhood signal). On
+    clustered data recall is high (see the planted-blob pytest); the
+    production levers are multi-probe and larger k, exactly the knobs
+    ``similarity.ivf_topk`` exposes."""
+    from pyspark.sql import Window as W
+
+    from sentiment_analysis_bigdata_spark.functions import vector as V
+
+    emb = load_table(spark, sf, "embeddings")
+    approx = q_knn_graph(spark, sf).select("id", "neighbor")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    pairs = l.join(r, F.col("l.id") != F.col("r.id")).select(
+        F.col("l.id").alias("id"),
+        F.col("r.id").alias("neighbor"),
+        F.when(denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cos"),
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= N_NEIGHBORS)
+        .select("id", "neighbor")
+    )
+    n_edges = approx.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_hits = approx.join(exact, ["id", "neighbor"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_edges.crossJoin(n_hits).select(
+        "n_edges",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_edges"), 6).alias("recall"),
+    )
+
+
+SQL_KNN_RECALL = f"""
+WITH approx AS ({SQL_KNN_GRAPH}),
+base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+ep AS (
+  SELECT l.id AS id, r.id AS neighbor, {_sql_cosine('l.v', 'r.v')} AS cos
+  FROM base l JOIN base r ON l.id <> r.id
+),
+exact AS (
+  SELECT id, neighbor FROM (
+    SELECT id, neighbor,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rank
+    FROM ep)
+  WHERE rank <= {N_NEIGHBORS}
+),
+hits AS (
+  SELECT count(*) AS n_hits
+  FROM approx a WHERE EXISTS (
+    SELECT 1 FROM exact e WHERE e.id = a.id AND e.neighbor = a.neighbor)
+)
+SELECT (SELECT count(*) FROM approx) AS n_edges,
+       hits.n_hits AS n_hits,
+       round(hits.n_hits / (SELECT count(*) FROM approx), 6) AS recall
+FROM hits
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
 }

@@ -104,3 +104,32 @@ def test_knn_graph_planted_neighbor(spark):
 
     c = Counter(r["id"] for r in out)
     assert all(v == 2 for v in c.values())
+
+
+def test_knn_recall_high_on_clustered_data(spark, tmp_path):
+    """Single-probe blocking recovers neighbors when the data actually
+    clusters: with well-separated blobs every exact neighbor shares the
+    anchor's blob, so block-local search is near-exact."""
+    from sentiment_analysis_bigdata_spark.workloads.cluster_q import (
+        SEM_K,
+        q_knn_recall,
+    )
+
+    # SEM_K well-separated blobs, ids interleaved so the k smallest-id
+    # seeds land one per blob (k matches the natural structure; the
+    # sf-fixture's isotropic vectors are the documented worst case)
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = 5.0 * rng.choice([-1.0, 1.0], size=(SEM_K, 8))
+    rows = []
+    for j in range(10):
+        for b in range(SEM_K):
+            v = centers[b] + 0.05 * rng.normal(size=8)
+            rows.append((j * SEM_K + b, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    r = q_knn_recall(spark, d).first()
+    assert r["n_edges"] > 0
+    assert r["recall"] >= 0.9

@@ -219,6 +219,73 @@ AUDIT = {
         "change-detect and interval-close windows share one (key, ts) "
         "sort; a single Exchange on the entity key feeds both",
     ),
+    "dup_ngram_spans": (
+        ["HashAggregate", "Window", "!CartesianProduct"],
+        "substring dedup: positional k-gram explode feeds ONE gram-keyed "
+        "agg (the only corpus-sized shuffle); duplicated positions come "
+        "back via a semi join and the per-doc interval union is a single "
+        "lag window — never all-pairs, never per-position explode",
+    ),
+    "semdedup": (
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+        "SemDeDup: the cosine pair check is an equi join on the k-means "
+        "cluster id (blocks bound pair work at n²/k); the Lloyd rounds "
+        "behind it are one posexplode agg per iteration",
+    ),
+    "knn_graph": (
+        ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+        "kNN graph: in-cluster equi join + one per-vector ranking window "
+        "— the IVF-nprobe=1 serving shape, never a full pairwise scan",
+    ),
+    "dedup_cascade": (
+        ["LeftSemi|LeftAnti", "!CartesianProduct"],
+        "cascade stages subtract survivors via semi/anti joins (earlier "
+        "stages sit behind localCheckpoint barriers — the stage "
+        "materialization a production run does with parquet); every "
+        "stage is its standalone operator's audited shape",
+    ),
+    "kmeans_clusters": (
+        ["HashAggregate"],
+        "per-cluster report is a partial+final agg over the checkpointed "
+        "assignment; each Lloyd round behind it is ONE posexplode "
+        "(cluster, dim) agg with k×d output rows",
+    ),
+    "corpus_filter_report": (
+        ["Window", "HashAggregate", "!CartesianProduct"],
+        "five filter rules fold into ONE aggregation pass over a single "
+        "corpus scan (plus the dedup fingerprint window)",
+    ),
+    "quantile_bins": (
+        ["HashAggregate|ObjectHashAggregate", "!Window"],
+        "equi-depth binning WITHOUT a global NTILE sort: one exact-"
+        "percentile aggregate, then a codegen'd boundary-count assign",
+    ),
+    "bigram_logprob": (
+        ["HashAggregate", "!CartesianProduct"],
+        "bigram LM: model and context frames are vocab²-bounded aggs "
+        "joined back by equi joins; only the 1-row vocabulary count "
+        "broadcasts by hint",
+    ),
+    "textrank_keywords": (
+        ["HashAggregate", "Window"],
+        "TextRank: corpus touched once for bigram edges; every PageRank "
+        "iteration joins/aggregates the vocab-bounded edge frame",
+    ),
+    "compaction_plan": (
+        ["Window", "HashAggregate"],
+        "compaction planning: inventory aggregation once, then a per-day "
+        "window over the (partitions×types)-sized inventory",
+    ),
+    "forecast_backtest": (
+        ["Window", "HashAggregate"],
+        "backtest: trailing-MA window runs over the month-cardinality "
+        "rollup, never raw orders",
+    ),
+    "mixture_plan": (
+        ["HashAggregate"],
+        "data recipe: one corpus pass for token counts; weights/epochs "
+        "from source-cardinality + 1-row frames",
+    ),
 }
 
 
