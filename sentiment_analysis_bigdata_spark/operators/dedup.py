@@ -1040,11 +1040,13 @@ def dedup_cascade(
     def _cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
 
+    # broadcast the 1-row count frames (bare crossJoin of two 1-row
+    # aggregates compiles to a CartesianProduct node)
     c = (
         _cnt(total, "n0")
-        .crossJoin(_cnt(s1.select(id_col), "n1"))
-        .crossJoin(_cnt(mh_removed, "rm2"))
-        .crossJoin(_cnt(sem_removed, "rm3"))
+        .crossJoin(F.broadcast(_cnt(s1.select(id_col), "n1")))
+        .crossJoin(F.broadcast(_cnt(mh_removed, "rm2")))
+        .crossJoin(F.broadcast(_cnt(sem_removed, "rm3")))
     )
     stages = F.array(
         F.struct(

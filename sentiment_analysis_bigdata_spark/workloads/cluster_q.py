@@ -245,7 +245,7 @@ def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
     n_hits = approx.join(exact, ["id", "neighbor"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    return n_edges.crossJoin(n_hits).select(
+    return n_edges.crossJoin(F.broadcast(n_hits)).select(
         "n_edges",
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_edges"), 6).alias("recall"),

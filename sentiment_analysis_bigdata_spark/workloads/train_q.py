@@ -473,7 +473,10 @@ def q_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.round(x, 6),
         ).alias("bounds")
     )
-    binned = orders.crossJoin(bounds).select(
+    # broadcast the 1-row bounds frame: a bare crossJoin compiles to
+    # CartesianProduct even with a single-row side; the broadcast form
+    # is a BroadcastNestedLoopJoin the fact scan streams through
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
         F.aggregate(
             "bounds",
             F.lit(0),
