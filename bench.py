@@ -90,7 +90,6 @@ FAMILY_EXTRA = [
     # final r4 composition (substring dedup, recall gate, kNN graph,
     # filter gate, compaction, resize, recipe, top-k sink, backtest)
     "dup_ngram_spans",
-    "minhash_recall",
     "knn_graph",
     "corpus_filter_report",
     "compaction_plan",
