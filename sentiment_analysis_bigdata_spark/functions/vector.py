@@ -3,9 +3,13 @@
 The similarity-search and embedding-dedup operators (north star) work on the
 ``embeddings.embedding`` column (``array<float>``, dim 64 in testdata). All
 kernels here are higher-order-function expressions (``zip_with`` /
-``aggregate``), so they run JVM-side inside whole-stage codegen — no Python
-crossing per row. For very high dimensions where expression overhead beats
-Arrow transfer costs, a pandas-UDF path exists in ``operators.similarity``.
+``aggregate``): they run JVM-side with no Python crossing per row, but HOF
+lambdas evaluate INTERPRETED (outside whole-stage codegen) and share no
+subexpressions — so join-heavy callers should precompute per-row folds once
+(e.g. ``norm`` before a pair join: cosine then costs one ``dot`` per pair
+instead of ~5 folds; see ``dedup.embedding_near_duplicates``). For very high
+dimensions where expression overhead beats Arrow transfer costs, a
+pandas-UDF path exists in ``operators.similarity``.
 """
 
 from __future__ import annotations
