@@ -107,6 +107,7 @@ _HEADLINE: dict[str, list[str]] = {
         "asof_purchase_signup",
         "streaming_dedup",
         "streaming_sessions",
+        "streaming_sliding",
     ],
     "train": ["bpe_merges", "unigram_segment", "wordpiece_candidates", "bpe_vocab"],
     "evaluation": ["confusion_matrix", "rank_correlation", "roc_auc", "ml_logistic_regression", "ml_crossval"],

@@ -661,6 +661,25 @@ def q_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Runs the SAME sliding_counts body as a real incremental stream
+    (file source, availableNow trigger, memory sink; watermark-bounded
+    state) — the streaming twin of ``sliding_events``, sharing its
+    expand-to-grid batch oracle. Each event lands in width/slide = 2
+    windows; state is output-bounded (audited in the streaming state
+    table)."""
+    stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
+    agg = SJ.sliding_counts(
+        SJ.with_watermark(stream, "1 hour"), "1 hour", "30 minutes"
+    )
+    SJ.run_stream_to_memory(agg, "stream_sliding", timeout_s=120)
+    return spark.table("stream_sliding").select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "n_events",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Native streaming session_window execution."""
     stream = SJ.read_events_stream(spark, f"{sf}/events.parquet")
@@ -936,6 +955,7 @@ GROUP BY user_id, session_id
 QUERIES = {
     "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),
     "sliding_events": (q_sliding_events, SQL_SLIDING_EVENTS),
+    "streaming_sliding": (q_streaming_sliding, SQL_SLIDING_EVENTS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_SIGNUP),
     "event_dedup": (q_event_dedup, SQL_EVENT_DEDUP),
