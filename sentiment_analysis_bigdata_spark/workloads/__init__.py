@@ -115,7 +115,7 @@ _HEADLINE: dict[str, list[str]] = {
     "scale": ["group_sample", "cms_token_counts", "mixture_plan", "hist_quantiles", "dataset_fingerprint", "heavy_hitters", "stateful_ewma"],
     "affinity": ["co_purchase_pairs", "bm25_search", "association_rules"],
     "graph": ["pagerank_purchases", "label_propagation", "bfs_hops"],
-    "cluster": ["kmeans_clusters", "semdedup", "knn_graph", "knn_recall"],
+    "cluster": ["kmeans_clusters", "semdedup", "knn_graph", "knn_recall", "cluster_diversity"],
 }
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators.clustering import (
+    kmeans_lloyd,
     kmeans_summary,
     knn_graph,
     semdedup,
@@ -278,9 +279,66 @@ FROM hits
 """
 
 
+def q_cluster_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster source-diversity report: after the same K=4 Lloyd
+    clustering as ``kmeans_clusters``, join each vector's document source
+    (vec_id ≡ doc_id in the fixture) and report per cluster the point
+    count, distinct sources, Shannon source-entropy, and the dominant
+    source's share — the balance check a curation run uses to spot
+    clusters dominated by one crawl/source (candidates for capping).
+    Shape: assignment (audited) + two model-sized aggregations; the
+    entropy folds over cluster×source rows, never raw docs."""
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    assigned = kmeans_lloyd(
+        emb, "embedding", "vec_id", k=K, iterations=ITERATIONS
+    ).select("vec_id", "cluster_id")
+    cs = (
+        assigned.join(docs, "vec_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cs.groupBy("cluster_id").agg(F.sum("n").alias("t"))
+    per = cs.join(tot, "cluster_id").withColumn(
+        "p", F.col("n") / F.col("t")
+    )
+    return per.groupBy("cluster_id").agg(
+        F.first("t").alias("n_points"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("source_entropy"),
+        F.round(F.max("p"), 6).alias("top_share"),
+    )
+
+
+SQL_CLUSTER_DIVERSITY = f"""
+WITH {sql_kmeans_ctes()},
+cs AS (
+  SELECT a3.cid AS cluster_id, d.source, count(*) AS n
+  FROM a3 JOIN documents d ON d.doc_id = a3.vec_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT cluster_id, CAST(sum(n) AS BIGINT) AS t FROM cs GROUP BY 1),
+per AS (
+  SELECT cs.cluster_id, cs.source, cs.n, tot.t,
+         CAST(cs.n AS DOUBLE) / tot.t AS p
+  FROM cs JOIN tot USING (cluster_id)
+)
+SELECT cluster_id,
+       any_value(t) AS n_points,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       round(-sum(p * ln(p)), 6) AS source_entropy,
+       round(max(p), 6) AS top_share
+FROM per
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
+    "cluster_diversity": (q_cluster_diversity, SQL_CLUSTER_DIVERSITY),
 }

@@ -133,3 +133,32 @@ def test_knn_recall_high_on_clustered_data(spark, tmp_path):
     r = q_knn_recall(spark, d).first()
     assert r["n_edges"] > 0
     assert r["recall"] >= 0.9
+
+
+def test_cluster_diversity_entropy_bounds(spark, tmp_path):
+    from sentiment_analysis_bigdata_spark.workloads.cluster_q import (
+        q_cluster_diversity,
+    )
+    import math
+
+    # blob 0 single-source, blobs 1/2 two sources each
+    df = _planted(spark)
+    d = str(tmp_path / "sf")
+    df.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    docs = df.selectExpr(
+        "vec_id AS doc_id", "'x' AS text",
+        "CASE WHEN blob = 0 THEN 'solo' "
+        "WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS source",
+    )
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # k=4 per the query config; with 3 blobs one cluster may be empty or
+    # split, but the invariants below hold regardless
+    rows = q_cluster_diversity(spark, d).collect()
+    assert sum(r["n_points"] for r in rows) == df.count()
+    for r in rows:
+        assert 0.0 <= r["source_entropy"] <= math.log(r["n_sources"]) + 1e-9
+        assert r["top_share"] >= 1.0 / r["n_sources"] - 1e-9
+    solo = [r for r in rows if r["n_sources"] == 1]
+    assert all(r["source_entropy"] == 0.0 and r["top_share"] == 1.0 for r in solo)
