@@ -10,7 +10,7 @@ per family; the eight relational modules share a single lane) so any prefix
 sample of ``all_queries()`` — in particular the driver's first-50
 correctness sample — spans every family: relational, text, dedup/ANN/
 multimodal, affinity, modern-SQL, temporal/streaming, tokenizer-training,
-warehouse, evaluation/ML, graph, and scale ops. Within each lane a short
+warehouse, evaluation/ML, graph, clustering, and scale ops. Within each lane a short
 headline list pulls the family's flagship operators to the front; the
 remaining queries follow in module-definition order. The *set* of queries
 and their semantics are unchanged — only the iteration order.
