@@ -337,3 +337,45 @@ def bigram_logprob_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
+
+
+def hashed_embedding_long(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    dim: int = 16,
+) -> DataFrame:
+    """Signed feature hashing (the 'hashing trick', Weinberger et al.
+    2009, arXiv:0902.2206): every token adds ±1 to one of ``dim``
+    buckets (bucket = h(t) mod dim, sign from an independent high bit of
+    the same md5-based hash), producing a cheap, vocabulary-free dense
+    text embedding whose dot products approximate token-overlap kernels.
+    This is the engine-native bridge from text to the vector operators
+    (ANN/clustering/near-dup) when no learned embedding exists.
+
+    Output is LONG FORM ``(id, dim_idx, value)`` — partial+final hash
+    agg keyed (id, dim_idx); no array assembly, so no cross-engine
+    element-order concerns and downstream consumers can pivot or
+    ``collect_list`` as needed. One narrow explode + ONE shuffle; the
+    hash is the same engine-portable md5 used by the MinHash family, so
+    the oracle replays it bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col).alias("t")
+    )
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+
+    h = H.md5_hash64(F.col("t"))
+    sign = (
+        F.when(F.shiftright(h, 40).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        toks.select(
+            "id",
+            F.pmod(h, F.lit(dim)).cast("int").alias("dim_idx"),
+            sign.alias("s"),
+        )
+        .groupBy("id", "dim_idx")
+        .agg(F.sum("s").cast("bigint").alias("value"))
+    )

@@ -80,7 +80,7 @@ _FAMILIES: list[tuple[str, list]] = [
 # this list may mention queries added in later rounds without breaking.
 _HEADLINE: dict[str, list[str]] = {
     "relational": ["pricing_summary", "top_revenue_orders", "top_orders_per_customer"],
-    "text": ["clean_documents", "token_topk_nostop", "corpus_filter_report", "zipf_fit", "lang_id", "tfidf_top_terms"],
+    "text": ["clean_documents", "token_topk_nostop", "corpus_filter_report", "hashed_embeddings", "zipf_fit", "lang_id", "tfidf_top_terms"],
     "dedup_sim": [
         "minhash_near_dups",
         "dedup_cascade",

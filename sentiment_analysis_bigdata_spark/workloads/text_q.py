@@ -260,6 +260,30 @@ GROUP BY doc_id
 """
 
 
+def q_hashed_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-free signed-feature-hash text embeddings, long form
+    (operators/features.hashed_embedding_long) — the engine-native text→
+    vector bridge; the oracle replays the md5 bucket/sign arithmetic
+    bit-for-bit."""
+    docs = _docs(spark, sf).select(
+        "doc_id", TXT.tokenize_nonempty("text").alias("tokens")
+    )
+    return FE.hashed_embedding_long(docs, "doc_id", "tokens", dim=16).select(
+        F.col("id").alias("doc_id"), "dim_idx", "value"
+    )
+
+
+SQL_HASHED_EMBEDDINGS = f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks)
+SELECT doc_id,
+       CAST(h % 16 AS INT) AS dim_idx,
+       CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS value
+FROM h
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_filter_report(spark: SparkSession, sf: str) -> DataFrame:
     """Composed Gopher/C4-style corpus filter gate (Rae et al. 2021
     §A1.1 flavor, over this engine's own signals): five keep rules —
@@ -1019,6 +1043,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "corpus_filter_report": (q_corpus_filter_report, _sql_corpus_filter_report()),
+    "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "label_distribution": (q_label_distribution, SQL_LABEL_DISTRIBUTION),

@@ -221,3 +221,22 @@ def test_bigram_logprob_order_sensitive(spark):
     )
     rows = {r["doc_id"]: r["avg_logprob"] for r in FE.bigram_logprob_scores(df).collect()}
     assert rows[10] < rows[0]
+
+
+def test_hashed_embedding_properties(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "a"]), (1, ["a", "b", "a"]), (2, ["z"]), (3, [])],
+        "doc_id long, tokens array<string>",
+    )
+    rows = FE.hashed_embedding_long(df, "doc_id", "tokens", dim=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["dim_idx"]] = r["value"]
+    # identical token multisets -> identical embeddings
+    assert by_doc[0] == by_doc[1]
+    # token counts are preserved in magnitude: |sum of values| <= n_tokens
+    assert sum(abs(v) for v in by_doc[0].values()) <= 3
+    # repeated token contributes with one sign: "a" twice lands in one
+    # bucket with |value| 2 (unless "b" collides and cancels)
+    assert 3 not in by_doc  # empty docs produce no rows
+    assert all(0 <= k < 8 for d in by_doc.values() for k in d)
