@@ -54,8 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         expected = schemas.TESTDATA_TABLES[name][field.name].dataType
         if isinstance(expected, T.TimestampType) and isinstance(field.dataType, T.LongType):
+            # Integer DIV, not `/ 1000` double division: at ~1.7e18 ns a
+            # double's ulp is 256, so float division can perturb the low
+            # microseconds — integer division is exact.
             df = df.withColumn(
-                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                field.name, F.expr(f"timestamp_micros(`{field.name}` DIV 1000)")
             )
         elif isinstance(expected, T.TimestampType) and isinstance(
             field.dataType, T.TimestampNTZType

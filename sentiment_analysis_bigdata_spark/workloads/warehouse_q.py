@@ -667,19 +667,30 @@ def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
     table formats actually do (rewrite adjacent small files together so
     clustering survives the rewrite)."""
     events = load_table(spark, sf, "events")
+    # Integer-exact cross-engine contract (r4's only red driver row was a
+    # hash mismatch here): the day bucket is an EPOCH-DAY INTEGER — Spark
+    # `CAST(ts AS BIGINT)` is the epoch second of the instant, independent
+    # of session timezone, matching DuckDB `epoch_ms(ts) // 1000` on the
+    # same (UTC-written) parquet — and the bin index uses integer division
+    # (`DIV`), never floor(double). Every aggregate is BIGINT on both
+    # engines; no timestamp formatting, no float arithmetic anywhere.
     inv = events.groupBy(
-        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(ts AS BIGINT) DIV 86400").alias("day_num"),
         "event_type",
-    ).agg((F.sum(F.length("props")) + F.count(F.lit(1)) * 32).alias("bytes"))
+    ).agg(
+        (F.sum(F.length("props")) + F.count(F.lit(1)) * F.lit(32))
+        .cast("long")
+        .alias("bytes")
+    )
     w = (
-        Window.partitionBy("day")
+        Window.partitionBy("day_num")
         .orderBy("event_type")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     plan = inv.withColumn(
-        "start", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    ).withColumn("target_file", F.floor(F.col("start") / _COMPACT_TARGET))
-    return plan.groupBy("day", "target_file").agg(
+        "start", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("long")
+    ).withColumn("target_file", F.expr(f"start DIV {_COMPACT_TARGET}L"))
+    return plan.groupBy("day_num", "target_file").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
     )
@@ -687,22 +698,22 @@ def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_COMPACTION_PLAN = f"""
 WITH inv AS (
-  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  SELECT CAST(epoch_ms(ts) // 1000 AS BIGINT) // 86400 AS day_num, event_type,
          CAST(sum(length(props)) + count(*) * 32 AS BIGINT) AS bytes
   FROM events
   GROUP BY 1, 2
 ),
 plan AS (
-  SELECT day, event_type, bytes,
-         coalesce(sum(bytes) OVER (PARTITION BY day ORDER BY event_type
+  SELECT day_num, event_type, bytes,
+         CAST(coalesce(sum(bytes) OVER (PARTITION BY day_num ORDER BY event_type
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start
+                  0) AS BIGINT) AS start
   FROM inv
 )
-SELECT day,
-       CAST(floor(start / {_COMPACT_TARGET}) AS BIGINT) AS target_file,
+SELECT day_num,
+       CAST(start // {_COMPACT_TARGET} AS BIGINT) AS target_file,
        count(*) AS n_files,
-       sum(bytes) AS total_bytes
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
 FROM plan
 GROUP BY 1, 2
 """

@@ -497,7 +497,7 @@ class TestCompactionPlan:
         rows = q_compaction_plan(spark, sf_dir).collect()
         by_day = {}
         for r in rows:
-            by_day.setdefault(r["day"], []).append(r)
+            by_day.setdefault(r["day_num"], []).append(r)
         for day, files in by_day.items():
             ids = sorted(r["target_file"] for r in files)
             # target files are dense 0..m (contiguous-range policy)
