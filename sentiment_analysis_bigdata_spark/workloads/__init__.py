@@ -119,6 +119,72 @@ _HEADLINE: dict[str, list[str]] = {
 }
 
 
+# Rotating driver-certification prefix. The external driver samples the
+# FIRST 50 registry entries for its oracle gate, so this list pins slots
+# 1-50 explicitly: ~10 family canaries that were driver-green last round
+# (regression tripwires — if one goes red the cause is environmental, not
+# the new queries) followed by ~40 queries that have NEVER received a
+# driver-side row (computed from the union of CORRECTNESS_r01..r04 keys).
+# Rotate the never-checked block each round until the whole registry is
+# driver-certified; everything after the prefix keeps the round-robin
+# family interleave. Names not present in any lane are skipped.
+_DRIVER_PREFIX: list[str] = [
+    # -- canaries (driver-green in r4) --
+    "pricing_summary",
+    "clean_documents",
+    "minhash_near_dups",
+    "streaming_upsert",
+    "bpe_merges",
+    "confusion_matrix",
+    "scd2_user_state",
+    "group_sample",
+    "pagerank_purchases",
+    "kmeans_clusters",
+    # r4's only red row, rewritten integer-exact this round — must re-green
+    "compaction_plan",
+    # -- never-driver-checked rotation, round 5 --
+    "ppjoin_pairs",
+    "multimodal_decode",
+    "multimodal_resize",
+    "embedding_pca",
+    "ann_recall",
+    "simhash_near_dups",
+    "ann_ivf_index",
+    "winnow_overlap",
+    "retrieval_metrics",
+    "embedding_near_dup",
+    "dedup_components",
+    "minhash_signatures",
+    "tfidf_top_terms",
+    "lang_id",
+    "dedup_exact",
+    "pii_redaction",
+    "text_stats",
+    "countvec_vocab",
+    "streaming_dedup",
+    "streaming_sessions",
+    "asof_purchase_signup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "percent_rank_cume",
+    "lateral_top_orders",
+    "null_safe_join",
+    "market_share",
+    "ml_naive_bayes",
+    "ml_linear_svc",
+    "roc_points",
+    "classification_report",
+    "hll_user_rollup",
+    "table_diff",
+    "hash_split",
+    "heavy_hitters",
+    "bpe_encode_corpus",
+    "quantile_bins",
+    "triangle_count",
+    "cluster_diversity",
+]
+
+
 def _lane_names(family: str, modules: list) -> list[str]:
     names: list[str] = []
     for m in modules:
@@ -151,7 +217,12 @@ def _interleaved() -> list[tuple[str, tuple]]:
             if cursors[i] < len(lane):
                 out.append(lane[cursors[i]])
                 cursors[i] += 1
-    return out
+    # Pin the driver-certification prefix (slots 1-50), then the remaining
+    # queries in their round-robin family order. Set semantics unchanged.
+    by_name = dict(out)
+    prefix = [(n, by_name[n]) for n in _DRIVER_PREFIX if n in by_name]
+    prefix_names = {n for n, _ in prefix}
+    return prefix + [(n, e) for n, e in out if n not in prefix_names]
 
 
 def all_queries() -> dict[str, SparkQuery]:
