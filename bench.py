@@ -158,23 +158,59 @@ def main() -> None:
         extra_warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "family_extra_total": round(sum(extra.values()), 3),
-                "queries_extra": extra,
-                "family_extra_warm_total": round(sum(extra_warm.values()), 3),
-                "queries_extra_warm": extra_warm,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "family_extra_total": round(sum(extra.values()), 3),
+        "queries_extra": extra,
+        "family_extra_warm_total": round(sum(extra_warm.values()), 3),
+        "queries_extra_warm": extra_warm,
+        "sf": sf,
+    }
+
+    # The recording harness keeps only a bounded TAIL of stdout, and the
+    # full per-query map exceeds it (r4's artifact was truncated mid-JSON
+    # and unparseable). So stdout carries ONLY a compact one-line summary
+    # (headline + warm + extras totals — always well under the cap, printed
+    # last so a tail cut can't touch it); the full per-query breakdown is
+    # written to bench_results/ (committed) and echoed to stderr.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    os.makedirs(out_dir, exist_ok=True)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = str(max(prior, default=0) + 1)
+    path = os.path.join(out_dir, f"r{int(rnd)}.json")
+    with open(path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(full), file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_total": full["warm_total"],
+        "family_extra_total": full["family_extra_total"],
+        "family_extra_warm_total": full["family_extra_warm_total"],
+        "n_extra": len(extra),
+        "full_results": f"bench_results/r{int(rnd)}.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the recorder's tail
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
