@@ -97,6 +97,10 @@ FAMILY_EXTRA = [
     "mixture_plan",
     "streaming_topk",
     "forecast_backtest",
+    # r5 additions: large-k broadcast-frame centroid assignment (the
+    # SemDeDup-at-LAION-k shape) timed at realistic k
+    "kmeans_broadcast",
+    "semdedup_512",
 ]
 
 

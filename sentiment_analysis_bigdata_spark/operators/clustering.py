@@ -29,16 +29,34 @@ Determinism contract (what makes the oracle exact):
 
 Scale shape (100 TB): each iteration is ONE shuffle — ``posexplode``
 then a partial+final hash agg keyed (cluster_id, dim) with k×d output
-rows; the k×d centroid model rides to the executors as codegen'd
-literals (k ≤ a few hundred; beyond that you'd switch the assign step
-to a broadcast join on a centroid frame). Driver traffic per iteration
-is k×d doubles. No global sort, no cartesian.
+rows. The centroid model reaches the executors one of two ways,
+selected by ``assign_method``:
+
+- ``literal`` (default for k ≤ 256): the k×d centroids are codegen'd
+  literals — zero join, but plan size and py4j/parse cost grow with k.
+- ``broadcast`` (default for k > 256, the real-SemDeDup shape — Abbas
+  et al. use k=50,000 for LAION): centroids stay a DataFrame end to
+  end (seeds, re-estimation, empty-cluster carry-over are all frame
+  ops — NO driver collect at any point) and ship to executors as ONE
+  broadcast row holding ``array<struct<cid,c>>``; the assign is a
+  ``transform`` over that array with the SAME sequential
+  zip_with/aggregate arithmetic, so assignments are bit-identical to
+  the literal path (pytest-proven at k=512).
+
+Driver traffic per iteration is k×d doubles (literal) or zero
+(broadcast — the broadcast itself is executor-side). No global sort,
+no cartesian.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Above this k the assign step switches from k inline literal folds to a
+# broadcast centroid frame: plan size/parse time grow with k on the
+# literal path while the broadcast path is O(1) in plan size.
+BROADCAST_ASSIGN_THRESHOLD = 256
 
 
 def _sqdist_sql(vec_col: str, center: list[float]) -> str:
@@ -75,6 +93,100 @@ def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFram
     )
 
 
+def _assign_broadcast(df: DataFrame, vec_col: str, cents: DataFrame) -> DataFrame:
+    """Same argmin contract as :func:`_assign` (sequential squared-L2,
+    ties → lowest cid) but the centroids ride as ONE broadcast row
+    holding ``array<struct<cid int, c array<double>>>`` instead of k
+    inline literal folds — plan size is O(1) in k, so k can be tens of
+    thousands. The per-element arithmetic is the identical left-to-right
+    zip_with/aggregate fold, so assignments are bit-identical to the
+    literal path."""
+    one = (
+        cents.select(F.struct(F.col("cid"), F.col("c")).alias("s"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("s")).alias("_cents"))
+    )
+    sq = (
+        f"aggregate(zip_with(CAST({vec_col} AS array<double>), s.c, "
+        "(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .selectExpr(
+            "*",
+            f"array_min(transform(_cents, s -> struct({sq} AS d, s.cid AS cid)))"
+            " AS _best",
+        )
+        .selectExpr("*", "_best.cid AS cluster_id", "_best.d AS dist2")
+        .drop("_best", "_cents")
+    )
+
+
+def _kmeans_lloyd_broadcast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int,
+    round_digits: int,
+    strict: bool,
+) -> DataFrame:
+    """Frame-only Lloyd loop: seeds, assignment, re-estimation and the
+    empty-cluster carry-over are all DataFrame ops — the centroids never
+    visit the driver. ``localCheckpoint`` after each round keeps the
+    lineage flat (k×d rows materialized, the same cost a production run
+    pays writing the model to a table)."""
+    from pyspark.sql import Window
+
+    cents = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).cast("array<double>").alias("c"),
+        )
+        .withColumn("cid", F.row_number().over(Window.orderBy("_sid")) - 1)
+        .select("cid", "c")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = cents.count()
+    if n_seeds == 0:
+        raise ValueError("kmeans_lloyd: input frame is empty (need >= 1 row)")
+    if strict and n_seeds < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} exceeds row count {n_seeds}; pass "
+            "strict=False to run with one cluster per row instead"
+        )
+    for _ in range(iterations):
+        assigned = _assign_broadcast(df, vec_col, cents)
+        means = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "val"
+                ),
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+        )
+        newc = (
+            means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cluster_id").alias("cid"),
+                F.expr("transform(dm, x -> x.m)").alias("c_new"),
+            )
+        )
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select("cid", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return _assign_broadcast(df, vec_col, cents).select(
+        F.col(id_col), "cluster_id", "dist2"
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -82,19 +194,46 @@ def kmeans_lloyd(
     k: int = 4,
     iterations: int = 2,
     round_digits: int = 9,
+    assign_method: str = "auto",
+    strict: bool = True,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds from the k-smallest-id seeds and
     return the final assignment frame: ``(id_col, cluster_id, dist2)``.
 
     ``iterations`` counts re-estimation rounds; the returned assignment
     uses the centroids produced by the last round.
+
+    ``assign_method``: ``"literal"`` inlines centroids as codegen
+    literals (driver round-trip per round), ``"broadcast"`` keeps them
+    in a broadcast frame (no driver collect; required for large k),
+    ``"auto"`` picks by ``k > BROADCAST_ASSIGN_THRESHOLD``. Both
+    produce bit-identical assignments. ``strict=False`` permits k >
+    row-count (runs with one seed per row — the SQL ``LIMIT k``
+    semantics); an empty input always raises.
     """
+    if assign_method not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown assign_method {assign_method!r}")
+    if assign_method == "auto":
+        assign_method = (
+            "broadcast" if k > BROADCAST_ASSIGN_THRESHOLD else "literal"
+        )
+    if assign_method == "broadcast":
+        return _kmeans_lloyd_broadcast(
+            df, vec_col, id_col, k, iterations, round_digits, strict
+        )
     seeds = (
         df.orderBy(id_col)
         .limit(k)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_lloyd: input frame is empty (need >= 1 row)")
+    if strict and len(seeds) < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} exceeds row count {len(seeds)}; pass "
+            "strict=False to run with one cluster per row instead"
+        )
     centers: list[list[float]] = [list(r["v"]) for r in seeds]
     dim = len(centers[0])
 
@@ -130,10 +269,15 @@ def kmeans_summary(
     id_col: str = "vec_id",
     k: int = 4,
     iterations: int = 2,
+    assign_method: str = "auto",
+    strict: bool = True,
 ) -> DataFrame:
     """Per-cluster size + inertia (sum of squared distances), the
     standard clustering fit report."""
-    assigned = kmeans_lloyd(df, vec_col, id_col, k=k, iterations=iterations)
+    assigned = kmeans_lloyd(
+        df, vec_col, id_col, k=k, iterations=iterations,
+        assign_method=assign_method, strict=strict,
+    )
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("dist2"), 6).alias("inertia"),
@@ -147,6 +291,8 @@ def semdedup(
     k: int = 4,
     iterations: int = 2,
     threshold: float = 0.95,
+    assign_method: str = "auto",
+    strict: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings, then inside each cluster remove every point with cosine
@@ -167,7 +313,10 @@ def semdedup(
     """
     from sentiment_analysis_bigdata_spark.functions import vector as V
 
-    assigned = kmeans_lloyd(emb, vec_col, id_col, k=k, iterations=iterations)
+    assigned = kmeans_lloyd(
+        emb, vec_col, id_col, k=k, iterations=iterations,
+        assign_method=assign_method, strict=strict,
+    )
     base = (
         emb.select(
             F.col(id_col).alias("id"),
@@ -218,6 +367,8 @@ def knn_graph(
     k: int = 16,
     iterations: int = 2,
     n_neighbors: int = 3,
+    assign_method: str = "auto",
+    strict: bool = True,
 ) -> DataFrame:
     """Approximate kNN graph via cluster blocking: each vector's top
     ``n_neighbors`` by cosine among its OWN k-means cluster — the
@@ -235,7 +386,10 @@ def knn_graph(
 
     from sentiment_analysis_bigdata_spark.functions import vector as V
 
-    assigned = kmeans_lloyd(emb, vec_col, id_col, k=k, iterations=iterations)
+    assigned = kmeans_lloyd(
+        emb, vec_col, id_col, k=k, iterations=iterations,
+        assign_method=assign_method, strict=strict,
+    )
     base = (
         emb.select(
             F.col(id_col).alias("id"),

@@ -335,10 +335,84 @@ GROUP BY 1
 """
 
 
+BCAST_K = 64  # exercises the broadcast-frame assign explicitly (auto
+# threshold is 256; forcing it here keeps the oracle cheap while the
+# k=512 pytest equality proof covers the auto switchover)
+
+
+def q_kmeans_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Same Lloyd recursion as ``kmeans_clusters`` but k=64 and the
+    BROADCAST-frame assign path (operators/clustering.py
+    _kmeans_lloyd_broadcast): centroids never visit the driver — seeds,
+    re-estimation, and empty-cluster carry-over are all frame ops, and
+    the model ships as one broadcast array row. This is the large-k
+    SemDeDup shape (Abbas et al. use k=50k); the oracle replays the
+    identical recursion, proving the frame-only path is value-exact."""
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_summary(
+        emb, "embedding", "vec_id", k=BCAST_K, iterations=ITERATIONS,
+        assign_method="broadcast",
+    )
+
+
+SQL_KMEANS_BROADCAST = f"""
+WITH {sql_kmeans_ctes(BCAST_K)}
+SELECT cid AS cluster_id,
+       count(*) AS n_points,
+       round(sum(d), 6) AS inertia
+FROM a3
+GROUP BY 1
+"""
+
+
+SEM512_K = 512
+
+
+def q_semdedup_512(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup at k=512 — the paper-realistic cluster count relative to
+    corpus size (the real recipe scales k with n so block sizes stay
+    bounded). Runs the broadcast-frame assign (k > 256 auto-threshold)
+    with ``strict=False``: when the table has fewer than 512 rows (the
+    sf0.01 oracle fixture) the seed set caps at the row count, exactly
+    the SQL ``LIMIT 512`` semantics the oracle replays."""
+    emb = ensure_min_parallelism(
+        load_table(spark, sf, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+        "vec_id",
+    )
+    return semdedup(
+        emb, "embedding", "vec_id", k=SEM512_K, iterations=ITERATIONS,
+        threshold=SEM_THRESHOLD, strict=False,
+    )
+
+
+SQL_SEMDEDUP_512 = f"""
+WITH {sql_kmeans_ctes(SEM512_K)},
+sem AS (
+  SELECT a3.vec_id AS id, a3.cid, e.embedding AS v
+  FROM a3 JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM sem l JOIN sem r ON l.cid = r.cid AND l.id < r.id
+  WHERE {_sql_cosine('l.v', 'r.v')} >= {SEM_THRESHOLD}
+),
+removed AS (SELECT DISTINCT b AS id FROM pairs)
+SELECT s.cid AS cluster_id,
+       count(*) AS n_points,
+       CAST(sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM sem s LEFT JOIN removed r ON r.id = s.id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
     "cluster_diversity": (q_cluster_diversity, SQL_CLUSTER_DIVERSITY),
+    "kmeans_broadcast": (q_kmeans_broadcast, SQL_KMEANS_BROADCAST),
+    "semdedup_512": (q_semdedup_512, SQL_SEMDEDUP_512),
 }

@@ -56,6 +56,72 @@ def test_partition_and_inertia_monotone(spark):
     assert sum(i for _, i in s2.values()) <= sum(i for _, i in s1.values()) + 1e-9
 
 
+def test_broadcast_assign_identical_small_k(spark):
+    """The broadcast-frame path must reproduce the literal path exactly
+    (same argmin, same dist2 bits) — k below the auto threshold, forced."""
+    df = _planted(spark)
+    lit = sorted(
+        map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2,
+                                assign_method="literal").collect())
+    )
+    bc = sorted(
+        map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2,
+                                assign_method="broadcast").collect())
+    )
+    assert lit == bc
+
+
+def test_broadcast_assign_identical_k512(spark):
+    """Equality proof at large k (past the auto switchover): 1,024
+    deterministic vectors, k=512, literal vs broadcast assignments are
+    identical tuple-for-tuple (incl. dist2 bits). This is what licenses
+    the broadcast path as the scale route for SemDeDup-style k."""
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.31 * i + 0.17 * d) + 0.001 * d
+                for d in range(DIM)
+            ],
+        )
+        for i in range(1024)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = sorted(
+        map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=512, iterations=1,
+                                assign_method="literal").collect())
+    )
+    bc = sorted(
+        map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=512, iterations=1,
+                                assign_method="auto").collect())
+    )
+    assert lit == bc
+
+
+def test_empty_and_overk_guards(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for method in ("literal", "broadcast"):
+        with pytest.raises(ValueError, match="empty"):
+            kmeans_lloyd(empty, "embedding", "vec_id", k=2,
+                         assign_method=method)
+    small = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for method in ("literal", "broadcast"):
+        with pytest.raises(ValueError, match="exceeds row count"):
+            kmeans_lloyd(small, "embedding", "vec_id", k=5,
+                         assign_method=method)
+    # strict=False caps at the row count: every row its own seed
+    out = kmeans_lloyd(small, "embedding", "vec_id", k=5, iterations=1,
+                       strict=False, assign_method="broadcast").collect()
+    assert len(out) == 2 and {r["cluster_id"] for r in out} == {0, 1}
+
+
 def test_rerun_stable(spark):
     df = _planted(spark)
     a = sorted(map(tuple, kmeans_lloyd(df, "embedding", "vec_id", k=3, iterations=2).collect()))
