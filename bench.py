@@ -101,6 +101,8 @@ FAMILY_EXTRA = [
     # SemDeDup-at-LAION-k shape) timed at realistic k
     "kmeans_broadcast",
     "semdedup_512",
+    # r5: JPEG marker-walk lane (dominant web-corpus image format)
+    "multimodal_jpeg",
 ]
 
 

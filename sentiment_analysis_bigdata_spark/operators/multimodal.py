@@ -231,6 +231,87 @@ def decode_wav_content(payload: bytes) -> tuple[int, int, int] | None:
     raise ValueError("not a WAV: missing data chunk")
 
 
+JPEG_SOI = b"\xff\xd8"
+# standalone markers carry no length field (TEM, RST0-7; EOI/SOI handled
+# separately in the walk)
+_JPEG_STANDALONE = {0x01} | set(range(0xD0, 0xD8))
+# SOF markers: C0-CF minus DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# progressive-DCT SOFs (huffman + arithmetic variants)
+_JPEG_SOF_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
+
+
+def synthesize_jpeg_bytes(
+    width: int,
+    height: int,
+    progressive: bool = False,
+    with_exif: bool = False,
+) -> bytes:
+    """Structurally valid JPEG for the marker walk: SOI + JFIF APP0 +
+    (optional) EXIF APP1 with a minimal little-endian TIFF body + DQT +
+    SOF0/SOF2 (8-bit precision, 3 components, big-endian dims) + SOS
+    header + a little entropy filler + EOI. Every segment length field
+    is correct, so a decoder bug (length arithmetic, marker class,
+    endianness) surfaces as a wrong or failed parse — not a silently
+    passing fake."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = JPEG_SOI + seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    if with_exif:
+        tiff = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0) + struct.pack("<I", 0)
+        out += seg(0xE1, b"Exif\x00\x00" + tiff)
+    out += seg(0xDB, b"\x00" + bytes(64))  # DQT: table 0, flat
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    out += seg(sof_marker, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    out += seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    return out + b"\xa5\x5a\xa5\x5a" + b"\xff\xd9"  # entropy filler + EOI
+
+
+def decode_jpeg_header(payload: bytes) -> tuple[int, int, int, bool, bool]:
+    """(width, height, n_components, progressive, has_exif) by walking
+    the marker list up to SOS/EOI — the metadata a crawl pipeline needs
+    without entropy decode (dims for filtering/resize planning, the
+    progressive flag because baseline-only decoders must transcode,
+    EXIF presence for privacy scrubbing). Raises ValueError on malformed
+    input: no SOI, a truncated segment, or no SOF before SOS/EOI."""
+    if len(payload) < 4 or payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI")
+    pos, sof, has_exif = 2, None, False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("not a JPEG: truncated segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("not a JPEG: truncated segment body")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            has_exif = True
+        elif marker in _JPEG_SOF:
+            if len(body) < 6:
+                raise ValueError("not a JPEG: short SOF")
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            sof = (w, h, ncomp, marker in _JPEG_SOF_PROGRESSIVE)
+        elif marker == 0xDA:  # SOS: entropy data follows, stop walking
+            break
+        pos += 2 + seg_len
+    if sof is None:
+        raise ValueError("not a JPEG: no SOF marker before SOS/EOI")
+    w, h, ncomp, prog = sof
+    return w, h, ncomp, prog, has_exif
+
+
 def _sha_features(payload: bytes) -> list[float]:
     """Placeholder feature extractor (sha-derived, deterministic) — the
     honest stand-in until a real embedding model runs next to the data."""
@@ -257,6 +338,13 @@ def decode_media(payload: bytes):
                 + (px_count, px_sum, None, None, None)
                 + (_sha_features(payload),)
             )
+        if payload[:2] == JPEG_SOI:
+            w, h, _ncomp, prog, _exif = decode_jpeg_header(payload)
+            return (
+                ("jpeg_progressive" if prog else "jpeg", w, h, None, None)
+                + none5
+                + (_sha_features(payload),)
+            )
         if payload[:4] == b"RIFF":
             dur, rate, _, _ = decode_wav_header(payload)
             pcm = decode_wav_content(payload)
@@ -266,7 +354,11 @@ def decode_media(payload: bytes):
                 + (None, None, n, s, mx)
                 + (_sha_features(payload),)
             )
-    except ValueError:
+    except (ValueError, zlib.error, struct.error):
+        # corrupt payload in a recognized container (bad CRC-side data,
+        # truncated chunk, undecodable deflate stream) — degrade to
+        # 'unknown' like an unrecognized magic; a poisoned row must not
+        # kill the batch
         pass
     return ("unknown", None, None, None, None) + none5 + (_sha_features(payload),)
 
@@ -327,6 +419,83 @@ def attach_wav_payloads(
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
+
+
+def attach_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture ingestion for the JPEG lane, every parameter planted from
+    source columns so an oracle recomputes in closed form what the
+    marker walk must read back: width = 32 + id mod 1000, height =
+    32 + text-length mod 1000, progressive when id ≡ 0 (mod 3), EXIF
+    present when text-length is even. Rows with id ≡ 0 (mod 23) are
+    TRUNCATED after the APP0 segment (SOI intact, no SOF) — a corrupt
+    crawl asset that must degrade to kind='unknown', not fail the
+    batch."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n = len(t or "")
+                b = synthesize_jpeg_bytes(
+                    32 + int(i) % 1000,
+                    32 + n % 1000,
+                    progressive=int(i) % 3 == 0,
+                    with_exif=n % 2 == 0,
+                )
+                payloads.append(b[:24] if int(i) % 23 == 0 else b)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
+
+
+def decode_jpeg_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas JPEG marker walk → input columns (minus payload) +
+    (kind, width, height, n_components, progressive, has_exif). Corrupt
+    or non-JPEG payloads degrade to kind='unknown' with null fields —
+    the same quarantine-don't-crash policy as :func:`decode_media`."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for p in pdf[payload_col]:
+                try:
+                    w, h, ncomp, prog, exif = decode_jpeg_header(bytes(p))
+                    rows.append(("jpeg", w, h, ncomp, prog, exif))
+                except (ValueError, struct.error):
+                    rows.append(("unknown", None, None, None, None, None))
+            out = pdf.drop(columns=[payload_col])
+            out["kind"] = [r[0] for r in rows]
+            for j, name in enumerate(
+                ["width", "height", "n_components"], start=1
+            ):
+                out[name] = pd.Series(
+                    [r[j] for r in rows], index=out.index, dtype="Int32"
+                )
+            for j, name in enumerate(["progressive", "has_exif"], start=4):
+                out[name] = pd.Series(
+                    [r[j] for r in rows], index=out.index, dtype="boolean"
+                )
+            yield out
+
+    in_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        kernel,
+        schema=f"{in_cols}, kind string, width int, height int, "
+        "n_components int, progressive boolean, has_exif boolean",
     )
 
 
@@ -417,10 +586,34 @@ def resize_stats(
     and column starting at (0, 0) — the deterministic nearest-neighbor
     policy an oracle can recompute in closed form on planted fixtures.
     Arrow batches in/out via ``mapInPandas``; per-batch Python cost only,
-    same scale shape as :func:`decode_and_featurize`. Headers-only
-    payloads (no IDAT) yield null stats rather than failing the batch.
+    same scale shape as :func:`decode_and_featurize`. Malformed-input
+    policy (uniform — a curation pipeline quarantines, it doesn't
+    crash): headers-only payloads (no IDAT), non-PNG bytes, truncated or
+    undecodable IDAT streams, and non-zero filter bytes ALL yield null
+    stats for that row; the rest of the batch proceeds.
     """
     import numpy as np
+
+    def one(b: bytes):
+        width, height = decode_png_header(b)
+        pos, idat = 8, []
+        while pos + 8 <= len(b):
+            length, tag = struct.unpack(">I4s", b[pos : pos + 8])
+            if tag == b"IDAT":
+                idat.append(b[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        if not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = 1 + 3 * width
+        if len(raw) != height * stride:
+            raise ValueError("PNG IDAT: unexpected scanline length")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        if rows[:, 0].any():
+            raise ValueError("PNG IDAT: unsupported filter type")
+        px = rows[:, 1:].reshape(height, width, 3)
+        ds = px[0::factor, 0::factor, :]
+        return ds.shape[1], ds.shape[0], int(ds.size), int(ds.sum(dtype=np.int64))
 
     def kernel(batches):
         import pandas as pd
@@ -432,29 +625,12 @@ def resize_stats(
             }
             keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
             for payload in pdf[payload_col]:
-                b = bytes(payload)
-                width, height = decode_png_header(b)
-                pos, idat = 8, []
-                while pos + 8 <= len(b):
-                    length, tag = struct.unpack(">I4s", b[pos : pos + 8])
-                    if tag == b"IDAT":
-                        idat.append(b[pos + 8 : pos + 8 + length])
-                    pos += 12 + length
-                if not idat:
-                    for k in out:
-                        out[k].append(None)
-                    continue
-                raw = zlib.decompress(b"".join(idat))
-                stride = 1 + 3 * width
-                rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
-                if rows[:, 0].any():
-                    raise ValueError("PNG IDAT: unsupported filter type")
-                px = rows[:, 1:].reshape(height, width, 3)
-                ds = px[0::factor, 0::factor, :]
-                out["out_width"].append(ds.shape[1])
-                out["out_height"].append(ds.shape[0])
-                out["ds_px_count"].append(int(ds.size))
-                out["ds_px_sum"].append(int(ds.sum(dtype=np.int64)))
+                try:
+                    r = one(bytes(payload))
+                except (ValueError, zlib.error, struct.error):
+                    r = None
+                for k, v in zip(out, r or (None, None, None, None)):
+                    out[k].append(v)
             yield pd.DataFrame({**keep, **out})
 
     in_cols = ", ".join(

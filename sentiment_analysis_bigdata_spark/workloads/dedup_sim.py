@@ -813,6 +813,50 @@ FROM ds
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """JPEG marker-walk lane — the dominant web-corpus image format:
+    structurally valid JPEGs (correct segment length fields; SOF0 or
+    SOF2, optional EXIF APP1, dims/flags planted from doc_id and text
+    length) are walked marker-by-marker to recover dims, component
+    count, the progressive flag (baseline-only decoders must transcode
+    those), and EXIF presence (privacy scrubbing). Rows with doc_id ≡ 0
+    mod 23 are truncated after APP0 (no SOF) and must degrade to
+    kind='unknown' with null fields instead of failing the batch
+    (operators/multimodal.py decode_jpeg_header)."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_jpeg_payloads(
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
+    return MM.decode_jpeg_meta(docs).select(
+        "doc_id", "kind", "width", "height", "n_components",
+        "progressive", "has_exif",
+    )
+
+
+SQL_MULTIMODAL_JPEG = """
+WITH planted AS (
+  SELECT doc_id,
+         32 + doc_id % 1000 AS w,
+         32 + length(text) % 1000 AS h,
+         doc_id % 3 = 0 AS prog,
+         length(text) % 2 = 0 AS exif,
+         doc_id % 23 = 0 AS corrupt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN corrupt THEN 'unknown' ELSE 'jpeg' END AS kind,
+       CASE WHEN corrupt THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+       CASE WHEN corrupt THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+       CASE WHEN corrupt THEN NULL ELSE CAST(3 AS INTEGER) END AS n_components,
+       CASE WHEN corrupt THEN NULL ELSE prog END AS progressive,
+       CASE WHEN corrupt THEN NULL ELSE exif END AS has_exif
+FROM planted
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     """Audio twin of multimodal_decode at content level: real RIFF/WAVE
     bytes (mono 16-bit PCM @ 8 kHz, sample count and constant sample
@@ -1996,6 +2040,7 @@ QUERIES = {
     "ann_gemm": (q_ann_gemm, SQL_ANN_BRUTEFORCE),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "multimodal_jpeg": (q_multimodal_jpeg, SQL_MULTIMODAL_JPEG),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),

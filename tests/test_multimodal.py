@@ -184,3 +184,82 @@ class TestResizeStats:
         df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
         r = MM.resize_stats(df).first()
         assert r["ds_px_count"] is None and r["ds_px_sum"] is None
+
+
+class TestJpeg:
+    def test_marker_walk_roundtrip(self):
+        for w, h, prog, exif in [
+            (640, 480, False, False),
+            (1, 1, True, False),
+            (65500, 2, False, True),
+            (320, 240, True, True),
+        ]:
+            b = MM.synthesize_jpeg_bytes(w, h, progressive=prog, with_exif=exif)
+            assert MM.decode_jpeg_header(b) == (w, h, 3, prog, exif)
+
+    def test_malformed_raises(self):
+        good = MM.synthesize_jpeg_bytes(64, 64)
+        with pytest.raises(ValueError):
+            MM.decode_jpeg_header(b"\x00\x00\x00\x00")  # no SOI
+        with pytest.raises(ValueError):
+            MM.decode_jpeg_header(good[:24])  # truncated: no SOF
+        with pytest.raises(ValueError):
+            # corrupt a segment length field so the walk runs off the end
+            bad = bytearray(good)
+            bad[4:6] = b"\xff\xff"
+            MM.decode_jpeg_header(bytes(bad))
+
+    def test_decode_media_dispatch(self):
+        b = MM.synthesize_jpeg_bytes(200, 100, progressive=True)
+        d = MM.decode_media(b)
+        assert d[0] == "jpeg_progressive" and (d[1], d[2]) == (200, 100)
+        d = MM.decode_media(MM.synthesize_jpeg_bytes(20, 10))
+        assert d[0] == "jpeg" and (d[1], d[2]) == (20, 10)
+        assert MM.decode_media(MM.synthesize_jpeg_bytes(9, 9)[:10])[0] == "unknown"
+
+    def test_jpeg_meta_kernel_with_corrupt_rows(self, spark):
+        rows = [
+            (1, bytearray(MM.synthesize_jpeg_bytes(64, 32, with_exif=True))),
+            (2, bytearray(MM.synthesize_jpeg_bytes(16, 16, progressive=True))),
+            (3, bytearray(b"\xff\xd8garbage")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in MM.decode_jpeg_meta(df).collect()}
+        assert out[1]["kind"] == "jpeg" and out[1]["has_exif"] is True
+        assert (out[1]["width"], out[1]["height"], out[1]["n_components"]) == (64, 32, 3)
+        assert out[2]["progressive"] is True and out[2]["has_exif"] is False
+        assert out[3]["kind"] == "unknown" and out[3]["width"] is None
+
+
+class TestResizeMalformedPolicy:
+    def test_corrupt_rows_yield_null_not_crash(self, spark):
+        # one good row, one non-PNG, one with a nonzero filter byte, one
+        # with a truncated IDAT: all three bad rows -> nulls, batch survives
+        good = MM.synthesize_png_bytes(4, 4, pixel_byte=10)
+        bad_filter = bytearray(MM.synthesize_png_bytes(2, 1, pixel_byte=5))
+        # locate the IDAT body and set the filter byte to 1 (re-deflate)
+        import struct as st
+        import zlib as zl
+
+        raw = bytearray(b"\x00" + bytes([0] * 3) + bytes([5] * 3))
+        raw[0] = 1
+        idat = zl.compress(bytes(raw))
+        bad_filter = (
+            MM.PNG_SIGNATURE
+            + MM._png_chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + MM._png_chunk(b"IDAT", idat)
+            + MM._png_chunk(b"IEND", b"")
+        )
+        trunc = MM.synthesize_png_bytes(4, 4, pixel_byte=1)
+        trunc = trunc[: len(trunc) - 20]  # cut into the IDAT/IEND tail
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(b"not a png at all")),
+            (3, bytearray(bad_filter)),
+            (4, bytearray(trunc)),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r["id"]: r for r in MM.resize_stats(df).collect()}
+        assert out[1]["ds_px_count"] == 12
+        for i in (2, 3, 4):
+            assert out[i]["ds_px_count"] is None and out[i]["ds_px_sum"] is None
