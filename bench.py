@@ -103,6 +103,9 @@ FAMILY_EXTRA = [
     "semdedup_512",
     # r5: JPEG marker-walk lane (dominant web-corpus image format)
     "multimodal_jpeg",
+    # r5: 1,000-merge BPE via the hybrid word-count path; the row itself
+    # records the measured Spark-jobs-per-merge figure (VERDICT r4 #5)
+    "bpe_merges_1k",
 ]
 
 

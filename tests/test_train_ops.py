@@ -129,6 +129,76 @@ class TestTrainBpe:
         assert n_multi == 0
         assert elapsed < 120, elapsed
 
+    def test_driver_exact_matches_reference(self, spark):
+        """train_bpe_from_word_counts (the hybrid driver-loop path) must
+        reproduce the independent single-node Sennrich implementation
+        merge-for-merge, including recorded counts."""
+        wf = tokenizer_train.word_frequencies(self._corpus(spark))
+        got = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=6)
+        expected, _ = _py_bpe(self.WORD_FREQS, 6)
+        assert got == expected
+
+    def test_driver_exact_matches_distributed_on_real_corpus(self, spark):
+        """Hybrid path ≡ distributed batched path on real corpus text
+        (ties and symbol-sharing chains present)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        wf = tokenizer_train.word_frequencies(docs)
+        drv = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=24)
+        dist, _ = tokenizer_train.train_bpe(docs, n_merges=24, batch_merges=8)
+        assert drv == dist
+
+    def test_driver_exact_matches_distributed_trigram_120(self, spark):
+        """Equality at REALISTIC merge depth on the tie-heavy trigram
+        corpus (the bpe_merges_1k corpus shape, where symbol-sharing
+        serializes the distributed batch — the case that motivated the
+        hybrid path)."""
+        from sentiment_analysis_bigdata_spark.workloads.train_q import (
+            _trigram_corpus,
+        )
+
+        tri = _trigram_corpus(spark, "/root/testdata/sf0.001")
+        wf = tokenizer_train.word_frequencies(tri)
+        drv = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=120)
+        dist, _ = tokenizer_train.train_bpe(tri, n_merges=120, batch_merges=16)
+        assert drv == dist
+
+    def test_driver_exact_max_rows_guard(self, spark):
+        wf = tokenizer_train.word_frequencies(self._corpus(spark))
+        with pytest.raises(ValueError, match="max_rows"):
+            tokenizer_train.train_bpe_from_word_counts(
+                wf, n_merges=2, max_rows=2
+            )
+
+    def test_driver_exact_min_freq_floor(self, spark):
+        # rare word "qz" (freq 1) is dropped by min_freq=2, so the (q,z)
+        # pair never becomes a candidate
+        df = spark.createDataFrame([Row(text="ab ab ab qz")])
+        wf = tokenizer_train.word_frequencies(df)
+        merges = tokenizer_train.train_bpe_from_word_counts(
+            wf, n_merges=10, min_freq=2
+        )
+        assert [(m[1], m[2]) for m in merges] == [("a", "b")]
+
+    def test_bpe_merges_1k_bounded_jobs_and_wall(self, spark):
+        """VERDICT r4 #5 done-criterion: 1,000 merges complete in bounded
+        wall time with a CONSTANT number of Spark jobs (the
+        jobs-per-merge figure), not O(n_merges) driver rounds. Generous
+        wall bound absorbs CI machine-load swings."""
+        import time
+
+        from sentiment_analysis_bigdata_spark.workloads.train_q import (
+            q_bpe_merges_1k,
+        )
+
+        t0 = time.monotonic()
+        row = q_bpe_merges_1k(spark, "/root/testdata/sf0.001").first()
+        elapsed = time.monotonic() - t0
+        assert row["n_merges"] == 1000
+        assert row["spark_jobs"] <= 10
+        assert row["jobs_per_merge"] <= 0.01
+        assert row["first_merge"] == "er"
+        assert elapsed < 120, elapsed
+
     def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
         # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]
         df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
