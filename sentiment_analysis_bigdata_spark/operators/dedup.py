@@ -1074,6 +1074,97 @@ def dedup_cascade(
     return c.select(F.explode(stages).alias("s")).select("s.*")
 
 
+def duplicated_span_stats_ladder(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ks: tuple[int, ...] = (5, 10, 20),
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Variable-length duplicated-substring accounting via a k-LADDER —
+    the step from ``duplicated_span_stats``'s single fixed k toward the
+    true Lee et al. 2022 (arXiv:2107.06499) variable-length semantics:
+    run the fixed-k gram marking at each rung of ``ks`` (e.g. 25/50/100
+    tokens), then LONGEST-MATCH MERGE: union the marked intervals of all
+    rungs per document, so a long planted copy that fires at every rung
+    counts each covered token ONCE, never once per rung, while short
+    repeats only the small rungs can see still contribute theirs.
+
+    Scale shape: one positional-gram explode + one hash aggregation per
+    rung (each the same shuffle the fixed-k operator does — rung count is
+    a small constant), then ONE per-doc interval-union sweep over the
+    mixed-length intervals: sorted by start, a running-max-end window
+    (``rows unbounded preceding .. 1 preceding``) gives
+    ``contrib = max(0, end - max(running_end, start - 1))`` — no
+    per-position explode, identical in Spark and DuckDB. Returns
+    ``(doc_id, n_tokens, dup_tokens, dup_fraction)`` like the fixed-k
+    form.
+    """
+    ks = tuple(sorted(set(ks)))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), TXT.tokenize_nonempty(text_col).alias("l")
+    )
+    sized = toks.select("doc_id", F.size("l").alias("n_tokens"), "l")
+
+    def rung(k: int) -> DataFrame:
+        grams = sized.where(F.col("n_tokens") >= k).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("l", i, k)).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.pos", "g.gram")
+        dup_grams = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .where(F.col("occ") >= min_occurrences)
+            .select("gram")
+        )
+        return grams.join(dup_grams, "gram", "left_semi").select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + (k - 1)).alias("end"),
+        )
+    intervals = rung(ks[0])
+    for k in ks[1:]:
+        intervals = intervals.unionByName(rung(k))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = intervals.withColumn("run_end", F.max("end").over(w)).select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("end")
+            - F.greatest(
+                F.coalesce(F.col("run_end"), F.lit(0)), F.col("start") - 1
+            ),
+        ).alias("contrib"),
+    )
+    per_doc = covered.groupBy("doc_id").agg(F.sum("contrib").alias("dup_tokens"))
+    return (
+        sized.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1944,6 +1944,64 @@ FROM sized s LEFT JOIN pd USING (doc_id)
 """
 
 
+_SPAN_LADDER = (5, 10, 20)
+
+
+def q_dup_ngram_spans_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """Variable-length duplicated-substring accounting
+    (operators/dedup.duplicated_span_stats_ladder): gram marking at each
+    rung of the k-ladder {5, 10, 20}, then a longest-match merge (union
+    of the mixed-length intervals per doc) so a long repeated passage
+    that fires at every rung counts each token once — the step toward
+    Lee et al. 2022's variable-length suffix-array semantics. Rung sizes
+    are fixture-scaled (docs are 10-99 tokens); the planted-100-token
+    case runs at {25, 50, 100} in pytest."""
+    return DD.duplicated_span_stats_ladder(
+        _docs(spark, sf), ks=_SPAN_LADDER
+    )
+
+
+def _sql_span_rung(k: int) -> str:
+    """One ladder rung: duplicated k-gram start positions as [start, end]
+    token intervals (mirrors the fixed-k CTEs with the rung's k)."""
+    return f"""
+  SELECT g.doc_id, g.pos AS s, g.pos + {k - 1} AS e
+  FROM (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + {k - 1}), ' ') AS gram
+    FROM sized, unnest(range(1, n_tokens - {k - 2})) AS t(i)
+    WHERE n_tokens >= {k}
+  ) g
+  JOIN (
+    SELECT gram FROM (
+      SELECT doc_id, array_to_string(list_slice(l, CAST(i AS INT), CAST(i AS INT) + {k - 1}), ' ') AS gram
+      FROM sized, unnest(range(1, n_tokens - {k - 2})) AS t(i)
+      WHERE n_tokens >= {k}
+    ) GROUP BY gram HAVING count(*) >= 2
+  ) d USING (gram)"""
+
+
+SQL_DUP_NGRAM_SPANS_LADDER = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+sized AS (SELECT doc_id, CAST(len(l) AS INT) AS n_tokens, l FROM toks),
+iv AS ({" UNION ALL ".join(_sql_span_rung(k) for k in _SPAN_LADDER)}
+),
+cov AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(
+           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           s - 1)) AS contrib
+  FROM iv
+),
+pd AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens FROM cov GROUP BY 1)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(pd.dup_tokens, 0) / greatest(s.n_tokens, 1), 6) AS dup_fraction
+FROM sized s LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     """Three-stage dedup pipeline report (exact → MinHash-LSH →
     semantic), keep-first removal policy (operators/dedup.dedup_cascade).
@@ -2013,6 +2071,10 @@ SELECT 'semantic', CAST(3 AS INT), n1 - rm2, rm3, n1 - rm2 - rm3 FROM c
 QUERIES = {
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
+    "dup_ngram_spans_ladder": (
+        q_dup_ngram_spans_ladder,
+        SQL_DUP_NGRAM_SPANS_LADDER,
+    ),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),

@@ -436,6 +436,93 @@ class TestDuplicatedSpanStats:
         assert all(r["dup_tokens"] == 0 for r in out)
 
 
+class TestDuplicatedSpanLadder:
+    def test_planted_100_token_copy_counted_once(self, spark):
+        """VERDICT r4 #7 done-criterion: a 100-token planted copy fires
+        at every rung of the {25, 50, 100} ladder, and the longest-match
+        merge counts each covered token ONCE — not once per rung."""
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats_ladder,
+        )
+
+        passage = " ".join(f"w{i}" for i in range(100))
+        unique = " ".join(f"u{i}" for i in range(100))
+        docs = spark.createDataFrame(
+            [(0, passage), (1, passage), (2, unique)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicated_span_stats_ladder(
+                docs, ks=(25, 50, 100)
+            ).collect()
+        }
+        assert out[0]["dup_tokens"] == 100  # once, not 300
+        assert out[0]["dup_fraction"] == 1.0
+        assert out[1]["dup_tokens"] == 100
+        assert out[2]["dup_tokens"] == 0
+
+    def test_short_repeat_only_small_rungs_fire(self, spark):
+        """A 30-token shared passage inside otherwise-unique docs is seen
+        only by the k=25 rung; merged coverage is exactly the 30 shared
+        tokens."""
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats_ladder,
+        )
+
+        shared = " ".join(f"s{i}" for i in range(30))
+        a = shared + " " + " ".join(f"a{i}" for i in range(70))
+        b = " ".join(f"b{i}" for i in range(70)) + " " + shared
+        docs = spark.createDataFrame(
+            [(0, a), (1, b)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicated_span_stats_ladder(
+                docs, ks=(25, 50, 100)
+            ).collect()
+        }
+        assert out[0]["dup_tokens"] == 30
+        assert out[1]["dup_tokens"] == 30
+
+    def test_mixed_length_union_against_naive_sum(self, spark):
+        """Ladder union equals the fixed-k union at each rung separately
+        when rungs don't overlap, and is strictly below the naive per-rung
+        sum when they do (hand-computed mixed intervals)."""
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            duplicated_span_stats,
+            duplicated_span_stats_ladder,
+        )
+
+        # docs share a 10-token passage: k=5 marks it (6 start positions,
+        # union 10), k=10 marks it (1 position, union 10); merged must
+        # still be 10, while per-rung sums would give 20.
+        shared = " ".join(f"s{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [
+                (0, shared + " x y z"),
+                (1, "p q r " + shared),
+            ],
+            "doc_id long, text string",
+        )
+        merged = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_span_stats_ladder(docs, ks=(5, 10)).collect()
+        }
+        k5 = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_span_stats(docs, k=5).collect()
+        }
+        k10 = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_span_stats(docs, k=10).collect()
+        }
+        for d in (0, 1):
+            assert merged[d] == 10
+            assert k5[d] == 10 and k10[d] == 10
+            assert merged[d] < k5[d] + k10[d]
+
+
 class TestMinhashRecall:
     def test_found_is_subset_of_truth(self, spark, sf_dir):
         from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
