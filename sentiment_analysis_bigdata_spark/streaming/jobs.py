@@ -409,31 +409,76 @@ def run_stream_topk_to_parquet(
     order_cols: list[str],
     k: int,
     timeout_s: float = 120.0,
+    tiebreak_col: str | None = None,
 ) -> None:
     """Bounded-state top-k streaming sink: each micro-batch merges into a
     k-row parquet-backed leaderboard — union the previous top-k with the
-    batch, keep the k largest by descending ``order_cols`` (make the last
-    one unique, e.g. an event id, so the cut is a total order).
+    batch, keep the k largest by descending ``order_cols`` then
+    descending ``tiebreak_col``.
 
-    Top-k under a total order is a monoid: ``topk(topk(A) ∪ B) =
-    topk(A ∪ B)``, so per-batch folding is exact, state is k rows
-    REGARDLESS of stream length (the bounded-state complement to the
-    keyed upsert sink, whose state grows with #keys), and each merge
-    sorts only ``k + |batch|`` rows. Versioned-commit/replay semantics
-    are shared with the upsert sink (:func:`_commit_version`).
+    Top-k is a monoid — ``topk(topk(A) ∪ B) = topk(A ∪ B)`` — ONLY under
+    a TOTAL order: with ties at the k boundary, which rows survive an
+    early batch's cut depends on batch arrival, and a later batch cannot
+    recover a row the cut dropped. So the unique tie-break column is an
+    explicit, separate parameter: every micro-batch asserts its
+    uniqueness over the merged frame (k + |batch| rows — a trivial agg)
+    and the fold raises on the first violation instead of silently
+    committing a nondeterministic leaderboard. Passing
+    ``tiebreak_col=None`` skips the guarantee and warns.
+
+    State is k rows REGARDLESS of stream length (the bounded-state
+    complement to the keyed upsert sink, whose state grows with #keys),
+    and each merge sorts only ``k + |batch|`` rows. Versioned-commit/
+    replay semantics are shared with the upsert sink
+    (:func:`_commit_version`).
     """
+    if tiebreak_col is None:
+        import warnings
+
+        warnings.warn(
+            "run_stream_topk_to_parquet without tiebreak_col: ties at the "
+            "k boundary make the per-batch cut order-dependent; name a "
+            "unique column to keep the fold exact",
+            stacklevel=2,
+        )
+    cut_cols = order_cols + ([tiebreak_col] if tiebreak_col else [])
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        merged = batch_df
         current = _read_marker(out_dir)
+        if tiebreak_col is not None:
+            # in-batch duplicates can't come from replay (replay repeats
+            # the WHOLE batch) — they mean the caller's tie-break column
+            # genuinely isn't unique, so fail loudly before committing a
+            # nondeterministic cut
+            n, nd = batch_df.agg(
+                F.count(F.lit(1)), F.count_distinct(F.col(tiebreak_col))
+            ).first()
+            if n != nd:
+                raise ValueError(
+                    f"tiebreak_col {tiebreak_col!r} is not unique in batch "
+                    f"{batch_id} ({n} rows, {nd} distinct non-null) — the "
+                    f"top-{k} cut would be nondeterministic"
+                )
+        merged = batch_df
         if current is not None:
             merged = spark.read.parquet(f"{out_dir}/{current}").unionByName(
                 batch_df
             )
-        top = merged.orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        ).limit(k)
+            if tiebreak_col is not None:
+                # replay idempotence: a replayed batch re-unions rows the
+                # committed leaderboard already folded in; keep one copy
+                # per tie-break key (the upsert sink gets this from its
+                # keyed row_number — the top-k sink needs it explicitly)
+                w = Window.partitionBy(tiebreak_col).orderBy(
+                    *[F.col(c).desc() for c in cut_cols]
+                )
+                merged = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+        top = merged.orderBy(*[F.col(c).desc() for c in cut_cols]).limit(k)
         _commit_version(top, out_dir, batch_id, current)
 
     q = (

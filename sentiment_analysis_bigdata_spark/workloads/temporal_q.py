@@ -826,7 +826,8 @@ def q_streaming_topk(spark: SparkSession, sf: str) -> DataFrame:
             stream.select("event_id", "user_id", "ts", "event_type", "value"),
             out,
             ckpt,
-            order_cols=["value", "event_id"],
+            order_cols=["value"],
+            tiebreak_col="event_id",
             k=20,
             timeout_s=120,
         )

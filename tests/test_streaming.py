@@ -285,7 +285,7 @@ def test_topk_sink_multi_batch_exact_fold(spark, tmp_path):
     )
     out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
     SJ.run_stream_topk_to_parquet(
-        stream, out, ckpt, order_cols=["value", "event_id"], k=3
+        stream, out, ckpt, order_cols=["value"], tiebreak_col="event_id", k=3
     )
     got = [
         (r["event_id"], r["value"])
@@ -295,3 +295,105 @@ def test_topk_sink_multi_batch_exact_fold(spark, tmp_path):
     ]
     # global top-3 of both batches: 9.0, 7.0 (batch 2 displaces), 5.0
     assert got == [(101, 9.0), (103, 7.0), (100, 5.0)]
+
+
+def test_topk_sink_nonunique_tiebreak_raises(spark, tmp_path):
+    """A tie-break column that isn't unique within a micro-batch makes
+    the k-cut nondeterministic — the fold must raise, not commit."""
+    import datetime as dt
+
+    import pytest
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # event_id 7 appears twice in the SAME batch
+    rows = [(1, 7, t0, "click", 5.0, "{}"), (2, 7, t0, "view", 9.0, "{}")]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).toPandas().to_parquet(
+        str(d / "f1.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .parquet(str(d))
+        .select("event_id", "value")
+    )
+    with pytest.raises(Exception, match="not unique"):
+        SJ.run_stream_topk_to_parquet(
+            stream, str(tmp_path / "t"), str(tmp_path / "c"),
+            order_cols=["value"], tiebreak_col="event_id", k=3,
+        )
+
+
+def test_topk_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch after a repoint-then-crash (fresh
+    checkpoint over the same source and committed table) must not let
+    the same event occupy two leaderboard slots."""
+    import datetime as dt
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, 100, t0, "click", 5.0, "{}"), (2, 101, t0, "view", 9.0, "{}"),
+            (3, 102, t0, "click", 1.0, "{}")]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).toPandas().to_parquet(
+        str(d / "f1.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    from pyspark.sql import types as T
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(T._parse_datatype_string(schema))
+            .parquet(str(d))
+            .select("event_id", "value")
+        )
+        SJ.run_stream_topk_to_parquet(
+            stream, out, ckpt, order_cols=["value"],
+            tiebreak_col="event_id", k=2,
+        )
+
+    out = str(tmp_path / "table")
+    run(str(tmp_path / "ckpt1"))
+    run(str(tmp_path / "ckpt2"))  # replay: same batch folds again
+    got = [
+        (r["event_id"], r["value"])
+        for r in SJ.read_upsert_table(spark, out)
+        .orderBy(F.col("value").desc())
+        .collect()
+    ]
+    # still the true top-2, each event once
+    assert got == [(101, 9.0), (100, 5.0)]
+
+
+def test_topk_sink_warns_without_tiebreak(spark, tmp_path):
+    import datetime as dt
+    import warnings
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(1, 100, t0, "click", 5.0, "{}")]
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).toPandas().to_parquet(
+        str(d / "f1.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .parquet(str(d))
+        .select("event_id", "value")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SJ.run_stream_topk_to_parquet(
+            stream, str(tmp_path / "t"), str(tmp_path / "c"),
+            order_cols=["value", "event_id"], k=3,
+        )
+    assert any("tiebreak" in str(x.message) for x in w)
