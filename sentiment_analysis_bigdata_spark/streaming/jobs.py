@@ -352,6 +352,25 @@ def run_stream_upsert_to_parquet(
     proportional to table size — so this sink suits dimension-scale state,
     while fact-scale streams should use the append sink above.
     """
+    upsert = upsert_fold(out_dir, key_cols, order_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
+def upsert_fold(
+    out_dir: str, key_cols: list[str], order_cols: list[str]
+):
+    """The production keyed-upsert foreachBatch fold as a standalone
+    callable — used by :func:`run_stream_upsert_to_parquet` and by the
+    latency probe (tools/streaming_audit.py), which needs the EXACT
+    production merge under its own trigger/source wiring."""
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         merged = batch_df
@@ -369,13 +388,7 @@ def run_stream_upsert_to_parquet(
         )
         _commit_version(latest, out_dir, batch_id, current)
 
-    q = (
-        stream_df.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, timeout_s)
+    return upsert
 
 
 def _commit_version(df: DataFrame, out_dir: str, batch_id: int, current: str | None) -> None:
@@ -432,11 +445,31 @@ def run_stream_topk_to_parquet(
     replay semantics are shared with the upsert sink
     (:func:`_commit_version`).
     """
+    fold = topk_fold(out_dir, order_cols, k, tiebreak_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
+def topk_fold(
+    out_dir: str,
+    order_cols: list[str],
+    k: int,
+    tiebreak_col: str | None = None,
+):
+    """The production top-k foreachBatch fold as a standalone callable —
+    used by :func:`run_stream_topk_to_parquet` and by the latency probe
+    (tools/streaming_audit.py)."""
     if tiebreak_col is None:
         import warnings
 
         warnings.warn(
-            "run_stream_topk_to_parquet without tiebreak_col: ties at the "
+            "streaming top-k without tiebreak_col: ties at the "
             "k boundary make the per-batch cut order-dependent; name a "
             "unique column to keep the fold exact",
             stacklevel=2,
@@ -447,19 +480,28 @@ def run_stream_topk_to_parquet(
         spark = batch_df.sparkSession
         current = _read_marker(out_dir)
         if tiebreak_col is not None:
+            # the fold runs two actions over the batch (uniqueness agg +
+            # merge); persist so the micro-batch source is scanned once
+            # (the probe's numInputRows showed 2× without it)
+            batch_df = batch_df.persist()
             # in-batch duplicates can't come from replay (replay repeats
             # the WHOLE batch) — they mean the caller's tie-break column
             # genuinely isn't unique, so fail loudly before committing a
             # nondeterministic cut
-            n, nd = batch_df.agg(
-                F.count(F.lit(1)), F.count_distinct(F.col(tiebreak_col))
-            ).first()
-            if n != nd:
-                raise ValueError(
-                    f"tiebreak_col {tiebreak_col!r} is not unique in batch "
-                    f"{batch_id} ({n} rows, {nd} distinct non-null) — the "
-                    f"top-{k} cut would be nondeterministic"
-                )
+            try:
+                n, nd = batch_df.agg(
+                    F.count(F.lit(1)), F.count_distinct(F.col(tiebreak_col))
+                ).first()
+                if n != nd:
+                    raise ValueError(
+                        f"tiebreak_col {tiebreak_col!r} is not unique in "
+                        f"batch {batch_id} ({n} rows, {nd} distinct "
+                        f"non-null) — the top-{k} cut would be "
+                        "nondeterministic"
+                    )
+            except Exception:
+                batch_df.unpersist()
+                raise
         merged = batch_df
         if current is not None:
             merged = spark.read.parquet(f"{out_dir}/{current}").unionByName(
@@ -479,15 +521,79 @@ def run_stream_topk_to_parquet(
                     .drop("__rn")
                 )
         top = merged.orderBy(*[F.col(c).desc() for c in cut_cols]).limit(k)
-        _commit_version(top, out_dir, batch_id, current)
+        try:
+            _commit_version(top, out_dir, batch_id, current)
+        finally:
+            if tiebreak_col is not None:
+                batch_df.unpersist()
 
-    q = (
-        stream_df.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return fold
+
+
+def read_file_tail_stream(
+    spark: SparkSession,
+    tail_dir: str,
+    schema,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Tail a directory that upstream producers are STILL writing to —
+    the production file-landing pattern (log shipper / CDC export drops
+    a file per interval; Spark's file source polls the directory each
+    trigger and picks up arrivals exactly once via the checkpoint's
+    seen-files log). ``files_per_trigger`` is the ingest governor
+    (``maxFilesPerTrigger``): it caps how much backlog a single
+    micro-batch swallows, which bounds per-batch memory and keeps commit
+    latency flat during catch-up instead of one giant recovery batch.
+
+    The directory may start empty (triggers idle until the first file
+    lands). Pass an explicit ``schema`` — a tailed directory can't be
+    schema-inferred before the first file exists.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(tail_dir)
     )
-    _await_or_raise(q, timeout_s)
+
+
+def feed_files_at_rate(
+    src_files: list[str],
+    tail_dir: str,
+    interval_s: float,
+    drops: list | None = None,
+):
+    """Rate-limited feeder simulating the producer side of a file tail:
+    a daemon thread links (or copies) one source file into ``tail_dir``
+    every ``interval_s`` seconds. Appends ``(dest_path, wall_time)`` to
+    ``drops`` at the moment each file becomes visible, so a probe can
+    measure arrival→queryable latency. Returns the started thread; join
+    it to wait for the feed to finish."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    def run() -> None:
+        os.makedirs(tail_dir, exist_ok=True)
+        for i, src in enumerate(src_files):
+            if i:
+                time.sleep(interval_s)
+            base = f"{i:05d}_{os.path.basename(src)}"
+            dest = os.path.join(tail_dir, base)
+            # dot-prefixed staging name: Spark's file listing ignores
+            # hidden files, so a slow copy can never be seen half-written
+            tmp = os.path.join(tail_dir, "." + base)
+            try:
+                os.link(src, tmp)
+            except OSError:
+                shutil.copyfile(src, tmp)
+            os.rename(tmp, dest)  # atomic: the tail never sees partials
+            if drops is not None:
+                drops.append((dest, time.time()))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
 
 
 def _read_marker(out_dir: str) -> str | None:
