@@ -1074,6 +1074,91 @@ def dedup_cascade(
     return c.select(F.explode(stages).alias("s")).select("s.*")
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN corpus sources — the
+    cross-source generalization of :func:`decontaminate`'s corpus-vs-
+    benchmark check, answering the curation question "which of my crawl
+    sources are republishing each other?" before mixture weights are
+    assigned (overlapping sources otherwise get double weight).
+
+    Per source: the DISTINCT set of token ``k``-grams; per source pair
+    (a < b): intersection, union and Jaccard of those sets. Scale shape:
+    one corpus-sized explode + distinct; each gram then emits only its
+    source-combination pairs via a ``collect_set`` bounded by the source
+    count (pair fan-out ≤ C(n_sources, 2) per gram, NEVER a row-level
+    self-join), and per-source set sizes come from the same distinct
+    frame — so the whole matrix costs two aggregations over the gram
+    frame. Sources are a curated handful (dozens) by construction; the
+    output is n_sources²-sized.
+    """
+    grams = (
+        df.select(
+            F.col(group_col).alias("src"),
+            TXT.tokenize_nonempty(text_col).alias("l"),
+        )
+        .where(F.size("l") >= k)
+        .select(
+            "src",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("l", i, k)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("srcs"),
+                            lambda a: F.transform(
+                                F.col("srcs"),
+                                lambda b: F.struct(
+                                    a.alias("src_a"), b.alias("src_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["src_a"] < p["src_b"],
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def duplicated_span_stats_ladder(
     df: DataFrame,
     text_col: str = "text",

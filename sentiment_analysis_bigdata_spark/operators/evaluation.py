@@ -537,6 +537,83 @@ def model_agreement(
     )
 
 
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item",
+    category_col: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    FIXED number of raters per item, the multi-annotator generalization
+    of Cohen's kappa (``model_agreement``) used to gate human-labeled
+    training data (accept a batch only if annotators agree beyond
+    chance).
+
+    Input: one row per (item, rater assignment) — ``n`` rows per item
+    for n raters. With n_ij = raters assigning category j to item i:
+
+        P_i  = (Σ_j n_ij² − n) / (n(n−1))          per-item agreement
+        P̄   = mean_i P_i                           observed
+        P_e  = Σ_j p_j²,  p_j = Σ_i n_ij / (N·n)   chance
+        κ    = (P̄ − P_e) / (1 − P_e)
+
+    Every numerator/denominator is an INTEGER sum (Σ n_ij², category
+    totals C_j, N, n), combined into doubles only in the final one-row
+    projection — so the statistic is exact, order-independent, and
+    engine-reproducible. Two aggregation passes over item-sized frames
+    (n_ij histogram, then global sums); the raters-per-item count is
+    validated (Fleiss requires it constant) and surfaced rather than
+    assumed. Returns one row
+    ``(n_items, n_raters, p_bar, p_e, kappa)`` rounded to 9 dp.
+    """
+    nij = (
+        ratings.groupBy(
+            F.col(item_col).alias("item"), F.col(category_col).alias("cat")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    per_item = nij.groupBy("item").agg(
+        F.sum("n_ij").alias("n_raters"),
+        F.sum(F.col("n_ij") * F.col("n_ij")).alias("sum_sq"),
+    )
+    g = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("n_raters").alias("r_min"),
+        F.max("n_raters").alias("r_max"),
+        F.sum("sum_sq").alias("ssq"),
+    )
+    cat_sq = nij.groupBy("cat").agg(F.sum("n_ij").alias("c"))
+    cat_g = cat_sq.agg(F.sum(F.col("c") * F.col("c")).alias("csq"))
+    out = g.crossJoin(F.broadcast(cat_g))
+    n = F.col("r_min").cast("double")
+    N = F.col("n_items").cast("double")
+    p_bar = (F.col("ssq") - N * n) / (N * n * (n - 1))
+    p_e = F.col("csq") / (N * n * N * n)
+    # the validation rides INSIDE the kappa column (a dropped helper
+    # column would be pruned by Catalyst and the check never evaluated)
+    kappa = F.when(
+        F.col("r_min") == F.col("r_max"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 9),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("fleiss_kappa: raters per item must be constant (min "),
+                F.col("r_min").cast("string"),
+                F.lit(", max "),
+                F.col("r_max").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("double")
+    )
+    return out.select(
+        "n_items",
+        F.col("r_min").alias("n_raters"),
+        F.round(p_bar, 9).alias("p_bar"),
+        F.round(p_e, 9).alias("p_e"),
+        kappa.alias("kappa"),
+    )
+
+
 def ranking_metrics(
     ranked: DataFrame,
     total_relevant: DataFrame,

@@ -725,9 +725,183 @@ FROM agg
 """
 
 
+def q_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-annotator agreement (operators/evaluation.fleiss_kappa) over
+    three deterministic synthetic annotators of the documents table —
+    each a different labeling heuristic onto {0,1,2} (length band,
+    word-count band, md5 band), so they agree far above chance on the
+    length-correlated bands while the hash annotator injects
+    disagreement: a non-trivial kappa both engines can derive exactly."""
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents")
+    a1 = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+    )
+    n_words = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    a2 = F.when(n_words < 35, 0).when(n_words < 62, 1).otherwise(2)
+    a3 = H.md5_hash64(F.col("text")) % 3
+    ratings = (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.array(
+                a1.cast("int"), a2.cast("int"), a3.cast("int")
+            ).alias("cats"),
+        )
+        .select("item", F.explode("cats").alias("category"))
+    )
+    return EV.fleiss_kappa(ratings)
+
+
+SQL_FLEISS_KAPPA = """
+WITH ratings AS (
+  SELECT doc_id AS item, unnest([
+    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1 ELSE 2 END,
+    CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t <> '') ) + CASE WHEN trim(text) = '' THEN 1 ELSE 0 END < 35 THEN 0
+         WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t <> '') ) + CASE WHEN trim(text) = '' THEN 1 ELSE 0 END < 62 THEN 1 ELSE 2 END,
+    CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 3 AS INTEGER)
+  ]) AS category
+  FROM documents
+),
+nij AS (
+  SELECT item, category AS cat, count(*) AS n_ij
+  FROM ratings GROUP BY 1, 2
+),
+per_item AS (
+  SELECT item, sum(n_ij) AS n_raters, sum(n_ij * n_ij) AS sum_sq
+  FROM nij GROUP BY 1
+),
+g AS (
+  SELECT count(*) AS n_items, min(n_raters) AS r, sum(sum_sq) AS ssq
+  FROM per_item
+),
+cg AS (
+  SELECT sum(c * c) AS csq
+  FROM (SELECT sum(n_ij) AS c FROM nij GROUP BY cat)
+)
+SELECT n_items, CAST(r AS BIGINT) AS n_raters,
+       round((ssq - n_items * CAST(r AS DOUBLE))
+             / (n_items * CAST(r AS DOUBLE) * (r - 1)), 9) AS p_bar,
+       round(csq / (CAST(n_items AS DOUBLE) * r * n_items * r), 9) AS p_e,
+       round(((ssq - n_items * CAST(r AS DOUBLE))
+              / (n_items * CAST(r AS DOUBLE) * (r - 1))
+              - csq / (CAST(n_items AS DOUBLE) * r * n_items * r))
+             / (1.0 - csq / (CAST(n_items AS DOUBLE) * r * n_items * r)),
+             9) AS kappa
+FROM g, cg
+"""
+
+
+_BT_ITERATIONS = 3
+
+
+def q_bradley_terry(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry preference aggregation
+    (operators/preference.bt_scores) — the reward-model data-prep step:
+    derive pairwise preferences from the events table (per user, for
+    each pair of event types BOTH present: the type with MORE events
+    wins; equal counts → lexicographically smaller type — integer
+    counts, so the winner is engine-exact) and fit strengths with 3
+    MM iterations, every update 12-dp rounded and every denominator
+    folded in opponent order, so DuckDB replays the whole fit
+    bit-for-bit as unrolled CTEs."""
+    from sentiment_analysis_bigdata_spark.operators import preference as P
+
+    ev = load_table(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = counts.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("n").alias("na")
+    )
+    b = counts.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("n").alias("nb")
+    )
+    comparisons = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .select(
+            F.when(F.col("nb") > F.col("na"), F.col("tb"))
+            .otherwise(F.col("ta"))
+            .alias("winner"),
+            F.when(F.col("nb") > F.col("na"), F.col("ta"))
+            .otherwise(F.col("tb"))
+            .alias("loser"),
+        )
+    )
+    return P.bt_scores(
+        P.bt_win_counts(comparisons), iterations=_BT_ITERATIONS
+    ).orderBy("item")
+
+
+def _sql_bt_iteration(prev: str, idx: int) -> str:
+    """One unrolled MM update: s_i' = round(wins_i / fold_j(n_ij /
+    (s_i + s_j)), 12), the fold in opponent order via list_reduce —
+    the same left-to-right IEEE sum Spark's aggregate(array_sort(...))
+    performs."""
+    return f"""s{idx} AS (
+  SELECT t.i,
+         greatest(round(t.wins / (
+           SELECT list_reduce(
+                    list(round(p.n_ij / (si.s + sj.s), 12) ORDER BY p.j),
+                    (a, b) -> a + b)
+           FROM pairs p
+           JOIN {prev} si ON si.i = p.i
+           JOIN {prev} sj ON sj.i = p.j
+           WHERE p.i = t.i
+         ), 12), 0.000001) AS s
+  FROM totals t
+)"""
+
+
+_BT_ITER_CTES = ",\n".join(
+    _sql_bt_iteration(f"s{n}", n + 1) for n in range(_BT_ITERATIONS)
+)
+
+SQL_BRADLEY_TERRY = f"""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+comparisons AS (
+  SELECT CASE WHEN b.n > a.n THEN b.event_type ELSE a.event_type END AS winner,
+         CASE WHEN b.n > a.n THEN a.event_type ELSE b.event_type END AS loser
+  FROM counts a JOIN counts b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+),
+wins AS (SELECT winner AS w, loser AS l, count(*) AS n FROM comparisons GROUP BY 1, 2),
+pairs AS (
+  SELECT i, j, sum(n) AS n_ij FROM (
+    SELECT w AS i, l AS j, n FROM wins
+    UNION ALL
+    SELECT l AS i, w AS j, n FROM wins
+  ) GROUP BY 1, 2
+),
+totals AS (
+  SELECT p.i, coalesce(wt.wins, 0) AS wins, p.comparisons
+  FROM (SELECT i, sum(n_ij) AS comparisons FROM pairs GROUP BY 1) p
+  LEFT JOIN (SELECT w AS i, sum(n) AS wins FROM wins GROUP BY 1) wt USING (i)
+),
+s0 AS (SELECT i, 1.0 AS s FROM totals),
+{_BT_ITER_CTES}
+SELECT t.i AS item,
+       round(f.s / (SELECT max(s) FROM s{_BT_ITERATIONS}), 9) AS score,
+       CAST(t.wins AS BIGINT) AS wins,
+       CAST(t.comparisons AS BIGINT) AS comparisons
+FROM totals t JOIN s{_BT_ITERATIONS} f USING (i)
+ORDER BY item
+"""
+
+
 QUERIES = {
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
     "bootstrap_accuracy": (q_bootstrap_accuracy, SQL_BOOTSTRAP_ACCURACY),
     "accuracy_by_slice": (q_accuracy_by_slice, SQL_ACCURACY_BY_SLICE),
     "model_agreement": (q_model_agreement, SQL_MODEL_AGREEMENT),

@@ -1022,6 +1022,46 @@ FROM pts
 """
 
 
+_OVERLAP_K = 5
+
+
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cross-source content overlap
+    (operators/dedup.source_overlap_matrix): Jaccard of distinct token
+    5-gram sets between every source pair — the pre-mixture curation
+    check for sources republishing each other (overlapping sources
+    otherwise get double mixture weight). Per-gram source-set expansion,
+    never a row-level self-join."""
+    return DD.source_overlap_matrix(
+        load_table(spark, sf, "documents"), k=_OVERLAP_K
+    ).orderBy("src_a", "src_b")
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH grams AS (
+  SELECT DISTINCT source AS src,
+         array_to_string(list_slice(l, i, i + {_OVERLAP_K - 1}), ' ') AS gram
+  FROM (SELECT source, {SQL_TOKS} AS l FROM documents),
+       unnest(range(1, len(l) - {_OVERLAP_K - 2})) AS t(i)
+  WHERE len(l) >= {_OVERLAP_K}
+),
+sizes AS (SELECT src, count(*) AS n_grams FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       sa.n_grams + sb.n_grams - n_common AS n_union,
+       round(n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE),
+             6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
@@ -1043,6 +1083,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "corpus_filter_report": (q_corpus_filter_report, _sql_corpus_filter_report()),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

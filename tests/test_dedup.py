@@ -551,3 +551,43 @@ class TestMinhashRecall:
             docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
             r = q_minhash_recall(spark, d).first()
         assert r["n_true_pairs"] == 6 and r["recall"] == 1.0
+
+
+class TestSourceOverlapMatrix:
+    def test_hand_computed_jaccard(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            source_overlap_matrix,
+        )
+
+        # srcA doc: tokens t0..t9  -> 5-grams at pos 1..6 (6 grams)
+        # srcB doc: tokens t0..t6  -> grams pos 1..3 (3 grams, all in A)
+        # srcC doc: u0..u9         -> 6 grams, disjoint
+        a = " ".join(f"t{i}" for i in range(10))
+        b = " ".join(f"t{i}" for i in range(7))
+        c = " ".join(f"u{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(0, a, "A"), (1, b, "B"), (2, c, "C")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap_matrix(docs, k=5).collect()
+        }
+        ab = out[("A", "B")]
+        assert ab["n_common"] == 3 and ab["n_union"] == 6
+        assert ab["jaccard"] == 0.5
+        # disjoint pairs emit no row (intersection is the driver)
+        assert ("A", "C") not in out and ("B", "C") not in out
+
+    def test_identical_sources_full_overlap(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            source_overlap_matrix,
+        )
+
+        t = " ".join(f"w{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [(0, t, "X"), (1, t, "Y")], "doc_id long, text string, source string"
+        )
+        r = source_overlap_matrix(docs, k=5).first()
+        assert (r["src_a"], r["src_b"]) == ("X", "Y")
+        assert r["jaccard"] == 1.0

@@ -307,3 +307,116 @@ class TestRankCorrelation:
     def test_constant_column_null(self, spark):
         r = self._rc(spark, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])
         assert r.spearman_rho is None
+
+
+class TestFleissKappa:
+    def _kappa(self, spark, assignments):
+        """assignments: list of per-item category lists (equal length)."""
+        from sentiment_analysis_bigdata_spark.operators.evaluation import (
+            fleiss_kappa,
+        )
+
+        rows = [
+            (i, c) for i, cats in enumerate(assignments) for c in cats
+        ]
+        df = spark.createDataFrame(rows, "item long, category int")
+        return fleiss_kappa(df).first()
+
+    def test_textbook_example(self, spark):
+        """Fleiss 1971's worked example (as reproduced on the Wikipedia
+        'Fleiss' kappa' page): 10 items x 14 raters over 5 categories;
+        kappa = 0.210."""
+        n_ij = [
+            [0, 0, 0, 0, 14],
+            [0, 2, 6, 4, 2],
+            [0, 0, 3, 5, 6],
+            [0, 3, 9, 2, 0],
+            [2, 2, 8, 1, 1],
+            [7, 7, 0, 0, 0],
+            [3, 2, 6, 3, 0],
+            [2, 5, 3, 2, 2],
+            [6, 5, 2, 1, 0],
+            [0, 2, 2, 3, 7],
+        ]
+        assignments = [
+            [c for c, n in enumerate(row) for _ in range(n)] for row in n_ij
+        ]
+        r = self._kappa(spark, assignments)
+        assert r["n_items"] == 10 and r["n_raters"] == 14
+        assert abs(r["kappa"] - 0.2099) < 5e-4
+        assert abs(r["p_bar"] - 0.378) < 1e-3
+        assert abs(r["p_e"] - 0.213) < 1e-3
+
+    def test_perfect_agreement(self, spark):
+        r = self._kappa(spark, [[0, 0, 0], [1, 1, 1], [2, 2, 2], [0, 0, 0]])
+        assert r["kappa"] == 1.0
+
+    def test_unequal_raters_raises(self, spark):
+        import pytest
+
+        with pytest.raises(Exception, match="must be constant"):
+            self._kappa(spark, [[0, 0, 0], [1, 1]])
+
+
+class TestBradleyTerry:
+    def _fit(self, spark, comparisons, iterations=3):
+        from sentiment_analysis_bigdata_spark.operators.preference import (
+            bt_scores,
+            bt_win_counts,
+        )
+
+        df = spark.createDataFrame(comparisons, "winner string, loser string")
+        return {
+            r["item"]: r
+            for r in bt_scores(
+                bt_win_counts(df), iterations=iterations
+            ).collect()
+        }
+
+    @staticmethod
+    def _py_bt(wins, iterations):
+        """Independent MM reference with the engine's rounding contract:
+        terms 12dp, opponent-ordered fold, update 12dp + 1e-6 floor,
+        final normalized by max to 9dp."""
+        items = sorted({i for p in wins for i in p})
+        n = {}
+        for (w, l), c in wins.items():
+            n[(w, l)] = n.get((w, l), 0) + c
+            n[(l, w)] = n.get((l, w), 0) + c
+        w_tot = {i: sum(c for (a, _), c in wins.items() if a == i) for i in items}
+        s = {i: 1.0 for i in items}
+        for _ in range(iterations):
+            s2 = {}
+            for i in items:
+                acc = 0.0
+                for j in items:
+                    if (i, j) in n:
+                        acc += round(n[(i, j)] / (s[i] + s[j]), 12)
+                s2[i] = max(round(w_tot[i] / acc, 12), 1e-6)
+            s = s2
+        m = max(s.values())
+        return {i: round(s[i] / m, 9) for i in items}
+
+    def test_matches_independent_reference(self, spark):
+        comparisons = (
+            [("a", "b")] * 6 + [("b", "a")] * 2
+            + [("a", "c")] * 5 + [("c", "a")] * 1
+            + [("b", "c")] * 4 + [("c", "b")] * 3
+        )
+        got = self._fit(spark, comparisons)
+        wins = {}
+        for w, l in comparisons:
+            wins[(w, l)] = wins.get((w, l), 0) + 1
+        want = self._py_bt(wins, 3)
+        for i in want:
+            assert got[i]["score"] == want[i], (i, got[i]["score"], want[i])
+        # dominance order: a beats everyone most -> top score
+        assert got["a"]["score"] == 1.0
+        assert got["a"]["score"] > got["b"]["score"] > got["c"]["score"]
+        assert got["a"]["wins"] == 11 and got["a"]["comparisons"] == 14
+
+    def test_zero_win_item_floors_not_crashes(self, spark):
+        got = self._fit(spark, [("a", "b")] * 3 + [("a", "c")] * 2 + [("b", "c")])
+        assert got["c"]["wins"] == 0
+        assert got["c"]["score"] > 0  # floored, never divides by zero
+        assert got["a"]["score"] == 1.0
