@@ -310,20 +310,14 @@ def train_bpe_from_word_counts(
             counts[p] = counts.get(p, 0) + f
             where.setdefault(p, set()).add(idx)
 
-    # max-heap with lazy invalidation: every count update pushes a fresh
-    # entry; stale entries are skipped on pop by re-checking counts[p]
+    # max-heap with lazy invalidation: each merge pushes ONE fresh entry
+    # per pair whose global count changed (deltas batched across all
+    # affected words first); stale entries are skipped on pop by
+    # re-checking counts[p]
     heap: list[tuple[int, str, str]] = [
         (-n, p[0], p[1]) for p, n in counts.items()
     ]
     heapq.heapify(heap)
-
-    def bump(p: tuple[str, str], delta: int) -> None:
-        n = counts.get(p, 0) + delta
-        if n <= 0:
-            counts.pop(p, None)
-        else:
-            counts[p] = n
-            heapq.heappush(heap, (-n, p[0], p[1]))
 
     from collections import Counter
 
@@ -335,6 +329,7 @@ def train_bpe_from_word_counts(
         best, n = (lhs, rhs), -neg_n
         merged = lhs + rhs
         merges.append((len(merges) + 1, lhs, rhs, merged, n))
+        delta: dict[tuple[str, str], int] = {}
         for idx in list(where.get(best, ())):
             syms = words[idx]
             f = freqs[idx]
@@ -355,12 +350,12 @@ def train_bpe_from_word_counts(
             words[idx] = out
             after = Counter(word_pairs(out))
             # touch only pairs whose count in THIS word changed — most of
-            # the word is unchanged, so heap churn stays proportional to
-            # the merge neighborhood, not the word length
+            # the word is unchanged, so churn stays proportional to the
+            # merge neighborhood, not the word length
             for p in before.keys() | after.keys():
-                delta = after[p] - before[p]
-                if delta:
-                    bump(p, delta * f)
+                d = after[p] - before[p]
+                if d:
+                    delta[p] = delta.get(p, 0) + d * f
                 if after[p] == 0:
                     s = where.get(p)
                     if s is not None:
@@ -369,6 +364,13 @@ def train_bpe_from_word_counts(
                             del where[p]
                 elif before[p] == 0:
                     where.setdefault(p, set()).add(idx)
+        for p, d in delta.items():
+            c = counts.get(p, 0) + d
+            if c <= 0:
+                counts.pop(p, None)
+            else:
+                counts[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
         counts.pop(best, None)
         where.pop(best, None)
     return merges
