@@ -106,6 +106,11 @@ FAMILY_EXTRA = [
     # r5: 1,000-merge BPE via the hybrid word-count path; the row itself
     # records the measured Spark-jobs-per-merge figure (VERDICT r4 #5)
     "bpe_merges_1k",
+    # r5: k-ladder span dedup, cross-source overlap matrix, and
+    # Bradley-Terry preference fitting (new families this round)
+    "dup_ngram_spans_ladder",
+    "source_overlap",
+    "bradley_terry",
 ]
 
 
