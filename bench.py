@@ -111,6 +111,8 @@ FAMILY_EXTRA = [
     "dup_ngram_spans_ladder",
     "source_overlap",
     "bradley_terry",
+    # r5: full train->encode loop at 1k vocab (Arrow kernel encoder)
+    "bpe_encode_1k",
 ]
 
 

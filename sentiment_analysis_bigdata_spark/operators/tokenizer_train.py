@@ -392,6 +392,83 @@ def bpe_segment(tokens: Column, merges: list[tuple[str, str]]) -> Column:
     return F.transform(tokens, encode)
 
 
+def bpe_encode_kernel(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    tokens_col: str = "toks",
+    out_col: str = "subwords",
+) -> DataFrame:
+    """Corpus encoding with a LARGE trained merge list as an Arrow
+    ``mapInPandas`` kernel — the production-scale counterpart of
+    :func:`bpe_segment`, whose expression form chains one literal
+    ``replace`` per merge: fine at oracle-sized vocabularies, but a
+    1,000-merge tokenizer would codegen a 1,000-deep replace chain
+    (plan build and compile blow up long before data does). The kernel
+    carries the merge RANKS as a plain dict and encodes each token with
+    the standard min-rank loop (repeatedly merge the lowest-rank adjacent
+    pair, all its occurrences left-to-right — exactly the order applying
+    merges rank-by-rank produces, which is :func:`bpe_segment`'s replace
+    semantics; pytest asserts token-for-token equality against the
+    expression path).
+
+    Per-batch memoization on DISTINCT tokens (Zipf: a handful of types
+    dominate) keeps the Python cost per batch at
+    O(distinct tokens × token length), and the merge table broadcast is
+    pickled once per executor — the same shape as the minhash/simhash
+    kernels (operators/dedup.py). Input: ``tokens_col`` =
+    ``array<string>`` per row; output adds ``out_col`` =
+    ``array<array<string>>`` (per-token subword lists).
+    """
+    rank = {pair: r for r, pair in enumerate(merges)}
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        while len(syms) > 1:
+            best_r, best_p = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_p = r, (syms[i], syms[i + 1])
+            if best_p is None:
+                break
+            lhs, rhs = best_p
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = syms
+        return syms
+
+    def kernel(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            pdf[out_col] = pdf[tokens_col].map(
+                lambda toks: [encode_word(t, cache) for t in toks]
+            )
+            yield pdf
+
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        kernel, schema=f"{in_schema}, {out_col} array<array<string>>"
+    )
+
+
 def wordpiece_scores(segmented: DataFrame, freq_col: str = "freq") -> DataFrame:
     """WordPiece merge scoring over the current segmentation (Schuster &
     Nakajima 2012; the likelihood-gain rule HuggingFace's WordPiece trainer

@@ -302,6 +302,89 @@ FROM enc GROUP BY 1
 SQL_BPE_ENCODE_CORPUS = _sql_bpe_encode_corpus()
 
 
+def q_bpe_encode_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """The Arrow-kernel corpus encoder
+    (operators/tokenizer_train.bpe_encode_kernel — the scale path for
+    large merge lists, where the expression form's per-merge replace
+    chain stops being viable) run with the SAME 3 trained merges and
+    per-doc aggregates as ``bpe_encode_corpus``, so the kernel's min-rank
+    loop is VALUE-CHECKED against the oracle's independent unrolled-CTE
+    replay — any divergence between the kernel and Sennrich replace
+    semantics is a hash mismatch here."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+    from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
+
+    docs = load_table(spark, sf, "documents")
+    merges, _ = tokenizer_train.train_bpe(docs, n_merges=3)
+    pairs = [(lhs, rhs) for _r, lhs, rhs, _m, _n in merges]
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", TXT.tokenize_nonempty("text").alias("toks")),
+        spark.sparkContext.defaultParallelism,
+        "doc_id",
+    )
+    enc = tokenizer_train.bpe_encode_kernel(toks, pairs)
+    return enc.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform(F.col("subwords"), lambda s: F.size(s)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("n_subwords"),
+    ).where(F.col("n_tokens") > 0)
+
+
+BPE_ENC_1K_MERGES = 1000
+
+
+def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end LARGE-vocabulary tokenization: train 1,000 merges on
+    the trigram corpus via the hybrid word-count path
+    (``bpe_merges_1k``'s recipe), then encode the WHOLE corpus with the
+    Arrow kernel — the full production loop (train → encode) at a
+    realistic vocab size, which the expression encoder cannot express
+    (a 1,000-replace chain). Returns corpus totals: tokens, subwords,
+    compression ratio, distinct subword types. Deterministic (the
+    kernel's min-rank loop is data-only); rows-only — the 1,000-merge
+    recursion is not SQL-replayable, and the kernel's exactness is
+    oracle-proven at n=3 (``bpe_encode_arrow``) plus pytest-proven
+    against the expression path at the saturation vocabulary."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
+
+    tri = _trigram_corpus(spark, sf)
+    wf = tokenizer_train.word_frequencies(tri)
+    merges = tokenizer_train.train_bpe_from_word_counts(
+        wf, n_merges=BPE_ENC_1K_MERGES
+    )
+    pairs = [(lhs, rhs) for _r, lhs, rhs, _m, _n in merges]
+    toks = ensure_min_parallelism(
+        tri.select(F.array(F.col("text")).alias("toks")),
+        spark.sparkContext.defaultParallelism,
+        "text",
+    )
+    enc = tokenizer_train.bpe_encode_kernel(toks, pairs)
+    per_row = enc.select(
+        F.explode(F.element_at("subwords", 1)).alias("sub")
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_subwords"),
+        F.count_distinct("sub").alias("n_subword_types"),
+    ).crossJoin(
+        F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_tokens")))
+    ).select(
+        "n_tokens",
+        "n_subwords",
+        "n_subword_types",
+        F.round(F.col("n_subwords") / F.col("n_tokens"), 4).alias(
+            "subwords_per_token"
+        ),
+    )
+
+
 def q_wordpiece_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 WordPiece-scored merge candidates (round 0): pairs ranked by
     the likelihood-gain ratio count(ab)/(count(a)·count(b)) rather than
@@ -605,6 +688,8 @@ QUERIES = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "bpe_encode_corpus": (q_bpe_encode_corpus, SQL_BPE_ENCODE_CORPUS),
+    "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_CORPUS),
+    "bpe_encode_1k": (q_bpe_encode_1k, None),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "groupwise_regression": (q_groupwise_regression, SQL_GROUPWISE_REGRESSION),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

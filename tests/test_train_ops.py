@@ -455,3 +455,68 @@ class TestQuantileBins:
         by_bin = sorted(out, key=lambda r: r["bin"])
         for lo, hi in zip(by_bin, by_bin[1:]):
             assert lo["max_price"] <= hi["min_price"]
+
+
+class TestBpeEncodeKernel:
+    def test_matches_expression_path_small(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+        corpus = spark.createDataFrame(
+            [Row(text="low low low low low lower lower newest newest newest "
+                      "newest newest newest widest widest widest")]
+        )
+        merges, _ = tokenizer_train.train_bpe(corpus, n_merges=6)
+        pairs = [(m[1], m[2]) for m in merges]
+        df = spark.createDataFrame(
+            [(0, ["lowest", "low", "newest", "wide", "x"])],
+            "doc_id long, toks array<string>",
+        )
+        expr = df.select(
+            tokenizer_train.bpe_segment(F.col("toks"), pairs).alias("s")
+        ).first()["s"]
+        kern = tokenizer_train.bpe_encode_kernel(df, pairs).first()["subwords"]
+        assert [list(t) for t in kern] == [list(t) for t in expr]
+
+    def test_matches_expression_path_saturation_vocab(self, spark):
+        """Kernel ≡ expression encoder under the FULL saturation merge
+        list of the fixture corpus (~89 merges, deep merge chains), over
+        every distinct corpus word."""
+        from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges, _ = tokenizer_train.train_bpe(
+            docs, n_merges=256, batch_merges=16
+        )
+        pairs = [(m[1], m[2]) for m in merges]
+        words = (
+            docs.select(F.explode(TXT.tokenize_nonempty("text")).alias("w"))
+            .distinct()
+            .select(F.col("w").alias("doc_id"), F.array("w").alias("toks"))
+        )
+        expr = {
+            r["doc_id"]: [list(t) for t in r["s"]]
+            for r in words.select(
+                "doc_id",
+                tokenizer_train.bpe_segment(F.col("toks"), pairs).alias("s"),
+            ).collect()
+        }
+        kern = {
+            r["doc_id"]: [list(t) for t in r["subwords"]]
+            for r in tokenizer_train.bpe_encode_kernel(words, pairs).collect()
+        }
+        assert kern == expr
+
+    def test_memoization_cache_consistency(self, spark):
+        # repeated tokens in one batch hit the cache; results identical
+        pairs = [("a", "b"), ("ab", "c")]
+        df = spark.createDataFrame(
+            [(0, ["abc", "abc", "ab", "abcabc"])],
+            "doc_id long, toks array<string>",
+        )
+        out = tokenizer_train.bpe_encode_kernel(df, pairs).first()["subwords"]
+        # rank 1 (a,b) applies at BOTH sites of "abcabc" before rank 2
+        assert [list(t) for t in out] == [
+            ["abc"], ["abc"], ["ab"], ["abc", "abc"]
+        ]
