@@ -106,19 +106,24 @@ def _assign_broadcast(df: DataFrame, vec_col: str, cents: DataFrame) -> DataFram
         .groupBy()
         .agg(F.array_sort(F.collect_list("s")).alias("_cents"))
     )
+    # hoist the float→double cast out of the per-centroid lambda:
+    # interpreted eval has no CSE, so an inline cast re-runs once per
+    # centroid per row (k× the work; hoisting is value-identical — the
+    # cast is exact)
     sq = (
-        f"aggregate(zip_with(CAST({vec_col} AS array<double>), s.c, "
+        "aggregate(zip_with(_vd, s.c, "
         "(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)"
     )
     return (
-        df.crossJoin(F.broadcast(one))
+        df.selectExpr("*", f"CAST({vec_col} AS array<double>) AS _vd")
+        .crossJoin(F.broadcast(one))
         .selectExpr(
             "*",
             f"array_min(transform(_cents, s -> struct({sq} AS d, s.cid AS cid)))"
             " AS _best",
         )
         .selectExpr("*", "_best.cid AS cluster_id", "_best.d AS dist2")
-        .drop("_best", "_cents")
+        .drop("_best", "_cents", "_vd")
     )
 
 

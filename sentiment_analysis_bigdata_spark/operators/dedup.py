@@ -1140,11 +1140,14 @@ def source_overlap_matrix(
         .groupBy("p.src_a", "p.src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint: sizes is n_sources-sized in practice but derives
+    # from a keyed agg over the corpus scan — per the SCALING broadcast
+    # policy such frames are left to AQE (broadcast while they fit)
     sa = sizes.select(F.col("src").alias("src_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("src").alias("src_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
         .select(
             "src_a",
             "src_b",

@@ -286,6 +286,31 @@ AUDIT = {
         "data recipe: one corpus pass for token counts; weights/epochs "
         "from source-cardinality + 1-row frames",
     ),
+    # round-5 additions
+    "dup_ngram_spans_ladder": (
+        ["Window", "HashAggregate", "!CartesianProduct"],
+        "k-ladder span dedup: one gram-keyed agg per rung (constant), "
+        "then ONE running-max-end sweep window per doc unions the "
+        "mixed-length intervals — no per-position explode, no pair join",
+    ),
+    "source_overlap": (
+        ["HashAggregate", "!CartesianProduct"],
+        "cross-source overlap: per-gram source-set expansion bounded by "
+        "C(n_sources,2); per-source size joins are n_sources-sized on "
+        "one side (AQE broadcasts at runtime) — the corpus never "
+        "self-joins at row level",
+    ),
+    "bradley_terry": (
+        ["HashAggregate", "!CartesianProduct"],
+        "preference fit: ONE corpus aggregation to integer win counts; "
+        "MM iterations join item-sized frames only (k rows, "
+        "localCheckpoint per round)",
+    ),
+    "fleiss_kappa": (
+        ["HashAggregate", "!Window"],
+        "agreement: two integer-sum aggregations over item-sized frames; "
+        "category totals ride a broadcast 1-row crossJoin",
+    ),
 }
 
 
