@@ -296,3 +296,68 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983 degeneracy cores): drop every
+    node with degree < ``k``, recompute degrees on the induced subgraph,
+    repeat ``rounds`` times — the dense-subgraph extractor used to find
+    tightly-connected item/user communities (and, in curation, the
+    mutually-near-duplicate cliques a pairwise threshold misses).
+
+    The FIXED round budget makes the recursion oracle-replayable
+    (unrolled CTEs) and bounds the iteration for adversarial graphs; a
+    fixpoint usually lands within a few rounds because each peel removes
+    entire low-degree fringes at once. The exact k-core is the fixpoint
+    — reached whenever a round removes nothing, which the output makes
+    visible (``converged`` is true when the last round's survivor set
+    equals the previous round's).
+
+    Scale shape: per round one degree aggregation over the edge frame
+    plus two semi joins to induce the subgraph — the same join+agg round
+    shape as label propagation; ``localCheckpoint`` per round keeps
+    lineage flat. Returns ``(node, degree, converged)``, the induced
+    degree after the final round.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = und
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionAll(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    removed_last = None
+    for _ in range(rounds):
+        deg = degrees(e)
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        before = e
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        removed_last = before.count() - e.count()
+    # output = the induced subgraph's degree table after the final peel
+    # (nodes whose every edge vanished with dropped neighbors disappear
+    # with it); no extra filter, so the oracle replays rounds verbatim
+    return degrees(e).select(
+        "node",
+        "degree",
+        F.lit(removed_last == 0).alias("converged"),
+    )

@@ -60,6 +60,67 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+) -> DataFrame:
+    """Contrastive hard-negative mining — the training-pair prep step of
+    embedding/reranker fine-tuning (triplet / InfoNCE losses): per anchor
+    query, the ``k`` MOST similar corpus vectors with a DIFFERENT label.
+    Random negatives are trivially separable; the hardest (most similar)
+    negatives carry the gradient signal, and mining them is exactly an
+    ANN query with a label-disagreement predicate.
+
+    Same scale contract as :func:`brute_force_topk`: the anchor set
+    broadcasts (plan-visible GlobalLimit upstream), the corpus is
+    scanned once, and the per-anchor cut is a k-row window — at corpus
+    scale the same predicate composes with the IVF path instead
+    (:func:`ivf_topk` then filter+re-rank, over-fetching by the expected
+    same-label fraction). Deterministic tie-break (cosine desc, id asc).
+    Returns ``(query_id, vec_id, label, cosine, rank)``.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("qv"),
+            F.col(query_label).alias("qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            V.cosine_similarity(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -373,6 +373,56 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.hard_negative_topk): per anchor, the top-5
+    most-similar vectors with a DIFFERENT label — the triplet/InfoNCE
+    training-pair prep an embedding fine-tune needs (random negatives
+    are trivially separable; hard ones carry the gradient). Same
+    broadcast-anchor scale contract as ann_bruteforce."""
+    emb = _emb(spark, sf)
+    anchors = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        .limit(N_QUERIES)
+    )
+    out = SIM.hard_negative_topk(emb, anchors, k=TOP_K)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, round(cos_raw, 6) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --- similarity search: LSH-bucketed approximate top-k ---------------------------------
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -2090,6 +2140,7 @@ QUERIES = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "retrieval_metrics": (q_retrieval_metrics, SQL_RETRIEVAL_METRICS),

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
 from sentiment_analysis_bigdata_spark.operators.graph import (
     clustering_coefficients,
+    kcore_peel,
     pagerank,
     triangle_count,
 )
@@ -366,8 +367,74 @@ WHERE pos <= 10
 SQL_TEXTRANK_KEYWORDS = _sql_textrank()
 
 
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def q_kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.kcore_peel) of the
+    co-purchase graph: 3 peel rounds at k=4 extract the densely
+    co-ordered part community (the dense-subgraph primitive; in curation
+    the same peel isolates mutual near-duplicate cliques). The fixed
+    round budget is what makes the recursion oracle-replayable — the
+    oracle unrolls the identical 3 rounds as CTEs."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+def _sql_kcore() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY 1
+),
+k{r} AS (SELECT node FROM d{r} WHERE degree >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{r} ka ON ka.node = e.a
+  JOIN k{r} kb ON kb.node = e.b
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+pairs AS (
+  SELECT x.item AS a, y.item AS b
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e0 AS (SELECT a, b FROM pairs),
+{",".join(rounds)},
+last_removed AS (
+  SELECT (SELECT count(*) FROM e{_KCORE_ROUNDS - 1})
+       - (SELECT count(*) FROM e{_KCORE_ROUNDS}) AS n
+)
+SELECT node, degree,
+       (SELECT n FROM last_removed) = 0 AS converged
+FROM (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e{_KCORE_ROUNDS}
+    UNION ALL SELECT b AS node FROM e{_KCORE_ROUNDS}
+  ) GROUP BY 1
+)
+ORDER BY node
+"""
+
+
+SQL_KCORE_PARTS = _sql_kcore()
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "kcore_parts": (q_kcore_parts, SQL_KCORE_PARTS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),

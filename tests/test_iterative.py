@@ -475,3 +475,35 @@ class TestTextrank:
         top = sorted(out, key=lambda r: r["pos"])
         assert top[0]["keyword"] == "hub"
         assert all(r["rank"] <= top[0]["rank"] for r in out)
+
+
+class TestKcorePeel:
+    def _peel(self, spark, edges, k, rounds):
+        from sentiment_analysis_bigdata_spark.operators.graph import kcore_peel
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {
+            r["node"]: (r["degree"], r["converged"])
+            for r in kcore_peel(df, k=k, rounds=rounds).collect()
+        }
+
+    def test_triangle_survives_pendant_peeled(self, spark):
+        # triangle 1-2-3 plus pendant 4 hanging off 1
+        edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+        out = self._peel(spark, edges, k=2, rounds=3)
+        assert set(out) == {1, 2, 3}
+        assert all(deg == 2 for deg, _ in out.values())
+        assert all(conv for _, conv in out.values())
+
+    def test_path_cascades_across_rounds(self, spark):
+        # path 1-2-3-4: k=2 peels endpoints, then the middle — the
+        # cascade needs 2 rounds; a 1-round budget stops mid-peel
+        edges = [(1, 2), (2, 3), (3, 4)]
+        assert self._peel(spark, edges, k=2, rounds=3) == {}
+        partial = self._peel(spark, edges, k=2, rounds=1)
+        assert set(partial) == {2, 3}  # endpoints gone, middle not yet
+        assert all(not conv for _, conv in partial.values())
+
+    def test_k_above_max_degree_empties(self, spark):
+        edges = [(1, 2), (2, 3), (1, 3)]
+        assert self._peel(spark, edges, k=3, rounds=2) == {}

@@ -438,3 +438,60 @@ class TestIvfPq:
         )
         for r in out.collect():
             assert assigned[r.vec_id] == probes[r.query_id]
+
+
+class TestHardNegativeTopk:
+    def test_same_label_neighbors_excluded(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.similarity import (
+            hard_negative_topk,
+        )
+
+        # anchor 0 (label 0); vec 1 is its NEAREST but shares the label →
+        # must be skipped; vec 2 (label 1, slightly farther) is rank 1
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0, 0.0], 0),
+            (2, [0.9, 0.3, 0.0, 0.0], 1),
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+            (4, [0.0, 0.0, 1.0, 0.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        anchors = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0], 0)],
+            "query_id long, query_vec array<double>, query_label int",
+        )
+        out = hard_negative_topk(emb, anchors, k=3).collect()
+        got = [(r["vec_id"], r["rank"]) for r in out]
+        assert got == [(2, 1), (3, 2), (4, 3)]
+        assert all(r["label"] != 0 for r in out)
+
+    def test_matches_bruteforce_when_all_labels_differ(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.similarity import (
+            brute_force_topk,
+            hard_negative_topk,
+        )
+
+        rows = [
+            (i, [float(i == j) + 0.1 * j for j in range(4)], 10 + i)
+            for i in range(6)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        anchors = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
+        )
+        plain = anchors.select("query_id", "query_vec")
+        a = [
+            (r["vec_id"], r["rank"])
+            for r in hard_negative_topk(emb, anchors, k=4).collect()
+        ]
+        b = [
+            (r["vec_id"], r["rank"])
+            for r in brute_force_topk(emb, plain, k=4).collect()
+        ]
+        assert a == b  # unique labels → the predicate is a no-op
