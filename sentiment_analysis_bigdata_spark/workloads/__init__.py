@@ -162,26 +162,27 @@ _DRIVER_PREFIX: list[str] = [
     "text_stats",
     "countvec_vocab",
     "streaming_dedup",
-    "streaming_sessions",
     "asof_purchase_signup",
     "funnel_conversion",
     "retention_cohorts",
-    "percent_rank_cume",
     "lateral_top_orders",
     "null_safe_join",
     "market_share",
     "ml_naive_bayes",
     "ml_linear_svc",
     "roc_points",
-    "classification_report",
     "hll_user_rollup",
-    "table_diff",
-    "hash_split",
-    "heavy_hitters",
-    "bpe_encode_corpus",
-    "quantile_bins",
-    "triangle_count",
-    "cluster_diversity",
+    # -- queries NEW this round (never had a driver row by construction) --
+    "dup_ngram_spans_ladder",
+    "source_overlap",
+    "bradley_terry",
+    "fleiss_kappa",
+    "bpe_encode_arrow",
+    "hard_negatives",
+    "kcore_parts",
+    "kmeans_broadcast",
+    "semdedup_512",
+    "multimodal_jpeg",
 ]
 
 
