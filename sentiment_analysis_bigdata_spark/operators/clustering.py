@@ -82,14 +82,18 @@ def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFram
     inline literals; the struct is selected once and fields projected in
     a second step (a top-level alias is not re-inlined, so the k folds
     run once per row)."""
+    # same cast hoist as _assign_broadcast: HOF lambdas evaluate
+    # interpreted (no CSE), so the per-centroid CAST would re-run k times
+    # per row; casting once in a preceding projection is value-identical
     cands = ", ".join(
-        f"struct({_sqdist_sql(vec_col, ctr)} AS d, {i} AS cid)"
+        f"struct({_sqdist_sql('_vd', ctr)} AS d, {i} AS cid)"
         for i, ctr in enumerate(centers)
     )
     return (
-        df.selectExpr("*", f"array_min(array({cands})) AS _best")
+        df.selectExpr("*", f"CAST({vec_col} AS array<double>) AS _vd")
+        .selectExpr("*", f"array_min(array({cands})) AS _best")
         .selectExpr("*", "_best.cid AS cluster_id", "_best.d AS dist2")
-        .drop("_best")
+        .drop("_best", "_vd")
     )
 
 
