@@ -221,6 +221,101 @@ def _sql_hash_split() -> str:
 SQL_HASH_SPLIT = _sql_hash_split()
 
 
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split leakage check — the decontamination step BETWEEN a
+    dataset's own splits: after the content-addressed hash split, any
+    normalized-content fingerprint appearing in two splits means an
+    eval example leaks into training (split membership keys on doc_id,
+    so textual duplicates land in different splits freely). Reports, per
+    split pair, the shared fingerprint count and per-split totals —
+    per-fingerprint split-set expansion bounded by C(3,2), the same
+    never-self-join shape as source_overlap."""
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+    from sentiment_analysis_bigdata_spark.operators import ordering
+
+    docs = load_table(spark, sf, "documents")
+    split = ordering.split_by_hash(
+        docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    fps = (
+        docs.select("doc_id", TXT.fingerprint("text").alias("fp"))
+        .join(split, "doc_id")
+        .select("split", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = fps.groupBy("split").agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("split")).alias("splits"))
+        .where(F.size("splits") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("splits"),
+                            lambda a: F.transform(
+                                F.col("splits"),
+                                lambda b: F.struct(
+                                    a.alias("split_a"), b.alias("split_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["split_a"] < p["split_b"],
+                )
+            ).alias("p")
+        )
+        .groupBy("p.split_a", "p.split_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    sa = sizes.select(F.col("split").alias("split_a"), F.col("n_fps").alias("n_fps_a"))
+    sb = sizes.select(F.col("split").alias("split_b"), F.col("n_fps").alias("n_fps_b"))
+    # every split pair reports, leaky or not — "0 leaked" is the result a
+    # release gate asserts on, so it must be a row, not an absence
+    pairs = sa.join(sb, sa.split_a < sb.split_b)
+    return (
+        pairs.join(shared, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+            "n_fps_a",
+            "n_fps_b",
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _sql_split_leakage() -> str:
+    from sentiment_analysis_bigdata_spark.operators.ordering import sql_split_expr
+    from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_FP
+
+    expr = sql_split_expr({"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", 42)
+    return f"""
+WITH fps AS (
+  SELECT DISTINCT {expr} AS split, {SQL_FP} AS fp FROM documents
+),
+sizes AS (SELECT split, count(*) AS n_fps FROM fps GROUP BY 1),
+shared AS (
+  SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.split < b.split
+  GROUP BY 1, 2
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       coalesce(sh.n_shared_fps, 0) AS n_shared_fps,
+       sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b
+FROM sizes sa
+JOIN sizes sb ON sa.split < sb.split
+LEFT JOIN shared sh ON sh.split_a = sa.split AND sh.split_b = sb.split
+ORDER BY split_a, split_b
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
 def q_balance_sources(spark: SparkSession, sf: str) -> DataFrame:
     """Domain balancing: deterministically downsample every source to the
     smallest source's size (expected-size, content-addressed membership) —
@@ -554,6 +649,7 @@ QUERIES = {
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "balance_sources": (q_balance_sources, SQL_BALANCE_SOURCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),

@@ -1022,6 +1022,116 @@ FROM pts
 """
 
 
+_CORRUPT_MOD = 20  # 1-in-20 positions start a mask span
+_CORRUPT_SPAN = 3  # tokens per span (pre-merge)
+_CORRUPT_SEED = 42
+
+
+def q_span_corruption_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): decide
+    deterministically which token spans of each document get masked for
+    a denoising objective — content-addressed (md5 of doc_id:position:
+    seed), so the plan is identical across engines, reruns, and
+    partitionings, and a training run can recompute rather than store
+    it. ~5% of positions start a 3-token span (≈15% corruption before
+    overlap merge); overlapping spans union via the same running-max-end
+    sweep as the dedup ladder. Returns per doc: token count, span
+    starts, masked-token union, mask fraction."""
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id", F.size(TXT.tokenize_nonempty("text")).alias("n_tokens")
+    )
+    starts = sized.where(F.col("n_tokens") >= 1).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    ).where(
+        H.md5_hash64(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("i").cast("string"),
+                F.lit(str(_CORRUPT_SEED)),
+            )
+        )
+        % _CORRUPT_MOD
+        == 0
+    ).select(
+        "doc_id",
+        F.col("i").alias("start"),
+        F.least(
+            F.col("i") + (_CORRUPT_SPAN - 1), F.col("n_tokens")
+        ).alias("end"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = starts.withColumn("run_end", F.max("end").over(w)).select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("end")
+            - F.greatest(
+                F.coalesce(F.col("run_end"), F.lit(0)), F.col("start") - 1
+            ),
+        ).alias("contrib"),
+    )
+    per_doc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("contrib").alias("n_masked"),
+    )
+    return (
+        sized.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            F.round(
+                F.coalesce("n_masked", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("mask_fraction"),
+        )
+    )
+
+
+SQL_SPAN_CORRUPTION_PLAN = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({SQL_TOKS}) AS INT) AS n_tokens FROM documents
+),
+starts AS (
+  SELECT doc_id, CAST(i AS INT) AS s,
+         least(CAST(i AS INT) + {_CORRUPT_SPAN - 1}, n_tokens) AS e
+  FROM sized, unnest(range(1, n_tokens + 1)) AS t(i)
+  WHERE n_tokens >= 1
+    AND CAST(('0x' || substr(md5(doc_id || ':' || i || ':{_CORRUPT_SEED}'), 1, 15)) AS BIGINT)
+        % {_CORRUPT_MOD} = 0
+),
+cov AS (
+  SELECT doc_id,
+         greatest(0, e - greatest(
+           coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           s - 1)) AS contrib
+  FROM starts
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_spans, CAST(sum(contrib) AS BIGINT) AS n_masked
+  FROM cov GROUP BY 1
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(pd.n_spans, 0) AS n_spans,
+       coalesce(pd.n_masked, 0) AS n_masked,
+       round(coalesce(pd.n_masked, 0) / greatest(s.n_tokens, 1), 6) AS mask_fraction
+FROM sized s LEFT JOIN pd USING (doc_id)
+"""
+
+
 _OVERLAP_K = 5
 
 
@@ -1084,6 +1194,7 @@ QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "corpus_filter_report": (q_corpus_filter_report, _sql_corpus_filter_report()),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "span_corruption_plan": (q_span_corruption_plan, SQL_SPAN_CORRUPTION_PLAN),
     "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
