@@ -373,56 +373,6 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
-    """Contrastive hard-negative mining
-    (operators/similarity.hard_negative_topk): per anchor, the top-5
-    most-similar vectors with a DIFFERENT label — the triplet/InfoNCE
-    training-pair prep an embedding fine-tune needs (random negatives
-    are trivially separable; hard ones carry the gradient). Same
-    broadcast-anchor scale contract as ann_bruteforce."""
-    emb = _emb(spark, sf)
-    anchors = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            F.col("label").alias("query_label"),
-        )
-        .limit(N_QUERIES)
-    )
-    out = SIM.hard_negative_topk(emb, anchors, k=TOP_K)
-    return out.select(
-        "query_id",
-        "vec_id",
-        "label",
-        F.round("cosine", 6).alias("cosine"),
-        F.col("rank").cast("int").alias("rank"),
-    )
-
-
-SQL_HARD_NEGATIVES = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-scored AS (
-  SELECT q.query_id, e.vec_id, e.label,
-         {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
-),
-ranked AS (
-  SELECT query_id, vec_id, label, cos_raw,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, label, round(cos_raw, 6) AS cosine,
-       CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= {TOP_K}
-"""
-
-
 # --- similarity search: LSH-bucketed approximate top-k ---------------------------------
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -1236,54 +1186,32 @@ SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
 
 
 def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per anchor, the
-    top-k most-similar vectors with a DIFFERENT label — the negatives that
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negative_topk): per anchor, the top-k
+    most-similar vectors with a DIFFERENT label — the negatives that
     actually move a contrastive loss (random negatives are trivially
     separable). Same broadcast-query/corpus-scan shape as ann_bruteforce
     plus a label-mismatch predicate; at scale the candidate generation
     swaps to the IVF/LSH index, identical downstream."""
     emb = _emb(spark, sf)
-    q = F.broadcast(
+    anchors = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("query_label"),
         )
         # no-op (the filter already yields N_QUERIES rows) but makes the
         # broadcast side's boundedness plan-visible for tools/plan_audit.py
         .limit(N_QUERIES)
     )
-    from pyspark.sql import Window
-
-    scored = (
-        emb.crossJoin(q)
-        .filter(
-            (F.col("vec_id") != F.col("query_id"))
-            & (F.col("label") != F.col("qlabel"))
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            SIM.V.cosine_similarity(
-                F.col("embedding"), F.col("qv")
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "vec_id",
-            "label",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    out = SIM.hard_negative_topk(emb, anchors, k=TOP_K)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -2052,6 +1980,75 @@ FROM sized s LEFT JOIN pd USING (doc_id)
 """
 
 
+_CLIQUE_K = 2
+_CLIQUE_ROUNDS = 3
+
+
+def q_neardup_cliques(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutually-near-duplicate COMMUNITIES: the MinHash-LSH candidate
+    pairs (the minhash_near_dups shape, production bucket cap 50) form a
+    similarity graph; bounded k-core peeling (operators/graph.kcore_peel,
+    k=2, 3 rounds) strips pendant chance-collisions and keeps the dense
+    boilerplate/template cliques — the communities a pairwise threshold
+    alone can't separate from incidental pairs. Composition of two
+    independently-oracled operators; the oracle chains both replays."""
+    from sentiment_analysis_bigdata_spark.operators.graph import kcore_peel
+
+    pairs = DD.minhash_near_duplicates(
+        _docs(spark, sf),
+        threshold=0.5,
+        num_hashes=16,
+        bands=4,
+        max_bucket=50,
+    ).select("a", "b")
+    return kcore_peel(
+        pairs, k=_CLIQUE_K, rounds=_CLIQUE_ROUNDS
+    ).orderBy("node")
+
+
+def _sql_neardup_cliques() -> str:
+    # every e{r} is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel round references its predecessor 3x — without materialization
+    # the whole MinHash pipeline would re-evaluate 3^rounds times
+    rounds = []
+    prev = "e0"
+    for r in range(1, _CLIQUE_ROUNDS + 1):
+        rounds.append(f"""
+kd{r} AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) GROUP BY 1
+),
+kk{r} AS (SELECT node FROM kd{r} WHERE degree >= {_CLIQUE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN kk{r} ka ON ka.node = e.a
+  JOIN kk{r} kb ON kb.node = e.b
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH {_sql_minhash_near_dups(bucket_cap=50)},
+e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM mpairs WHERE a <> b),
+{",".join(rounds)},
+last_removed AS (
+  SELECT (SELECT count(*) FROM e{_CLIQUE_ROUNDS - 1})
+       - (SELECT count(*) FROM e{_CLIQUE_ROUNDS}) AS n
+)
+SELECT node, degree,
+       (SELECT n FROM last_removed) = 0 AS converged
+FROM (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e{_CLIQUE_ROUNDS}
+    UNION ALL SELECT b AS node FROM e{_CLIQUE_ROUNDS}
+  ) GROUP BY 1
+)
+ORDER BY node
+"""
+
+
+SQL_NEARDUP_CLIQUES = _sql_neardup_cliques()
+
+
 def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     """Three-stage dedup pipeline report (exact → MinHash-LSH →
     semantic), keep-first removal policy (operators/dedup.dedup_cascade).
@@ -2140,7 +2137,6 @@ QUERIES = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_components_star": (q_dedup_components_star, SQL_DEDUP_COMPONENTS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
-    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "retrieval_metrics": (q_retrieval_metrics, SQL_RETRIEVAL_METRICS),
@@ -2162,6 +2158,7 @@ QUERIES = {
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_sq8_recall": (q_ann_sq8_recall, SQL_ANN_SQ8_RECALL),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "neardup_cliques": (q_neardup_cliques, SQL_NEARDUP_CLIQUES),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
 }

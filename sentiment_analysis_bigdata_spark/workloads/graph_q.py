@@ -398,7 +398,7 @@ d{r} AS (
   ) GROUP BY 1
 ),
 k{r} AS (SELECT node FROM d{r} WHERE degree >= {_KCORE_K}),
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.a, e.b FROM {prev} e
   JOIN k{r} ka ON ka.node = e.a
   JOIN k{r} kb ON kb.node = e.b
@@ -411,7 +411,7 @@ pairs AS (
   FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
-e0 AS (SELECT a, b FROM pairs),
+e0 AS MATERIALIZED (SELECT a, b FROM pairs),
 {",".join(rounds)},
 last_removed AS (
   SELECT (SELECT count(*) FROM e{_KCORE_ROUNDS - 1})
