@@ -113,6 +113,13 @@ FAMILY_EXTRA = [
     "bradley_terry",
     # r5: full train->encode loop at 1k vocab (Arrow kernel encoder)
     "bpe_encode_1k",
+    # r5 final: contrastive mining, masking plan, split-leakage gate,
+    # k-core communities, near-dup cliques
+    "hard_negatives",
+    "span_corruption_plan",
+    "split_leakage",
+    "kcore_parts",
+    "neardup_cliques",
 ]
 
 
