@@ -397,3 +397,57 @@ def test_topk_sink_warns_without_tiebreak(spark, tmp_path):
             order_cols=["value", "event_id"], k=3,
         )
     assert any("tiebreak" in str(x.message) for x in w)
+
+
+def test_file_tail_stream_picks_up_late_arrivals(spark, tmp_path):
+    """Files dropped into the tail dir AFTER the query starts are read
+    exactly once; the dot-prefixed staging name is never visible."""
+    import datetime as dt
+    import os
+    import time
+
+    src = tmp_path / "slices"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    files = []
+    for i in range(3):
+        rows = [(i, 100 + i, t0, "click", float(i), "{}")]
+        path = str(src / f"s{i}.parquet")
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        files.append(path)
+
+    tail = str(tmp_path / "tail")
+    os.makedirs(tail)
+    out_rows = []
+
+    def sink(batch_df, batch_id):
+        out_rows.extend(
+            (r["event_id"], r["value"]) for r in batch_df.collect()
+        )
+
+    stream = SJ.read_file_tail_stream(
+        spark, tail, spark.read.parquet(files[0]).schema, files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        drops: list = []
+        SJ.feed_files_at_rate(files, tail, 0.5, drops=drops).join(timeout=30)
+        deadline = time.time() + 60
+        while len(out_rows) < 3 and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    assert sorted(out_rows) == [(100, 0.0), (101, 1.0), (102, 2.0)]
+    assert len(drops) == 3
+    # staging names are gone; only the renamed visible files remain
+    names = os.listdir(tail)
+    assert all(not n.startswith(".") for n in names)
+    assert len([n for n in names if n.endswith(".parquet")]) == 3
