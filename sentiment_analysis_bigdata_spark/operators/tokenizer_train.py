@@ -319,8 +319,6 @@ def train_bpe_from_word_counts(
     ]
     heapq.heapify(heap)
 
-    from collections import Counter
-
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < n_merges and heap:
         neg_n, lhs, rhs = heapq.heappop(heap)
@@ -330,10 +328,23 @@ def train_bpe_from_word_counts(
         merged = lhs + rhs
         merges.append((len(merges) + 1, lhs, rhs, merged, n))
         delta: dict[tuple[str, str], int] = {}
-        for idx in list(where.get(best, ())):
+        for idx in where.get(best, ()):
             syms = words[idx]
+            # the where-index is maintained lazily (see below): a listed
+            # word may no longer contain the pair — detect cheaply and
+            # skip before paying the rebuild
+            contains = False
+            for i in range(len(syms) - 1):
+                if syms[i] == lhs and syms[i + 1] == rhs:
+                    contains = True
+                    break
+            if not contains:
+                continue
             f = freqs[idx]
-            before = Counter(word_pairs(syms))
+            d: dict[tuple[str, str], int] = {}
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                d[p] = d.get(p, 0) - 1
             out: list[str] = []
             i = 0
             while i < len(syms):
@@ -348,24 +359,20 @@ def train_bpe_from_word_counts(
                     out.append(syms[i])
                     i += 1
             words[idx] = out
-            after = Counter(word_pairs(out))
-            # touch only pairs whose count in THIS word changed — most of
-            # the word is unchanged, so churn stays proportional to the
-            # merge neighborhood, not the word length
-            for p in before.keys() | after.keys():
-                d = after[p] - before[p]
-                if d:
-                    delta[p] = delta.get(p, 0) + d * f
-                if after[p] == 0:
-                    s = where.get(p)
-                    if s is not None:
-                        s.discard(idx)
-                        if not s:
-                            del where[p]
-                elif before[p] == 0:
-                    where.setdefault(p, set()).add(idx)
-        for p, d in delta.items():
-            c = counts.get(p, 0) + d
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                d[p] = d.get(p, 0) + 1
+            for p, dd in d.items():
+                if dd:
+                    delta[p] = delta.get(p, 0) + dd * f
+                    if dd > 0:
+                        # net-new pair in this word → index it; negative
+                        # deltas may still leave occurrences, so stale
+                        # entries are tolerated instead of tracked (the
+                        # contains-scan above makes them a cheap no-op)
+                        where.setdefault(p, set()).add(idx)
+        for p, d2 in delta.items():
+            c = counts.get(p, 0) + d2
             if c <= 0:
                 counts.pop(p, None)
             else:
