@@ -273,10 +273,18 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     sa = sizes.select(F.col("split").alias("split_a"), F.col("n_fps").alias("n_fps_a"))
     sb = sizes.select(F.col("split").alias("split_b"), F.col("n_fps").alias("n_fps_b"))
     # every split pair reports, leaky or not — "0 leaked" is the result a
-    # release gate asserts on, so it must be a row, not an absence
-    pairs = sa.join(sb, sa.split_a < sb.split_b)
+    # release gate asserts on, so it must be a row, not an absence. The
+    # split names are compile-time constants, so the pair skeleton is a
+    # LITERAL frame (equi joins only — no non-equi join in the plan).
+    names = sorted(["train", "val", "test"])
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(names) for b in names[i + 1:]],
+        "split_a string, split_b string",
+    )
     return (
-        pairs.join(shared, ["split_a", "split_b"], "left")
+        pairs.join(sa, "split_a")
+        .join(sb, "split_b")
+        .join(shared, ["split_a", "split_b"], "left")
         .select(
             "split_a",
             "split_b",

@@ -311,6 +311,34 @@ AUDIT = {
         "agreement: two integer-sum aggregations over item-sized frames; "
         "category totals ride a broadcast 1-row crossJoin",
     ),
+    "span_corruption_plan": (
+        ["Window", "HashAggregate", "!CartesianProduct"],
+        "masking plan: per-doc position explode is narrow (no shuffle "
+        "until the per-doc union sweep window); the hash predicate "
+        "filters ~95% of positions before the window",
+    ),
+    "split_leakage": (
+        ["HashAggregate", "!CartesianProduct"],
+        "leakage gate: fingerprint+split distinct once; per-fingerprint "
+        "split-set expansion bounded by C(3,2); the all-pairs report is "
+        "a LITERAL 3-row pair skeleton equi-joined to the counts",
+    ),
+    "hard_negatives": (
+        ["BroadcastNestedLoopJoin|BroadcastHashJoin", "GlobalLimit|CollectLimit"],
+        "contrastive mining: anchor side is a plan-visible bounded "
+        "broadcast; corpus scanned once; per-anchor k-row window cut",
+    ),
+    "kcore_parts": (
+        ["HashAggregate", "!CartesianProduct"],
+        "k-core: final degree agg over the peeled edge frame; each peel "
+        "round behind the localCheckpoint barrier is one degree agg + "
+        "two semi joins (barriers truncate them out of this explain)",
+    ),
+    "neardup_cliques": (
+        ["HashAggregate", "!CartesianProduct"],
+        "near-dup cliques: LSH-banded candidate pairs (never all-pairs) "
+        "feed the same checkpoint-barriered peel rounds",
+    ),
 }
 
 
