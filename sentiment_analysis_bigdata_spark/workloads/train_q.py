@@ -385,6 +385,70 @@ def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer FERTILITY by corpus source — subwords emitted per word,
+    the standard tokenizer-quality metric (high fertility on a source
+    means the vocabulary under-serves it, inflating its effective token
+    cost in the mixture). Trains the oracle-sized 3-merge model
+    (identical recursion to bpe_merges) and encodes with the Arrow
+    kernel; the oracle re-derives the merges AND replays the encoder,
+    then aggregates per source, so the whole train→encode→report loop is
+    value-checked."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+    from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
+
+    docs = load_table(spark, sf, "documents")
+    merges, _ = tokenizer_train.train_bpe(docs, n_merges=3)
+    pairs = [(lhs, rhs) for _r, lhs, rhs, _m, _n in merges]
+    toks = ensure_min_parallelism(
+        docs.select("source", TXT.tokenize_nonempty("text").alias("toks")),
+        spark.sparkContext.defaultParallelism,
+        "source",
+    )
+    enc = tokenizer_train.bpe_encode_kernel(toks, pairs)
+    per_tok = enc.select(
+        "source", F.explode("subwords").alias("subs")
+    ).select("source", F.size("subs").alias("n_sub"))
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(F.avg("n_sub"), 6).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_tokenizer_fertility() -> str:
+    from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
+
+    enc = "regexp_replace(t, '(.)', ' \\1 ', 'g')"
+    for i in range(3):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT lhs FROM best{i}) || '  ' || "
+            f"(SELECT rhs FROM best{i}) || ' ', ' ' || (SELECT merged FROM best{i}) || ' ')"
+        )
+    return _sql_bpe_ctes(3) + f""",
+docs_toks AS (
+  SELECT source, unnest({SQL_TOKS}) AS t FROM documents
+),
+enc AS (
+  SELECT source, len(string_split(trim({enc}, ' '), '  ')) AS n_sub
+  FROM docs_toks
+)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(avg(n_sub), 6) AS fertility
+FROM enc GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_TOKENIZER_FERTILITY = _sql_tokenizer_fertility()
+
+
 def q_wordpiece_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 WordPiece-scored merge candidates (round 0): pairs ranked by
     the likelihood-gain ratio count(ab)/(count(a)·count(b)) rather than
@@ -689,6 +753,7 @@ QUERIES = {
     "bpe_vocab": (q_bpe_vocab, SQL_BPE_VOCAB),
     "bpe_encode_corpus": (q_bpe_encode_corpus, SQL_BPE_ENCODE_CORPUS),
     "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_CORPUS),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "bpe_encode_1k": (q_bpe_encode_1k, None),
     "zorder_keys": (q_zorder_keys, SQL_ZORDER_KEYS),
     "groupwise_regression": (q_groupwise_regression, SQL_GROUPWISE_REGRESSION),

@@ -139,3 +139,71 @@ def test_nb_auc_uses_rawprediction(spark):
 
     _, metrics = ML.train_and_evaluate(df, "nb", cfg)
     assert metrics["roc_auc"] == pytest.approx(expected, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_interval_union_sweep_equals_bruteforce(spark, intervals):
+    """The running-max-end sweep window (dup_ngram_spans_ladder /
+    span_corruption_plan share it) must equal the brute-force position
+    union for ARBITRARY mixed-length interval sets."""
+    from pyspark.sql import Window
+
+    rows = [(0, s, s + ln) for s, ln in intervals]
+    df = spark.createDataFrame(rows, "doc_id long, start int, end int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = (
+        df.withColumn("run_end", F.max("end").over(w))
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.col("end")
+                - F.greatest(
+                    F.coalesce(F.col("run_end"), F.lit(0)),
+                    F.col("start") - 1,
+                ),
+            ).alias("contrib")
+        )
+        .agg(F.sum("contrib"))
+        .first()[0]
+    )
+    want = len({p for s, ln in intervals for p in range(s, s + ln + 1)})
+    assert got == want, (sorted(rows), got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=1, max_value=8),
+)
+def test_driver_bpe_matches_naive_reference(spark, words, n):
+    """train_bpe_from_word_counts (heap + incremental deltas + lazy
+    where-index) ≡ the naive recount-everything reference for arbitrary
+    small vocabularies — ranks, pairs, and counts."""
+    from tests.test_train_ops import _py_bpe
+    from sentiment_analysis_bigdata_spark.operators import tokenizer_train
+
+    wf = spark.createDataFrame(
+        list(words.items()), "word string, freq long"
+    )
+    got = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=n)
+    want, _ = _py_bpe(words, n)
+    assert got == want, (words, n)
