@@ -1074,6 +1074,38 @@ def dedup_cascade(
     return c.select(F.explode(stages).alias("s")).select("s.*")
 
 
+def interval_union_contrib(
+    intervals: DataFrame,
+    group_col: str = "doc_id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Running-max-end sweep over integer intervals ``[start, end]``:
+    adds ``contrib`` = positions this interval covers that no earlier
+    (by start) interval already covered, so ``sum(contrib)`` per group is
+    EXACTLY ``|union|`` — one window, no per-position explode. Shared by
+    the duplicated-span ladder and the span-corruption plan (and
+    property-tested against the brute-force position union,
+    tests/test_properties.py); the DuckDB oracles replay the identical
+    window text."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return intervals.withColumn(
+        "contrib",
+        F.greatest(
+            F.lit(0),
+            F.col(end_col)
+            - F.greatest(
+                F.coalesce(F.max(end_col).over(w), F.lit(0)),
+                F.col(start_col) - 1,
+            ),
+        ),
+    )
+
+
 def source_overlap_matrix(
     df: DataFrame,
     text_col: str = "text",
@@ -1093,8 +1125,10 @@ def source_overlap_matrix(
     count (pair fan-out ≤ C(n_sources, 2) per gram, NEVER a row-level
     self-join), and per-source set sizes come from the same distinct
     frame — so the whole matrix costs two aggregations over the gram
-    frame. Sources are a curated handful (dozens) by construction; the
-    output is n_sources²-sized.
+    frame. Sources are a curated handful (dozens) by construction.
+    Only pairs with ≥ 1 shared gram emit a row — fully disjoint pairs
+    are ABSENT, not jaccard = 0 (consumers gating on low overlap should
+    left-join a pair skeleton, the q_split_leakage pattern).
     """
     grams = (
         df.select(
@@ -1192,7 +1226,12 @@ def duplicated_span_stats_ladder(
     toks = df.select(
         F.col(id_col).alias("doc_id"), TXT.tokenize_nonempty(text_col).alias("l")
     )
-    sized = toks.select("doc_id", F.size("l").alias("n_tokens"), "l")
+    # checkpoint the tokenized frame ONCE: every rung (plus the final
+    # n_tokens join) re-reads it — without the barrier that is ks+1
+    # corpus scans + tokenizations
+    sized = toks.select(
+        "doc_id", F.size("l").alias("n_tokens"), "l"
+    ).localCheckpoint(eager=True)
 
     def rung(k: int) -> DataFrame:
         grams = sized.where(F.col("n_tokens") >= k).select(
@@ -1221,22 +1260,11 @@ def duplicated_span_stats_ladder(
     intervals = rung(ks[0])
     for k in ks[1:]:
         intervals = intervals.unionByName(rung(k))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("start", "end")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per_doc = (
+        interval_union_contrib(intervals)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("dup_tokens"))
     )
-    covered = intervals.withColumn("run_end", F.max("end").over(w)).select(
-        "doc_id",
-        F.greatest(
-            F.lit(0),
-            F.col("end")
-            - F.greatest(
-                F.coalesce(F.col("run_end"), F.lit(0)), F.col("start") - 1
-            ),
-        ).alias("contrib"),
-    )
-    per_doc = covered.groupBy("doc_id").agg(F.sum("contrib").alias("dup_tokens"))
     return (
         sized.select("doc_id", "n_tokens")
         .join(per_doc, "doc_id", "left")

@@ -325,8 +325,13 @@ def kcore_peel(
     lineage flat. Returns ``(node, degree, converged)``, the induced
     degree after the final round.
     """
+    # canonicalize to (min, max) BEFORE distinct: a symmetric edge list
+    # carrying both orientations would otherwise double every degree
     und = (
-        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)

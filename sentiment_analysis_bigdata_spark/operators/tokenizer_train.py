@@ -289,13 +289,15 @@ def train_bpe_from_word_counts(
     )
     if min_freq > 1:
         wf = wf.filter(F.col("f") >= min_freq)
-    n_words = wf.count()
-    if n_words > max_rows:
+    # guard and fetch in ONE action: limit(max_rows+1) returns the whole
+    # table while it fits, and its length alone reveals an overflow — a
+    # separate count() would run the corpus-sized aggregation twice
+    rows = wf.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"word-count table has {n_words} rows > max_rows={max_rows}; "
+            f"word-count table exceeds max_rows={max_rows}; "
             "raise min_freq or use the distributed train_bpe loop"
         )
-    rows = wf.collect()
     words: list[list[str]] = [list(r["w"]) for r in rows]
     freqs: list[int] = [r["f"] for r in rows]
 
@@ -425,7 +427,25 @@ def bpe_encode_kernel(
     kernels (operators/dedup.py). Input: ``tokens_col`` =
     ``array<string>`` per row; output adds ``out_col`` =
     ``array<array<string>>`` (per-token subword lists).
+
+    Precondition (validated): the merge list must be WELL-FORMED — every
+    multi-character side of a merge must be the product of an EARLIER
+    merge, which every trained list satisfies by construction. The
+    min-rank loop and rank-by-rank replacement are provably equal only
+    then; a hand-edited list where a lower rank consumes a symbol that
+    only a higher rank creates would silently diverge between the two
+    paths, so it raises instead.
     """
+    produced: set[str] = set()
+    for r, (lhs, rhs) in enumerate(merges):
+        for side in (lhs, rhs):
+            if len(side) > 1 and side not in produced:
+                raise ValueError(
+                    f"malformed merge list: rank {r} consumes {side!r}, "
+                    "which no earlier merge produces — not a trained "
+                    "(rank-ordered) BPE merge list"
+                )
+        produced.add(lhs + rhs)
     rank = {pair: r for r, pair in enumerate(merges)}
 
     def encode_word(w: str, cache: dict) -> list[str]:

@@ -509,17 +509,25 @@ def topk_fold(
             )
             if tiebreak_col is not None:
                 # replay idempotence: a replayed batch re-unions rows the
-                # committed leaderboard already folded in; keep one copy
-                # per tie-break key (the upsert sink gets this from its
-                # keyed row_number — the top-k sink needs it explicitly)
-                w = Window.partitionBy(tiebreak_col).orderBy(
-                    *[F.col(c).desc() for c in cut_cols]
-                )
-                merged = (
-                    merged.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
+                # committed leaderboard already folded in — but a replayed
+                # row is IDENTICAL in every column, so exact-duplicate
+                # removal is all replay needs. A tie-break key then still
+                # duplicated is two DIFFERENT events sharing the id — a
+                # genuine uniqueness violation the per-batch check can't
+                # see (cross-batch), and silently keeping one would commit
+                # an arrival-order-dependent leaderboard: raise instead.
+                merged = merged.distinct().localCheckpoint(eager=True)
+                n, nd = merged.agg(
+                    F.count(F.lit(1)), F.count_distinct(F.col(tiebreak_col))
+                ).first()
+                if n != nd:
+                    raise ValueError(
+                        f"tiebreak_col {tiebreak_col!r} collides across "
+                        f"batches at batch {batch_id} ({n} rows, {nd} "
+                        f"distinct non-null) — two different events share "
+                        "a tie-break key; the leaderboard would be "
+                        "arrival-order-dependent"
+                    )
         top = merged.orderBy(*[F.col(c).desc() for c in cut_cols]).limit(k)
         try:
             _commit_version(top, out_dir, batch_id, current)

@@ -282,15 +282,17 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         "split_a string, split_b string",
     )
     return (
-        pairs.join(sa, "split_a")
-        .join(sb, "split_b")
+        pairs.join(sa, "split_a", "left")
+        .join(sb, "split_b", "left")
         .join(shared, ["split_a", "split_b"], "left")
         .select(
             "split_a",
             "split_b",
             F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
-            "n_fps_a",
-            "n_fps_b",
+            # a split that received no docs still reports (size 0) — the
+            # skeleton is the contract, sizes only decorate it
+            F.coalesce("n_fps_a", F.lit(0)).alias("n_fps_a"),
+            F.coalesce("n_fps_b", F.lit(0)).alias("n_fps_b"),
         )
         .orderBy("split_a", "split_b")
     )
@@ -311,13 +313,15 @@ shared AS (
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.split < b.split
   GROUP BY 1, 2
 )
-SELECT sa.split AS split_a, sb.split AS split_b,
+SELECT p.split_a, p.split_b,
        coalesce(sh.n_shared_fps, 0) AS n_shared_fps,
-       sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b
-FROM sizes sa
-JOIN sizes sb ON sa.split < sb.split
-LEFT JOIN shared sh ON sh.split_a = sa.split AND sh.split_b = sb.split
-ORDER BY split_a, split_b
+       coalesce(sa.n_fps, 0) AS n_fps_a, coalesce(sb.n_fps, 0) AS n_fps_b
+FROM (VALUES ('test', 'train'), ('test', 'val'), ('train', 'val'))
+     p(split_a, split_b)
+LEFT JOIN sizes sa ON sa.split = p.split_a
+LEFT JOIN sizes sb ON sb.split = p.split_b
+LEFT JOIN shared sh ON sh.split_a = p.split_a AND sh.split_b = p.split_b
+ORDER BY p.split_a, p.split_b
 """
 
 

@@ -1065,24 +1065,13 @@ def q_span_corruption_plan(spark: SparkSession, sf: str) -> DataFrame:
             F.col("i") + (_CORRUPT_SPAN - 1), F.col("n_tokens")
         ).alias("end"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("start", "end")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    covered = starts.withColumn("run_end", F.max("end").over(w)).select(
-        "doc_id",
-        F.greatest(
-            F.lit(0),
-            F.col("end")
-            - F.greatest(
-                F.coalesce(F.col("run_end"), F.lit(0)), F.col("start") - 1
-            ),
-        ).alias("contrib"),
-    )
-    per_doc = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("contrib").alias("n_masked"),
+    per_doc = (
+        DD.interval_union_contrib(starts)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("contrib").alias("n_masked"),
+        )
     )
     return (
         sized.join(per_doc, "doc_id", "left")

@@ -507,3 +507,24 @@ class TestKcorePeel:
     def test_k_above_max_degree_empties(self, spark):
         edges = [(1, 2), (2, 3), (1, 3)]
         assert self._peel(spark, edges, k=3, rounds=2) == {}
+
+
+def test_kcore_symmetric_orientations_canonicalized(spark):
+    """An edge list carrying BOTH orientations of each edge must peel
+    identically to the canonical a<b list (degrees not double-counted)."""
+    from sentiment_analysis_bigdata_spark.operators.graph import kcore_peel
+
+    canon = [(1, 2), (2, 3), (3, 4)]
+    both = canon + [(b, a) for a, b in canon]
+    for edges in (canon, both):
+        df = spark.createDataFrame(edges, "a long, b long")
+        # path of 4 nodes, k=2: endpoints peel, then the middle — empty
+        assert kcore_peel(df, k=2, rounds=3).count() == 0, edges
+    tri_both = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    out = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(
+            spark.createDataFrame(tri_both, "a long, b long"), k=2, rounds=2
+        ).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}

@@ -451,3 +451,39 @@ def test_file_tail_stream_picks_up_late_arrivals(spark, tmp_path):
     names = os.listdir(tail)
     assert all(not n.startswith(".") for n in names)
     assert len([n for n in names if n.endswith(".parquet")]) == 3
+
+
+def test_topk_sink_cross_batch_tiebreak_collision_raises(spark, tmp_path):
+    """Two DIFFERENT events sharing a tie-break key across batches is a
+    genuine uniqueness violation (not a replay — replays are identical
+    rows): the fold must raise, not silently keep one."""
+    import datetime as dt
+
+    import pytest
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    # event_id 7 appears in both files with DIFFERENT values
+    for name, rows in [
+        ("f1.parquet", [(1, 7, t0, "click", 5.0, "{}")]),
+        ("f2.parquet", [(2, 7, t0, "view", 9.0, "{}")]),
+    ]:
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(d / name), coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    from pyspark.sql import types as T
+
+    stream = (
+        spark.readStream.schema(T._parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("event_id", "value")
+    )
+    with pytest.raises(Exception, match="collides across batches"):
+        SJ.run_stream_topk_to_parquet(
+            stream, str(tmp_path / "t"), str(tmp_path / "c"),
+            order_cols=["value"], tiebreak_col="event_id", k=3,
+        )

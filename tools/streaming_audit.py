@@ -349,6 +349,18 @@ def latency_probe(spark, stage: str) -> tuple[str, list[tuple[str, list[str]]]]:
         drops: list = []
         feeder = SJ.feed_files_at_rate(slice_files, tail, 1.0, drops=drops)
         feeder.join(timeout=120)
+        if len(drops) < len(slice_files):
+            # feed never finished (empty staging / pathological copy
+            # stall) — record a probe failure instead of crashing the
+            # whole audit on drops[-1], and don't mis-measure a
+            # non-final file as "last arrival"
+            q.stop()
+            failures.append(
+                (f"latency_probe_{name}",
+                 [f"feeder dropped {len(drops)}/{len(slice_files)} files "
+                  "within the timeout"])
+            )
+            continue
         t_last_drop = drops[-1][1]
         deadline, t_visible = time.time() + 120, None
         while time.time() < deadline:
