@@ -526,6 +526,64 @@ def dedup_segments(
     )
 
 
+def crossdoc_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    max_df_pct: int = 50,
+) -> DataFrame:
+    """Cross-document segment dedup (the CCNet / RefinedWeb boilerplate-
+    removal primitive): drop EVERY occurrence of any segment (line,
+    paragraph, or token, per ``sep``) whose corpus document frequency is
+    >= ``max_df_pct`` percent of documents — navigation chrome, licence
+    headers, and cookie banners repeat across a crawl, so a high-df
+    segment is boilerplate by definition. Complements ``dedup_segments``
+    (intra-document, first-occurrence-wins) with the corpus-wide pass.
+
+    Shape for 100 TB: one narrow explode of per-doc DISTINCT segments,
+    ONE aggregation on the segment key (the only shuffle), then the
+    blocklist collapses to a single-row array that broadcasts back as a
+    crossJoin — the document table itself is never shuffled and is
+    rewritten by a narrow HOF filter in the scan stage. The blocklist is
+    bounded by construction: a segment needs df >= p% of n docs, so at
+    most (avg distinct segments per doc) * 100/p entries exist,
+    independent of corpus size. The threshold is integer-exact
+    (``df * 100 >= n_docs * p``) so the kept set is engine-reproducible.
+
+    Adds ``n_segments``, ``n_kept``, and ``{text_col}_deduped``.
+    """
+    segs_arr = F.split(F.col(text_col), sep)
+    per_doc = df.select(
+        F.col(id_col), F.explode(F.array_distinct(segs_arr)).alias("__seg")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    blocked = (
+        per_doc.groupBy("__seg")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") * F.lit(100) >= F.col("__n_docs") * F.lit(max_df_pct))
+    )
+    blocklist = blocked.agg(
+        F.coalesce(F.collect_set("__seg"), F.array().cast("array<string>")).alias(
+            "__bl"
+        )
+    )
+    bl = F.col("__bl")
+    return (
+        df.crossJoin(F.broadcast(blocklist))
+        .withColumn("__segs", segs_arr)
+        .withColumn("__kept", F.filter(F.col("__segs"), lambda x: ~F.array_contains(bl, x)))
+        .select(
+            "*",
+            F.size("__segs").cast("bigint").alias("n_segments"),
+            F.size("__kept").cast("bigint").alias("n_kept"),
+            F.array_join("__kept", sep).alias(f"{text_col}_deduped"),
+        )
+        .drop("__segs", "__kept", "__bl")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -483,6 +483,79 @@ ORDER BY e.query_id
 """
 
 
+MAT_DIM = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022): recall@k of
+    brute-force cosine retrieval using only the FIRST {MAT_DIM} of 64
+    embedding dimensions against the full-dimension exact top-k — the
+    measured cost of the 4x memory/compute cut that MRL-trained embedding
+    stacks exploit for coarse candidate generation. Both sides run inside
+    Spark with the broadcast-query/corpus-scan shape of ann_bruteforce;
+    the oracle recomputes both rankings (full and sliced lists) so the
+    recall number itself is value-checked. On the isotropic test fixture
+    truncation recall is honestly low — the number is the point."""
+    emb = _emb(spark, sf)
+    exact = SIM.brute_force_topk(emb, _queries_frame(emb), k=TOP_K)
+    trunc_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, MAT_DIM).alias("embedding")
+    )
+    approx = SIM.brute_force_topk(trunc_emb, _queries_frame(trunc_emb), k=TOP_K)
+    hits = exact.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / F.lit(TOP_K), 6))
+        .orderBy("query_id")
+    )
+
+
+SQL_MATRYOSHKA_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id, {_sql_cosine('e.embedding', 'q.qv')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOP_K}
+),
+tq AS (
+  SELECT vec_id AS query_id, embedding[1:{MAT_DIM}] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+tc AS (SELECT vec_id, embedding[1:{MAT_DIM}] AS cv FROM embeddings),
+trunc_scored AS (
+  SELECT tq.query_id, tc.vec_id, {_sql_cosine('tc.cv', 'tq.qv')} AS cos_raw
+  FROM tc CROSS JOIN tq
+  WHERE tc.vec_id <> tq.query_id
+),
+trunc_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM trunc_scored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS INTEGER) AS n_hits,
+       round(count(a.vec_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_topk e
+LEFT JOIN trunc_topk a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 # --- rows-only checked (non-SQL-reproducible) operators ---------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -945,6 +1018,50 @@ SELECT doc_id,
        CAST(len(uniq) AS BIGINT) AS n_unique_segments,
        array_to_string(uniq, ' ') AS text_deduped
 FROM kept
+"""
+
+
+CROSSDOC_MAX_DF_PCT = 79
+
+
+def q_crossdoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal (operators/dedup.py
+    ``crossdoc_segment_dedup``): drop every occurrence of any segment whose
+    corpus document frequency is >= 79% of documents — the corpus-wide
+    complement of ``intradoc_dedup``. The blocklist is ONE aggregation that
+    collapses to a broadcast single-row array (bounded by
+    segments-per-doc x 100/79, independent of corpus size); the document
+    table is rewritten by a narrow HOF filter, never shuffled. The
+    integer-exact threshold (df*100 >= n_docs*79) makes the kept set
+    engine-reproducible, so the deduplicated TEXT itself is value-checked."""
+    out = DD.crossdoc_segment_dedup(
+        _docs(spark, sf), sep=" ", max_df_pct=CROSSDOC_MAX_DF_PCT
+    )
+    return out.select("doc_id", "n_segments", "n_kept", "text_deduped")
+
+
+SQL_CROSSDOC_DEDUP = f"""
+WITH segs AS (
+  SELECT DISTINCT doc_id, seg FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents
+  )
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+bl AS (
+  SELECT coalesce(list(seg), []) AS bl FROM (
+    SELECT seg FROM segs GROUP BY seg
+    HAVING count(*) * 100 >= (SELECT n_docs FROM n) * {CROSSDOC_MAX_DF_PCT}
+  )
+),
+base AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_segments,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS text_deduped
+FROM (
+  SELECT doc_id, s, list_filter(s, x -> NOT list_contains(bl, x)) AS kept
+  FROM base CROSS JOIN bl
+)
 """
 
 
@@ -2126,6 +2243,7 @@ QUERIES = {
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
+    "crossdoc_dedup": (q_crossdoc_dedup, SQL_CROSSDOC_DEDUP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash_signatures": (q_simhash, SQL_SIMHASH),
@@ -2139,6 +2257,7 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "matryoshka_recall": (q_matryoshka_recall, SQL_MATRYOSHKA_RECALL),
     "retrieval_metrics": (q_retrieval_metrics, SQL_RETRIEVAL_METRICS),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),

@@ -14,6 +14,7 @@ from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
 from sentiment_analysis_bigdata_spark.operators.graph import (
     clustering_coefficients,
     kcore_peel,
+    link_prediction_scores,
     pagerank,
     triangle_count,
 )
@@ -432,6 +433,63 @@ ORDER BY node
 SQL_KCORE_PARTS = _sql_kcore()
 
 
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph
+    (operators/graph.py ``link_prediction_scores``): every non-adjacent
+    part pair sharing >= 2 co-purchase neighbors, scored by common-neighbor
+    count, neighborhood Jaccard, and Adamic–Adar — the "customers who
+    bought X also bought Y" recommendation shape, and in curation the
+    knn-graph densification step. Candidates come from the wedge join only
+    (never all-pairs); the oracle replays wedge generation, the NOT-EXISTS
+    edge filter, and all three scores value-exactly."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    out = link_prediction_scores(edges, min_common=2)
+    return out.select(
+        "a",
+        "b",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+SQL_LINK_PREDICTION = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+e AS (
+  SELECT a.item AS a, c.item AS b
+  FROM b a JOIN b c ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY 1),
+wedges AS (
+  SELECT l.nbr AS x, l.node AS mid, r.nbr AS z
+  FROM adj l JOIN adj r ON l.node = r.node
+  WHERE l.nbr < r.nbr
+),
+cand AS (
+  SELECT w.x, w.z, count(*) AS n_common,
+         sum(1.0 / ln(d.degree)) AS adamic_adar
+  FROM wedges w JOIN deg d ON d.node = w.mid
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z)
+  GROUP BY w.x, w.z
+  HAVING count(*) >= 2
+)
+SELECT c.x AS a, c.z AS b, CAST(c.n_common AS BIGINT) AS n_common,
+       round(c.n_common / CAST(dx.degree + dz.degree - c.n_common AS DOUBLE), 6) AS jaccard,
+       round(c.adamic_adar, 6) AS adamic_adar
+FROM cand c
+JOIN deg dx ON dx.node = c.x
+JOIN deg dz ON dz.node = c.z
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
     "kcore_parts": (q_kcore_parts, SQL_KCORE_PARTS),
@@ -440,4 +498,5 @@ QUERIES = {
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "clustering_coeffs": (q_clustering_coeffs, SQL_CLUSTERING_COEFFS),
+    "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
 }

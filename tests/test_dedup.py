@@ -591,3 +591,46 @@ class TestSourceOverlapMatrix:
         r = source_overlap_matrix(docs, k=5).first()
         assert (r["src_a"], r["src_b"]) == ("X", "Y")
         assert r["jaccard"] == 1.0
+
+
+class TestCrossdocSegmentDedup:
+    def _run(self, spark, rows, pct):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = DD.crossdoc_segment_dedup(df, max_df_pct=pct)
+        return {
+            r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_deduped"])
+            for r in out.collect()
+        }
+
+    ROWS = [
+        (0, "AD spark rocks AD"),
+        (1, "AD flink also"),
+        (2, "AD duck waddles"),
+        (3, "quiet corner here"),
+    ]
+
+    def test_boilerplate_dropped_everywhere(self, spark):
+        # "AD" is in 3/4 docs (75%) -> blocked at pct=60; every occurrence
+        # goes, including the repeat inside doc 0; rare tokens survive
+        out = self._run(spark, self.ROWS, pct=60)
+        assert out[0] == (4, 2, "spark rocks")
+        assert out[1] == (3, 2, "flink also")
+        assert out[3] == (3, 3, "quiet corner here")
+
+    def test_threshold_is_document_frequency_not_term_frequency(self, spark):
+        # a token repeated many times inside ONE doc never blocks
+        rows = [(0, "x x x x x y"), (1, "z w v")]
+        out = self._run(spark, rows, pct=60)
+        assert out[0] == (6, 6, "x x x x x y")
+
+    def test_empty_blocklist_is_identity(self, spark):
+        out = self._run(spark, self.ROWS, pct=101)
+        for doc_id, (n, kept, text) in out.items():
+            assert n == kept
+            assert text == dict(self.ROWS)[doc_id]
+
+    def test_doc_can_lose_everything(self, spark):
+        rows = [(0, "AD"), (1, "AD"), (2, "AD"), (3, "other words")]
+        out = self._run(spark, rows, pct=60)
+        assert out[0] == (1, 0, "")
+        assert out[3] == (2, 2, "other words")

@@ -528,3 +528,48 @@ def test_kcore_symmetric_orientations_canonicalized(spark):
         ).collect()
     }
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+class TestLinkPrediction:
+    def _scores(self, spark, edges, min_common):
+        from sentiment_analysis_bigdata_spark.operators.graph import (
+            link_prediction_scores,
+        )
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {
+            (r["a"], r["b"]): (r["n_common"], r["jaccard"], r["adamic_adar"])
+            for r in link_prediction_scores(df, min_common=min_common).collect()
+        }
+
+    def test_square_diagonals(self, spark):
+        # 4-cycle 1-2-3-4-1: the two diagonals are the only non-edges,
+        # each closed by BOTH off-diagonal nodes -> n_common=2,
+        # jaccard = 2/(2+2-2) = 1, adamic_adar = 2/ln(2)
+        import math
+
+        out = self._scores(spark, [(1, 2), (2, 3), (3, 4), (1, 4)], min_common=2)
+        assert set(out) == {(1, 3), (2, 4)}
+        for n, j, aa in out.values():
+            assert n == 2 and j == 1.0
+            assert abs(aa - 2 / math.log(2)) < 1e-9
+
+    def test_existing_edges_excluded_and_min_common_prunes(self, spark):
+        # triangle + pendant: (1,4),(2,4) are wedge pairs through 3 with
+        # n_common=1 -> pruned at min_common=2; present at min_common=1
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        assert self._scores(spark, edges, min_common=2) == {}
+        out = self._scores(spark, edges, min_common=1)
+        assert set(out) == {(1, 4), (2, 4)}
+        # deg: 1->2, 2->2, 3->3, 4->1; common neighbor is 3 (deg 3)
+        import math
+
+        n, j, aa = out[(1, 4)]
+        assert n == 1
+        assert abs(j - 1 / (2 + 1 - 1)) < 1e-9
+        assert abs(aa - 1 / math.log(3)) < 1e-9
+
+    def test_symmetric_orientations_canonicalized(self, spark):
+        canon = [(1, 2), (2, 3), (3, 4), (1, 4)]
+        both = canon + [(b, a) for a, b in canon]
+        assert self._scores(spark, canon, 2) == self._scores(spark, both, 2)
