@@ -120,6 +120,11 @@ FAMILY_EXTRA = [
     "split_leakage",
     "kcore_parts",
     "neardup_cliques",
+    # r5 final: cross-document boilerplate removal, matryoshka truncation
+    # recall, common-neighbor link prediction
+    "crossdoc_dedup",
+    "matryoshka_recall",
+    "link_prediction",
 ]
 
 

@@ -53,10 +53,19 @@ def clean_corpus(
     min_quality: float = 0.0,
     min_tokens: int = 1,
     langs: list[str] | None = None,
+    boilerplate_pct: int | None = None,
 ) -> dict[str, Any]:
-    """Annotate + filter a corpus; returns before/after counts per filter."""
+    """Annotate + filter a corpus; returns before/after counts per filter.
+
+    ``boilerplate_pct`` (opt-in) additionally rewrites each surviving
+    document through :func:`operators.dedup.crossdoc_segment_dedup`,
+    dropping every segment whose corpus document frequency is >= that
+    percentage — the CCNet-style boilerplate pass, run AFTER the row
+    filters so the df statistics reflect the kept corpus.
+    """
     df = spark.read.parquet(input_path)
     ann = annotate_corpus(df, text_col).cache()
+    bp = None
     try:
         total = ann.count()
         kept = ann.filter(
@@ -64,11 +73,36 @@ def clean_corpus(
         )
         if langs:
             kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+        segments_dropped = 0
+        if boilerplate_pct is not None:
+            from sentiment_analysis_bigdata_spark.operators.dedup import (
+                crossdoc_segment_dedup,
+            )
+
+            bp = crossdoc_segment_dedup(
+                kept, text_col=text_col, id_col=id_col, max_df_pct=boilerplate_pct
+            ).cache()
+            segments_dropped = int(
+                bp.agg(
+                    F.coalesce(
+                        F.sum(F.col("n_segments") - F.col("n_kept")), F.lit(0)
+                    )
+                ).first()[0]
+            )
+            kept = (
+                bp.drop(text_col, "n_segments", "n_kept")
+                .withColumnRenamed(f"{text_col}_deduped", text_col)
+            )
         n_kept = kept.count()
         write_parquet(kept, output_path)
     finally:
         ann.unpersist()
-    return {"rows_in": total, "rows_out": n_kept, "dropped": total - n_kept}
+        if bp is not None:
+            bp.unpersist()
+    out = {"rows_in": total, "rows_out": n_kept, "dropped": total - n_kept}
+    if boilerplate_pct is not None:
+        out["segments_dropped"] = segments_dropped
+    return out
 
 
 def dedup_corpus(
@@ -234,6 +268,12 @@ def register_cli(sub) -> None:
     c.add_argument("--min-quality", type=float, default=0.0)
     c.add_argument("--min-tokens", type=int, default=1)
     c.add_argument("--langs", help="comma-separated allowlist, e.g. en,es")
+    c.add_argument(
+        "--boilerplate-pct",
+        type=int,
+        help="drop segments whose corpus document frequency >= this percent "
+        "(CCNet-style cross-document boilerplate removal; off by default)",
+    )
 
     d = sub.add_parser("corpus-dedup", help="exact/near dedup of a corpus")
     d.add_argument("--input", required=True)
@@ -279,6 +319,7 @@ def run_cli(spark: SparkSession, args) -> dict[str, Any]:
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
             langs=args.langs.split(",") if args.langs else None,
+            boilerplate_pct=args.boilerplate_pct,
         )
     if args.cmd == "corpus-cluster-dedup":
         return cluster_dedup_corpus(

@@ -50,6 +50,30 @@ def test_clean_corpus(spark, corpus_parquet, tmp_path):
     assert stats["rows_out"] == len(ids)
 
 
+def test_clean_corpus_boilerplate_pass(spark, corpus_parquet, tmp_path):
+    # raw-text df: "the" is in 4/7 docs (doc 2 capitalizes it, doc 4 is
+    # Spanish) >= 50%; with the boilerplate pass on, every occurrence of
+    # such segments is stripped from the kept text; rare segments survive
+    out = str(tmp_path / "clean_bp")
+    stats = corpus.clean_corpus(
+        spark, corpus_parquet, out, min_tokens=1, boilerplate_pct=50
+    )
+    assert stats["segments_dropped"] > 0
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert "the" not in kept[0].split()
+    assert "spark" in kept[6].split()
+    # schema unchanged: text column rewritten in place, no helper columns
+    cols = set(spark.read.parquet(out).columns)
+    assert "text" in cols and "text_deduped" not in cols and "n_kept" not in cols
+    # off by default: no segments_dropped key, text untouched
+    out2 = str(tmp_path / "clean_nobp")
+    stats2 = corpus.clean_corpus(spark, corpus_parquet, out2, min_tokens=1)
+    assert "segments_dropped" not in stats2
+    kept2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    assert "the" in kept2[0].split()
+    assert stats2["rows_out"] == stats["rows_out"]  # pass rewrites, never drops rows
+
+
 @pytest.mark.parametrize(
     "method,expect_removed_near",
     [("exact", False), ("minhash", True), ("simhash", True)],

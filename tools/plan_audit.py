@@ -339,6 +339,25 @@ AUDIT = {
         "near-dup cliques: LSH-banded candidate pairs (never all-pairs) "
         "feed the same checkpoint-barriered peel rounds",
     ),
+    "crossdoc_dedup": (
+        ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+        "cross-doc boilerplate removal: ONE segment-keyed agg builds the "
+        "blocklist, which collapses to a single-row array riding a "
+        "broadcast nested-loop join back over the corpus — the document "
+        "table itself is never shuffled; the rewrite is a narrow HOF",
+    ),
+    "matryoshka_recall": (
+        ["BroadcastNestedLoopJoin|BroadcastHashJoin", "Window", "!CartesianProduct"],
+        "truncation recall: both rankings are the broadcast-query/"
+        "corpus-scan brute-force shape (queries plan-visibly bounded); "
+        "the dim slice is a narrow projection before scoring",
+    ),
+    "link_prediction": (
+        ["HashAggregate", "LeftAnti", "!CartesianProduct"],
+        "link prediction: candidates come from the wedge equi join on "
+        "the middle node (never all-pairs); existing edges leave via one "
+        "anti join; scores are a keyed agg with map-side partials",
+    ),
 }
 
 
