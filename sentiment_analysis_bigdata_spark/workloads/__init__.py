@@ -165,9 +165,6 @@ _DRIVER_PREFIX: list[str] = [
     "asof_purchase_signup",
     "funnel_conversion",
     "retention_cohorts",
-    "lateral_top_orders",
-    "null_safe_join",
-    "market_share",
     "ml_naive_bayes",
     "ml_linear_svc",
     "roc_points",
@@ -183,6 +180,12 @@ _DRIVER_PREFIX: list[str] = [
     "kmeans_broadcast",
     "semdedup_512",
     "multimodal_jpeg",
+    # (late-r5: these three displace three relational rotation rows —
+    # relational already has the deepest historical driver coverage, and
+    # a NEW query's first driver row is the strongest cross-engine check)
+    "crossdoc_dedup",
+    "matryoshka_recall",
+    "link_prediction",
 ]
 
 
