@@ -121,10 +121,11 @@ FAMILY_EXTRA = [
     "kcore_parts",
     "neardup_cliques",
     # r5 final: cross-document boilerplate removal, matryoshka truncation
-    # recall, common-neighbor link prediction
+    # recall, common-neighbor link prediction, clustering quality score
     "crossdoc_dedup",
     "matryoshka_recall",
     "link_prediction",
+    "silhouette_kmeans",
 ]
 
 

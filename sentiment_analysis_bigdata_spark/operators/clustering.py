@@ -230,6 +230,27 @@ def kmeans_lloyd(
         return _kmeans_lloyd_broadcast(
             df, vec_col, id_col, k, iterations, round_digits, strict
         )
+    centers = _lloyd_centers_literal(
+        df, vec_col, id_col, k, iterations, round_digits, strict
+    )
+    return _assign(df, vec_col, centers).select(
+        F.col(id_col), "cluster_id", "dist2"
+    )
+
+
+def _lloyd_centers_literal(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int,
+    round_digits: int,
+    strict: bool,
+) -> list[list[float]]:
+    """The literal-path Lloyd loop: returns the final centroids as a
+    Python list (k×d doubles of driver traffic per round — the
+    documented literal-path ceiling). Shared by :func:`kmeans_lloyd` and
+    :func:`kmeans_silhouette`."""
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -266,9 +287,64 @@ def kmeans_lloyd(
         for cid, dims in by_cid.items():
             new_centers[cid] = [dims[i] for i in range(dim)]
         centers = new_centers
+    return centers
 
-    return _assign(df, vec_col, centers).select(
-        F.col(id_col), "cluster_id", "dist2"
+
+def kmeans_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    round_digits: int = 9,
+    strict: bool = True,
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al.): for each
+    point, a = distance to its OWN centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a) / max(a, b) — the O(n·k) clustering-
+    quality score that replaces the O(n²) pairwise silhouette at corpus
+    scale (the approximation every large-scale clustering report uses).
+
+    One corpus pass: the k distance folds are computed once per row into
+    an array column, argmin gives the assignment, a filtered argmin the
+    runner-up — no join, no shuffle until the per-cluster mean. Distances
+    are sqrt of the same sequential squared-L2 the assign path uses, so
+    the score is engine-replayable.
+
+    Returns (cluster_id, n_points, mean_silhouette). Requires k >= 2
+    (with a single cluster 'nearest other centroid' does not exist).
+    """
+    if k < 2:
+        raise ValueError("kmeans_silhouette: k must be >= 2")
+    centers = _lloyd_centers_literal(
+        df, vec_col, id_col, k, iterations, round_digits, strict
+    )
+    cands = ", ".join(
+        f"struct({_sqdist_sql('_vd', ctr)} AS d, {i} AS cid)"
+        for i, ctr in enumerate(centers)
+    )
+    scored = (
+        df.selectExpr("*", f"CAST({vec_col} AS array<double>) AS _vd")
+        .selectExpr("*", f"array({cands}) AS _cands")
+        .selectExpr("*", "array_min(_cands) AS _best")
+        .selectExpr(
+            "*",
+            "array_min(filter(_cands, s -> s.cid != _best.cid)) AS _second",
+        )
+    )
+    sil = F.expr(
+        "CASE WHEN greatest(sqrt(_best.d), sqrt(_second.d)) > 0 "
+        "THEN (sqrt(_second.d) - sqrt(_best.d)) "
+        "     / greatest(sqrt(_best.d), sqrt(_second.d)) "
+        "ELSE 0.0D END"
+    )
+    return (
+        scored.select(F.expr("_best.cid").alias("cluster_id"), sil.alias("_s"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+        )
     )
 
 

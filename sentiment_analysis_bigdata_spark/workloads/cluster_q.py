@@ -407,8 +407,47 @@ GROUP BY 1
 """
 
 
+def q_silhouette_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the k=4 clustering
+    (operators/clustering.kmeans_silhouette): a = distance to own
+    centroid, b = distance to nearest other centroid,
+    s = (b−a)/max(a,b) — the O(n·k) clustering-quality score that
+    replaces O(n²) pairwise silhouette at corpus scale. The oracle
+    chains the full Lloyd CTE recursion, recomputes every point's
+    distance to every final centroid, and replays the score — the
+    quality number itself is value-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    from sentiment_analysis_bigdata_spark.operators.clustering import (
+        kmeans_silhouette,
+    )
+
+    return kmeans_silhouette(emb, "embedding", "vec_id", k=K, iterations=ITERATIONS)
+
+
+SQL_SILHOUETTE_KMEANS = f"""
+WITH {sql_kmeans_ctes()},
+alld AS (
+  SELECT e.vec_id, c.cid, {_sql_dist("e.embedding", "c.c")} AS d
+  FROM embeddings e CROSS JOIN c2 c
+),
+sil AS (
+  SELECT a.vec_id, a.cid, sqrt(a.d) AS ad, sqrt(min(x.d)) AS bd
+  FROM a3 a JOIN alld x ON x.vec_id = a.vec_id AND x.cid <> a.cid
+  GROUP BY a.vec_id, a.cid, a.d
+)
+SELECT cid AS cluster_id,
+       count(*) AS n_points,
+       round(avg(CASE WHEN greatest(ad, bd) > 0
+                      THEN (bd - ad) / greatest(ad, bd)
+                      ELSE 0.0 END), 6) AS mean_silhouette
+FROM sil
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "silhouette_kmeans": (q_silhouette_kmeans, SQL_SILHOUETTE_KMEANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),

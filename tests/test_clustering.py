@@ -228,3 +228,75 @@ def test_cluster_diversity_entropy_bounds(spark, tmp_path):
         assert r["top_share"] >= 1.0 / r["n_sources"] - 1e-9
     solo = [r for r in rows if r["n_sources"] == 1]
     assert all(r["source_entropy"] == 0.0 and r["top_share"] == 1.0 for r in solo)
+
+
+class TestKmeansSilhouette:
+    def test_two_separated_pairs_hand_values(self, spark):
+        import math
+
+        from sentiment_analysis_bigdata_spark.operators.clustering import (
+            kmeans_silhouette,
+        )
+
+        # seeds = ids 0,1 -> centers (0,0),(10,0); after 1 round both
+        # centroids move to y=0.5; every point then has a = 0.5 and
+        # b = sqrt(100.25), so all four silhouettes are identical
+        rows = [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [10.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["cluster_id"]: (r["n_points"], r["mean_silhouette"])
+            for r in kmeans_silhouette(
+                df, k=2, iterations=1
+            ).collect()
+        }
+        b = math.sqrt(100.25)
+        expect = round((b - 0.5) / b, 6)
+        assert out == {0: (2, expect), 1: (2, expect)}
+
+    def test_k_below_two_rejected(self, spark):
+        import pytest
+
+        from sentiment_analysis_bigdata_spark.operators.clustering import (
+            kmeans_silhouette,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            kmeans_silhouette(df, k=1)
+
+    def test_matches_lloyd_assignment_sizes(self, spark):
+        # silhouette's per-cluster counts must equal kmeans_lloyd's —
+        # both derive from the same final centroids
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.operators.clustering import (
+            kmeans_lloyd,
+            kmeans_silhouette,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, (rng.normal(size=4) + (i % 3) * 5).tolist()) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sizes_lloyd = {
+            r["cluster_id"]: r["cnt"]
+            for r in kmeans_lloyd(df, k=3, iterations=2)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        sil = kmeans_silhouette(df, k=3, iterations=2)
+        assert {
+            r["cluster_id"]: r["n_points"] for r in sil.collect()
+        } == sizes_lloyd
+        # well-separated blobs: strongly positive silhouette everywhere
+        assert all(r["mean_silhouette"] > 0.5 for r in sil.collect())

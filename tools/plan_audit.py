@@ -358,6 +358,12 @@ AUDIT = {
         "the middle node (never all-pairs); existing edges leave via one "
         "anti join; scores are a keyed agg with map-side partials",
     ),
+    "silhouette_kmeans": (
+        ["HashAggregate", "!CartesianProduct", "!Window"],
+        "simplified silhouette: the k distance folds are codegen "
+        "literals computed once per row (O(n·k), no pairwise join); the "
+        "only shuffle is the per-cluster mean",
+    ),
 }
 
 
