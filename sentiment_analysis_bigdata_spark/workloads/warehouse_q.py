@@ -475,6 +475,75 @@ GROUP BY t.ta, t.tb
 """
 
 
+_PSI_BINS = 10
+
+
+def q_score_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between click and view value
+    distributions over reference-decile bins (operators/drift.py
+    ``psi_binned``) — the scorecard-drift metric production monitoring
+    actually thresholds on (0.1 / 0.25 bands), completing the drift
+    family next to KL/JS (categorical) and KS (continuous sup-norm).
+    Bin edges are the reference deciles rounded to 6 dp (bit-identical
+    between Spark's exact ``percentile`` and DuckDB's ``quantile_cont``
+    — verified bitwise on the fixture); the oracle replays edges,
+    binning, smoothing, and every per-bin contribution."""
+    from sentiment_analysis_bigdata_spark.operators import drift
+
+    ev = load_table(spark, sf, "events")
+    out = drift.psi_binned(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        n_bins=_PSI_BINS,
+    )
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("contrib", 8).alias("contrib"),
+    )
+
+
+SQL_SCORE_DRIFT_PSI = f"""
+WITH edges AS (
+  SELECT [round(x, 6) FOR x IN
+          quantile_cont(CAST(value AS DOUBLE),
+                        [{", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))}])] AS e
+  FROM events WHERE event_type = 'click'
+),
+rb AS (
+  SELECT len(list_filter(e.e, x -> CAST(v.value AS DOUBLE) > x)) AS bin,
+         count(*) AS n
+  FROM events v CROSS JOIN edges e WHERE v.event_type = 'click' GROUP BY 1
+),
+cb AS (
+  SELECT len(list_filter(e.e, x -> CAST(v.value AS DOUBLE) > x)) AS bin,
+         count(*) AS n
+  FROM events v CROSS JOIN edges e WHERE v.event_type = 'view' GROUP BY 1
+),
+sk AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+j AS (
+  SELECT CAST(sk.bin AS INTEGER) AS bin,
+         COALESCE(rb.n, 0) AS n_ref, COALESCE(cb.n, 0) AS n_cur
+  FROM sk LEFT JOIN rb ON rb.bin = sk.bin LEFT JOIN cb ON cb.bin = sk.bin
+),
+t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+SELECT j.bin,
+       CAST(j.n_ref AS BIGINT) AS n_ref,
+       CAST(j.n_cur AS BIGINT) AS n_cur,
+       round((j.n_ref + 0.5) / (t.tr + 0.5 * {_PSI_BINS}), 6) AS p_ref,
+       round((j.n_cur + 0.5) / (t.tc + 0.5 * {_PSI_BINS}), 6) AS p_cur,
+       round(((j.n_ref + 0.5) / (t.tr + 0.5 * {_PSI_BINS})
+              - (j.n_cur + 0.5) / (t.tc + 0.5 * {_PSI_BINS}))
+             * ln(((j.n_ref + 0.5) / (t.tr + 0.5 * {_PSI_BINS}))
+                  / ((j.n_cur + 0.5) / (t.tc + 0.5 * {_PSI_BINS}))), 8) AS contrib
+FROM j CROSS JOIN t
+"""
+
+
 def q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative data-quality gate over orders: five row-local
     constraints compiled into ONE aggregation pass (not-null / unique PK /
@@ -729,6 +798,7 @@ QUERIES = {
     ),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "score_drift_ks": (q_score_drift_ks, SQL_SCORE_DRIFT_KS),
+    "score_drift_psi": (q_score_drift_psi, SQL_SCORE_DRIFT_PSI),
     "source_token_drift": (q_source_token_drift, SQL_SOURCE_TOKEN_DRIFT),
     "runtime_filtered_join": (q_runtime_filtered_join, SQL_RUNTIME_FILTERED_JOIN),
     "winsorized_doc_lengths": (

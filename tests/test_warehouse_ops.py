@@ -332,6 +332,57 @@ class TestKSTwoSample:
         assert r.ks_stat == pytest.approx(abs(3 / 4 - 1 / 2))
 
 
+
+class TestPsiBinned:
+    def _vals(self, spark, xs):
+        return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+    def test_identical_distributions_near_zero(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        a = self._vals(spark, range(100))
+        rows = drift.psi_binned(a, a, "v", n_bins=5).collect()
+        assert len(rows) == 5
+        assert sum(r.contrib for r in rows) == pytest.approx(0.0, abs=1e-12)
+        assert sum(r.n_ref for r in rows) == 100
+
+    def test_empty_bins_participate_via_smoothing(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        # current mass sits entirely above the reference support: the low
+        # reference bins are EMPTY on the current side but still contribute.
+        ref = self._vals(spark, range(100))
+        cur = self._vals(spark, [1000.0] * 40)
+        rows = drift.psi_binned(ref, cur, "v", n_bins=4).collect()
+        assert len(rows) == 4
+        by_bin = {r.bin: r for r in rows}
+        assert by_bin[0].n_cur == 0 and by_bin[0].p_cur > 0  # smoothing keeps it finite
+        assert by_bin[3].n_cur == 40
+        total = sum(r.contrib for r in rows)
+        assert total > 0.25  # well past the "drifted" threshold
+        assert all(math.isfinite(r.contrib) for r in rows)
+
+    def test_hand_computed_two_bins(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        # ref = {1,2,3,4}: median edge = 2.5 -> bins {1,2} | {3,4} (2/2);
+        # cur = {3,3,3,4}: bins 0/4. k = 0.5 smoothing, B = 2.
+        ref = self._vals(spark, [1, 2, 3, 4])
+        cur = self._vals(spark, [3, 3, 3, 4])
+        rows = sorted(drift.psi_binned(ref, cur, "v", n_bins=2).collect())
+        p0, q0 = (2 + 0.5) / 5, (0 + 0.5) / 5
+        p1, q1 = (2 + 0.5) / 5, (4 + 0.5) / 5
+        assert rows[0].p_ref == pytest.approx(p0) and rows[0].p_cur == pytest.approx(q0)
+        assert rows[0].contrib == pytest.approx((p0 - q0) * math.log(p0 / q0))
+        assert rows[1].contrib == pytest.approx((p1 - q1) * math.log(p1 / q1))
+
+    def test_rejects_single_bin(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        with pytest.raises(ValueError):
+            drift.psi_binned(self._vals(spark, [1]), self._vals(spark, [1]), "v", n_bins=1)
+
+
 class TestDqChecks:
     def test_column_checks_one_pass(self, spark):
         from pyspark.sql import Row
