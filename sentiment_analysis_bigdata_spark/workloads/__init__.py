@@ -167,8 +167,6 @@ _DRIVER_PREFIX: list[str] = [
     "retention_cohorts",
     "ml_naive_bayes",
     "ml_linear_svc",
-    "roc_points",
-    "hll_user_rollup",
     # -- queries NEW this round (never had a driver row by construction) --
     "dup_ngram_spans_ladder",
     "source_overlap",
@@ -186,6 +184,10 @@ _DRIVER_PREFIX: list[str] = [
     "crossdoc_dedup",
     "matryoshka_recall",
     "link_prediction",
+    # (displace roc_points/hll_user_rollup — both oracle-green since r2 —
+    # for the two queries added at round end, same NEW-first rationale)
+    "silhouette_kmeans",
+    "score_drift_psi",
 ]
 
 
