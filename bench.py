@@ -126,6 +126,8 @@ FAMILY_EXTRA = [
     "matryoshka_recall",
     "link_prediction",
     "silhouette_kmeans",
+    # r5 final: PSI scorecard drift over reference-decile bins
+    "score_drift_psi",
 ]
 
 

@@ -1161,9 +1161,79 @@ ORDER BY src_a, src_b
 """
 
 
+# --- corpus diversity: distinct-n ratios per source ---------------------------
+
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus diversity: distinct-1/2/3 ratios (the distinct-n
+    metric of Li et al. 2016, the standard generation/corpus diversity
+    gate) plus the raw gram totals. One explode->agg per n over the
+    shared whitespace tokenization; each agg is a two-stage
+    count+count_distinct with map-side partials, and the three
+    per-source frames (bounded by the source vocabulary, a handful of
+    rows) join on the tiny key. No all-pairs work, no windows — scales
+    as three corpus scans regardless of document count."""
+    docs = _docs(spark, sf)
+    toks = TXT.tokenize_nonempty("text")
+
+    def stats(n: int, pre: str) -> DataFrame:
+        grams = toks if n == 1 else TXT.ngrams(toks, n)
+        return (
+            docs.select("source", F.explode(grams).alias("g"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias(f"{pre}_total"),
+                F.count_distinct("g").alias(f"{pre}_distinct"),
+            )
+        )
+
+    out = (
+        stats(1, "uni")
+        .join(stats(2, "bi"), "source")
+        .join(stats(3, "tri"), "source")
+    )
+    ratio = lambda d, t: F.round(F.col(d) / F.col(t), 6)
+    return out.select(
+        "source",
+        "uni_total", "uni_distinct", ratio("uni_distinct", "uni_total").alias("distinct_1"),
+        "bi_total", "bi_distinct", ratio("bi_distinct", "bi_total").alias("distinct_2"),
+        "tri_total", "tri_distinct", ratio("tri_distinct", "tri_total").alias("distinct_3"),
+    ).orderBy("source")
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH toks AS (SELECT source, {SQL_TOKS} AS l FROM documents),
+uni AS (
+  SELECT source, count(*) AS uni_total, count(DISTINCT g) AS uni_distinct
+  FROM (SELECT source, unnest(l) AS g FROM toks) GROUP BY source
+),
+bi AS (
+  SELECT source, count(*) AS bi_total, count(DISTINCT g) AS bi_distinct
+  FROM (SELECT source, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS g
+        FROM toks WHERE len(l) >= 2) GROUP BY source
+),
+tri AS (
+  SELECT source, count(*) AS tri_total, count(DISTINCT g) AS tri_distinct
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+        FROM toks WHERE len(l) >= 3) GROUP BY source
+)
+SELECT source,
+       uni_total, uni_distinct,
+       round(CAST(uni_distinct AS DOUBLE) / uni_total, 6) AS distinct_1,
+       bi_total, bi_distinct,
+       round(CAST(bi_distinct AS DOUBLE) / bi_total, 6) AS distinct_2,
+       tri_total, tri_distinct,
+       round(CAST(tri_distinct AS DOUBLE) / tri_total, 6) AS distinct_3
+FROM uni JOIN bi USING (source) JOIN tri USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),

@@ -364,6 +364,19 @@ AUDIT = {
         "literals computed once per row (O(n·k), no pairwise join); the "
         "only shuffle is the per-cluster mean",
     ),
+    "ngram_diversity": (
+        ["HashAggregate", "!CartesianProduct", "!Window"],
+        "distinct-n diversity: one explode->count+count_distinct agg per "
+        "n (two-stage, map-side partials); the three per-source frames "
+        "are vocabulary-bounded before their joins",
+    ),
+    "score_drift_psi": (
+        ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"],
+        "PSI: bin edges are a bounded (n_bins-1)-double collect; the bin "
+        "assignment is a codegen'd literal comparison chain (no join), "
+        "each side reduces to ONE n_bins-row count agg, and the 1-row "
+        "totals frame rides back as a broadcast nested-loop join",
+    ),
 }
 
 
