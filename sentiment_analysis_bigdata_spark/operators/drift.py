@@ -136,6 +136,7 @@ def psi_binned(
     n_bins: int = 10,
     smoothing: float = 0.5,
     edge_round_digits: int = 6,
+    exact_edges: bool = True,
 ) -> DataFrame:
     """Population Stability Index between two numeric distributions over
     reference-quantile bins — the production scorecard-drift metric
@@ -154,15 +155,28 @@ def psi_binned(
 
     Returns per-bin rows (bin, n_ref, n_cur, p_ref, p_cur, contrib) —
     total PSI is ``sum(contrib)``.
+
+    ``exact_edges=True`` (the oracle-replayable default) uses Spark's
+    exact ``percentile``, whose per-partition state grows with the
+    number of DISTINCT reference values — fine for scores/ratios with
+    bounded precision, wrong for 100 TB of unbounded doubles. Pass
+    ``exact_edges=False`` there: edges come from ``approx_percentile``
+    (mergeable KLL-style sketch, fixed memory at accuracy 1e-4); bin
+    SHARES drift by at most the rank error, which the PSI bands
+    (0.1/0.25) comfortably absorb. Everything downstream is identical.
     """
     if n_bins < 2:
         raise ValueError("psi_binned: n_bins must be >= 2")
     qs = [i / n_bins for i in range(1, n_bins)]
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    v_ref = F.col(value_col).cast("double")
+    edge_agg = (
+        F.percentile(v_ref, q_arr)
+        if exact_edges
+        else F.percentile_approx(v_ref, q_arr, 10000)
+    )
     edges_row = reference.agg(
-        F.transform(
-            F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])),
-            lambda e: F.round(e, edge_round_digits),
-        ).alias("e")
+        F.transform(edge_agg, lambda e: F.round(e, edge_round_digits)).alias("e")
     ).first()
     edges = list(edges_row["e"])
 

@@ -376,6 +376,17 @@ class TestPsiBinned:
         assert rows[0].contrib == pytest.approx((p0 - q0) * math.log(p0 / q0))
         assert rows[1].contrib == pytest.approx((p1 - q1) * math.log(p1 / q1))
 
+    def test_approx_edges_match_exact_here(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import drift
+
+        # at this cardinality the KLL sketch is exact, so the 100 TB path
+        # must reproduce the oracle path bin-for-bin
+        ref = self._vals(spark, range(200))
+        cur = self._vals(spark, range(50, 250))
+        a = sorted(drift.psi_binned(ref, cur, "v", n_bins=4).collect())
+        b = sorted(drift.psi_binned(ref, cur, "v", n_bins=4, exact_edges=False).collect())
+        assert a == b
+
     def test_rejects_single_bin(self, spark):
         from sentiment_analysis_bigdata_spark.operators import drift
 
