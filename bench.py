@@ -126,8 +126,10 @@ FAMILY_EXTRA = [
     "matryoshka_recall",
     "link_prediction",
     "silhouette_kmeans",
-    # r5 final: PSI scorecard drift over reference-decile bins
+    # r5 final: PSI scorecard drift over reference-decile bins, and
+    # per-source distinct-n corpus diversity
     "score_drift_psi",
+    "ngram_diversity",
 ]
 
 
