@@ -158,8 +158,6 @@ _DRIVER_PREFIX: list[str] = [
     "tfidf_top_terms",
     "lang_id",
     "dedup_exact",
-    "pii_redaction",
-    "text_stats",
     "countvec_vocab",
     "streaming_dedup",
     "asof_purchase_signup",
@@ -188,6 +186,10 @@ _DRIVER_PREFIX: list[str] = [
     # for the two queries added at round end, same NEW-first rationale)
     "silhouette_kmeans",
     "score_drift_psi",
+    # (displace pii_redaction/text_stats — oracle-green since r1 — for the
+    # two LLM-curation queries added late in r5, same NEW-first rationale)
+    "dsir_importance",
+    "perplexity_buckets",
 ]
 
 

@@ -365,10 +365,26 @@ AUDIT = {
         "only shuffle is the per-cluster mean",
     ),
     "ngram_diversity": (
+        ["HashAggregate", "Expand|HashAggregate", "!CartesianProduct",
+         "!Window", "!SortMergeJoin"],
+        "distinct-n diversity: ONE corpus pass — tag-prefixed 1/2/3-grams "
+        "share a single explode into one (source, n)-keyed "
+        "count+count_distinct agg; the pivot runs on the sources×3 frame",
+    ),
+    "dsir_importance": (
+        ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct",
+         "!Window"],
+        "DSIR importance resampling: one corpus explode (uni+bi grams in "
+        "a single array concat), a (doc, bucket) agg, two 64-bucket LM "
+        "aggs that join back unhinted (fixed m rows at any scale — AQE "
+        "broadcasts at runtime), one per-doc fold and a global top-k",
+    ),
+    "perplexity_buckets": (
         ["HashAggregate", "!CartesianProduct", "!Window"],
-        "distinct-n diversity: one explode->count+count_distinct agg per "
-        "n (two-stage, map-side partials); the three per-source frames "
-        "are vocabulary-bounded before their joins",
+        "CCNet perplexity terciles: the doc_logprob pipeline (LM agg + "
+        "term join + per-doc fold) feeds a |langs|-row exact-percentile "
+        "edge agg that joins back unhinted (AQE broadcasts at runtime); "
+        "final output is a (lang, bucket) agg with map-side partials",
     ),
     "score_drift_psi": (
         ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!Window"],
