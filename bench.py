@@ -130,6 +130,10 @@ FAMILY_EXTRA = [
     # per-source distinct-n corpus diversity
     "score_drift_psi",
     "ngram_diversity",
+    # r5 final: DSIR importance resampling and CCNet perplexity terciles
+    # (the two target-domain selection gates)
+    "dsir_importance",
+    "perplexity_buckets",
 ]
 
 

@@ -379,3 +379,83 @@ def hashed_embedding_long(
         .groupBy("id", "dim_idx")
         .agg(F.sum("s").cast("bigint").alias("value"))
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    target_col: str = "is_target",
+    m: int = 64,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance weight under two
+    bag-of-hashed-ngrams unigram LMs,
+
+        log w(d) = sum_b n_b(d) * (ln p_target[b] - ln q_raw[b])
+
+    with hashed unigram+bigram features into ``m`` buckets (the engine's
+    md5 hash — the same value contract as ``hashed_embedding_long``) and
+    add-1 smoothing on both LMs. ``target_col`` is a boolean marking the
+    target-domain rows; the raw distribution is the whole frame. Rows in
+    ``keep_cols`` ride through the per-doc aggregation (they must be
+    functionally dependent on ``id_col``).
+
+    Plan shape: ONE corpus explode (uni+bi grams in a single array
+    concat), one (doc, bucket) agg, two m-row LM aggs that join back
+    UNHINTED (fixed m rows at any corpus scale — AQE broadcasts them at
+    runtime, per SCALING.md "broadcast policy"), a broadcast 1-row totals
+    frame, and one per-doc fold. LM state is O(m); no all-pairs work.
+
+    Returns ``(id_col, *keep_cols, n_grams, log_weight)`` with the weight
+    rounded to 6dp (the cross-engine float contract). Selection (top-k /
+    Gumbel sampling) is the caller's policy.
+    """
+    from sentiment_analysis_bigdata_spark.functions import hashing as H
+    from sentiment_analysis_bigdata_spark.functions import text as TXT
+
+    keep = list(keep_cols)
+    grams = F.concat(F.col(tokens_col), TXT.ngrams(F.col(tokens_col), 2))
+    b = docs.select(
+        F.col(id_col), F.col(target_col), *keep, F.explode(grams).alias("g")
+    ).select(
+        id_col, target_col, *keep,
+        F.pmod(H.md5_hash64("g"), F.lit(m)).alias("bucket"),
+    )
+    per_doc = b.groupBy(id_col, *keep, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tgt = b.filter(F.col(target_col)).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    totals = tgt.agg(F.sum("t_cnt").cast("double").alias("t_total")).crossJoin(
+        F.broadcast(raw.agg(F.sum("r_cnt").cast("double").alias("r_total")))
+    )
+    contrib = (
+        per_doc.join(raw, "bucket")
+        .join(tgt, "bucket", "left")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            *keep,
+            "n",
+            (
+                F.col("n")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_total") + m)
+                    )
+                    - F.log(
+                        (F.col("r_cnt") + 1).cast("double") / (F.col("r_total") + m)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy(id_col, *keep).agg(
+        F.sum("n").alias("n_grams"),
+        F.round(F.sum("c"), 6).alias("log_weight"),
+    )

@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sentiment_analysis_bigdata_spark.functions import hashing as HH
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import affinity as AFF
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
@@ -1259,57 +1258,21 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     doc_id) — the rank-preserving stand-in for Gumbel top-k, which the
     cross-engine gate cannot replay.
 
-    Plan shape: ONE corpus explode (uni+bi grams ride a single array
-    concat), one (doc, bucket) agg, two m-row LM aggs that join back
-    (fixed 64 rows at ANY corpus scale — AQE broadcasts them at runtime;
-    no hint, per the broadcast policy), one per-doc fold, one global
-    top-k. LM state is O(m); no all-pairs work anywhere."""
-    m = 64
+    Plan shape (operators/features.py dsir_logweights): ONE corpus
+    explode (uni+bi grams ride a single array concat), one (doc, bucket)
+    agg, two m-row LM aggs that join back (fixed 64 rows at ANY corpus
+    scale — AQE broadcasts them at runtime; no hint, per the broadcast
+    policy), one per-doc fold, one global top-k. LM state is O(m); no
+    all-pairs work anywhere."""
     docs = _docs(spark, sf).select(
-        "doc_id", "lang", "source", TXT.tokenize_nonempty("text").alias("l")
-    )
-    grams = F.concat(F.col("l"), TXT.ngrams(F.col("l"), 2))
-    b = docs.select(
-        "doc_id", "lang", "source", F.explode(grams).alias("g")
-    ).select("doc_id", "lang", "source", (HH.md5_hash64("g") % m).alias("bucket"))
-    per_doc = b.groupBy("doc_id", "lang", "source", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("t_cnt")
-    )
-    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
-    totals = tgt.agg(F.sum("t_cnt").cast("double").alias("t_total")).crossJoin(
-        F.broadcast(raw.agg(F.sum("r_cnt").cast("double").alias("r_total")))
-    )
-    # The two LM frames are fixed 64-row aggregates at any corpus scale but
-    # carry NO broadcast hint (keyed aggs fall under SCALING.md "broadcast
-    # policy" — AQE converts both joins to broadcast-hash at runtime); only
-    # the keyless 1-row totals ride a hint.
-    contrib = per_doc.join(raw, "bucket").join(tgt, "bucket", "left").join(
-        F.broadcast(totals)
-    ).select(
         "doc_id",
         "lang",
         "source",
-        "n",
-        (
-            F.col("n")
-            * (
-                F.log(
-                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("t_total") + m)
-                )
-                - F.log((F.col("r_cnt") + 1).cast("double") / (F.col("r_total") + m))
-            )
-        ).alias("c"),
+        TXT.tokenize_nonempty("text").alias("tokens"),
+        (F.col("lang") == "en").alias("is_target"),
     )
     return (
-        contrib.groupBy("doc_id", "lang", "source")
-        .agg(
-            F.sum("n").alias("n_grams"),
-            F.round(F.sum("c"), 6).alias("log_weight"),
-        )
+        FE.dsir_logweights(docs, m=64, keep_cols=("lang", "source"))
         .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
         .limit(25)
     )
@@ -1367,8 +1330,9 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     (AQE broadcasts it at runtime — keyed agg, so no hint per the
     broadcast policy), one (lang, bucket) agg. The edge frame is |langs|
     rows at any corpus scale; for the 100 TB path swap the exact
-    percentile for the fixed-size histogram-sketch edges (SCALING.md
-    'sketch quantiles' — same shape as score_drift_psi's scale note)."""
+    percentile for the mergeable ``approx_percentile`` sketch (SCALING.md
+    "PSI drift" — exact edges keep state per DISTINCT score, fine for the
+    6dp-rounded scores here, wrong for raw doubles)."""
     docs = _docs(spark, sf)
     scores = FE.unigram_logprob_scores(
         docs.select("doc_id", TXT.tokenize_nonempty("text").alias("tokens"))

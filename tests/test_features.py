@@ -240,3 +240,59 @@ def test_hashed_embedding_properties(spark):
     # bucket with |value| 2 (unless "b" collides and cancels)
     assert 3 not in by_doc  # empty docs produce no rows
     assert all(0 <= k < 8 for d in by_doc.values() for k in d)
+
+
+def test_dsir_logweights_hand_computed(spark):
+    import hashlib
+    from collections import Counter
+
+    rows = [
+        (0, ["the", "cat", "sat"], True, "en"),
+        (1, ["the", "dog", "ran"], True, "en"),
+        (2, ["der", "hund", "lief"], False, "de"),
+        # off-domain label but token-identical to doc 0: must score like it
+        (3, ["the", "cat", "sat"], False, "xx"),
+        (4, [], False, "en"),  # empty docs produce no row
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>, is_target boolean, lang string"
+    )
+    m = 16
+    out = {
+        r["doc_id"]: r
+        for r in FE.dsir_logweights(df, m=m, keep_cols=("lang",)).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+
+    def grams(toks):
+        return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % m
+
+    tgt: Counter = Counter()
+    raw: Counter = Counter()
+    per = {}
+    for doc_id, toks, is_t, _lang in rows:
+        c = Counter(bucket(g) for g in grams(toks))
+        per[doc_id] = c
+        raw.update(c)
+        if is_t:
+            tgt.update(c)
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+    for doc_id, _toks, _is_t, lang in rows[:4]:
+        w = sum(
+            n
+            * (
+                math.log((tgt.get(b, 0) + 1) / (t_tot + m))
+                - math.log((raw[b] + 1) / (r_tot + m))
+            )
+            for b, n in per[doc_id].items()
+        )
+        assert out[doc_id]["log_weight"] == pytest.approx(round(w, 6), abs=2e-6)
+        assert out[doc_id]["n_grams"] == sum(per[doc_id].values())
+        assert out[doc_id]["lang"] == lang
+    # token-identical docs get identical weights regardless of their label…
+    assert out[3]["log_weight"] == out[0]["log_weight"]
+    # …and an in-domain lookalike outscores the out-of-domain doc
+    assert out[3]["log_weight"] > out[2]["log_weight"]
