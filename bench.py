@@ -134,6 +134,8 @@ FAMILY_EXTRA = [
     # (the two target-domain selection gates)
     "dsir_importance",
     "perplexity_buckets",
+    # r5 final: BM25 + embedding-cosine fusion via reciprocal rank fusion
+    "hybrid_rrf_search",
 ]
 
 

@@ -157,7 +157,6 @@ _DRIVER_PREFIX: list[str] = [
     "minhash_signatures",
     "tfidf_top_terms",
     "lang_id",
-    "dedup_exact",
     "countvec_vocab",
     "streaming_dedup",
     "asof_purchase_signup",
@@ -190,6 +189,9 @@ _DRIVER_PREFIX: list[str] = [
     # two LLM-curation queries added late in r5, same NEW-first rationale)
     "dsir_importance",
     "perplexity_buckets",
+    # (displace dedup_exact — oracle-green since r1 — for the hybrid
+    # lexical+semantic RRF retrieval query, same NEW-first rationale)
+    "hybrid_rrf_search",
 ]
 
 

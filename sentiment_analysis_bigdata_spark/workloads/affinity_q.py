@@ -175,9 +175,151 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_hybrid_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal rank fusion
+    (Cormack et al. 2009, the k=60 RRF recipe production RAG stacks
+    default to): BM25 ranks from the token postings and exact-cosine
+    ranks from the document embeddings (``documents.doc_id`` and
+    ``embeddings.vec_id`` are 1:1 in the testdata) are full-outer-joined
+    per (query, doc) and scored ``1/(60+r_lex) + 1/(60+r_sem)``; a lane
+    that missed a doc contributes 0, which is RRF's whole point — no
+    score calibration across heterogeneous retrievers, ranks only.
+
+    Queries = the three smallest doc_ids (BM25 uses their first-5
+    tokens, cosine their own embedding); self-matches drop AFTER ranking
+    in both lanes, identically replayed in the oracle. Both rank lanes
+    reuse pipelines that are independently oracle-proven (``bm25_search``,
+    ``ann_bruteforce``), so the fusion itself adds one (query, doc)-keyed
+    full-outer join over ≤ 2·DEPTH rows per query and a per-query top-k
+    window — nothing here grows faster than the lanes themselves at
+    100 TB (the brute-force cosine lane swaps for the IVF/PQ lanes at
+    scale; RRF only consumes ranks, so the fusion is retriever-agnostic)."""
+    from pyspark.sql import Window
+
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+    from sentiment_analysis_bigdata_spark.operators import similarity as SIM
+
+    depth, k_rrf, final_k, n_q = 50, 60, 10, 3
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    queries = docs.filter(F.col("doc_id") < n_q).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(tokenize_nonempty(F.col("text")), 1, 5).alias("terms"),
+    )
+    lex = (
+        affinity.bm25_scores(docs, queries, top_k=depth)
+        .filter(F.col("doc") != F.col("query_id"))
+        .select("query_id", "doc", F.col("rank").alias("r_lex"))
+    )
+    qf = (
+        emb.filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .limit(n_q)  # no-op; makes the broadcast side's boundedness plan-visible
+    )
+    sem = SIM.brute_force_topk(emb, qf, k=depth).select(
+        "query_id", F.col("vec_id").alias("doc"), F.col("rank").alias("r_sem")
+    )
+    fused = lex.join(sem, ["query_id", "doc"], "full_outer").select(
+        "query_id",
+        "doc",
+        (
+            F.coalesce(F.lit(1.0) / (k_rrf + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (k_rrf + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf_raw"),
+        "r_lex",
+        "r_sem",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= final_k)
+        .select(
+            "query_id",
+            "doc",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from sentiment_analysis_bigdata_spark.workloads.dedup_sim import _sql_cosine
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+tf AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(l[1:5])) AS term
+  FROM toks WHERE doc_id < 3
+),
+lex_scored AS (
+  SELECT q.query_id, tf.doc,
+         sum(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc ASC) AS r_lex
+  FROM lex_scored
+),
+lexk AS (SELECT * FROM lex WHERE r_lex <= 50 AND doc <> query_id),
+eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+sem_scored AS (
+  SELECT eq.query_id, e.vec_id AS doc, {_sql_cosine('e.embedding', 'eq.qv')} AS cos
+  FROM embeddings e CROSS JOIN eq
+  WHERE e.vec_id <> eq.query_id
+),
+sem AS (
+  SELECT query_id, doc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc ASC) AS r_sem
+  FROM sem_scored
+),
+semk AS (SELECT * FROM sem WHERE r_sem <= 50),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc, s.doc) AS doc,
+         COALESCE(1.0 / (60 + l.r_lex), 0) + COALESCE(1.0 / (60 + s.r_sem), 0) AS rrf_raw,
+         l.r_lex, s.r_sem
+  FROM lexk l FULL OUTER JOIN semk s
+    ON l.query_id = s.query_id AND l.doc = s.doc
+),
+ranked AS (
+  SELECT query_id, doc, rrf_raw, r_lex, r_sem,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_raw DESC, doc ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc, round(rrf_raw, 6) AS rrf_score,
+       CAST(r_lex AS INTEGER) AS r_lex, CAST(r_sem AS INTEGER) AS r_sem,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "hybrid_rrf_search": (q_hybrid_rrf_search, _sql_hybrid_rrf()),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
 }

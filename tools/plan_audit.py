@@ -371,6 +371,14 @@ AUDIT = {
         "share a single explode into one (source, n)-keyed "
         "count+count_distinct agg; the pivot runs on the sources×3 frame",
     ),
+    "hybrid_rrf_search": (
+        ["Window", "BroadcastNestedLoopJoin", "SortMergeJoin|BroadcastHashJoin",
+         "!CartesianProduct"],
+        "hybrid RRF retrieval: the cosine lane's query side is a "
+        "plan-visible bounded broadcast (GlobalLimit under the "
+        "BroadcastExchange); fusion is one (query, doc)-keyed full-outer "
+        "join over <= 2*depth rows per query plus a per-query top-k window",
+    ),
     "dsir_importance": (
         ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct",
          "!Window"],
