@@ -136,6 +136,8 @@ FAMILY_EXTRA = [
     "perplexity_buckets",
     # r5 final: BM25 + embedding-cosine fusion via reciprocal rank fusion
     "hybrid_rrf_search",
+    # r5 final: the Gumbel-top-k DSIR resample (content-addressed noise)
+    "dsir_sample",
 ]
 
 

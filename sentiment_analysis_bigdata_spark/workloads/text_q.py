@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sentiment_analysis_bigdata_spark.functions import hashing as HH
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import affinity as AFF
 from sentiment_analysis_bigdata_spark.operators import dedup as DD
@@ -1278,8 +1279,7 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_DSIR_IMPORTANCE = f"""
-WITH toks AS (SELECT doc_id, lang, source, {SQL_TOKS} AS l FROM documents),
+_SQL_DSIR_WEIGHTS = f"""toks AS (SELECT doc_id, lang, source, {SQL_TOKS} AS l FROM documents),
 grams AS (
   SELECT doc_id, lang, source, unnest(l) AS g FROM toks
   UNION ALL
@@ -1300,15 +1300,77 @@ raw AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY 1),
 tot AS (
   SELECT (SELECT CAST(sum(t_cnt) AS DOUBLE) FROM tgt) AS t_total,
          (SELECT CAST(sum(r_cnt) AS DOUBLE) FROM raw) AS r_total
-)
-SELECT doc_id, lang, source,
-       CAST(sum(n) AS BIGINT) AS n_grams,
-       round(sum(n * (ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE) / (t_total + 64))
-                    - ln(CAST(r_cnt + 1 AS DOUBLE) / (r_total + 64)))), 6) AS log_weight
-FROM per_doc LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket) CROSS JOIN tot
-GROUP BY 1, 2, 3
+),
+weights AS (
+  SELECT doc_id, lang, source,
+         CAST(sum(n) AS BIGINT) AS n_grams,
+         round(sum(n * (ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE) / (t_total + 64))
+                      - ln(CAST(r_cnt + 1 AS DOUBLE) / (r_total + 64)))), 6) AS log_weight
+  FROM per_doc LEFT JOIN tgt USING (bucket) JOIN raw USING (bucket) CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)"""
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH {_SQL_DSIR_WEIGHTS}
+SELECT doc_id, lang, source, n_grams, log_weight
+FROM weights
 ORDER BY log_weight DESC, doc_id ASC
 LIMIT 25
+"""
+
+
+def q_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection step realized as Gumbel-top-k (Kool et al. 2019):
+    drawing k docs WITHOUT replacement with probability ∝ exp(log_weight)
+    is exactly taking the top-k of ``log_weight + Gumbel(0,1)``. The
+    Gumbel noise is CONTENT-ADDRESSED — u = (md5(doc_id:seed) mod 10^6
+    + 0.5)/10^6, g = -ln(-ln(u)) — so the 'random' sample is a pure
+    function of the row ids: reruns, retries, engine changes, and the
+    DuckDB oracle all select the same docs (the same contract as
+    ``hash_split``/``weighted_sample_by_hash``). The final cut orders by
+    the 6dp-ROUNDED key (ties → doc_id), keeping the boundary immune to
+    last-ULP ln() differences across engines.
+
+    Plan shape: the dsir_logweights pipeline plus one narrow per-row
+    expression and one global top-k — selection adds NO shuffle."""
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        "source",
+        TXT.tokenize_nonempty("text").alias("tokens"),
+        (F.col("lang") == "en").alias("is_target"),
+    )
+    w = FE.dsir_logweights(docs, m=64, keep_cols=("lang", "source"))
+    u = (
+        F.pmod(
+            HH.md5_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel42"))
+            ),
+            F.lit(1_000_000),
+        )
+        + 0.5
+    ) / 1_000_000.0
+    gkey = F.round(F.col("log_weight") + (-F.log(-F.log(u))), 6)
+    return (
+        w.select("doc_id", "lang", "source", "log_weight", gkey.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH {_SQL_DSIR_WEIGHTS},
+keyed AS (
+  SELECT doc_id, lang, source, log_weight,
+         round(log_weight
+               + (-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel42'), 1, 15)) AS BIGINT)
+                           % 1000000 + 0.5) / 1000000.0))), 6) AS gumbel_key
+  FROM weights
+)
+SELECT doc_id, lang, source, log_weight, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 20
 """
 
 
@@ -1391,6 +1453,7 @@ QUERIES = {
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
