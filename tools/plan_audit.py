@@ -371,6 +371,22 @@ AUDIT = {
         "share a single explode into one (source, n)-keyed "
         "count+count_distinct agg; the pivot runs on the sources×3 frame",
     ),
+    "kmeans_broadcast": (
+        ["HashAggregate", "BroadcastNestedLoopJoin", "ObjectHashAggregate",
+         "!CartesianProduct", "!SortMergeJoin", "!Window"],
+        "large-k Lloyd, broadcast-frame assign: centroids ride as ONE "
+        "broadcast array row (the BroadcastNestedLoopJoin is that 1-row "
+        "crossJoin — plan size O(1) in k); per-round lineage is cut by "
+        "localCheckpoint, so the audited final plan is one assign pass "
+        "plus the k-row summary agg",
+    ),
+    "dsir_sample": (
+        ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct",
+         "!Window"],
+        "Gumbel-top-k DSIR resample: the dsir_importance weight pipeline "
+        "plus one narrow per-row noise expression — selection adds no "
+        "shuffle, just the global top-k",
+    ),
     "hybrid_rrf_search": (
         ["Window", "BroadcastNestedLoopJoin", "SortMergeJoin|BroadcastHashJoin",
          "!CartesianProduct"],
