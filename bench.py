@@ -138,6 +138,8 @@ FAMILY_EXTRA = [
     "hybrid_rrf_search",
     # r5 final: the Gumbel-top-k DSIR resample (content-addressed noise)
     "dsir_sample",
+    # r5 final: weighted shortest paths (bounded Bellman-Ford)
+    "weighted_sssp",
 ]
 
 

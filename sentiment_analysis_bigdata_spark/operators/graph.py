@@ -298,6 +298,85 @@ def bfs_hops(
     return dist
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    seed_col: str = "node",
+    rounds: int = 6,
+) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths by bounded
+    Bellman-Ford: (node, dist) = min total weight over any path of at
+    most ``rounds`` edges from the nearest seed — the weighted complement
+    of :func:`bfs_hops` (hop counts ignore edge strength; here a chain of
+    strong ties can beat a single weak direct edge).
+
+    INTEGER weights keep ``min()`` exact on both engines (no float-sum
+    ordering surface), and the FIXED round budget makes the recursion
+    oracle-replayable: a recursive CTE enumerating paths of <= ``rounds``
+    edges and taking ``min(dist)`` computes the identical relaxation
+    closure.
+
+    Scale shape: per round ONE equi join of the IMPROVED frontier (not
+    the full distance table) against the edge list plus one min-merge agg
+    — the delta-relaxation form, so work per round is proportional to the
+    set of nodes whose distance actually changed; ``localCheckpoint``
+    per round keeps lineage flat and an empty frontier stops early. The
+    symmetrized edge frame collapses parallel edges to their min weight
+    once, up front.
+    """
+    fwd = edges.select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("d"), F.col(w_col).alias("w")
+    )
+    e = (
+        fwd.unionByName(
+            edges.select(
+                F.col(b_col).alias("s"),
+                F.col(a_col).alias("d"),
+                F.col(w_col).alias("w"),
+            )
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(e["d"].alias("node"), (frontier["dist"] + e["w"]).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(
+                dist.select("node", F.col("dist").alias("_old")), "node", "left"
+            )
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+        if improved.isEmpty():
+            break
+        frontier = improved
+    return dist
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

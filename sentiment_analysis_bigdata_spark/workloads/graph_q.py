@@ -490,8 +490,67 @@ JOIN deg dz ON dz.node = c.z
 """
 
 
+def q_weighted_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted shortest paths over the co-purchase graph
+    (operators/graph.py sssp_weighted — bounded Bellman-Ford,
+    delta-relaxation frontier): edge weight = max(1, 6 − support), so
+    frequently co-purchased pairs are 'close' and a chain of strong ties
+    can beat one weak direct edge — the weighted complement of
+    ``bfs_hops`` on the same graph and seed set. Integer weights keep
+    min() exact across engines; the oracle replays the ≤6-edge
+    relaxation closure as a recursive CTE."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+    from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("item_a").alias("a"),
+        F.col("item_b").alias("b"),
+        F.greatest(F.lit(1), F.lit(6) - F.col("support").cast("int")).alias("w"),
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    return sssp_weighted(edges, seeds, rounds=BFS_MAX_HOPS)
+
+
+SQL_WEIGHTED_SSSP = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.item AS a, c.item AS b, count(*) AS support
+  FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) c
+    ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+we AS (
+  SELECT a AS s, b AS d, GREATEST(1, 6 - CAST(support AS INTEGER)) AS w FROM pairs
+  UNION ALL
+  SELECT b, a, GREATEST(1, 6 - CAST(support AS INTEGER)) FROM pairs
+),
+e AS (SELECT s, d, min(w) AS w FROM we GROUP BY 1, 2),
+n AS (SELECT DISTINCT s AS node FROM e),
+seeds AS (SELECT node FROM n ORDER BY node LIMIT 3),
+walk(node, dist, steps) AS (
+  SELECT node, 0, 0 FROM seeds
+  UNION ALL
+  SELECT e.d, walk.dist + e.w, walk.steps + 1
+  FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.steps < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "weighted_sssp": (q_weighted_sssp, SQL_WEIGHTED_SSSP),
     "kcore_parts": (q_kcore_parts, SQL_KCORE_PARTS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),

@@ -393,6 +393,51 @@ class TestBfsHops:
         assert got == {1: 0, 2: 1}
 
 
+class TestSsspWeighted:
+    def test_strong_chain_beats_weak_direct_edge(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 2, 5), (1, 3, 1), (3, 2, 1), (2, 4, 2)],
+            "a long, b long, w long",
+        )
+        seeds = spark.createDataFrame([Row(node=1)])
+        got = {r.node: r.dist for r in sssp_weighted(edges, seeds).collect()}
+        # 1→3→2 (cost 2) beats the direct 1→2 edge (cost 5)
+        assert got == {1: 0, 3: 1, 2: 2, 4: 4}
+
+    def test_round_budget_caps_path_length(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(i, i + 1, 1) for i in range(6)], "a long, b long, w long"
+        )
+        seeds = spark.createDataFrame([Row(node=0)])
+        got = {
+            r.node: r.dist
+            for r in sssp_weighted(edges, seeds, rounds=2).collect()
+        }
+        # only paths of <= 2 edges are relaxed
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_parallel_edges_collapse_to_min(self, spark):
+        from pyspark.sql import Row
+
+        from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(1, 2, 5), (2, 1, 1)], "a long, b long, w long"
+        )
+        seeds = spark.createDataFrame([Row(node=1)])
+        got = {r.node: r.dist for r in sssp_weighted(edges, seeds).collect()}
+        # the symmetrized frame keeps min(w) per direction
+        assert got == {1: 0, 2: 1}
+
+
 class TestTransitionMatrix:
     def test_hand_counts_and_probs(self, spark):
         from datetime import datetime
