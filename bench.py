@@ -140,6 +140,8 @@ FAMILY_EXTRA = [
     "dsir_sample",
     # r5 final: weighted shortest paths (bounded Bellman-Ford)
     "weighted_sssp",
+    # r5 final: vocabulary coverage curve (tokenizer-budget sizing)
+    "vocab_coverage",
 ]
 
 

@@ -1448,12 +1448,88 @@ ORDER BY lang, bucket
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of corpus token mass covered
+    by the top-k most frequent types, at k ∈ {100, 1k, 10k} — the number
+    that sizes a tokenizer/vocab budget (the cumulative form of the Zipf
+    mass that ``zipf_fit`` regresses) and flags templated corpora (a few
+    types covering nearly everything).
+
+    One vocab-sized count agg → one rank window over the VOCAB frame
+    (deterministic (count desc, token asc) tie-break — same shape and
+    scale caveat as ``zipf_fit``: vocab-bounded by Heaps' law; at
+    web-scale vocabularies switch the window to an approx top-k sketch) →
+    one keyless fold emitting the three conditional cumulative sums, so
+    ladders where k exceeds the vocab degrade to full coverage naturally.
+    The corpus is scanned exactly once."""
+    counts = (
+        _docs(spark, sf)
+        .select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    ks = [100, 1000, 10000]
+    agg = ranked.agg(
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_types"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("n")).otherwise(F.lit(0))).alias(
+                f"_c{k}"
+            )
+            for k in ks
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("_types").alias("n_types"),
+                F.col(f"_c{k}").alias("covered_tokens"),
+                F.col("_total").alias("total_tokens"),
+                F.round(F.col(f"_c{k}") / F.col("_total"), 6).alias("coverage"),
+            )
+            for k in ks
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*").orderBy("k")
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r FROM counts
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         count(*) AS n_types,
+         CAST(sum(CASE WHEN r <= 100 THEN n ELSE 0 END) AS BIGINT) AS c100,
+         CAST(sum(CASE WHEN r <= 1000 THEN n ELSE 0 END) AS BIGINT) AS c1000,
+         CAST(sum(CASE WHEN r <= 10000 THEN n ELSE 0 END) AS BIGINT) AS c10000
+  FROM ranked
+)
+SELECT k, n_types, covered_tokens, total_tokens,
+       round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+FROM (
+  SELECT 100 AS k, n_types, c100 AS covered_tokens, total AS total_tokens FROM agg
+  UNION ALL
+  SELECT 1000, n_types, c1000, total FROM agg
+  UNION ALL
+  SELECT 10000, n_types, c10000, total FROM agg
+)
+ORDER BY k
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "lexical_stats": (q_lexical_stats, SQL_LEXICAL_STATS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
