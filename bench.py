@@ -142,6 +142,9 @@ FAMILY_EXTRA = [
     "weighted_sssp",
     # r5 final: vocabulary coverage curve (tokenizer-budget sizing)
     "vocab_coverage",
+    # r5 final: Bloom-filter decontamination pre-filter (mergeable
+    # membership sketch pruning the corpus side before the exact join)
+    "bloom_contamination",
 ]
 
 

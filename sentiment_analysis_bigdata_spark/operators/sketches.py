@@ -268,3 +268,137 @@ def hist_quantiles(
             (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("est"),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = 8192,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) over a key column as a distinct
+    occupied-position table: each key sets ``k`` positions
+    pos_i(key) = md5_hash64(key ':' i ':' seed) mod m.
+
+    The sketch is a fixed-size summary — at most ``m`` rows regardless of
+    how many keys were inserted — and is mergeable by distinct-union
+    (:func:`bloom_merge`), which is what makes it the standard corpus-scale
+    MEMBERSHIP pre-filter: build once over the benchmark/blocklist side,
+    then prune the 100 TB side down to bloom-positive candidates before any
+    exact join ever runs. Guarantee: no false negatives, ever (a present
+    key's positions are all set by construction); false positives at rate
+    ≈ (1 − e^{−kn/m})^k, and every bloom-positive candidate is expected to
+    be exact-checked downstream (the :func:`bloom_probe` caller's job).
+
+    Scale shape: one explode (× k, a constant) over the DISTINCT keys,
+    then a distinct over a key space capped at ``m`` — partial map-side
+    dedup makes the shuffle sketch-sized. Hashes are md5-derived so DuckDB
+    replays the filter bit-for-bit (functions/hashing.py idiom).
+
+    The position-set form is the join-friendly working representation; for
+    a wire/storage format :func:`bloom_pack` folds it into ⌈m/64⌉ bitmask
+    words (the literal bit array).
+    """
+    from sentiment_analysis_bigdata_spark.functions.hashing import md5_hash64
+
+    keys = (
+        df.select(F.col(col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
+    e = keys.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    )
+    pos = F.pmod(
+        md5_hash64(
+            F.concat_ws(
+                ":", F.col("key"), F.col("i").cast("string"), F.lit(str(seed))
+            )
+        ),
+        F.lit(m),
+    )
+    return e.select(pos.alias("pos")).distinct()
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge same-parameter Bloom filters by position-set union."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_pack(sketch: DataFrame, m: int) -> DataFrame:
+    """Fold an occupied-position sketch into its literal bit array:
+    (word_idx, bits) with bits = OR of (1 << pos%64) over positions in
+    word ``pos DIV 64`` — ⌈m/64⌉ rows, the form you'd persist or ship to
+    another system. ``bit_or`` aggregates identically in Spark and DuckDB
+    (two's-complement BIGINT), so packed words are value-checkable."""
+    return (
+        sketch.select(
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    m: int = 8192,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Membership probe: a key is bloom-positive iff ALL ``k`` of its
+    positions are occupied. Probe table is |keys| × k rows; the join is an
+    equi join on ``pos`` against the ≤ m-row sketch. No broadcast hint (the
+    sketch subtree scans the inserted side; AQE sees the post-distinct size
+    and broadcasts at runtime — same policy as :func:`cms_estimate`).
+
+    Returns (col, bloom_member). No false negatives: rows of the inserted
+    set always return true; a true here still means "maybe present" —
+    callers exact-check bloom-positive survivors, which is the whole
+    pre-filter bargain (prune ~all of the corpus side for the price of one
+    m-row join, pay exact verification only on the tiny candidate set).
+    """
+    from sentiment_analysis_bigdata_spark.functions.hashing import md5_hash64
+
+    probes = (
+        keys.select(F.col(col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+        .select(
+            "key", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+        )
+    )
+    pos = F.pmod(
+        md5_hash64(
+            F.concat_ws(
+                ":", F.col("key"), F.col("i").cast("string"), F.lit(str(seed))
+            )
+        ),
+        F.lit(m),
+    )
+    probes = probes.select("key", pos.alias("pos"))
+    hits = probes.join(sketch, "pos", "left_semi")
+    return (
+        probes.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+        .join(
+            hits.groupBy("key").agg(F.count(F.lit(1)).alias("n_hit")),
+            "key",
+            "left",
+        )
+        .select(
+            F.col("key").alias(col),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_pos")).alias(
+                "bloom_member"
+            ),
+        )
+    )

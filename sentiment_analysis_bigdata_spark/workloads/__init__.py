@@ -157,13 +157,13 @@ _DRIVER_PREFIX: list[str] = [
     "minhash_signatures",
     "tfidf_top_terms",
     "lang_id",
-    "countvec_vocab",
     "streaming_dedup",
     "asof_purchase_signup",
     "funnel_conversion",
     "retention_cohorts",
     "ml_naive_bayes",
     "ml_linear_svc",
+    # countvec_vocab displaced by bloom_contamination (see end of list)
     # -- queries NEW this round (never had a driver row by construction) --
     "dup_ngram_spans_ladder",
     "source_overlap",
@@ -192,6 +192,10 @@ _DRIVER_PREFIX: list[str] = [
     # (displace dedup_exact — oracle-green since r1 — for the hybrid
     # lexical+semantic RRF retrieval query, same NEW-first rationale)
     "hybrid_rrf_search",
+    # (displace countvec_vocab — oracle-green since r2 with pinned Murmur3
+    # golden checksums — for the Bloom decontamination pre-filter added
+    # this session, same NEW-first rationale)
+    "bloom_contamination",
 ]
 
 

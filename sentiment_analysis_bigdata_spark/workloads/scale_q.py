@@ -652,8 +652,123 @@ FROM powed CROSS JOIN z
 """
 
 
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter: insert the benchmark
+    slice's (doc_id < 25) distinct token 3-grams into an m=8192/k=3 Bloom
+    filter (operators/sketches.py ``bloom_build`` — a ≤ m-row mergeable
+    position set), probe every corpus (doc_id ≥ 25) gram, and report per
+    candidate doc (≥ 2 bloom-positive grams) the bloom-hit count next to
+    the EXACT matching-gram count, plus the two honesty columns: the
+    no-false-negative guarantee (n_bloom ≥ n_exact always, asserted as a
+    value) and the false-alarm flag (candidate with zero exact matches —
+    the docs the downstream exact join pays for, priced by the (1−e^{−kn/m})^k
+    FP rate, deliberately non-trivial at this m so the surface is tested).
+
+    100 TB shape: the sketch is built from the TINY benchmark side and is
+    ≤ m rows by construction; the corpus side is exploded once to distinct
+    (doc, gram), probed by a pos equi-join (AQE broadcasts the sketch),
+    and ONLY bloom-positive grams reach the exact-check join — the
+    pre-filter bargain that makes decontamination affordable when the
+    corpus is 100 TB and the benchmark is a few MB. md5-derived positions
+    make the filter replayable bit-for-bit in the SQL oracle."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    docs = load_table(spark, sf, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))
+            ).alias("gram"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 25)
+    sketch = sketches.bloom_build(bench, "gram", m=_BLOOM_M, k=_BLOOM_K, seed=0)
+    member = sketches.bloom_probe(
+        sketch, corpus.select("gram").distinct(), "gram",
+        m=_BLOOM_M, k=_BLOOM_K, seed=0,
+    )
+    bloom_hits = (
+        corpus.join(member.filter("bloom_member"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_grams"))
+        .filter(F.col("n_bloom_grams") >= 2)
+    )
+    exact_hits = (
+        corpus.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_grams"))
+    )
+    return (
+        bloom_hits.join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_grams",
+            F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
+            (
+                F.col("n_bloom_grams") >= F.coalesce("n_exact_grams", F.lit(0))
+            ).alias("no_false_negative"),
+            (F.coalesce("n_exact_grams", F.lit(0)) == 0).alias("false_alarm"),
+        )
+    )
+
+
+SQL_BLOOM_CONTAMINATION = f"""
+WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS gram
+  FROM base WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25),
+sketch AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(gram || ':' || i || ':0'), 1, 15)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM bench CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+),
+corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 25),
+probes AS (
+  SELECT gram, i,
+         CAST(('0x' || substr(md5(gram || ':' || i || ':0'), 1, 15)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM (SELECT DISTINCT gram FROM corpus)
+       CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+),
+member AS (
+  SELECT p.gram, bool_and(s.pos IS NOT NULL) AS bloom_member
+  FROM probes p LEFT JOIN sketch s USING (pos)
+  GROUP BY p.gram
+),
+bl AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_bloom_grams
+  FROM corpus c JOIN member m USING (gram)
+  WHERE m.bloom_member
+  GROUP BY c.doc_id
+  HAVING count(*) >= 2
+),
+ex AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_exact_grams
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT bl.doc_id, bl.n_bloom_grams,
+       coalesce(ex.n_exact_grams, 0) AS n_exact_grams,
+       bl.n_bloom_grams >= coalesce(ex.n_exact_grams, 0) AS no_false_negative,
+       coalesce(ex.n_exact_grams, 0) = 0 AS false_alarm
+FROM bl LEFT JOIN ex USING (doc_id)
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),

@@ -180,3 +180,57 @@ class TestHistQuantileSketch:
             for r in sketches.hist_sketch(df, "v", 0.0, 100.0, bins=10).collect()
         }
         assert got == {0: 1, 9: 1}
+
+
+class TestBloomFilter:
+    def _keys(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [(f"key{i}",) for i in range(lo, hi)], "k string"
+        ).repartition(4)
+
+    def test_no_false_negatives(self, spark):
+        inserted = self._keys(spark, 0, 300)
+        sketch = sketches.bloom_build(inserted, "k", m=4096, k=3, seed=0)
+        got = {
+            r.k: r.bloom_member
+            for r in sketches.bloom_probe(
+                sketch, inserted, "k", m=4096, k=3, seed=0
+            ).collect()
+        }
+        assert len(got) == 300
+        assert all(got.values())
+
+    def test_absent_keys_mostly_negative(self, spark):
+        # 300 inserted into m=4096/k=3 → per-key FP ≈ (1−e^{−900/4096})^3 ≈ 0.8%
+        sketch = sketches.bloom_build(
+            self._keys(spark, 0, 300), "k", m=4096, k=3, seed=0
+        )
+        probes = sketches.bloom_probe(
+            sketch, self._keys(spark, 1000, 1300), "k", m=4096, k=3, seed=0
+        )
+        n_fp = probes.filter("bloom_member").count()
+        assert n_fp <= 15  # ~2.4 expected; generous determinism-safe bound
+
+    def test_sketch_size_capped_and_mergeable(self, spark):
+        a, b = self._keys(spark, 0, 200), self._keys(spark, 150, 400)
+        sa = sketches.bloom_build(a, "k", m=512, k=3, seed=0)
+        sb = sketches.bloom_build(b, "k", m=512, k=3, seed=0)
+        merged = sketches.bloom_merge(sa, sb)
+        whole = sketches.bloom_build(a.union(b), "k", m=512, k=3, seed=0)
+        assert merged.count() <= 512
+        assert sorted(r.pos for r in merged.collect()) == sorted(
+            r.pos for r in whole.collect()
+        )
+
+    def test_pack_roundtrips_positions(self, spark):
+        sketch = sketches.bloom_build(
+            self._keys(spark, 0, 100), "k", m=1024, k=3, seed=0
+        )
+        packed = sketches.bloom_pack(sketch, m=1024)
+        assert packed.count() <= 1024 // 64
+        unpacked = set()
+        for r in packed.collect():
+            for bit in range(64):
+                if r.bits & (1 << bit):
+                    unpacked.add(r.word_idx * 64 + bit)
+        assert unpacked == {r.pos for r in sketch.collect()}
