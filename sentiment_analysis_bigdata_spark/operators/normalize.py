@@ -106,3 +106,40 @@ def robust_scale(
         )
         .drop("__med", "__iqr")
     )
+
+
+def nfc_normalize_text(
+    df: DataFrame, text_col: str, out_col: str = "nfc_text"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical-form
+    step every multilingual curation pipeline runs before hashing or
+    deduplicating text (the same logical string can arrive precomposed
+    U+00E9 or decomposed 'e'+U+0301; exact dedup/fingerprinting is wrong
+    until both map to one byte sequence).
+
+    Spark has no built-in Unicode normalizer, so this is one of the
+    sanctioned Arrow ``mapInPandas`` kernels (OPERATORS.md §2.7): a
+    narrow per-batch ``unicodedata.normalize('NFC', s)`` pass — no
+    shuffle, no state, scales embarrassingly. Value contract: DuckDB's
+    native ``nfc_normalize`` must produce byte-identical output (the
+    oracle compares md5 content hashes, not just lengths).
+    """
+    from collections.abc import Iterator
+    import unicodedata
+
+    import pandas as pd
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, `{out_col}` string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                None if s is None else unicodedata.normalize("NFC", s)
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)

@@ -1523,8 +1523,134 @@ ORDER BY k
 """
 
 
+def q_code_prose_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose corpus profiling — the curation step that routes
+    code-like payloads away from the prose quality gates (a Gopher/CCNet
+    pipeline always runs some form of it). Two origins are profiled side
+    by side: ``documents.text`` (prose) and ``events.props`` (JSON — the
+    fixture's stand-in for code-like content). Per row three char-class
+    counts (structural {}[]();=:,\" chars, letters, digits) come from
+    length-after-regexp_replace deltas — native JVM expressions, one pass,
+    no UDF — and the per-origin report derives every ratio from INTEGER
+    sums (the code-row flag is the integer cross-multiply
+    100·code_chars ≥ 8·n, so no float ever decides a count), which makes
+    the cross-engine value contract exact by construction.
+
+    100 TB shape: a narrow projection feeding a 2-group aggregate with
+    map-side partials; output is origin-cardinality-sized."""
+    docs = load_table(spark, sf, "documents").select(
+        F.lit("documents").alias("origin"), F.col("text").alias("s")
+    )
+    props = load_table(spark, sf, "events").select(
+        F.lit("events_props").alias("origin"), F.col("props").alias("s")
+    )
+    u = docs.unionByName(props).filter(
+        F.col("s").isNotNull() & (F.length("s") > 0)
+    )
+
+    def class_count(pattern: str):
+        return F.length("s") - F.length(F.regexp_replace("s", pattern, ""))
+
+    f = u.select(
+        "origin",
+        F.length("s").cast("long").alias("n"),
+        class_count(r'[{}()\[\];=:,"]').cast("long").alias("code_chars"),
+        class_count("[A-Za-z]").cast("long").alias("letters"),
+        class_count("[0-9]").cast("long").alias("digits"),
+    )
+    return f.groupBy("origin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n").alias("total_chars"),
+        F.round(F.sum("code_chars") / F.sum("n"), 6).alias("code_char_ratio"),
+        F.round(F.sum("letters") / F.sum("n"), 6).alias("alpha_ratio"),
+        F.round(F.sum("digits") / F.sum("n"), 6).alias("digit_ratio"),
+        F.sum(
+            (F.col("code_chars") * 100 >= F.col("n") * 8).cast("long")
+        ).alias("n_code_rows"),
+    )
+
+
+SQL_CODE_PROSE_PROFILE = r"""
+WITH u AS (
+  SELECT 'documents' AS origin, text AS s FROM documents
+  UNION ALL
+  SELECT 'events_props' AS origin, props AS s FROM events
+),
+f AS (
+  SELECT origin,
+         CAST(length(s) AS BIGINT) AS n,
+         CAST(length(s) - length(regexp_replace(s, '[{}()\[\];=:,"]', '', 'g'))
+              AS BIGINT) AS code_chars,
+         CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits
+  FROM u WHERE s IS NOT NULL AND length(s) > 0
+)
+SELECT origin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       round(CAST(sum(code_chars) AS DOUBLE) / sum(n), 6) AS code_char_ratio,
+       round(CAST(sum(letters) AS DOUBLE) / sum(n), 6) AS alpha_ratio,
+       round(CAST(sum(digits) AS DOUBLE) / sum(n), 6) AS digit_ratio,
+       CAST(sum(CASE WHEN code_chars * 100 >= n * 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_code_rows
+FROM f
+GROUP BY origin
+"""
+
+
+def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/normalize.py
+    ``nfc_normalize_text`` — Arrow kernel, no Spark built-in exists).
+    The fixture text is ASCII, so the query first DECOMPOSES it
+    deterministically on both engines (every 'e' → 'e' + U+0301 combining
+    acute) and then normalizes back; NFC must compose each pair into a
+    single precomposed U+00E9. The oracle compares md5 CONTENT hashes of
+    the normalized text against DuckDB's native ``nfc_normalize`` —
+    byte-identical output, not just matching lengths — plus the
+    char-count contraction (n_nfc = n_decomposed − n_composed_pairs).
+
+    100 TB shape: one narrow Arrow pass, embarrassingly parallel, no
+    shuffle; the per-doc report is the same width as the input."""
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    dec = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "e", "e\u0301").alias("dec_text"),
+    )
+    nfc = NORM.nfc_normalize_text(dec, "dec_text", out_col="nfc_text")
+    return nfc.select(
+        "doc_id",
+        F.length("dec_text").cast("long").alias("n_decomposed"),
+        F.length("nfc_text").cast("long").alias("n_nfc"),
+        HH.md5_hash64(F.col("nfc_text")).alias("nfc_hash"),
+    )
+
+
+SQL_UNICODE_NFC = """
+WITH dec AS (
+  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec_text
+  FROM documents
+),
+nfc AS (
+  SELECT doc_id, dec_text, nfc_normalize(dec_text) AS nfc_text FROM dec
+)
+SELECT doc_id,
+       CAST(length(dec_text) AS BIGINT) AS n_decomposed,
+       CAST(length(nfc_text) AS BIGINT) AS n_nfc,
+       CAST(('0x' || substr(md5(nfc_text), 1, 15)) AS BIGINT) AS nfc_hash
+FROM nfc
+"""
+
+
 QUERIES = {
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
+    "code_prose_profile": (q_code_prose_profile, SQL_CODE_PROSE_PROFILE),
+    "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),

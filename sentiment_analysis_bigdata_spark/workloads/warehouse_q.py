@@ -788,8 +788,66 @@ GROUP BY 1, 2
 """
 
 
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the governance
+    gate a curation pipeline runs before releasing user-adjacent tables
+    (Sweeney 2002: any (nation, segment, balance-band) combination seen
+    fewer than k times re-identifies its members). Equivalence classes
+    are one hash aggregation over the QI columns; the balance band is
+    INTEGER-exact on both engines (cents via round(×100) then integer
+    DIV — no floor(double), the compaction_plan lesson). Output is one
+    row per class with its size and the ``risky`` verdict (< k), plus
+    each class's share of total rows (rounded ratio of two BIGINTs) —
+    class-cardinality-sized regardless of table size, so the audit holds
+    at 100 TB with one shuffle."""
+    cust = load_table(spark, sf, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            # +100000 shifts the (≥ −99999) cent values positive BEFORE the
+            # integer divide: Spark DIV truncates toward zero while DuckDB
+            # // floors, and they only agree on non-negative operands
+            F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) DIV 100000"
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    total = classes.agg(F.sum("class_size").alias("_total"))
+    return classes.join(F.broadcast(total)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        (F.col("class_size") < _KANON_K).alias("risky"),
+        F.round(F.col("class_size") / F.col("_total"), 6).alias("share"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS total FROM classes)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+       class_size < {_KANON_K} AS risky,
+       round(CAST(class_size AS DOUBLE) / total, 6) AS share
+FROM classes CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "incremental_order_rollup": (

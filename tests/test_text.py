@@ -298,3 +298,27 @@ class TestCorpusFilterReport:
         assert all(
             keep <= rows[k]["n_pass"] for k in rows if k != "keep_all"
         )
+
+
+class TestNfcNormalize:
+    def test_composes_decomposed_pairs(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "plain"), (3, None)],
+            "id long, t string",
+        )
+        got = {
+            r.id: r.nfc
+            for r in NORM.nfc_normalize_text(df, "t", out_col="nfc").collect()
+        }
+        assert got[1] == "café"          # e + U+0301 → precomposed é
+        assert got[2] == "plain"               # ASCII is a fixed point
+        assert got[3] is None                  # nulls pass through
+
+    def test_idempotent_on_composed(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame([(1, "déjà vu")], "id long, t string")
+        out = NORM.nfc_normalize_text(df, "t", out_col="nfc").first()
+        assert out.nfc == out.t
