@@ -145,6 +145,12 @@ FAMILY_EXTRA = [
     # r5 final: Bloom-filter decontamination pre-filter (mergeable
     # membership sketch pruning the corpus side before the exact join)
     "bloom_contamination",
+    # r5 final: code/prose routing, NFC canonicalization (Arrow kernel),
+    # seed-teleport PageRank, k-anonymity governance gate
+    "code_prose_profile",
+    "unicode_nfc",
+    "personalized_pagerank",
+    "k_anonymity",
 ]
 
 

@@ -80,6 +80,87 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | Column | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002): teleport mass returns to a
+    SEED set instead of uniformly — the crawl-frontier/source-expansion
+    scorer ("given these known-good domains, which unvisited nodes are
+    closest in link structure?"). ``seeds`` is a (node) frame; teleport is
+    1/|S∩V| on in-graph seeds, 0 elsewhere, and ranks start at the
+    teleport vector, so after k rounds rank mass is exactly the k-step
+    damped diffusion from the seeds (nodes unreachable from S stay 0 —
+    unlike global PageRank there is no floor rank).
+
+    Same per-iteration shape as :func:`pagerank` (one join + one agg on
+    the dst key, edge normalization reused every round). The seed frame
+    is intersected with the node set declaratively and its count rides a
+    1-row broadcast crossJoin — nothing collects to the driver, so a
+    100 TB edge list with a million-node seed set runs the same plan.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+    )
+    agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    norm = agg_e.join(out_w, "_src").select(
+        "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    in_seeds = nodes.join(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+        "node",
+        "left_semi",
+    )
+    n_seeds = in_seeds.agg(F.count(F.lit(1)).alias("_ns"))
+    tele = (
+        nodes.join(in_seeds.withColumn("_is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            F.when(F.col("_is_seed") == 1, F.lit(1.0) / F.col("_ns"))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+    )
+    ranks = tele.select("node", F.col("tele").alias("rank"))
+    for _ in range(iterations):
+        contrib = norm.join(
+            ranks, norm._src == ranks.node
+        ).select("_dst", (F.col("rank") * F.col("_share")).alias("_c"))
+        incoming = contrib.groupBy(F.col("_dst").alias("node")).agg(
+            F.sum("_c").alias("_in")
+        )
+        ranks = (
+            tele.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def triangle_count(
     edges: DataFrame,
     a_col: str = "a",

@@ -16,6 +16,7 @@ from sentiment_analysis_bigdata_spark.operators.graph import (
     kcore_peel,
     link_prediction_scores,
     pagerank,
+    personalized_pagerank,
     triangle_count,
 )
 from sentiment_analysis_bigdata_spark.sources import load_table
@@ -548,8 +549,81 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+_PPR_SEEDS = ["c:1", "c:2", "c:4", "c:7", "c:10"]
+
+
+def q_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from a 5-customer seed set over the bipartite
+    purchase graph (operators/graph.py ``personalized_pagerank``) — the
+    crawl-frontier scorer: rank mass diffuses ONLY from the seeds, so the
+    output is the seeds' structural neighborhood, not global importance.
+    Nodes unreachable in ≤ 3 damped steps stay exactly 0 and are dropped;
+    the oracle replays teleport construction and all three unrolled
+    iterations, so the diffusion VALUES are checked, not just the
+    reachable set."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], "node string")
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=PR_ITERATIONS, damping=PR_DAMPING
+    )
+    return ranks.filter(F.col("rank") > 0).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_personalized_pagerank() -> str:
+    base = 1.0 - PR_DAMPING
+    seed_list = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT t.node,
+         {base} * t.tele
+           + {PR_DAMPING} * coalesce(sum(p.rank * m.share), 0) AS rank
+  FROM tele t
+  LEFT JOIN norm m ON m.dst = t.node
+  LEFT JOIN {prev} p ON p.node = m.src
+  GROUP BY t.node, t.tele
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+norm AS (SELECT e.src, e.dst, e.w / outw.ow AS share FROM e JOIN outw ON outw.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+in_seeds AS (SELECT node FROM nodes WHERE node IN ({seed_list})),
+ns AS (SELECT count(*) AS n FROM in_seeds),
+tele AS (
+  SELECT nodes.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS tele
+  FROM nodes LEFT JOIN in_seeds s ON s.node = nodes.node CROSS JOIN ns
+),
+r0 AS (SELECT node, tele AS rank FROM tele),
+{",".join(iters)}
+SELECT node, round(rank, 6) AS rank FROM {prev} WHERE rank > 0
+"""
+
+
+SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "personalized_pagerank": (q_personalized_pagerank, SQL_PERSONALIZED_PAGERANK),
     "weighted_sssp": (q_weighted_sssp, SQL_WEIGHTED_SSSP),
     "kcore_parts": (q_kcore_parts, SQL_KCORE_PARTS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),

@@ -224,6 +224,48 @@ class TestPagerank:
             pagerank(edges, iterations=0)
 
 
+class TestPersonalizedPagerank:
+    def _ppr(self, spark, edges, seeds, **kw):
+        from sentiment_analysis_bigdata_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        seed_df = spark.createDataFrame([(s,) for s in seeds], "node string")
+        return {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(edges, seed_df, **kw).collect()
+        }
+
+    def test_one_iteration_hand_values(self, spark):
+        # seed a; a → b and c (shares 0.25/0.75); teleport 1.0 on a
+        edges = spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "c", 3.0)], "src string, dst string, w double"
+        )
+        got = self._ppr(spark, edges, ["a"], weight_col="w", iterations=1)
+        assert abs(got["a"] - 0.15) < 1e-12          # (1−d)·tele, no in-edges
+        assert abs(got["b"] - 0.85 * 0.25) < 1e-12   # no teleport mass on b
+        assert abs(got["c"] - 0.85 * 0.75) < 1e-12
+
+    def test_unreachable_nodes_stay_zero(self, spark):
+        # two components: seeds in {a,b}; {x,y} must stay exactly 0
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+            "src string, dst string",
+        )
+        got = self._ppr(spark, edges, ["a"], iterations=3)
+        assert got["x"] == 0.0 and got["y"] == 0.0
+        assert got["a"] > 0 and got["b"] > 0
+
+    def test_out_of_graph_seeds_ignored(self, spark):
+        # teleport normalizes over seeds ∩ nodes: 'zz' contributes nothing
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string"
+        )
+        with_ghost = self._ppr(spark, edges, ["a", "zz"], iterations=2)
+        without = self._ppr(spark, edges, ["a"], iterations=2)
+        assert with_ghost == without
+
+
 class TestTriangleCount:
     def test_known_graphs(self, spark):
         from sentiment_analysis_bigdata_spark.operators.graph import triangle_count
