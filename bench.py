@@ -151,6 +151,9 @@ FAMILY_EXTRA = [
     "unicode_nfc",
     "personalized_pagerank",
     "k_anonymity",
+    # r5 final: exact order statistics by histogram narrowing (the
+    # no-global-sort selection path; times the multi-round scan trade)
+    "exact_quantiles_narrowed",
 ]
 
 

@@ -143,3 +143,89 @@ def nfc_normalize_text(
             yield pdf
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def exact_quantile_narrowed(
+    df: DataFrame,
+    col: str,
+    q: float,
+    bins: int = 128,
+    max_rounds: int = 4,
+) -> tuple[float, int, int]:
+    """EXACT order statistic at 100 TB without a global sort: iterative
+    histogram narrowing (the classic distributed-selection algorithm —
+    one bounded histogram aggregation per round, then recurse into the
+    single bin that contains the target rank).
+
+    This is the honest scale path that ``percentile()`` is not: Spark's
+    exact percentile aggregate buffers every value of a group in executor
+    memory, and a global sort shuffles the entire column. Here each round
+    is one map-side-combinable agg whose output is ``bins`` counts (the
+    only driver traffic, like k-means' k×d centroids), and the candidate
+    range shrinks ~bins× per round, so 2-3 rounds reduce even a trillion
+    rows to a remainder small enough for an exact bounded top-r pass
+    (TakeOrdered, never a full sort).
+
+    Returns ``(value, n_rows, rounds_used)`` where value is the rank
+    ``k = max(1, ceil(q·n))`` element in ascending order — a DATA value
+    (no interpolation), so any engine that can rank can verify it
+    bit-for-bit.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    x = F.col(col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("_x"))
+    first = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_x").alias("lo"),
+        F.max("_x").alias("hi"),
+    ).collect()[0]
+    n = first["n"]
+    if n == 0:
+        raise ValueError("exact_quantile_narrowed: no non-null rows")
+    import math
+
+    k = max(1, math.ceil(q * n))
+    lo, hi = float(first["lo"]), float(first["hi"])
+    c_below = 0  # rows strictly below the current [lo, hi] range
+    rounds = 0
+    # Narrow while the remainder is big enough that sorting it would hurt.
+    # Every value in [lo, hi]; target rank within range = k - c_below.
+    while rounds < max_rounds and lo < hi:
+        w = (hi - lo) / bins
+        bucket = F.least(
+            F.greatest(F.floor((F.col("_x") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+            F.lit(bins - 1),
+        ).cast("int")
+        counts = dict(
+            base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        target = k - c_below
+        cum = 0
+        hit = bins - 1
+        for b in range(bins):
+            c = counts.get(b, 0)
+            if cum + c >= target:
+                hit = b
+                break
+            cum += c
+        new_lo = lo + hit * w
+        new_hi = hi if hit == bins - 1 else lo + (hit + 1) * w
+        # float-edge guard: a bin that no longer shrinks the range means
+        # the remaining mass is (near-)identical values — stop narrowing
+        if new_lo <= lo and new_hi >= hi:
+            break
+        c_below += cum
+        lo, hi = new_lo, new_hi
+        rounds += 1
+        if counts.get(hit, 0) <= max(bins, 1024):
+            break  # remainder already tiny; the top-r pass is cheap
+    r = k - c_below
+    remaining = base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+    value = (
+        remaining.orderBy("_x").limit(r).agg(F.max("_x").alias("v")).collect()
+    )[0]["v"]
+    return float(value), int(n), rounds

@@ -766,9 +766,54 @@ FROM bl LEFT JOIN ex USING (doc_id)
 """
 
 
+_NARROW_QS = [0.5, 0.9]
+
+
+def q_exact_quantiles_narrowed(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT order statistics without a global sort
+    (operators/normalize.py ``exact_quantile_narrowed``): iterative
+    histogram narrowing — per round ONE bins-count aggregation (the only
+    driver traffic), range shrinks ~128× per round, and the tiny
+    remainder finishes with a bounded TakeOrdered. This is the 100 TB
+    answer to the ``percentiles`` query's documented caveat (Spark's
+    exact ``percentile`` buffers whole groups in executor memory; a
+    global sort shuffles the entire column). The rank-k element is a
+    DATA value — no interpolation — so the oracle verifies it
+    bit-for-bit by ranking."""
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+    li = load_table(spark, sf, "lineitem")
+    rows = []
+    for q in _NARROW_QS:
+        v, n, _rounds = NORM.exact_quantile_narrowed(li, "l_extendedprice", q)
+        rows.append((q, n, v))
+    return spark.createDataFrame(rows, "q double, n_rows long, value double")
+
+
+SQL_EXACT_QUANTILES_NARROWED = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+qs AS (SELECT unnest([0.5, 0.9]) AS q),
+ks AS (
+  SELECT q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS k, n
+  FROM qs CROSS JOIN nn
+),
+ranked AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+)
+SELECT ks.q, ks.n AS n_rows, r.v AS value
+FROM ks JOIN ranked r ON r.rn = ks.k
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
+    "exact_quantiles_narrowed": (
+        q_exact_quantiles_narrowed,
+        SQL_EXACT_QUANTILES_NARROWED,
+    ),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),

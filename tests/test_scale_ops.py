@@ -189,3 +189,40 @@ class TestMixturePlan:
         small = min(rows, key=lambda r: r["tokens"])
         if big["tokens"] > small["tokens"]:
             assert big["epochs"] < 1.0 < small["epochs"]
+
+
+class TestExactQuantileNarrowed:
+    def _check(self, spark, values, q):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame([(float(v),) for v in values], "v double")
+        got, n, _ = NORM.exact_quantile_narrowed(df.repartition(4), "v", q)
+        s = sorted(values)
+        import math
+
+        want = float(s[max(1, math.ceil(q * len(s))) - 1])
+        assert got == want, (q, got, want)
+        assert n == len(values)
+
+    def test_matches_sorted_rank_elements(self, spark):
+        # deterministic pseudo-random data; several quantiles incl. max
+        vals = [((i * 2654435761) % 100003) / 7.0 for i in range(5000)]
+        for q in (0.1, 0.5, 0.9, 1.0):
+            self._check(spark, vals, q)
+
+    def test_duplicate_heavy_mass(self, spark):
+        # 90% identical values: the containing bin stops shrinking and the
+        # early-exit guard must hand off to the bounded top-r pass
+        vals = [42.0] * 900 + [float(i) for i in range(100)]
+        for q in (0.5, 0.95):
+            self._check(spark, vals, q)
+
+    def test_rejects_bad_q_and_empty(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="q must be"):
+            NORM.exact_quantile_narrowed(df, "v", 0.0)
+        empty = df.filter("v > 99")
+        with pytest.raises(ValueError, match="no non-null rows"):
+            NORM.exact_quantile_narrowed(empty, "v", 0.5)

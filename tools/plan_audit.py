@@ -417,6 +417,37 @@ AUDIT = {
         "each side reduces to ONE n_bins-row count agg, and the 1-row "
         "totals frame rides back as a broadcast nested-loop join",
     ),
+    "bloom_contamination": (
+        ["HashAggregate", "!CartesianProduct", "!Window"],
+        "Bloom pre-filter: the sketch is a distinct over ≤ m positions "
+        "built from the TINY benchmark side; the corpus probes it by pos "
+        "equi-join (unhinted — AQE broadcasts the ≤ m-row side at "
+        "runtime) and only bloom-positive grams reach the exact join — "
+        "the corpus is never self-joined and never shuffled on gram "
+        "beyond the per-doc count aggs",
+    ),
+    "unicode_nfc": (
+        ["MapInPandas", "!SortMergeJoin", "!Window"],
+        "NFC canonicalization: ONE narrow Arrow kernel pass — no join, no "
+        "window; the only Exchange is the parallelism-floor repartition "
+        "that the single-row-group fixture needs (a no-op on real splits)",
+    ),
+    "code_prose_profile": (
+        ["HashAggregate", "Union", "!Window", "!CartesianProduct"],
+        "code/prose routing: two narrow char-class projections union into "
+        "ONE 2-group aggregate with map-side partials; no join at all",
+    ),
+    "personalized_pagerank": (
+        ["HashAggregate", "!CartesianProduct"],
+        "seed-teleport PageRank: per round one join + one agg on the dst "
+        "key (same shape as pagerank_purchases); the seed count rides a "
+        "1-row broadcast crossJoin, nothing collects to the driver",
+    ),
+    "k_anonymity": (
+        ["HashAggregate", "BroadcastNestedLoopJoin|BroadcastHashJoin", "!Window"],
+        "k-anonymity: one hash agg over the QI tuple (class-cardinality "
+        "output); the 1-row total joins back as a broadcast",
+    ),
 }
 
 
