@@ -154,6 +154,9 @@ FAMILY_EXTRA = [
     # r5 final: exact order statistics by histogram narrowing (the
     # no-global-sort selection path; times the multi-round scan trade)
     "exact_quantiles_narrowed",
+    # r5 final: quality-aware survivor selection and token-budget recipe
+    "dedup_keep_best",
+    "token_budget_plan",
 ]
 
 

@@ -41,6 +41,36 @@ def exact_dedup(
     return keyed.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: Column | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST duplicate, not the first: per
+    fingerprint cluster the survivor is argmax(score, tie → min id) —
+    what a production curation pipeline actually wants (when a page was
+    crawled five times, keep the highest-quality capture, not the lowest
+    crawl id). Same one-agg + semi-join shape as :func:`exact_dedup`;
+    the argmax is a single ``max_by`` on a (score, -id) struct, so
+    survivor choice stays deterministic and engine-reproducible.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    keyed = df.withColumn("__fp", TXT.fingerprint(text_col))
+    # struct ordering = lexicographic: score first, then -id so the tie
+    # break is the SMALLEST id at equal score
+    best = keyed.groupBy("__fp").agg(
+        F.max(
+            F.struct(
+                s.alias("s"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("__best")
+    ).select(
+        "__fp", (-F.col("__best.nid")).alias(id_col)
+    )
+    return keyed.join(best, ["__fp", id_col], "left_semi").drop("__fp")
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",

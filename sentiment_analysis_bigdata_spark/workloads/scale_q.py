@@ -807,9 +807,116 @@ FROM ks JOIN ranked r ON r.rn = ks.k
 """
 
 
+_BUDGET_SHARE = 0.25  # select the best ~25% of corpus tokens
+
+
+def q_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-thresholded data selection under a token budget — the
+    "keep the best N tokens" step of a pretraining data recipe (quality
+    classifier scores → pick the highest-quality slice that fits the
+    compute budget). Deterministic bin-granular semantics: docs bucket
+    into ≤ 101 quality centibins (round(quality·100)); bins are taken
+    from the top until the budget (25% of corpus tokens) is exhausted;
+    the output is the per-bin plan — n_docs, bin tokens, running total,
+    and each bin's verdict (selected / boundary / excluded). Realizing
+    the selection is then a semi-join on the selected bins; the boundary
+    bin's partial take is the caller's policy knob (hash-order take, or
+    spill to the next training phase).
+
+    100 TB shape: ONE corpus aggregation to ≤ 101 rows, a ≤ 101-row
+    cumulative window, and a 1-row total broadcast — the global
+    quality sort this replaces would shuffle the whole corpus."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        F.round(TXT.quality_score("text") * 100).cast("int").alias("qbin"),
+        F.size(TXT.tokenize_nonempty("text")).cast("long").alias("toks"),
+    )
+    bins = scored.groupBy("qbin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("bin_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    cum = bins.withColumn(
+        "cum_tokens",
+        F.sum("bin_tokens").over(
+            W.orderBy(F.col("qbin").desc()).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    total = bins.agg(F.sum("bin_tokens").alias("_total"))
+    return (
+        cum.join(F.broadcast(total))
+        .select(
+            "qbin",
+            "n_docs",
+            "bin_tokens",
+            "cum_tokens",
+            F.when(
+                F.col("cum_tokens")
+                <= F.col("_total") * F.lit(_BUDGET_SHARE),
+                F.lit("selected"),
+            )
+            .when(
+                (F.col("cum_tokens") - F.col("bin_tokens"))
+                < F.col("_total") * F.lit(_BUDGET_SHARE),
+                F.lit("boundary"),
+            )
+            .otherwise(F.lit("excluded"))
+            .alias("verdict"),
+        )
+    )
+
+
+def _sql_token_budget_plan() -> str:
+    from sentiment_analysis_bigdata_spark.workloads.text_q import _sql_stoplist
+
+    return f"""
+WITH base AS (
+  SELECT CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           AS alpha,
+         {SQL_TOKS} AS toks
+  FROM documents
+),
+scored AS (
+  SELECT CAST(round((
+           0.4 * least(n / 200.0, 1.0)
+           + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+           + 0.3 * (CASE WHEN len(toks) > 0
+                         THEN least(CAST(len(list_filter(toks,
+                                t -> list_contains({_sql_stoplist()}, t)))
+                                AS DOUBLE) / len(toks) * 3.0, 1.0)
+                         ELSE 0.0 END)
+         ) * 100) AS INT) AS qbin,
+         CAST(len(toks) AS BIGINT) AS toks
+  FROM base
+),
+bins AS (
+  SELECT qbin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS bin_tokens
+  FROM scored GROUP BY qbin
+),
+cum AS (
+  SELECT *, CAST(sum(bin_tokens) OVER (ORDER BY qbin DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_tokens
+  FROM bins
+),
+tot AS (SELECT CAST(sum(bin_tokens) AS BIGINT) AS total FROM bins)
+SELECT qbin, n_docs, bin_tokens, cum_tokens,
+       CASE WHEN cum_tokens <= total * {_BUDGET_SHARE} THEN 'selected'
+            WHEN cum_tokens - bin_tokens < total * {_BUDGET_SHARE}
+              THEN 'boundary'
+            ELSE 'excluded' END AS verdict
+FROM cum CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
+    "token_budget_plan": (q_token_budget_plan, _sql_token_budget_plan()),
     "exact_quantiles_narrowed": (
         q_exact_quantiles_narrowed,
         SQL_EXACT_QUANTILES_NARROWED,

@@ -532,6 +532,37 @@ WHERE doc_id IN (
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.py
+    ``exact_dedup_keep_best``): per fingerprint cluster the survivor is
+    argmax(raw length, tie → min doc_id) — "keep the most complete
+    capture", the survivor rule production crawls actually use (min-id
+    keeps whichever copy was crawled first, including truncated ones).
+    The score is an INTEGER (raw char length), so the argmax never rides
+    a float comparison; the oracle replays the same (score desc, id asc)
+    selection as a per-fingerprint rank-1 window."""
+    survivors = DD.exact_dedup_keep_best(
+        _docs(spark, sf), F.length("text"), text_col="text", id_col="doc_id"
+    )
+    return survivors.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_raw_chars")
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY {SQL_FP}
+           ORDER BY length(text) DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_raw_chars
+FROM documents d JOIN (SELECT doc_id FROM ranked WHERE rn = 1) b USING (doc_id)
+"""
+
+
 # --- multimodal payload stats (binary column plumbing) -----------------------------------
 
 def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
@@ -1684,6 +1715,7 @@ QUERIES = {
     "corpus_health": (q_corpus_health, _sql_corpus_health()),
     "fingerprint_clusters": (q_fingerprint_clusters, SQL_FINGERPRINT_CLUSTERS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "approx_aggregates": (q_approx_aggregates, SQL_APPROX_AGGREGATES),

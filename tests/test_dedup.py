@@ -28,6 +28,25 @@ def test_exact_dedup_survivor_is_min_id(docs):
     assert out == [0, 2, 3]  # 1 and 4 collapse into 0
 
 
+def test_exact_dedup_keep_best_prefers_high_score(spark):
+    # doc 1's raw text is LONGER than doc 0's (extra whitespace survives
+    # the raw length even though the fingerprint normalizes it away), so
+    # keep-best must pick 1 where min-id picks 0; 2 and 4 tie on score →
+    # min id 2 wins
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "The  Quick  Brown  Fox"),   # same fingerprint, longer raw
+        (2, "other text"),
+        (4, "other text"),               # exact tie with 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        r["doc_id"]
+        for r in DD.exact_dedup_keep_best(df, F.length("text")).collect()
+    )
+    assert out == [1, 2]
+
+
 def test_duplicate_clusters(docs):
     clusters = DD.duplicate_clusters(docs).collect()
     assert len(clusters) == 1

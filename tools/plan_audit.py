@@ -448,6 +448,19 @@ AUDIT = {
         "k-anonymity: one hash agg over the QI tuple (class-cardinality "
         "output); the 1-row total joins back as a broadcast",
     ),
+    "dedup_keep_best": (
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+        "quality-aware survivor selection: argmax(score, tie min-id) is "
+        "ONE max_by struct agg + a fingerprint semi join — no window, no "
+        "per-cluster sort",
+    ),
+    "token_budget_plan": (
+        ["HashAggregate", "Window", "!CartesianProduct"],
+        "token-budget selection: the corpus reduces to ≤ 101 quality "
+        "centibins in one agg; the Window (cumulative cut) runs over "
+        "those ≤ 101 rows, never the corpus — the global quality sort "
+        "this replaces would shuffle everything",
+    ),
 }
 
 
