@@ -157,6 +157,8 @@ FAMILY_EXTRA = [
     # r5 final: quality-aware survivor selection and token-budget recipe
     "dedup_keep_best",
     "token_budget_plan",
+    # r5 final: incremental CMS maintenance through the streaming sink
+    "streaming_cms",
 ]
 
 

@@ -415,6 +415,69 @@ def _commit_version(df: DataFrame, out_dir: str, batch_id: int, current: str | N
             shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
 
 
+def cms_fold(out_dir: str, col: str, depth: int, width: int, seed: int):
+    """foreachBatch fold maintaining a RUNNING count-min sketch: per
+    micro-batch, build the batch's CMS (operators/sketches.py
+    ``cms_build`` — ≤ depth×width cells) and cell-sum it into the
+    persisted sketch, committing through the same versioned-directory +
+    atomic _LATEST repoint machinery as the upsert sink (replay of a
+    batch overwrites its own version, so counts are never double-added).
+
+    This is the streaming face of the sketch-mergeability story: state
+    is FIXED-SIZE regardless of stream length or key cardinality — the
+    incremental analogue of per-day sketch rollups, and the pattern that
+    replaces an unbounded streaming groupBy(key).count() at 100 TB."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = _read_marker(out_dir)
+        # Replay guard — CRITICAL for a non-idempotent merge: upsert's
+        # argmax can re-merge a replayed batch harmlessly, but cell-sums
+        # would DOUBLE-COUNT it. If the marker already points at this
+        # batch's own commit (crash between repoint and checkpoint), the
+        # batch's counts are already in `current`; re-commit the sketch
+        # UNCHANGED (idempotent repoint) instead of merging again.
+        if current in (f"_v{batch_id}", f"_v{batch_id}_retry"):
+            merged = spark.read.parquet(f"{out_dir}/{current}")
+        else:
+            batch_sketch = sketches.cms_build(
+                batch_df, col, depth=depth, width=width, seed=seed
+            )
+            merged = batch_sketch
+            if current is not None:
+                prev = spark.read.parquet(f"{out_dir}/{current}")
+                merged = sketches.cms_merge(prev, batch_sketch)
+        _commit_version(merged, out_dir, batch_id, current)
+
+    return fold
+
+
+def run_stream_cms_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    timeout_s: float = 120.0,
+) -> None:
+    """Run :func:`cms_fold` over a stream until available data drains.
+    The final sketch (read via :func:`read_upsert_table`) must be
+    indistinguishable from a single batch-built CMS over the same rows —
+    the stream ≡ batch contract the oracle twin checks end to end."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            cms_fold(out_dir, col, depth, width, seed)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
 def run_stream_topk_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.operators import skew
-from sentiment_analysis_bigdata_spark.sources import load_table
+from sentiment_analysis_bigdata_spark.sources import (
+    ensure_min_parallelism,
+    load_table,
+)
 from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
 
 
@@ -677,13 +680,22 @@ def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators import sketches
 
     docs = load_table(spark, sf, "documents")
+    # the exploded distinct-gram frame feeds the benchmark slice, the
+    # probe, AND the per-doc counting — localCheckpoint materializes it
+    # once instead of re-tokenizing the corpus per subtree (the
+    # dedup_cascade stage-materialization pattern; a production run would
+    # land it in parquet between stages)
     grams = (
-        docs.select(
+        ensure_min_parallelism(
+            docs, spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
             "doc_id",
             F.explode(
                 F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))
             ).alias("gram"),
         )
+        .localCheckpoint(eager=False)
     )
     bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
     corpus = grams.filter(F.col("doc_id") >= 25)
@@ -692,27 +704,30 @@ def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
         sketch, corpus.select("gram").distinct(), "gram",
         m=_BLOOM_M, k=_BLOOM_K, seed=0,
     )
-    bloom_hits = (
-        corpus.join(member.filter("bloom_member"), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom_grams"))
-        .filter(F.col("n_bloom_grams") >= 2)
-    )
-    exact_hits = (
-        corpus.join(bench, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_exact_grams"))
+    # ONE corpus-gram pass computes both flags: bloom verdict (inner join
+    # against the all-grams member frame) and exact membership (left join
+    # flag against the benchmark gram set)
+    flagged = (
+        corpus.join(member, "gram")
+        .join(bench.withColumn("__in_bench", F.lit(1)), "gram", "left")
     )
     return (
-        bloom_hits.join(exact_hits, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bloom_member").cast("long")).alias("n_bloom_grams"),
+            F.sum(
+                F.when(F.col("__in_bench").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_exact_grams"),
+        )
+        .filter(F.col("n_bloom_grams") >= 2)
         .select(
             "doc_id",
             "n_bloom_grams",
-            F.coalesce("n_exact_grams", F.lit(0)).alias("n_exact_grams"),
-            (
-                F.col("n_bloom_grams") >= F.coalesce("n_exact_grams", F.lit(0))
-            ).alias("no_false_negative"),
-            (F.coalesce("n_exact_grams", F.lit(0)) == 0).alias("false_alarm"),
+            "n_exact_grams",
+            (F.col("n_bloom_grams") >= F.col("n_exact_grams")).alias(
+                "no_false_negative"
+            ),
+            (F.col("n_exact_grams") == 0).alias("false_alarm"),
         )
     )
 

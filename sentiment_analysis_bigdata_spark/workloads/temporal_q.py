@@ -953,7 +953,100 @@ GROUP BY user_id, session_id
 """
 
 
+_SCMS_DEPTH, _SCMS_WIDTH = 4, 1024
+
+
+def q_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental count-min-sketch maintenance over a REAL multi-batch
+    stream (streaming/jobs.py ``run_stream_cms_to_parquet``): events are
+    staged as 6 parquet files and consumed one file per micro-batch, so
+    the running sketch is cell-summed 6 times through the versioned
+    commit path; the final sketch is then probed for the exact top-20
+    users. Because CMS merge is exact (cell sums commute), the streamed
+    sketch must be bit-identical to a single batch-built sketch — the
+    oracle replays the BATCH construction in SQL, so any double-counted
+    replay, lost batch, or stale version read breaks the value match.
+    Fixed-size state regardless of stream length: the pattern that
+    replaces an unbounded streaming groupBy(key).count() at 100 TB."""
+    import shutil
+    import tempfile
+
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    src = tempfile.mkdtemp(prefix="cms_src_")
+    out = tempfile.mkdtemp(prefix="cms_table_")
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    try:
+        events = load_table(spark, sf, "events")
+        events.select(
+            F.col("user_id").cast("string").alias("key")
+        ).repartition(6).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        SJ.run_stream_cms_to_parquet(
+            stream, out, ckpt, "key",
+            depth=_SCMS_DEPTH, width=_SCMS_WIDTH, seed=0, timeout_s=120,
+        )
+        sketch = SJ.read_upsert_table(spark, out)
+        exact = (
+            events.groupBy(F.col("user_id").cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+            .limit(20)
+        )
+        est = sketches.cms_estimate(
+            sketch, exact, "key",
+            depth=_SCMS_DEPTH, width=_SCMS_WIDTH, seed=0,
+        )
+        res = exact.join(est, "key").select(
+            "key",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_CMS = f"""
+WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+e AS (SELECT key, r FROM keys CROSS JOIN (SELECT unnest(range({_SCMS_DEPTH})) AS r)),
+sketch AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(key || ':' || r || ':0'), 1, 15)) AS BIGINT)
+           % {_SCMS_WIDTH} AS b,
+         count(*) AS cnt
+  FROM e GROUP BY 1, 2
+),
+exact AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS exact_n FROM keys
+  GROUP BY key ORDER BY exact_n DESC, key ASC LIMIT 20
+),
+probes AS (
+  SELECT key, r,
+         CAST(('0x' || substr(md5(key || ':' || r || ':0'), 1, 15)) AS BIGINT)
+           % {_SCMS_WIDTH} AS b
+  FROM exact CROSS JOIN (SELECT unnest(range({_SCMS_DEPTH})) AS r)
+),
+est AS (
+  SELECT p.key, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_n
+  FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+  GROUP BY p.key
+)
+SELECT x.key, x.exact_n, est.est_n, est.est_n >= x.exact_n AS no_undercount
+FROM exact x JOIN est USING (key)
+"""
+
+
 QUERIES = {
+    "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
     "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),
     "sliding_events": (q_sliding_events, SQL_SLIDING_EVENTS),
     "streaming_sliding": (q_streaming_sliding, SQL_SLIDING_EVENTS),

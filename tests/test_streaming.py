@@ -487,3 +487,78 @@ def test_topk_sink_cross_batch_tiebreak_collision_raises(spark, tmp_path):
             stream, str(tmp_path / "t"), str(tmp_path / "c"),
             order_cols=["value"], tiebreak_col="event_id", k=3,
         )
+
+
+def test_cms_sink_multi_batch_equals_single_build(spark, tmp_path):
+    """Three micro-batches of keys fold into a running CMS; the final
+    sketch must be CELL-IDENTICAL to a one-shot batch build over the
+    union (merge exactness is what makes the oracle twin meaningful)."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    d = tmp_path / "src"
+    d.mkdir()
+    batches = [
+        [("a",), ("b",), ("a",)],
+        [("b",), ("c",)],
+        [("a",), ("c",), ("c",)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "key string").toPandas().to_parquet(
+            str(d / f"f{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    SJ.run_stream_cms_to_parquet(
+        stream, out, ckpt, "key", depth=4, width=64, seed=0
+    )
+    streamed = sorted(
+        (r.r, r.b, r.cnt) for r in SJ.read_upsert_table(spark, out).collect()
+    )
+    whole = spark.createDataFrame(
+        [r for rows in batches for r in rows], "key string"
+    )
+    direct = sorted(
+        (r.r, r.b, r.cnt)
+        for r in sketches.cms_build(whole, "key", depth=4, width=64, seed=0).collect()
+    )
+    assert streamed == direct
+
+
+def test_cms_sink_replay_does_not_double_count(spark, tmp_path):
+    """Replay of a batch whose marker was already repointed (fresh
+    checkpoint, batch_id restarts at 0) must NOT re-add its counts —
+    cell-sum is not idempotent, so the fold's replay guard re-commits
+    the sketch unchanged instead of merging again."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    d = tmp_path / "src"
+    d.mkdir()
+    rows = [("a",), ("a",), ("b",)]
+    spark.createDataFrame(rows, "key string").toPandas().to_parquet(
+        str(d / "f0.parquet")
+    )
+
+    def make_stream():
+        return spark.readStream.schema("key string").parquet(str(d))
+
+    out = str(tmp_path / "table")
+    SJ.run_stream_cms_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt1"), "key", depth=4, width=64
+    )
+    first = sorted(
+        (r.r, r.b, r.cnt) for r in SJ.read_upsert_table(spark, out).collect()
+    )
+    # replay with a FRESH checkpoint: marker already at _v0
+    SJ.run_stream_cms_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt2"), "key", depth=4, width=64
+    )
+    with open(f"{out}/_LATEST") as f:
+        assert f.read().strip() == "_v0_retry"
+    replayed = sorted(
+        (r.r, r.b, r.cnt) for r in SJ.read_upsert_table(spark, out).collect()
+    )
+    assert replayed == first  # counts unchanged, not doubled
