@@ -159,6 +159,8 @@ FAMILY_EXTRA = [
     "token_budget_plan",
     # r5 final: incremental CMS maintenance through the streaming sink
     "streaming_cms",
+    # r5 final: pass@k combinatorial estimator
+    "pass_at_k",
 ]
 
 

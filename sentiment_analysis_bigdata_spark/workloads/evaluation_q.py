@@ -897,7 +897,79 @@ ORDER BY item
 """
 
 
+_PASSK_KS = [1, 5, 10]
+
+
+def q_pass_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """pass@k — the unbiased combinatorial estimator from the Codex paper
+    (Chen et al. 2021): per task with n samples and c successes,
+    pass@k = 1 − C(n−c,k)/C(n,k), averaged over tasks with n ≥ k. The
+    binomial ratio is computed as the ORDERED product
+    ∏_{i<k} (n−c−i)/(n−i) via one higher-order fold (both engines
+    multiply the same doubles left-to-right, so values match exactly
+    before the final 6-dp round), with the c > n−k branch pinned to 1
+    exactly — never a product over negative factors. Fixture mapping:
+    tasks = users, samples = their events, success = a purchase.
+
+    100 TB shape: one (task) aggregation, then a k-cardinality
+    crossJoin over the task-level (n, c) frame — the estimator itself
+    never touches raw samples again."""
+    events = load_table(spark, sf, "events")
+    tasks = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("c"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _PASSK_KS], "k int")
+    per = (
+        tasks.join(ks, tasks.n >= ks.k)
+        .withColumn(
+            "p",
+            F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1.0)).otherwise(
+                F.lit(1.0)
+                - F.aggregate(
+                    F.sequence(F.lit(0), F.col("k") - 1),
+                    F.lit(1.0),
+                    lambda acc, i: acc
+                    * (F.col("n") - F.col("c") - i)
+                    / (F.col("n") - i),
+                )
+            ),
+        )
+    )
+    return per.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.round(F.avg("p"), 6).alias("pass_at_k"),
+    )
+
+
+SQL_PASS_AT_K = f"""
+WITH t AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+ks AS (SELECT unnest({_PASSK_KS}) AS k),
+per AS (
+  SELECT k,
+         CASE WHEN n - c < k THEN 1.0
+              ELSE 1.0 - list_aggregate(
+                     list_transform(range(k),
+                       i -> CAST(n - c - i AS DOUBLE) / (n - i)),
+                     'product')
+         END AS p
+  FROM t JOIN ks ON t.n >= ks.k
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+       round(avg(p), 6) AS pass_at_k
+FROM per GROUP BY k
+"""
+
+
 QUERIES = {
+    "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),

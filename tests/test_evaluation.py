@@ -420,3 +420,64 @@ class TestBradleyTerry:
         assert got["c"]["wins"] == 0
         assert got["c"]["score"] > 0  # floored, never divides by zero
         assert got["a"]["score"] == 1.0
+
+
+class TestPassAtK:
+    def test_matches_exact_combinatorics(self, spark, sf_dir):
+        """The HOF-product estimator must equal 1 − C(n−c,k)/C(n,k)
+        computed with exact integer combinatorics, task by task."""
+        import math
+
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_pass_at_k,
+        )
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        rows = (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("event_type") == "purchase").cast("long")).alias("c"),
+            )
+            .collect()
+        )
+        got = {r.k: (r.n_tasks, r.pass_at_k) for r in q_pass_at_k(spark, sf_dir).collect()}
+        for k in (1, 5, 10):
+            vals = [
+                1.0
+                if r.n - r.c < k
+                else 1.0 - math.comb(r.n - r.c, k) / math.comb(r.n, k)
+                for r in rows
+                if r.n >= k
+            ]
+            want = round(sum(vals) / len(vals), 6)
+            n_tasks, passk = got[k]
+            assert n_tasks == len(vals)
+            assert abs(passk - want) < 1e-6, (k, passk, want)
+
+    def test_degenerate_cases(self, spark):
+        """c=0 → pass@k = 0; c=n → 1; n<k tasks are excluded."""
+        from sentiment_analysis_bigdata_spark.workloads import evaluation_q as EQ
+
+        # build a tiny frame through the same estimator path by monkey
+        # route: reuse the HOF expression inline
+        df = spark.createDataFrame(
+            [(1, 10, 0), (2, 10, 10), (3, 3, 1)], "task long, n long, c long"
+        )
+        k = 5
+        p = F.when(F.col("n") - F.col("c") < F.lit(k), F.lit(1.0)).otherwise(
+            F.lit(1.0)
+            - F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(1.0),
+                lambda acc, i: acc * (F.col("n") - F.col("c") - i) / (F.col("n") - i),
+            )
+        )
+        got = {
+            r.task: r.p
+            for r in df.filter(F.col("n") >= k).withColumn("p", p).collect()
+        }
+        assert got[1] == 0.0   # no successes
+        assert got[2] == 1.0   # all successes (n−c < k branch)
+        assert 3 not in got    # n < k excluded
