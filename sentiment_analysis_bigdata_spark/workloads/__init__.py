@@ -152,17 +152,16 @@ _DRIVER_PREFIX: list[str] = [
     "ann_ivf_index",
     "winnow_overlap",
     "retrieval_metrics",
-    "embedding_near_dup",
-    "dedup_components",
+    # (displace embedding_near_dup / dedup_components — oracle-green
+    # since r2, standard join shapes — for the Arrow NFC kernel (byte-
+    # level cross-engine contract vs DuckDB's native normalizer) and the
+    # seed-teleport PageRank, same NEW-first rationale)
+    "unicode_nfc",
+    "personalized_pagerank",
     "minhash_signatures",
-    "tfidf_top_terms",
-    "lang_id",
     "streaming_dedup",
     "asof_purchase_signup",
-    "funnel_conversion",
-    "retention_cohorts",
     "ml_naive_bayes",
-    "ml_linear_svc",
     # countvec_vocab displaced by bloom_contamination (see end of list)
     # -- queries NEW this round (never had a driver row by construction) --
     "dup_ngram_spans_ladder",
@@ -196,6 +195,18 @@ _DRIVER_PREFIX: list[str] = [
     # golden checksums — for the Bloom decontamination pre-filter added
     # this session, same NEW-first rationale)
     "bloom_contamination",
+    # (displace lang_id / tfidf_top_terms / retention_cohorts /
+    # funnel_conversion / ml_linear_svc — all plain-expression or
+    # golden-constant-pinned and oracle-green since r1/r2, the lowest
+    # cross-engine-risk rows in the prefix — for the five queries added
+    # in this session, same NEW-first rationale: incremental streaming
+    # CMS, pass@k, histogram-narrowing selection, quality-aware dedup,
+    # and the token-budget recipe)
+    "streaming_cms",
+    "pass_at_k",
+    "exact_quantiles_narrowed",
+    "dedup_keep_best",
+    "token_budget_plan",
 ]
 
 
