@@ -161,6 +161,8 @@ FAMILY_EXTRA = [
     "streaming_cms",
     # r5 final: pass@k combinatorial estimator
     "pass_at_k",
+    # r5 final: perceptual image hashing dedup (aHash over decoded PNGs)
+    "image_ahash_dedup",
 ]
 
 

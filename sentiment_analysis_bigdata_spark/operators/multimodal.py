@@ -643,3 +643,137 @@ def resize_stats(
         schema=f"{in_cols}, out_width int, out_height int, "
         "ds_px_count bigint, ds_px_sum bigint",
     )
+
+
+def synthesize_png_gradient(width: int, height: int, ax: int, by: int) -> bytes:
+    """Spec-valid 8-bit RGB PNG whose pixel (x, y) carries
+    v = (ax·x + by·y) mod 256 in all three channels — a deterministic
+    non-uniform image (unlike :func:`synthesize_png_bytes`'s flat fill)
+    so perceptual-hash fixtures produce NON-degenerate bit patterns an
+    oracle can recompute pixel-exactly from (width, height, ax, by)."""
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            b
+            for x in range(width)
+            for b in ((ax * x + by * y) % 256,) * 3
+        )
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def attach_gradient_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture ingestion for the perceptual-hash lane: per row a REAL
+    gradient PNG with every parameter planted from the id —
+    w = 64 + (id mod 4)·16, h = 64 + (id mod 3)·32, ax = 1 + id mod 3,
+    by = 2 + id mod 5 — so ids congruent mod lcm(4,3,3,5)=60 produce
+    byte-identical images (planted duplicate clusters for the dedup
+    report) and the oracle recomputes every pixel in closed form."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                synthesize_png_gradient(
+                    64 + int(i) % 4 * 16,
+                    64 + int(i) % 3 * 32,
+                    1 + int(i) % 3,
+                    2 + int(i) % 5,
+                )
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
+
+
+def ahash_64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """64-bit average hash (aHash) — the standard web-scale image
+    near-dup primitive: decode the PNG, take the single-channel plane
+    (the fixtures carry r=g=b), split the top-left 8·(w//8) × 8·(h//8)
+    region into an 8×8 block grid, and set bit (bx + 8·by) iff the
+    block's mean exceeds the region's mean. Every comparison is an
+    INTEGER cross-multiply (block_sum·region_count > region_sum·
+    block_count) — no float ever decides a bit, so any engine that can
+    sum pixels replays the hash exactly. Emitted as two 32-bit halves
+    (``ahash_hi``/``ahash_lo``) because a bit-63 BIGINT literal
+    overflows ANSI engines.
+
+    Malformed payloads (no IDAT, bad filter, truncated) yield null
+    halves — the same quarantine policy as :func:`resize_stats`. Arrow
+    batches via ``mapInPandas``; per-batch Python only, embarrassingly
+    parallel, no shuffle."""
+    import numpy as np
+
+    def one(b: bytes):
+        width, height = decode_png_header(b)
+        pos, idat = 8, []
+        while pos + 8 <= len(b):
+            length, tag = struct.unpack(">I4s", b[pos : pos + 8])
+            if tag == b"IDAT":
+                idat.append(b[pos + 8 : pos + 8 + length])
+            pos += 12 + length
+        if not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = 1 + 3 * width
+        if len(raw) != height * stride:
+            raise ValueError("PNG IDAT: unexpected scanline length")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        if rows[:, 0].any():
+            raise ValueError("PNG IDAT: unsupported filter type")
+        plane = rows[:, 1:].reshape(height, width, 3)[:, :, 0].astype(np.int64)
+        bw, bh = width // 8, height // 8
+        if bw == 0 or bh == 0:
+            return None
+        region = plane[: 8 * bh, : 8 * bw]
+        bsum = region.reshape(8, bh, 8, bw).sum(axis=(1, 3))  # [by, bx]
+        rsum = int(region.sum())
+        rcnt = 8 * bh * 8 * bw
+        bcnt = bh * bw
+        hi = lo = 0
+        for by in range(8):
+            for bx in range(8):
+                if int(bsum[by, bx]) * rcnt > rsum * bcnt:
+                    j = bx + 8 * by
+                    if j < 32:
+                        lo |= 1 << j
+                    else:
+                        hi |= 1 << (j - 32)
+        return hi, lo
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
+            his, los = [], []
+            for payload in pdf[payload_col]:
+                try:
+                    r = one(bytes(payload))
+                except (ValueError, zlib.error, struct.error):
+                    r = None
+                his.append(None if r is None else r[0])
+                los.append(None if r is None else r[1])
+            yield pd.DataFrame({**keep, "ahash_hi": his, "ahash_lo": los})
+
+    in_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        kernel, schema=f"{in_cols}, ahash_hi bigint, ahash_lo bigint"
+    )

@@ -2232,7 +2232,87 @@ SELECT 'semantic', CAST(3 AS INT), n1 - rm2, rm3, n1 - rm2 - rm3 FROM c
 """
 
 
+
+def q_image_ahash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup via 64-bit average hash
+    (operators/multimodal.py ``ahash_64`` — the standard web-scale
+    image near-dup primitive): per doc a REAL gradient PNG is
+    synthesized with parameters planted from the id (ids congruent mod
+    60 produce byte-identical images), decoded, and hashed by 8x8
+    block-mean thresholding where every bit is an INTEGER cross-multiply
+    (block_sum*region_count > region_sum*block_count) — no float decides
+    a bit, so the oracle replays the hash pixel-exactly from the planted
+    parameters. Output: the duplicate-cluster report (hash halves,
+    cluster size, min doc id).
+
+    100 TB shape: decode+hash is one narrow Arrow pass; the dedup is a
+    hash-cardinality aggregation — the image analogue of
+    fingerprint_clusters, with hamming-ball expansion (bucketed like
+    SimHash) the documented extension for NEAR-dup."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = MM.ahash_64(MM.attach_gradient_payloads(docs))
+    return (
+        hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_IMAGE_AHASH_DEDUP = """
+WITH params AS (
+  SELECT doc_id,
+         64 + (doc_id % 4) * 16 AS w,
+         64 + (doc_id % 3) * 32 AS h,
+         1 + doc_id % 3 AS ax,
+         2 + doc_id % 5 AS ayy
+  FROM documents
+),
+px AS (
+  SELECT p.doc_id,
+         (p.ax * ux.x + p.ayy * uy.y) % 256 AS v,
+         ux.x // (p.w // 8) AS bx,
+         uy.y // (p.h // 8) AS byi
+  FROM params p,
+       unnest(range(8 * (p.w // 8))) AS ux(x),
+       unnest(range(8 * (p.h // 8))) AS uy(y)
+),
+blocks AS (
+  SELECT doc_id, bx, byi, CAST(sum(v) AS BIGINT) AS bsum,
+         CAST(count(*) AS BIGINT) AS bcnt
+  FROM px GROUP BY 1, 2, 3
+),
+region AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS rsum,
+         CAST(count(*) AS BIGINT) AS rcnt
+  FROM px GROUP BY 1
+),
+bits AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN bx + 8 * byi >= 32
+                        AND b.bsum * r.rcnt > r.rsum * b.bcnt
+                       THEN (1::BIGINT << CAST(bx + 8 * byi - 32 AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(sum(CASE WHEN bx + 8 * byi < 32
+                        AND b.bsum * r.rcnt > r.rsum * b.bcnt
+                       THEN (1::BIGINT << CAST(bx + 8 * byi AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM blocks b JOIN region r USING (doc_id)
+  GROUP BY 1
+)
+SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM bits GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
 QUERIES = {
+    "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
     "dup_ngram_spans_ladder": (

@@ -263,3 +263,39 @@ class TestResizeMalformedPolicy:
         assert out[1]["ds_px_count"] == 12
         for i in (2, 3, 4):
             assert out[i]["ds_px_count"] is None and out[i]["ds_px_sum"] is None
+
+
+class TestAverageHash:
+    def test_planted_duplicates_share_hash(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+        # ids 60 apart plant byte-identical gradient images
+        df = spark.createDataFrame(
+            [(1,), (61,), (2,)], "doc_id long"
+        )
+        hashed = {
+            r.doc_id: (r.ahash_hi, r.ahash_lo)
+            for r in MM.ahash_64(MM.attach_gradient_payloads(df)).collect()
+        }
+        assert hashed[1] == hashed[61]
+        assert hashed[1] != hashed[2]
+
+    def test_flat_image_hashes_to_zero(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+        # a uniform image (zero gradient): no block mean can EXCEED the
+        # region mean, so every bit is 0 (strict inequality)
+        payload = MM.synthesize_png_gradient(64, 64, 0, 0)
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        row = MM.ahash_64(df).first()
+        assert (row.ahash_hi, row.ahash_lo) == (0, 0)
+
+    def test_malformed_payload_yields_nulls(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a png at all, definitely"))],
+            "doc_id long, payload binary",
+        )
+        row = MM.ahash_64(df).first()
+        assert row.ahash_hi is None and row.ahash_lo is None
