@@ -145,7 +145,10 @@ _DRIVER_PREFIX: list[str] = [
     # -- never-driver-checked rotation, round 5 --
     "ppjoin_pairs",
     "multimodal_decode",
-    "multimodal_resize",
+    # (displace multimodal_resize — same decode path multimodal_decode
+    # already certifies this round — for the perceptual-hash lane's
+    # integer bit math, same NEW-first rationale)
+    "image_ahash_dedup",
     "embedding_pca",
     "ann_recall",
     "simhash_near_dups",
