@@ -163,6 +163,8 @@ FAMILY_EXTRA = [
     "pass_at_k",
     # r5 final: perceptual image hashing dedup (aHash over decoded PNGs)
     "image_ahash_dedup",
+    # r5 final: HITS hubs/authorities (mutual-reinforcement ranking)
+    "hits_purchases",
 ]
 
 

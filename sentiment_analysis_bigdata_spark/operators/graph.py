@@ -161,6 +161,75 @@ def personalized_pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): authority(v) = Σ hub over
+    in-neighbors, hub(v) = Σ authority over out-neighbors, alternated for
+    a fixed iteration count — the classic complement to PageRank when the
+    graph is bipartite-ish (here: customers are hubs choosing suppliers;
+    suppliers are authorities chosen by many good hubs).
+
+    Spark-first shape, same as :func:`pagerank`: the distinct edge frame
+    is reused every round; each half-step is ONE join + ONE aggregation
+    on the gathered key. Normalization is deferred to a single final
+    max-division (scores stay bounded at these iteration counts: they
+    grow like degree^k, far inside double range) — per-round L2 norms
+    would add two global aggregates per iteration for no semantic gain
+    at fixed k. Returns (node, hub, authority) for every node.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(iterations):
+        # authority update: gather hub scores along in-edges
+        a_in = (
+            e.join(hubs, e._src == hubs.node)
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auths = nodes.join(a_in, "node", "left").select(
+            "node", F.coalesce("_a", F.lit(0.0)).alias("auth")
+        )
+        # hub update: gather fresh authority scores along out-edges
+        h_out = (
+            e.join(auths, e._dst == auths.node)
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        hubs = nodes.join(h_out, "node", "left").select(
+            "node", F.coalesce("_h", F.lit(0.0)).alias("hub")
+        )
+    maxes = hubs.agg(F.max("hub").alias("_mh")).crossJoin(
+        auths.agg(F.max("auth").alias("_ma"))
+    )
+    return (
+        hubs.join(auths, "node")
+        .crossJoin(F.broadcast(maxes))
+        .select(
+            "node",
+            F.when(F.col("_mh") > 0, F.col("hub") / F.col("_mh"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+            F.when(F.col("_ma") > 0, F.col("auth") / F.col("_ma"))
+            .otherwise(F.lit(0.0))
+            .alias("authority"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     a_col: str = "a",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
 from sentiment_analysis_bigdata_spark.operators.graph import (
     clustering_coefficients,
+    hits,
     kcore_peel,
     link_prediction_scores,
     pagerank,
@@ -621,9 +622,80 @@ SELECT node, round(rank, 6) AS rank FROM {prev} WHERE rank > 0
 SQL_PERSONALIZED_PAGERANK = _sql_personalized_pagerank()
 
 
+def q_hits_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities over the bipartite purchase graph
+    (operators/graph.py ``hits``): customers score as hubs (they choose
+    many good suppliers), suppliers as authorities (chosen by many good
+    hubs) — the mutual-reinforcement complement to pagerank_purchases on
+    the same edges. The oracle unrolls all three alternating half-steps
+    and the final max-normalization, so the reinforcement VALUES are
+    checked, not just rankings."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    out = hits(edges, iterations=PR_ITERATIONS)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits() -> str:
+    steps = []
+    prev_h = "h0"
+    last_a = None
+    for i in range(1, PR_ITERATIONS + 1):
+        steps.append(
+            f"""a{i} AS (
+  SELECT n.node, coalesce(sum(h.hub), 0) AS auth
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev_h} h ON h.node = e.src
+  GROUP BY n.node
+)"""
+        )
+        steps.append(
+            f"""h{i} AS (
+  SELECT n.node, coalesce(sum(a.auth), 0) AS hub
+  FROM nodes n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.node
+)"""
+        )
+        prev_h = f"h{i}"
+        last_a = f"a{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+{",".join(steps)},
+mx AS (SELECT max(hub) AS mh FROM {prev_h}),
+ma AS (SELECT max(auth) AS maa FROM {last_a})
+SELECT h.node,
+       round(CASE WHEN mx.mh > 0 THEN h.hub / mx.mh ELSE 0.0 END, 6) AS hub,
+       round(CASE WHEN ma.maa > 0 THEN a.auth / ma.maa ELSE 0.0 END, 6)
+         AS authority
+FROM {prev_h} h JOIN {last_a} a USING (node)
+CROSS JOIN mx CROSS JOIN ma
+"""
+
+
+SQL_HITS_PURCHASES = _sql_hits()
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
     "personalized_pagerank": (q_personalized_pagerank, SQL_PERSONALIZED_PAGERANK),
+    "hits_purchases": (q_hits_purchases, SQL_HITS_PURCHASES),
     "weighted_sssp": (q_weighted_sssp, SQL_WEIGHTED_SSSP),
     "kcore_parts": (q_kcore_parts, SQL_KCORE_PARTS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),

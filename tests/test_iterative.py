@@ -266,6 +266,35 @@ class TestPersonalizedPagerank:
         assert with_ghost == without
 
 
+class TestHits:
+    def test_star_graph_hand_values(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import hits
+
+        # hub h points at a1..a3; one stray edge x→a1.
+        # After any number of iterations h is the best hub (3 authorities)
+        # and a1 the best authority (2 hubs point at it).
+        edges = spark.createDataFrame(
+            [("h", "a1"), ("h", "a2"), ("h", "a3"), ("x", "a1")],
+            "src string, dst string",
+        )
+        got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iterations=2).collect()}
+        assert got["h"][0] == 1.0          # max hub normalizes to 1
+        assert got["a1"][1] == 1.0         # max authority normalizes to 1
+        assert got["a2"][1] < 1.0          # only one (good) hub points here
+        assert got["a1"][0] == 0.0         # pure authorities have no out-edges
+        assert got["h"][1] == 0.0          # pure hubs have no in-edges
+        assert got["x"][0] < got["h"][0]   # weaker hub: fewer authorities
+
+    def test_rejects_zero_iterations(self, spark):
+        import pytest as _pytest
+
+        from sentiment_analysis_bigdata_spark.operators.graph import hits
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pytest.raises(ValueError, match="iterations"):
+            hits(edges, iterations=0)
+
+
 class TestTriangleCount:
     def test_known_graphs(self, spark):
         from sentiment_analysis_bigdata_spark.operators.graph import triangle_count
