@@ -165,6 +165,9 @@ FAMILY_EXTRA = [
     "image_ahash_dedup",
     # r5 final: HITS hubs/authorities (mutual-reinforcement ranking)
     "hits_purchases",
+    # r5 final: embedding drift gate and incremental streaming Bloom
+    "embedding_drift",
+    "streaming_bloom",
 ]
 
 

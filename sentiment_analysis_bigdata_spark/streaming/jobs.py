@@ -478,6 +478,54 @@ def run_stream_cms_to_parquet(
     _await_or_raise(q, timeout_s)
 
 
+def bloom_fold(out_dir: str, col: str, m: int, k: int, seed: int):
+    """foreachBatch fold maintaining a RUNNING Bloom filter
+    (operators/sketches.py ``bloom_build``/``bloom_merge``): per batch,
+    union the batch's occupied positions into the persisted ≤ m-row set
+    through the versioned-commit machinery. Unlike :func:`cms_fold`,
+    NO replay guard is needed: position-set union is IDEMPOTENT (a
+    replayed batch re-unions positions that are already set and the
+    distinct collapses them), so the sink is exactly-once by algebra —
+    the practical difference between maintaining a membership filter and
+    a counter sketch under at-least-once delivery."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sketch = sketches.bloom_build(
+            batch_df, col, m=m, k=k, seed=seed
+        )
+        current = _read_marker(out_dir)
+        merged = batch_sketch
+        if current is not None:
+            prev = spark.read.parquet(f"{out_dir}/{current}")
+            merged = sketches.bloom_merge(prev, batch_sketch)
+        _commit_version(merged, out_dir, batch_id, current)
+
+    return fold
+
+
+def run_stream_bloom_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    m: int = 8192,
+    k: int = 3,
+    seed: int = 0,
+    timeout_s: float = 120.0,
+) -> None:
+    """Run :func:`bloom_fold` until available data drains; the final
+    filter must be position-identical to a single batch build."""
+    q = (
+        stream_df.writeStream.foreachBatch(bloom_fold(out_dir, col, m, k, seed))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
 def run_stream_topk_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -445,8 +445,73 @@ GROUP BY 1
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two cohorts
+    (here: even vs odd vec_id — in production, yesterday's embeddings vs
+    today's after a model or preprocessing change): mean gap, variance
+    ratio, and the two-sample z statistic per dimension — the vector
+    analogue of the scalar score_drift_ks/psi gates (a retrained encoder
+    that shifts dimension means silently poisons every downstream ANN
+    index and dedup threshold).
+
+    100 TB shape: one posexplode to (cohort, dim) partial sums — the
+    aggregation state is 2·d cells regardless of corpus size — then a
+    d-row join; identical double formulas on both engines, rounded at
+    6dp."""
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("d", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    st = e.groupBy("cohort", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("sq"),
+    )
+    a = st.filter("cohort = 0").select(
+        "d", F.col("n").alias("na"), F.col("s").alias("sa"), F.col("sq").alias("qa")
+    )
+    b = st.filter("cohort = 1").select(
+        "d", F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("sq").alias("qb")
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = F.col("qa") / F.col("na") - ma * ma
+    vb = F.col("qb") / F.col("nb") - mb * mb
+    return a.join(b, "d").select(
+        "d",
+        F.round(ma - mb, 6).alias("mean_gap"),
+        F.round(va / vb, 6).alias("var_ratio"),
+        F.round(
+            F.abs(ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb")), 6
+        ).alias("z"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT vec_id % 2 AS cohort, di.i AS d, CAST(embedding[di.i + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(len(embedding))) AS di(i)
+),
+st AS (
+  SELECT cohort, d, count(*) AS n, sum(v) AS s, sum(v * v) AS sq
+  FROM e GROUP BY 1, 2
+),
+a AS (SELECT d, n AS na, s AS sa, sq AS qa FROM st WHERE cohort = 0),
+b AS (SELECT d, n AS nb, s AS sb, sq AS qb FROM st WHERE cohort = 1)
+SELECT a.d,
+       round(sa / na - sb / nb, 6) AS mean_gap,
+       round((qa / na - (sa / na) * (sa / na))
+             / (qb / nb - (sb / nb) * (sb / nb)), 6) AS var_ratio,
+       round(abs(sa / na - sb / nb)
+             / sqrt((qa / na - (sa / na) * (sa / na)) / na
+                    + (qb / nb - (sb / nb) * (sb / nb)) / nb), 6) AS z
+FROM a JOIN b USING (d)
+"""
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "silhouette_kmeans": (q_silhouette_kmeans, SQL_SILHOUETTE_KMEANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),

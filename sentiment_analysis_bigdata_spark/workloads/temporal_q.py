@@ -1045,8 +1045,98 @@ FROM exact x JOIN est USING (key)
 """
 
 
+_SBLOOM_M, _SBLOOM_K = 4096, 3
+
+
+def q_streaming_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental Bloom-filter maintenance over a multi-batch stream
+    (streaming/jobs.py ``run_stream_bloom_to_parquet``): user ids drain
+    through 6 micro-batches into a running position set (union is
+    IDEMPOTENT — the replay-safety contrast to streaming_cms's guarded
+    counter fold), then the final filter is probed with the 20 smallest
+    known user ids (must ALL be members — no false negatives) and 20
+    'ghost:N' keys that were never inserted (the deterministic
+    false-positive pattern at m=4096/k=3 — both engines derive identical
+    md5 positions, so even the FPs value-match)."""
+    import shutil
+    import tempfile
+
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    src = tempfile.mkdtemp(prefix="bloom_src_")
+    out = tempfile.mkdtemp(prefix="bloom_table_")
+    ckpt = tempfile.mkdtemp(prefix="bloom_ckpt_")
+    try:
+        events = load_table(spark, sf, "events")
+        events.select(
+            F.col("user_id").cast("string").alias("key")
+        ).repartition(6).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        SJ.run_stream_bloom_to_parquet(
+            stream, out, ckpt, "key",
+            m=_SBLOOM_M, k=_SBLOOM_K, seed=0, timeout_s=120,
+        )
+        sketch = SJ.read_upsert_table(spark, out)
+        known = (
+            events.select(F.col("user_id").cast("string").alias("key"))
+            .distinct()
+            .orderBy(F.col("key").cast("long"))
+            .limit(20)
+        )
+        ghosts = spark.range(20).select(
+            F.concat(F.lit("ghost:"), F.col("id").cast("string")).alias("key")
+        )
+        probes = known.unionByName(ghosts)
+        member = sketches.bloom_probe(
+            sketch, probes, "key", m=_SBLOOM_M, k=_SBLOOM_K, seed=0
+        )
+        res = member.withColumn(
+            "inserted", ~F.col("key").startswith("ghost:")
+        )
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_BLOOM = f"""
+WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+sketch AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(key || ':' || i || ':0'), 1, 15)) AS BIGINT)
+           % {_SBLOOM_M} AS pos
+  FROM keys CROSS JOIN (SELECT unnest(range({_SBLOOM_K})) AS i)
+),
+known AS (
+  SELECT key FROM keys ORDER BY CAST(key AS BIGINT) LIMIT 20
+),
+probes AS (
+  SELECT key FROM known
+  UNION ALL
+  SELECT 'ghost:' || CAST(i AS VARCHAR) FROM (SELECT unnest(range(20)) AS i)
+),
+ppos AS (
+  SELECT key,
+         CAST(('0x' || substr(md5(key || ':' || i || ':0'), 1, 15)) AS BIGINT)
+           % {_SBLOOM_M} AS pos
+  FROM probes CROSS JOIN (SELECT unnest(range({_SBLOOM_K})) AS i)
+)
+SELECT p.key, bool_and(s.pos IS NOT NULL) AS bloom_member,
+       NOT starts_with(p.key, 'ghost:') AS inserted
+FROM ppos p LEFT JOIN sketch s USING (pos)
+GROUP BY p.key
+"""
+
+
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
+    "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),
     "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),
     "sliding_events": (q_sliding_events, SQL_SLIDING_EVENTS),
     "streaming_sliding": (q_streaming_sliding, SQL_SLIDING_EVENTS),

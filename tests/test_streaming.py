@@ -562,3 +562,28 @@ def test_cms_sink_replay_does_not_double_count(spark, tmp_path):
         (r.r, r.b, r.cnt) for r in SJ.read_upsert_table(spark, out).collect()
     )
     assert replayed == first  # counts unchanged, not doubled
+
+
+def test_bloom_sink_replay_is_idempotent(spark, tmp_path):
+    """Bloom position-union is idempotent, so a replayed batch (fresh
+    checkpoint, marker already repointed) needs NO guard: the state must
+    be position-identical before and after the replay."""
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.createDataFrame([("a",), ("b",), ("c",)], "key string").toPandas().to_parquet(
+        str(d / "f0.parquet")
+    )
+
+    def make_stream():
+        return spark.readStream.schema("key string").parquet(str(d))
+
+    out = str(tmp_path / "table")
+    SJ.run_stream_bloom_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt1"), "key", m=512, k=3
+    )
+    first = sorted(r.pos for r in SJ.read_upsert_table(spark, out).collect())
+    SJ.run_stream_bloom_to_parquet(
+        make_stream(), out, str(tmp_path / "ckpt2"), "key", m=512, k=3
+    )
+    replayed = sorted(r.pos for r in SJ.read_upsert_table(spark, out).collect())
+    assert replayed == first
