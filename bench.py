@@ -168,6 +168,9 @@ FAMILY_EXTRA = [
     # r5 final: embedding drift gate and incremental streaming Bloom
     "embedding_drift",
     "streaming_bloom",
+    # r5 final: accent folding kernel and purged temporal split
+    "accent_fold",
+    "purged_time_split",
 ]
 
 

@@ -229,3 +229,40 @@ def exact_quantile_narrowed(
         remaining.orderBy("_x").limit(r).agg(F.max("_x").alias("v")).collect()
     )[0]["v"]
     return float(value), int(n), rounds
+
+
+def strip_accents_text(
+    df: DataFrame, text_col: str, out_col: str = "folded_text"
+) -> DataFrame:
+    """Accent/diacritic folding — NFD-decompose then drop combining
+    marks (Unicode category Mn) — the normalization search and dedup
+    pipelines apply so 'café' and 'cafe' fingerprint identically. Same
+    sanctioned Arrow-kernel shape as :func:`nfc_normalize_text`; the
+    value contract is DuckDB's native ``strip_accents`` (byte-identical
+    on Latin-script text, verified by md5 content hashes in the oracle
+    twin). Note the contract is mark REMOVAL, not transliteration:
+    characters without a canonical decomposition (ø, ß, đ) pass through
+    unchanged on both engines."""
+    from collections.abc import Iterator
+    import unicodedata
+
+    import pandas as pd
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, `{out_col}` string"
+
+    def fold(s):
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFD", s)
+            if unicodedata.category(c) != "Mn"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [None if s is None else fold(s) for s in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)

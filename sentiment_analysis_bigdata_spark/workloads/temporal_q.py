@@ -953,6 +953,86 @@ GROUP BY user_id, session_id
 """
 
 
+_PURGE_T1, _PURGE_T2 = "2024-01-20", "2024-01-22"
+
+
+def q_purged_time_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Purged temporal train/test split with an embargo gap (the
+    financial-ML / forecasting split hygiene rule — de Prado 2018):
+    train strictly before T1, test at or after T2, and the [T1, T2)
+    embargo DROPPED so that label windows or session tails spanning the
+    boundary can't leak future information into training. The report
+    gives per-slice event/user counts, the share of all events, and the
+    entity-overlap signal (train users who also appear in test — a time
+    split intentionally allows them, but any downstream per-user target
+    must know the overlap is there).
+
+    100 TB shape: three partition-prunable range predicates over ONE
+    scan each, user counts as distinct aggs, overlap as one semi join
+    against the test-user frame — no window, no shuffle beyond the
+    count-distinct."""
+    events = load_table(spark, sf, "events")
+    slices = [
+        ("train", events.filter(F.col("ts") < _PURGE_T1)),
+        (
+            "embargo_dropped",
+            events.filter(
+                (F.col("ts") >= _PURGE_T1) & (F.col("ts") < _PURGE_T2)
+            ),
+        ),
+        ("test", events.filter(F.col("ts") >= _PURGE_T2)),
+    ]
+    test_users = slices[2][1].select("user_id").distinct()
+    total = events.count()
+    parts = []
+    for name, df in slices:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).withColumn("split", F.lit(name))
+        overlap = (
+            df.select("user_id")
+            .distinct()
+            .join(test_users, "user_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_users_in_test"))
+        )
+        parts.append(stats.crossJoin(F.broadcast(overlap)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "split",
+        "n_events",
+        "n_users",
+        "n_users_in_test",
+        F.round(F.col("n_events") / F.lit(float(total)), 6).alias("share"),
+    )
+
+
+SQL_PURGED_TIME_SPLIT = f"""
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '{_PURGE_T1}' THEN 'train'
+              WHEN ts < TIMESTAMP '{_PURGE_T2}' THEN 'embargo_dropped'
+              ELSE 'test' END AS split
+  FROM events
+),
+test_users AS (SELECT DISTINCT user_id FROM tagged WHERE split = 'test'),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tagged)
+SELECT t.split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                                THEN t.user_id END) AS BIGINT)
+         AS n_users_in_test,
+       round(count(*) / tot.total, 6) AS share
+FROM tagged t
+LEFT JOIN test_users tu ON tu.user_id = t.user_id
+CROSS JOIN tot
+GROUP BY t.split, tot.total
+"""
+
+
 _SCMS_DEPTH, _SCMS_WIDTH = 4, 1024
 
 
@@ -1137,6 +1217,7 @@ GROUP BY p.key
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),
+    "purged_time_split": (q_purged_time_split, SQL_PURGED_TIME_SPLIT),
     "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),
     "sliding_events": (q_sliding_events, SQL_SLIDING_EVENTS),
     "streaming_sliding": (q_streaming_sliding, SQL_SLIDING_EVENTS),

@@ -1678,7 +1678,50 @@ FROM nfc
 """
 
 
+
+def q_accent_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """Accent folding round trip (operators/normalize.py
+    ``strip_accents_text`` — NFD + drop combining marks): the ASCII
+    fixture text is deterministically ACCENTED on both engines
+    (a→á, e→é, i→ï, all precomposed), folded back, and the fold must
+    restore the original byte-for-byte (roundtrip_ok value-checked per
+    doc, plus an md5 content hash of the folded text against DuckDB's
+    native ``strip_accents``). One narrow Arrow pass, no shuffle."""
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    acc = docs.select(
+        "doc_id",
+        "text",
+        F.translate("text", "aei", "áéï").alias("acc_text"),
+    )
+    folded = NORM.strip_accents_text(acc, "acc_text", out_col="folded")
+    return folded.select(
+        "doc_id",
+        F.length("acc_text").cast("long").alias("n_chars"),
+        HH.md5_hash64(F.col("folded")).alias("fold_hash"),
+        (F.col("folded") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+SQL_ACCENT_FOLD = """
+WITH acc AS (
+  SELECT doc_id, text,
+         translate(text, 'aei', chr(225) || chr(233) || chr(239)) AS acc_text
+  FROM documents
+),
+f AS (SELECT doc_id, text, acc_text, strip_accents(acc_text) AS folded FROM acc)
+SELECT doc_id,
+       CAST(length(acc_text) AS BIGINT) AS n_chars,
+       CAST(('0x' || substr(md5(folded), 1, 15)) AS BIGINT) AS fold_hash,
+       folded = text AS roundtrip_ok
+FROM f
+"""
+
 QUERIES = {
+    "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "code_prose_profile": (q_code_prose_profile, SQL_CODE_PROSE_PROFILE),
     "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),

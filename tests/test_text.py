@@ -322,3 +322,20 @@ class TestNfcNormalize:
         df = spark.createDataFrame([(1, "déjà vu")], "id long, t string")
         out = NORM.nfc_normalize_text(df, "t", out_col="nfc").first()
         assert out.nfc == out.t
+
+
+class TestStripAccents:
+    def test_folds_marks_keeps_nondecomposable(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame(
+            [(1, "café déjà"), (2, "søren ß"), (3, None)],
+            "id long, t string",
+        )
+        got = {
+            r.id: r.f
+            for r in NORM.strip_accents_text(df, "t", out_col="f").collect()
+        }
+        assert got[1] == "cafe deja"
+        assert got[2] == "søren ß"   # no canonical decomposition → unchanged
+        assert got[3] is None

@@ -461,6 +461,30 @@ AUDIT = {
         "those ≤ 101 rows, never the corpus — the global quality sort "
         "this replaces would shuffle everything",
     ),
+    "pass_at_k": (
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+        "pass@k: raw samples touched ONCE (task agg), the combinatorial "
+        "product is a per-row HOF over the task-level frame joined to a "
+        "k-cardinality literal — no window, no second corpus pass",
+    ),
+    "image_ahash_dedup": (
+        ["MapInPandas", "HashAggregate", "!Window", "!SortMergeJoin"],
+        "perceptual image dedup: synth+decode+hash is one narrow Arrow "
+        "pass; the dedup report is a hash-cardinality aggregation — no "
+        "join at all",
+    ),
+    "hits_purchases": (
+        ["HashAggregate", "!CartesianProduct"],
+        "HITS: per half-step one join + one agg on the gathered key over "
+        "the reused distinct edge frame; only the 1-row max frame rides "
+        "a broadcast at the end",
+    ),
+    "embedding_drift": (
+        ["HashAggregate", "Generate", "!Window", "!CartesianProduct"],
+        "embedding drift: posexplode (Generate) feeds a (cohort, dim) "
+        "agg whose state is 2·d cells regardless of corpus size; the "
+        "final join is d rows vs d rows",
+    ),
 }
 
 
