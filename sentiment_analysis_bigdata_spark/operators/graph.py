@@ -51,13 +51,17 @@ def pagerank(
     # collapse parallel edges once; normalize by the source's total out-weight
     agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
     out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    # norm and nodes are reused by EVERY iteration's join — without a
+    # checkpoint the final plan replays the edge-derivation lineage
+    # (scan + collapse + out-weight join) once per round
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
@@ -118,11 +122,12 @@ def personalized_pagerank(
     out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     in_seeds = nodes.join(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
@@ -139,6 +144,7 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("tele"),
         )
+        .localCheckpoint(eager=False)
     )
     ranks = tele.select("node", F.col("tele").alias("rank"))
     for _ in range(iterations):
@@ -185,11 +191,12 @@ def hits(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = nodes.withColumn("auth", F.lit(1.0))
@@ -213,7 +220,7 @@ def hits(
             "node", F.coalesce("_h", F.lit(0.0)).alias("hub")
         )
     maxes = hubs.agg(F.max("hub").alias("_mh")).crossJoin(
-        auths.agg(F.max("auth").alias("_ma"))
+        F.broadcast(auths.agg(F.max("auth").alias("_ma")))
     )
     return (
         hubs.join(auths, "node")

@@ -923,7 +923,7 @@ def q_pass_at_k(spark: SparkSession, sf: str) -> DataFrame:
     )
     ks = spark.createDataFrame([(k,) for k in _PASSK_KS], "k int")
     per = (
-        tasks.join(ks, tasks.n >= ks.k)
+        tasks.join(F.broadcast(ks), tasks.n >= ks.k)
         .withColumn(
             "p",
             F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1.0)).otherwise(

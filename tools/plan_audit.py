@@ -449,10 +449,11 @@ AUDIT = {
         "output); the 1-row total joins back as a broadcast",
     ),
     "dedup_keep_best": (
-        ["HashAggregate", "!Window", "!CartesianProduct"],
+        ["SortAggregate|HashAggregate", "!Window", "!CartesianProduct"],
         "quality-aware survivor selection: argmax(score, tie min-id) is "
-        "ONE max_by struct agg + a fingerprint semi join — no window, no "
-        "per-cluster sort",
+        "ONE max(struct) agg (struct max compiles to partial+final "
+        "SortAggregate — still map-side combinable) + a fingerprint semi "
+        "join; no window, no per-cluster wide sort",
     ),
     "token_budget_plan": (
         ["HashAggregate", "Window", "!CartesianProduct"],
