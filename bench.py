@@ -171,6 +171,8 @@ FAMILY_EXTRA = [
     # r5 final: accent folding kernel and purged temporal split
     "accent_fold",
     "purged_time_split",
+    # r5 final: hamming-banded perceptual near-dup (the aHash scale path)
+    "image_ahash_near_dup",
 ]
 
 

@@ -2311,7 +2311,106 @@ SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_docs,
 FROM bits GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
+
+_AHASH_HAM_MAX = 7
+
+
+def q_image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate images via hamming-banded aHash — the scale path
+    the exact-cluster report documents: each 64-bit hash splits into 8
+    bands of 8 bits; any two hashes within hamming distance ≤ 7 share at
+    least one intact band (pigeonhole), so a band-bucket equi-join finds
+    ALL such pairs with zero false negatives, and the exact
+    bit_count(xor) verify prunes the rest. Output is the bounded pair
+    HISTOGRAM (n_pairs per hamming distance ≤ 7) — the fixture's planted
+    mod-60 parameter classes make identical-hash pairs abundant, and
+    near-identical gradients fill the 1..7 shells.
+
+    100 TB shape: bands explode ×8 (constant), the join is an equi join
+    on (band_id, band_value) — never all-pairs — and the verify is two
+    bit_counts per candidate. The histogram output stays 8 rows at any
+    scale; materializing the pairs themselves is the caller's
+    (documented) choice."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = MM.ahash_64(MM.attach_gradient_payloads(docs)).filter(
+        F.col("ahash_hi").isNotNull()
+    )
+    bands = hashed.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.expr(
+                            f"(ahash_{'hi' if i >= 4 else 'lo'} >> {8 * (i % 4)}) & 255"
+                        ).alias("band_val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash_hi", "ahash_lo", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            (
+                F.bit_count(
+                    F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_HAM_MAX)
+        .distinct()
+    )
+    return cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+SQL_IMAGE_AHASH_NEAR_DUP = SQL_IMAGE_AHASH_DEDUP[
+    : SQL_IMAGE_AHASH_DEDUP.index("SELECT ahash_hi")
+] + f"""
+, hashes AS (SELECT doc_id, ahash_hi, ahash_lo FROM bits),
+bands AS (
+  SELECT doc_id, ahash_hi, ahash_lo, bi.i AS band_id,
+         CASE WHEN bi.i >= 4
+              THEN (ahash_hi >> CAST(8 * (bi.i % 4) AS INT)) & 255
+              ELSE (ahash_lo >> CAST(8 * (bi.i % 4) AS INT)) & 255 END AS band_val
+  FROM hashes, unnest(range(8)) AS bi(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+         bit_count(xor(a.ahash_hi, b.ahash_hi))
+           + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand WHERE hamming <= {_AHASH_HAM_MAX}
+GROUP BY hamming
+"""
+
 QUERIES = {
+    "image_ahash_near_dup": (q_image_ahash_near_dup, SQL_IMAGE_AHASH_NEAR_DUP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
