@@ -173,6 +173,8 @@ FAMILY_EXTRA = [
     "purged_time_split",
     # r5 final: hamming-banded perceptual near-dup (the aHash scale path)
     "image_ahash_near_dup",
+    # r5 final: CUPED variance-reduced A/B readout
+    "cuped_uplift",
 ]
 
 

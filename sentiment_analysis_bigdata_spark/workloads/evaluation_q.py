@@ -968,8 +968,97 @@ FROM per GROUP BY k
 """
 
 
+_CUPED_SPLIT = "2024-01-15"
+
+
+def q_cuped_uplift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013 — the
+    experimentation-platform staple): per user, pre-period (Jan 1-14) and
+    post-period (Jan 15+) value sums; θ = cov(pre, post)/var(pre) pooled
+    over all users; adjusted post = post − θ·(pre − mean(pre)). Report
+    per arm (user_id mod 2): user count, raw and adjusted post means,
+    and the pooled variance-reduction ratio (1 − var(adj)/var(post) =
+    the fraction of metric noise the covariate removed — equals ρ²).
+
+    100 TB shape: one (user, period) aggregation, one moments aggregate
+    (5 doubles, broadcast back), one per-arm aggregate. All formulas are
+    identical double expressions on both engines, rounded at 6dp."""
+    events = load_table(spark, sf, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < _CUPED_SPLIT, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= _CUPED_SPLIT, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("pre").alias("mp"),
+        F.avg("post").alias("mq"),
+        F.avg(F.col("pre") * F.col("post")).alias("mpq"),
+        F.avg(F.col("pre") * F.col("pre")).alias("mpp"),
+        F.avg(F.col("post") * F.col("post")).alias("mqq"),
+    )
+    adj = per_user.crossJoin(F.broadcast(m)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "post",
+        (
+            F.col("post")
+            - ((F.col("mpq") - F.col("mp") * F.col("mq"))
+               / (F.col("mpp") - F.col("mp") * F.col("mp")))
+            * (F.col("pre") - F.col("mp"))
+        ).alias("adj_post"),
+        (
+            (F.col("mpq") - F.col("mp") * F.col("mq"))
+            * (F.col("mpq") - F.col("mp") * F.col("mq"))
+            / (
+                (F.col("mpp") - F.col("mp") * F.col("mp"))
+                * (F.col("mqq") - F.col("mq") * F.col("mq"))
+            )
+        ).alias("rho2"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("post"), 6).alias("mean_post"),
+        F.round(F.avg("adj_post"), 6).alias("mean_adj_post"),
+        F.round(F.first("rho2"), 6).alias("variance_reduction"),
+    )
+
+
+SQL_CUPED_UPLIFT = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0.0 END)
+           AS pre,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0.0 END)
+           AS post
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n, avg(pre) AS mp, avg(post) AS mq,
+         avg(pre * post) AS mpq, avg(pre * pre) AS mpp,
+         avg(post * post) AS mqq
+  FROM per_user
+),
+adj AS (
+  SELECT user_id % 2 AS arm, post,
+         post - ((mpq - mp * mq) / (mpp - mp * mp)) * (pre - mp) AS adj_post,
+         (mpq - mp * mq) * (mpq - mp * mq)
+           / ((mpp - mp * mp) * (mqq - mq * mq)) AS rho2
+  FROM per_user CROSS JOIN m
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(post), 6) AS mean_post,
+       round(avg(adj_post), 6) AS mean_adj_post,
+       round(any_value(rho2), 6) AS variance_reduction
+FROM adj GROUP BY arm
+"""
+
+
 QUERIES = {
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
+    "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
