@@ -162,12 +162,105 @@ def plain_bm25_search(spark, sf):
     )
 
 
+def plain_bloom_contamination(spark, sf):
+    # identical semantics to workloads.scale_q.q_bloom_contamination —
+    # same tokenization, 3-grams, md5 positions, one-pass two-flag agg,
+    # same localCheckpoint staging
+    from pyspark.sql import functions as F
+
+    M, K = 8192, 3
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    docs = docs.select("doc_id", tk.alias("tk"))
+    grams3 = F.when(
+        F.size("tk") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - F.lit(2)),
+            lambda i: F.array_join(F.slice(F.col("tk"), i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(grams3)).alias("gram")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 25)
+
+    def positions(df):
+        e = df.select(
+            "gram", F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("i")
+        )
+        pos = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("gram"), F.col("i").cast("string"),
+                            F.lit("0"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(M),
+        )
+        return e.select("gram", pos.alias("pos"))
+
+    sketch = positions(bench).select("pos").distinct()
+    probes = positions(corpus.select("gram").distinct())
+    hits = probes.join(sketch, "pos", "left_semi")
+    member = (
+        probes.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+        .join(
+            hits.groupBy("gram").agg(F.count(F.lit(1)).alias("n_hit")),
+            "gram", "left",
+        )
+        .select(
+            "gram",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_pos")).alias(
+                "bloom_member"
+            ),
+        )
+    )
+    flagged = corpus.join(member, "gram").join(
+        bench.withColumn("__in_bench", F.lit(1)), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bloom_member").cast("long")).alias("n_bloom_grams"),
+            F.sum(
+                F.when(F.col("__in_bench").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_exact_grams"),
+        )
+        .filter(F.col("n_bloom_grams") >= 2)
+        .select(
+            "doc_id", "n_bloom_grams", "n_exact_grams",
+            (F.col("n_bloom_grams") >= F.col("n_exact_grams")).alias(
+                "no_false_negative"
+            ),
+            (F.col("n_exact_grams") == 0).alias("false_alarm"),
+        )
+    )
+
+
 PAIRS = {
     "pricing_summary": plain_pricing_summary,
     "region_revenue": plain_region_revenue,
     "token_topk_nostop": plain_token_topk_nostop,
     "top_orders_per_customer": plain_top_orders_per_customer,
     "bm25_search": plain_bm25_search,
+    "bloom_contamination": plain_bloom_contamination,
 }
 
 

@@ -486,6 +486,27 @@ AUDIT = {
         "agg whose state is 2·d cells regardless of corpus size; the "
         "final join is d rows vs d rows",
     ),
+    "image_ahash_near_dup": (
+        ["MapInPandas", "!CartesianProduct", "HashAggregate"],
+        "hamming-banded near-dup: the pair source is a (band_id, "
+        "band_val) equi self-join over the hash frame — never all-pairs "
+        "— and the output is the bounded per-distance histogram",
+    ),
+    "cuped_uplift": (
+        ["HashAggregate", "BroadcastNestedLoopJoin", "!Window"],
+        "CUPED: per-user agg, then the 5-double pooled moments frame "
+        "rides back as a 1-row broadcast; raw events scanned once",
+    ),
+    "accent_fold": (
+        ["MapInPandas", "!SortMergeJoin", "!Window"],
+        "accent folding: one narrow Arrow kernel pass, no join/window "
+        "(only the fixture's parallelism-floor repartition)",
+    ),
+    "purged_time_split": (
+        ["HashAggregate", "!CartesianProduct"],
+        "purged split: three partition-prunable range slices, "
+        "count-distinct aggs, a semi join against the test-user frame",
+    ),
 }
 
 
