@@ -175,6 +175,8 @@ FAMILY_EXTRA = [
     "image_ahash_near_dup",
     # r5 final: CUPED variance-reduced A/B readout
     "cuped_uplift",
+    # r5 final: per-group Gumbel-top-k weighted sampling
+    "group_weighted_sample",
 ]
 
 

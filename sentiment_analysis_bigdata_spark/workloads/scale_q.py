@@ -928,9 +928,83 @@ FROM cum CROSS JOIN tot
 """
 
 
+_GWS_K = 5
+
+
+def q_group_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement (Gumbel-top-k per
+    key — Kool et al. 2019, the Efraimidis-Spirakis A-ES equivalent):
+    per source, draw 5 docs with probability ∝ n_chars by ranking
+    ln(weight) + Gumbel(0,1) inside the group. The Gumbel noise is
+    CONTENT-ADDRESSED (md5(doc_id:seed)-derived uniform), so the sample
+    is a pure function of the row ids — reruns, retries, and the oracle
+    select identical docs; the rank key is 6dp-rounded with a doc_id tie
+    break so the cut is immune to last-ULP ln() drift.
+
+    This is the PER-GROUP face of ``dsir_sample``'s global top-k — the
+    'take a weighted sample from EVERY source' step of corpus mixing.
+    One narrow expression + one per-group window; no global sort."""
+    docs = load_table(spark, sf, "documents")
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":gws7")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1_000_000),
+        )
+        + 0.5
+    ) / 1_000_000.0
+    gkey = F.round(
+        F.log(F.col("n_chars").cast("double")) + (-F.log(-F.log(u))), 6
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("source").orderBy(
+        F.col("gumbel_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", gkey.alias("gumbel_key"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _GWS_K)
+    )
+
+
+SQL_GROUP_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln(CAST(n_chars AS DOUBLE))
+               + (-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':gws7'), 1, 15)) AS BIGINT) % 1000000 + 0.5)
+                    / 1000000.0))), 6) AS gumbel_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY gumbel_key DESC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, gumbel_key, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_GWS_K}
+"""
+
+
 QUERIES = {
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
+    "group_weighted_sample": (
+        q_group_weighted_sample,
+        SQL_GROUP_WEIGHTED_SAMPLE,
+    ),
     "token_budget_plan": (q_token_budget_plan, _sql_token_budget_plan()),
     "exact_quantiles_narrowed": (
         q_exact_quantiles_narrowed,
