@@ -207,3 +207,52 @@ def test_driver_bpe_matches_naive_reference(spark, words, n):
     got = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=n)
     want, _ = _py_bpe(words, n)
     assert got == want, (words, n)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    m=st.sampled_from([256, 1024, 4096]),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_never_false_negative(spark, keys, m, k):
+    """For ANY key set and (m, k): every inserted key probes positive —
+    the Bloom guarantee the decontamination pre-filter rests on."""
+    from sentiment_analysis_bigdata_spark.operators import sketches
+
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    sketch = sketches.bloom_build(df, "key", m=m, k=k, seed=0)
+    got = sketches.bloom_probe(sketch, df, "key", m=m, k=k, seed=0).collect()
+    assert len(got) == len(keys)
+    assert all(r.bloom_member for r in got)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_narrowed_quantile_equals_sorted_rank(spark, vals, q):
+    """exact_quantile_narrowed == the rank-⌈q·n⌉ element of the sorted
+    list, for arbitrary floats including duplicates and negatives."""
+    import math
+
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got, n, _ = NORM.exact_quantile_narrowed(df, "v", q, bins=16, max_rounds=3)
+    s = sorted(vals)
+    want = float(s[max(1, math.ceil(q * len(s))) - 1])
+    assert n == len(vals)
+    assert got == want, (q, got, want, s[:5])
