@@ -177,6 +177,8 @@ FAMILY_EXTRA = [
     "cuped_uplift",
     # r5 final: per-group Gumbel-top-k weighted sampling
     "group_weighted_sample",
+    # r5 final: split-conformal threshold + coverage gate
+    "conformal_coverage",
 ]
 
 

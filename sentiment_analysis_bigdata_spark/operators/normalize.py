@@ -151,6 +151,7 @@ def exact_quantile_narrowed(
     q: float,
     bins: int = 128,
     max_rounds: int = 4,
+    rank: int | None = None,
 ) -> tuple[float, int, int]:
     """EXACT order statistic at 100 TB without a global sort: iterative
     histogram narrowing (the classic distributed-selection algorithm —
@@ -171,7 +172,7 @@ def exact_quantile_narrowed(
     (no interpolation), so any engine that can rank can verify it
     bit-for-bit.
     """
-    if not 0.0 < q <= 1.0:
+    if rank is None and not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0, 1], got {q}")
     x = F.col(col).cast("double")
     base = df.filter(x.isNotNull()).select(x.alias("_x"))
@@ -185,7 +186,10 @@ def exact_quantile_narrowed(
         raise ValueError("exact_quantile_narrowed: no non-null rows")
     import math
 
-    k = max(1, math.ceil(q * n))
+    # ``rank`` overrides the quantile-derived target with an absolute
+    # 1-based rank (conformal thresholds need k = ceil((n+1)(1-alpha)),
+    # which is NOT expressible as ceil(q*n) without float hazards)
+    k = min(n, max(1, rank)) if rank is not None else max(1, math.ceil(q * n))
     lo, hi = float(first["lo"]), float(first["hi"])
     c_below = 0  # rows strictly below the current [lo, hi] range
     rounds = 0

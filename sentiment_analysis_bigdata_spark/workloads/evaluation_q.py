@@ -1056,9 +1056,99 @@ FROM adj GROUP BY arm
 """
 
 
+_CONF_ALPHAS = [0.1, 0.2]
+
+
+def q_conformal_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction (Vovk; Angelopoulos & Bates 2021): on a
+    calibration half, the threshold τ is the ⌈(n+1)(1−α)⌉-th smallest
+    nonconformity score (1−score for positives, score for negatives);
+    the held-out half's coverage (share with nonconformity ≤ τ) must
+    then be ≈ 1−α by exchangeability — the distribution-free guarantee
+    every production model-deployment gate wants. τ is extracted with
+    the histogram-narrowing selection operator in ABSOLUTE-RANK mode
+    (operators/normalize.py ``exact_quantile_narrowed(rank=k)``) — an
+    exact DATA value, no interpolation, no global sort — and the oracle
+    re-derives it by ranking, so the threshold and both coverage numbers
+    are value-checked. Split is (doc_id div 2) parity, independent of
+    the label's own doc_id parity."""
+    import math
+
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (
+            (F.col("doc_id") * 37 % 101).cast("double") / 100.0 * 0.7
+            + (F.col("doc_id") % 2).cast("double") * 0.3
+        ).alias("score"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("label") == 1, F.lit(1.0) - F.col("score")
+        ).otherwise(F.col("score")).alias("nc"),
+        F.expr("(doc_id div 2) % 2 = 0").alias("is_cal"),
+    )
+    cal = scored.filter("is_cal")
+    test = scored.filter("NOT is_cal")
+    n_cal = cal.count()
+    rows = []
+    for alpha in _CONF_ALPHAS:
+        k = min(n_cal, int(math.ceil((n_cal + 1) * (1.0 - alpha))))
+        tau, _, _ = NORM.exact_quantile_narrowed(cal, "nc", 0.5, rank=k)
+        cov = (
+            test.agg(
+                F.round(
+                    F.avg((F.col("nc") <= F.lit(tau)).cast("double")), 6
+                ).alias("c")
+            ).collect()[0]["c"]
+        )
+        rows.append((alpha, n_cal, round(tau, 6), cov))
+    return spark.createDataFrame(
+        rows, "alpha double, n_cal long, tau double, coverage double"
+    )
+
+
+SQL_CONFORMAL_COVERAGE = """
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN 1.0 - (CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+                          + CAST(doc_id % 2 AS DOUBLE) * 0.3)
+              ELSE CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+                   + CAST(doc_id % 2 AS DOUBLE) * 0.3 END AS nc,
+         (doc_id // 2) % 2 = 0 AS is_cal
+  FROM documents
+),
+cal AS (SELECT nc FROM scored WHERE is_cal),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+alphas AS (SELECT unnest([0.1, 0.2]) AS alpha),
+ks AS (
+  SELECT alpha, n_cal,
+         least(n_cal, CAST(ceil((n_cal + 1) * (1.0 - alpha)) AS BIGINT)) AS k
+  FROM alphas CROSS JOIN n
+),
+ranked AS (
+  SELECT nc, row_number() OVER (ORDER BY nc) AS rn FROM cal
+),
+taus AS (
+  SELECT ks.alpha, ks.n_cal, round(r.nc, 6) AS tau, r.nc AS tau_raw
+  FROM ks JOIN ranked r ON r.rn = ks.k
+)
+SELECT t.alpha, t.n_cal, t.tau,
+       round(avg(CASE WHEN s.nc <= t.tau_raw THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage
+FROM taus t CROSS JOIN (SELECT nc FROM scored WHERE NOT is_cal) s
+GROUP BY t.alpha, t.n_cal, t.tau
+"""
+
+
 QUERIES = {
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
+    "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),

@@ -481,3 +481,18 @@ class TestPassAtK:
         assert got[1] == 0.0   # no successes
         assert got[2] == 1.0   # all successes (n−c < k branch)
         assert 3 not in got    # n < k excluded
+
+
+class TestConformalCoverage:
+    def test_coverage_tracks_alpha_and_tau_monotone(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_conformal_coverage,
+        )
+
+        rows = {r.alpha: r for r in q_conformal_coverage(spark, sf_dir).collect()}
+        # marginal validity (with finite-sample slack on a fixed split)
+        for alpha, r in rows.items():
+            assert r.coverage >= 1.0 - alpha - 0.05, (alpha, r.coverage)
+        # a stricter alpha keeps MORE mass → larger threshold
+        assert rows[0.1].tau >= rows[0.2].tau
+        assert rows[0.1].coverage >= rows[0.2].coverage
