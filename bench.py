@@ -179,6 +179,8 @@ FAMILY_EXTRA = [
     "group_weighted_sample",
     # r5 final: split-conformal threshold + coverage gate
     "conformal_coverage",
+    # r5 final: Gries' DP term dispersion (boilerplate marker finder)
+    "term_dispersion",
 ]
 
 

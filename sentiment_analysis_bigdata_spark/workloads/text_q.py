@@ -1720,8 +1720,90 @@ SELECT doc_id,
 FROM f
 """
 
+_DISP_MIN_N, _DISP_TOPK = 50, 25
+
+
+def q_term_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Term dispersion across sources (Gries' DP): for each frequent
+    term, DP = ½·Σ_s |share of the term's occurrences in source s −
+    source s's share of the whole corpus| — 0 for a term spread exactly
+    like the corpus, → 1 for a term concentrated in one source. High-DP
+    terms are the boilerplate/template/source-id markers a curation
+    pipeline wants to inspect (frequency alone can't find them: a
+    navigation-bar token can be corpus-frequent yet live in one crawl).
+    Report: top 25 by DP among terms with ≥ 50 occurrences, with the
+    deterministic (rounded-DP desc, term asc) cut.
+
+    100 TB shape: one token explode → (term, source) counts; source
+    masses are a |sources|-row agg joined back unhinted (AQE broadcasts);
+    the top-k is TakeOrdered over the vocabulary-sized DP frame."""
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        "source", F.explode(TXT.tokenize_nonempty("text")).alias("term")
+    )
+    ts = tokens.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("n_ts")
+    )
+    term_tot = ts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
+    src_tot = tokens.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    corpus_tot = src_tot.agg(F.sum("n_s").alias("n_all"))
+    # every (term, source) cell, including zeros, contributes |0 − p_s|
+    # — realize the dense grid by crossing terms with the source frame
+    grid = term_tot.filter(F.col("n_t") >= _DISP_MIN_N).crossJoin(
+        src_tot.crossJoin(F.broadcast(corpus_tot))
+    )
+    dp = (
+        grid.join(ts, ["term", "source"], "left")
+        .select(
+            "term",
+            "n_t",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_ts"), F.lit(0)) / F.col("n_t")
+                    - F.col("n_s") / F.col("n_all")
+                )
+            ).alias("gap"),
+        )
+        .groupBy("term", "n_t")
+        .agg(F.round(F.sum("gap") / 2.0, 6).alias("dp"))
+    )
+    return (
+        dp.select("term", "n_t", "dp")
+        .orderBy(F.col("dp").desc(), F.col("term").asc())
+        .limit(_DISP_TOPK)
+    )
+
+
+SQL_TERM_DISPERSION = f"""
+WITH tokens AS (
+  SELECT source, unnest({SQL_TOKS}) AS term FROM documents
+),
+ts AS (SELECT term, source, CAST(count(*) AS BIGINT) AS n_ts
+       FROM tokens GROUP BY 1, 2),
+term_tot AS (SELECT term, CAST(sum(n_ts) AS BIGINT) AS n_t FROM ts GROUP BY 1),
+src_tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+            FROM tokens GROUP BY 1),
+corpus_tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM src_tot),
+grid AS (
+  SELECT t.term, t.n_t, s.source, s.n_s, c.n_all
+  FROM term_tot t CROSS JOIN src_tot s CROSS JOIN corpus_tot c
+  WHERE t.n_t >= {_DISP_MIN_N}
+),
+dp AS (
+  SELECT g.term, g.n_t,
+         round(sum(abs(CAST(coalesce(x.n_ts, 0) AS DOUBLE) / g.n_t
+                       - CAST(g.n_s AS DOUBLE) / g.n_all)) / 2.0, 6) AS dp
+  FROM grid g LEFT JOIN ts x ON x.term = g.term AND x.source = g.source
+  GROUP BY g.term, g.n_t
+)
+SELECT term, n_t, dp FROM dp
+ORDER BY dp DESC, term ASC LIMIT {_DISP_TOPK}
+"""
+
+
 QUERIES = {
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
+    "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "code_prose_profile": (q_code_prose_profile, SQL_CODE_PROSE_PROFILE),
     "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
