@@ -181,6 +181,9 @@ FAMILY_EXTRA = [
     "conformal_coverage",
     # r5 final: Gries' DP term dispersion (boilerplate marker finder)
     "term_dispersion",
+    # r5 final: readability features and dedup loss attribution
+    "readability_scores",
+    "dedup_attribution",
 ]
 
 

@@ -1801,9 +1801,153 @@ ORDER BY dp DESC, term ASC LIMIT {_DISP_TOPK}
 """
 
 
+def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-style readability per document — the classic prose-quality
+    feature (curation gates bucket corpora by it; school-grade formulas
+    are all affine in the same two ratios): words/sentence and
+    syllables/word, with syllables approximated as vowel-group runs
+    ([aeiouy]+ matches) — the standard dictionary-free heuristic. Every
+    count is INTEGER (regexp_replace length deltas for vowel groups,
+    split sizes for words/sentences), the two ratios are ratios of those
+    integers, and the final score rounds at 4dp — so the cross-engine
+    contract is exact-by-construction. Score = 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W), clamped to [0, 121.22].
+
+    100 TB shape: one narrow projection, no shuffle, no UDF."""
+    docs = load_table(spark, sf, "documents")
+    toks = TXT.tokenize_nonempty("text")
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    words = F.greatest(F.size(toks), F.lit(1))
+    low = F.lower(F.col("text"))
+    # vowel-group count = (#chars after collapsing each run to one) delta
+    syllables = F.length(
+        F.regexp_replace(low, "[aeiouy]+", "V")
+    ) - F.length(F.regexp_replace(low, "[aeiouy]", ""))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(
+            F.least(F.greatest(score, F.lit(0.0)), F.lit(121.22)), 4
+        ).alias("flesch"),
+    )
+
+
+SQL_READABILITY_SCORES = """
+WITH base AS (
+  SELECT doc_id, text, lower(text) AS low,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1) AS n_sentences,
+         greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')), 1) AS n_words
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, n_words, n_sentences,
+         length(regexp_replace(low, '[aeiouy]+', 'V', 'g'))
+           - length(regexp_replace(low, '[aeiouy]', '', 'g')) AS n_syllables
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(least(greatest(206.835
+                            - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                            0.0), 121.22), 4) AS flesch
+FROM counted
+"""
+
+
+def q_dedup_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup loss attribution — the per-source accounting a data-release
+    note needs: after min-id exact dedup, how many of each source's docs
+    survived, how many were removed, and how many of the removals lost
+    to a copy in a DIFFERENT source (cross-source duplication — licensing
+    and contamination both care about exactly this split). One fingerprint
+    aggregation computes each cluster's survivor and whether the cluster
+    spans sources; the report joins it back and reduces to
+    source-cardinality rows."""
+    docs = _docs(spark, sf)
+    keyed = docs.select(
+        "doc_id", "source", TXT.fingerprint("text").alias("fp")
+    )
+    clusters = keyed.groupBy("fp").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    tagged = keyed.join(clusters, "fp").select(
+        "source",
+        (F.col("doc_id") == F.col("survivor_id")).alias("survived"),
+        (F.col("n_sources") > 1).alias("cross_source_cluster"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("survived").cast("long")).alias("n_survivors"),
+        F.sum((~F.col("survived")).cast("long")).alias("n_removed"),
+        F.sum(
+            ((~F.col("survived")) & F.col("cross_source_cluster")).cast(
+                "long"
+            )
+        ).alias("n_lost_cross_source"),
+        F.round(
+            F.sum((~F.col("survived")).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("loss_rate"),
+    )
+
+
+SQL_DEDUP_ATTRIBUTION = f"""
+WITH keyed AS (
+  SELECT doc_id, source, {SQL_FP} AS fp FROM documents
+),
+clusters AS (
+  SELECT fp, min(doc_id) AS survivor_id,
+         count(DISTINCT source) AS n_sources
+  FROM keyed GROUP BY fp
+),
+tagged AS (
+  SELECT k.source,
+         k.doc_id = c.survivor_id AS survived,
+         c.n_sources > 1 AS cross_source_cluster
+  FROM keyed k JOIN clusters c USING (fp)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN survived THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(sum(CASE WHEN NOT survived THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN NOT survived AND cross_source_cluster
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross_source,
+       round(CAST(sum(CASE WHEN NOT survived THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS loss_rate
+FROM tagged
+GROUP BY source
+"""
+
+
 QUERIES = {
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
+    "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
+    "dedup_attribution": (q_dedup_attribution, SQL_DEDUP_ATTRIBUTION),
     "clean_documents": (q_clean_documents, SQL_CLEAN_DOCUMENTS),
     "code_prose_profile": (q_code_prose_profile, SQL_CODE_PROSE_PROFILE),
     "unicode_nfc": (q_unicode_nfc, SQL_UNICODE_NFC),
