@@ -184,6 +184,8 @@ FAMILY_EXTRA = [
     # r5 final: readability features and dedup loss attribution
     "readability_scores",
     "dedup_attribution",
+    # r5 final: confident-learning label-noise gate
+    "label_noise_estimate",
 ]
 
 

@@ -1145,10 +1145,105 @@ GROUP BY t.alpha, t.n_cal, t.tau
 """
 
 
+def q_label_noise_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Confident-learning label-noise estimation (Northcutt et al. 2021,
+    binary form): the class-1 confidence threshold t₁ is the mean score
+    among examples LABELED 1 (and t₀ = mean(1−score) among labeled 0);
+    an example counts into confident-joint cell C[y, ŷ] when its
+    confidence for ŷ clears t_ŷ — off-diagonal cells estimate how many
+    labels are WRONG, the data-centric-AI gate run before training on
+    weak labels. Output: the four C cells plus each label's estimated
+    noise rate (off-diagonal share of its confident row), all from two
+    passes of plain aggregates (thresholds, then counts) with the
+    threshold comparison on raw doubles both engines compute identically.
+
+    100 TB shape: thresholds are a 2-row agg broadcast back; the joint is
+    one conditional-sum pass."""
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (
+            (F.col("doc_id") * 37 % 101).cast("double") / 100.0 * 0.7
+            + (F.col("doc_id") % 2).cast("double") * 0.3
+        ).alias("p1"),
+    )
+    th = preds.groupBy("label").agg(F.avg("p1").alias("m"))
+    t1 = th.filter("label = 1").select(F.col("m").alias("t1"))
+    t0 = th.filter("label = 0").select(
+        (F.lit(1.0) - F.col("m")).alias("t0")
+    )
+    joined = preds.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t0))
+    cells = joined.select(
+        "label",
+        F.when(
+            (F.col("p1") >= F.col("t1"))
+            & (F.col("p1") > F.lit(1.0) - F.col("t0")),
+            F.lit(1),
+        )
+        .when(
+            (F.lit(1.0) - F.col("p1") >= F.col("t0"))
+            & (F.lit(1.0) - F.col("p1") > F.col("p1")),
+            F.lit(0),
+        )
+        .alias("confident_as"),
+    ).filter(F.col("confident_as").isNotNull())
+    joint = cells.groupBy("label", "confident_as").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = joint.groupBy("label").agg(F.sum("n").alias("row_n"))
+    return (
+        joint.join(row_tot, "label")
+        .select(
+            "label",
+            "confident_as",
+            "n",
+            F.round(
+                F.when(
+                    F.col("label") != F.col("confident_as"),
+                    F.col("n") / F.col("row_n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("est_noise_rate"),
+        )
+    )
+
+
+SQL_LABEL_NOISE_ESTIMATE = """
+WITH preds AS (
+  SELECT CAST(doc_id % 2 AS INT) AS label,
+         CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+           + CAST(doc_id % 2 AS DOUBLE) * 0.3 AS p1
+  FROM documents
+),
+th AS (SELECT label, avg(p1) AS m FROM preds GROUP BY label),
+t1 AS (SELECT m AS t1 FROM th WHERE label = 1),
+t0 AS (SELECT 1.0 - m AS t0 FROM th WHERE label = 0),
+cells AS (
+  SELECT label,
+         CASE WHEN p1 >= t1.t1 AND p1 > 1.0 - t0.t0 THEN 1
+              WHEN 1.0 - p1 >= t0.t0 AND 1.0 - p1 > p1 THEN 0
+         END AS confident_as
+  FROM preds CROSS JOIN t1 CROSS JOIN t0
+),
+joint AS (
+  SELECT label, confident_as, CAST(count(*) AS BIGINT) AS n
+  FROM cells WHERE confident_as IS NOT NULL
+  GROUP BY 1, 2
+),
+row_tot AS (SELECT label, sum(n) AS row_n FROM joint GROUP BY 1)
+SELECT j.label, j.confident_as, j.n,
+       round(CASE WHEN j.label <> j.confident_as
+                  THEN CAST(j.n AS DOUBLE) / r.row_n ELSE 0.0 END, 6)
+         AS est_noise_rate
+FROM joint j JOIN row_tot r USING (label)
+"""
+
+
 QUERIES = {
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),
+    "label_noise_estimate": (q_label_noise_estimate, SQL_LABEL_NOISE_ESTIMATE),
     "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
