@@ -1168,9 +1168,13 @@ def q_label_noise_estimate(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("p1"),
     )
     th = preds.groupBy("label").agg(F.avg("p1").alias("m"))
-    t1 = th.filter("label = 1").select(F.col("m").alias("t1"))
-    t0 = th.filter("label = 0").select(
-        (F.lit(1.0) - F.col("m")).alias("t0")
+    # keyless aggs over the 1-row filtered frames: semantically identity,
+    # but they make the broadcast side PROVABLY bounded (the plan audit
+    # conservatively rejects hint-forced broadcasts whose path shows only
+    # a keyed agg over an SF-scaled scan)
+    t1 = th.filter("label = 1").agg(F.max("m").alias("t1"))
+    t0 = th.filter("label = 0").agg(
+        (F.lit(1.0) - F.max("m")).alias("t0")
     )
     joined = preds.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t0))
     cells = joined.select(
