@@ -674,3 +674,126 @@ def link_prediction_scores(
             "adamic_adar",
         )
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Exact neighborhood function N(h) (Palmer et al. 2002, the ANF
+    statistic): for h = 1..``max_hops``, the number of ordered (src, dst)
+    pairs whose shortest-path distance is exactly h, plus the cumulative
+    count and the average per-node reach — the connectivity/diameter
+    profile a crawl or dedup-blast-radius analysis reads before picking
+    a propagation depth.
+
+    Implementation is pair-level multi-source BFS: the frontier is a
+    (src, node) pair set; each hop is ONE equi join of the frontier
+    against the edge list plus one anti join against the visited pair
+    set, both on the node key — no all-pairs product is ever formed, and
+    ``localCheckpoint`` per round keeps lineage flat. Exactness costs
+    O(reachable pairs) state, which is the right trade at oracle scale;
+    the 100 TB path is the HyperBall/HLL variant of the same loop (one
+    mergeable registers-sketch per node instead of the exact pair set,
+    union via max-register groupBy — the same per-hop join shape at
+    O(nodes) state), which this exact operator is the ground-truth twin
+    for.
+    """
+    fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    e = (
+        fwd.unionByName(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    visited = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    ).withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("src", "dst")
+    per_hop = []
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.dst == e.s)
+            .select("src", F.col("d").alias("dst"))
+            .distinct()
+            .join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        per_hop.append(nxt.groupBy("hop").agg(F.count(F.lit(1)).alias("n_pairs")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "dst")
+    spark = edges.sparkSession
+    if not per_hop:
+        return spark.createDataFrame([], "hop int, n_pairs bigint, cum_pairs bigint, avg_reach double")
+    counts = per_hop[0]
+    for f in per_hop[1:]:
+        counts = counts.unionByName(f)
+    n_nodes = nodes.count()
+    w = Window.orderBy("hop").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("cum_pairs", F.sum("n_pairs").over(w))
+        .withColumn(
+            "avg_reach", F.round(F.col("cum_pairs") / F.lit(float(n_nodes)), 6)
+        )
+        .orderBy("hop")
+    )
+
+
+def neighborhood_hll(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_hops: int = 3,
+    lgk: int = 12,
+) -> DataFrame:
+    """HyperBall (Boldi, Rosa & Vigna 2011): the approximate neighborhood
+    function with O(nodes × sketch) state — the form of
+    :func:`neighborhood_function` that survives 100 TB graphs, where the
+    exact pair set does not fit anywhere. Each node carries an HLL
+    sketch of the node ids within h hops (Spark's built-in DataSketches
+    ``hll_sketch_agg`` / ``hll_union_agg``, so the registers live JVM-side
+    as binary columns and merge inside codegen'd aggregates); one hop is
+    ONE equi join of the state against the edge list plus one
+    max-register groupBy — identical join shape to the exact operator,
+    but per-round state is nodes-sized, never pairs-sized.
+
+    Returns (hop, cum_pairs_est) — the estimated count of ordered pairs
+    within distance ≤ hop, self-pairs excluded. Estimates are
+    deterministic (the sketch is a pure function of the hashed ids), and
+    on small graphs the sketch's sparse mode makes them near-exact; the
+    registry query value-checks them against the exact twin."""
+    fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    e = (
+        fwd.unionByName(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.count()
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lgk)).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for h in range(1, max_hops + 1):
+        nbr = e.join(state, e.d == state.node).select(
+            F.col("s").alias("node"), "sk"
+        )
+        state = (
+            state.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        est = state.agg(
+            F.sum(F.hll_sketch_estimate("sk")).alias("reach")
+        ).collect()[0]["reach"]
+        rows.append((h, int(est) - n_nodes))
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "hop int, cum_pairs_est bigint")

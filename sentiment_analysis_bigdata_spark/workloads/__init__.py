@@ -154,17 +154,27 @@ _DRIVER_PREFIX: list[str] = [
     "simhash_near_dups",
     "ann_ivf_index",
     "winnow_overlap",
-    "retrieval_metrics",
     # (displace embedding_near_dup / dedup_components — oracle-green
     # since r2, standard join shapes — for the Arrow NFC kernel (byte-
     # level cross-engine contract vs DuckDB's native normalizer) and the
     # seed-teleport PageRank, same NEW-first rationale)
     "unicode_nfc",
-    "personalized_pagerank",
-    "minhash_signatures",
-    "streaming_dedup",
     "asof_purchase_signup",
-    "ml_naive_bayes",
+    # (displace personalized_pagerank / minhash_signatures /
+    # streaming_dedup / ml_naive_bayes / retrieval_metrics /
+    # link_prediction — each shares its kernel or recursion shape with a
+    # driver-green twin (pagerank_purchases, minhash_near_dups, the four
+    # r4 streaming rows, the golden-constant ML lane, average_precision,
+    # plain join+agg) — for the six queries added in this session, whose
+    # cross-engine surfaces (char-split + ln entropy, CUSUM float
+    # windows, recursive-CTE ANF, Brier float decomposition, integer
+    # digit extraction, n-gram tie-breaks) have never been certified)
+    "cusum_changepoints",
+    "char_entropy",
+    "boilerplate_ngrams",
+    "neighborhood_function",
+    "brier_decomposition",
+    "benford_dq",
     # countvec_vocab displaced by bloom_contamination (see end of list)
     # -- queries NEW this round (never had a driver row by construction) --
     "dup_ngram_spans_ladder",
@@ -174,7 +184,11 @@ _DRIVER_PREFIX: list[str] = [
     "bpe_encode_arrow",
     "hard_negatives",
     "kcore_parts",
-    "kmeans_broadcast",
+    # (displace kmeans_broadcast — pytest proves it assignment-identical
+    # to the literal path kmeans_clusters certifies as a canary — for
+    # the closed-form minimax PAV, whose bins² self-join + running-min
+    # surface is brand new this session)
+    "isotonic_calibration",
     "semdedup_512",
     "multimodal_jpeg",
     # (late-r5: these three displace three relational rotation rows —
@@ -182,7 +196,6 @@ _DRIVER_PREFIX: list[str] = [
     # a NEW query's first driver row is the strongest cross-engine check)
     "crossdoc_dedup",
     "matryoshka_recall",
-    "link_prediction",
     # (displace roc_points/hll_user_rollup — both oracle-green since r2 —
     # for the two queries added at round end, same NEW-first rationale)
     "silhouette_kmeans",

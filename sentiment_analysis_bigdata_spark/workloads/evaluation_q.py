@@ -1243,7 +1243,190 @@ FROM joint j JOIN row_tot r USING (label)
 """
 
 
+def q_brier_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over 10 equal-width
+    probability bins: reliability (calibration error, lower is better),
+    resolution (how far bin outcome rates sit from the base rate, higher
+    is better), uncertainty (base-rate variance ō(1−ō)), plus the raw
+    Brier and the decomposition gap — the residual within-bin variance
+    term that is exactly zero only when scores are constant inside each
+    bin. This is the eval readout that tells a model team WHY the Brier
+    moved (worse calibration vs lost sharpness), not just that it moved.
+
+    One full-data agg (count/base rate/Brier) plus the 10-row
+    calibration-bin rollup joined as a broadcast 1-row frame — two
+    passes over predictions, constant-size state, no sort."""
+    preds = _preds(spark, sf)
+    g = preds.agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.avg(F.col("label").cast("double")).alias("obar"),
+        F.avg(F.pow(F.col("score") - F.col("label").cast("double"), 2)).alias("brier"),
+    )
+    bins = EV.calibration_bins(preds, score_col="score", bins=10)
+    parts = bins.crossJoin(F.broadcast(g)).agg(
+        F.first("brier").alias("brier"),
+        F.first("obar").alias("obar"),
+        (
+            F.sum(F.col("n") * F.pow(F.col("mean_score") - F.col("pos_rate"), 2))
+            / F.first("n_total")
+        ).alias("rel"),
+        (
+            F.sum(F.col("n") * F.pow(F.col("pos_rate") - F.col("obar"), 2))
+            / F.first("n_total")
+        ).alias("res"),
+    )
+    return parts.select(
+        F.round("brier", 6).alias("brier"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round(F.col("obar") * (1 - F.col("obar")), 6).alias("uncertainty"),
+        F.round(
+            F.col("brier")
+            - (F.col("rel") - F.col("res") + F.col("obar") * (1 - F.col("obar"))),
+            6,
+        ).alias("decomp_gap"),
+    )
+
+
+SQL_BRIER_DECOMPOSITION = f"""
+WITH p AS ({SQL_PREDS}),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+         avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS obar,
+         avg((score - label) * (score - label)) AS brier
+  FROM p
+),
+b AS (
+  SELECT least(floor(score * 10), 9) AS bin, count(*) AS n,
+         avg(score) AS mean_score,
+         avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS pos_rate
+  FROM p GROUP BY 1
+)
+SELECT round(brier, 6) AS brier,
+       round(sum(n * (mean_score - pos_rate) * (mean_score - pos_rate)) / n_total, 6)
+         AS reliability,
+       round(sum(n * (pos_rate - obar) * (pos_rate - obar)) / n_total, 6) AS resolution,
+       round(obar * (1 - obar), 6) AS uncertainty,
+       round(brier - (sum(n * (mean_score - pos_rate) * (mean_score - pos_rate)) / n_total
+                      - sum(n * (pos_rate - obar) * (pos_rate - obar)) / n_total
+                      + obar * (1 - obar)), 6) AS decomp_gap
+FROM b CROSS JOIN g
+GROUP BY n_total, obar, brier
+"""
+
+
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration over 20 score bins — the
+    standard post-hoc calibrator (Zadrozny & Elkan 2002) fit WITHOUT any
+    sequential pool-adjacent pass: the isotonic solution has the minimax
+    closed form ŷ_b = max_{i≤b} min_{j≥b} ȳ(i..j), which is pure
+    relational algebra over the binned rollup — prefix sums, an i≤j
+    self-join of the 20-row bin table, one descending running-min window
+    per anchor i, and a final groupBy(b) max. Every interval mean is a
+    ratio of two exact integers (label sums / counts), so both engines
+    divide identical values and the fit matches to the last bit.
+
+    Scale shape: the corpus-sized work is ONE groupBy(bin) rollup; the
+    minimax runs on bins² = 400 rows regardless of prediction volume."""
+    from pyspark.sql.window import Window
+
+    preds = _preds(spark, sf)
+    bins = (
+        preds.select(
+            F.least(F.floor(F.col("score") * 20), F.lit(19)).cast("int").alias("bin"),
+            F.col("label").cast("long").alias("label"),
+            "score",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("pos"),
+            F.avg("score").alias("mean_score"),
+        )
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        "mean_score",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("pos")).alias("cp_lo"),
+    )
+    hi = cum.select(F.col("bin").alias("j"), "cn", "cp")
+    pairs = lo.join(hi, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cp") - F.col("cp_lo")) / (F.col("cn") - F.col("cn_lo")).cast("double")
+        ).alias("seg_avg"),
+    )
+    w_min = (
+        Window.partitionBy("i")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rm = pairs.select("i", "j", F.min("seg_avg").over(w_min).alias("rm"))
+    fit = (
+        rm.filter(F.col("i") <= F.col("j"))
+        .groupBy(F.col("j").alias("bin"))
+        .agg(F.max("rm").alias("fit"))
+    )
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round(F.col("pos") / F.col("n").cast("double"), 6).alias("pos_rate"),
+            F.round("fit", 6).alias("isotonic_fit"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_ISOTONIC_CALIBRATION = f"""
+WITH p AS ({SQL_PREDS}),
+bins AS (
+  SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+         count(*) AS n, sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+         avg(score) AS mean_score
+  FROM p GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, pos, mean_score,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cp
+  FROM bins
+),
+pairs AS (
+  SELECT lo.bin AS i, hi.bin AS j,
+         (hi.cp - (lo.cp - lo.pos)) / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS seg_avg
+  FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+),
+rm AS (
+  SELECT i, j,
+         min(seg_avg) OVER (PARTITION BY i ORDER BY j DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM pairs
+),
+fit AS (SELECT j AS bin, max(rm) AS fit FROM rm GROUP BY 1)
+SELECT bin, n, round(mean_score, 6) AS mean_score,
+       round(pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+       round(fit, 6) AS isotonic_fit
+FROM bins JOIN fit USING (bin)
+ORDER BY bin
+"""
+
+
 QUERIES = {
+    "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
+    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),

@@ -692,8 +692,125 @@ CROSS JOIN mx CROSS JOIN ma
 SQL_HITS_PURCHASES = _sql_hits()
 
 
+ANF_MAX_HOPS = 3
+
+
+def q_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact neighborhood function N(h) over the co-purchase graph
+    (operators/graph.py neighborhood_function — pair-level multi-source
+    BFS, one frontier-vs-edges equi join per hop): for each hop 1..3 the
+    number of ordered node pairs at exactly that shortest-path distance,
+    the cumulative pair count, and the average per-node reach. This is
+    the connectivity profile (ANF, Palmer et al. 2002) read before
+    choosing a dedup-component or crawl propagation depth; the oracle
+    replays the capped expansion as a recursive CTE and takes min(hop)
+    per pair."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+    from sentiment_analysis_bigdata_spark.operators.graph import neighborhood_function
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    return neighborhood_function(edges, max_hops=ANF_MAX_HOPS)
+
+
+SQL_NEIGHBORHOOD_FUNCTION = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.item AS a, c.item AS b
+  FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) c
+    ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+walk(src, node, hop) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT walk.src, e.d, walk.hop + 1
+  FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.hop < {ANF_MAX_HOPS}
+),
+m AS (SELECT src, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+c AS (SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_pairs FROM m WHERE hop >= 1 GROUP BY 1)
+SELECT hop, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs,
+       round(sum(n_pairs) OVER (ORDER BY hop)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM n), 6) AS avg_reach
+FROM c ORDER BY hop
+"""
+
+
+def q_anf_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall approximate neighborhood function checked against the
+    exact pair-BFS twin — the same measured-recall contract as the ANN
+    and HLL-rollup lanes: per hop the EXACT cumulative pair count (which
+    the oracle recomputes) plus a boolean pinning the HLL estimate
+    within 10% of it, so a broken sketch union turns the row red. The
+    sketch path is the one that runs at 100 TB (nodes-sized state); the
+    exact path is its certification."""
+    from sentiment_analysis_bigdata_spark.operators import affinity
+    from sentiment_analysis_bigdata_spark.operators.graph import (
+        neighborhood_function,
+        neighborhood_hll,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    edges = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    exact = neighborhood_function(edges, max_hops=ANF_MAX_HOPS).select(
+        "hop", "cum_pairs"
+    )
+    approx = neighborhood_hll(edges, max_hops=ANF_MAX_HOPS)
+    return (
+        exact.join(approx, "hop")
+        .select(
+            "hop",
+            "cum_pairs",
+            (
+                F.abs(F.col("cum_pairs_est") - F.col("cum_pairs"))
+                <= 0.10 * F.col("cum_pairs")
+            ).alias("est_within_10pct"),
+        )
+        .orderBy("hop")
+    )
+
+
+SQL_ANF_HLL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.item AS a, c.item AS b
+  FROM (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem) c
+    ON a.basket = c.basket
+  WHERE a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+walk(src, node, hop) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT walk.src, e.d, walk.hop + 1
+  FROM walk JOIN e ON e.s = walk.node
+  WHERE walk.hop < {ANF_MAX_HOPS}
+),
+m AS (SELECT src, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+c AS (SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_pairs FROM m WHERE hop >= 1 GROUP BY 1)
+SELECT hop, CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs,
+       TRUE AS est_within_10pct
+FROM c ORDER BY hop
+"""
+
+
 QUERIES = {
     "pagerank_purchases": (q_pagerank_purchases, SQL_PAGERANK_PURCHASES),
+    "neighborhood_function": (q_neighborhood_function, SQL_NEIGHBORHOOD_FUNCTION),
+    "anf_hll": (q_anf_hll, SQL_ANF_HLL),
     "personalized_pagerank": (q_personalized_pagerank, SQL_PERSONALIZED_PAGERANK),
     "hits_purchases": (q_hits_purchases, SQL_HITS_PURCHASES),
     "weighted_sssp": (q_weighted_sssp, SQL_WEIGHTED_SSSP),

@@ -1214,8 +1214,172 @@ GROUP BY p.key
 """
 
 
+def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detection (Page 1954) on per-type
+    hourly event rates: alarm hours where the one-sided cumulative
+    deviation S+ (upward) or S- (downward) exceeds 4σ with slack
+    k = 0.5σ — the standing drift/changepoint monitor a pipeline runs
+    over ingest volumes.
+
+    The recurrence S+_t = max(0, S+_{t-1} + (x_t - μ - kσ)) is not a
+    window expression, but its closed form IS: S+_t = C_t - min(0,
+    min_{i≤t} C_i) with C the running sum of the slack-adjusted series
+    (and symmetrically S-_t = max(0, max C') - C'). So the whole
+    detector is two ordered windows over the HOURLY rollup — at 100 TB
+    the window input stays hours×types rows regardless of event volume,
+    the same aggregate-over-aggregate shape as rate_anomalies. The 4σ/
+    round-6 guard on the alarm compare keeps the flag boundary immune
+    to last-ULP cross-engine float drift."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stats = hourly.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w_all).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w_all).alias("sigma"),
+    )
+    cums = stats.select(
+        "bucket",
+        "event_type",
+        "n",
+        "sigma",
+        F.sum(F.col("n") - F.col("mu") - 0.5 * F.col("sigma")).over(w_ord).alias("cum_hi"),
+        F.sum(F.col("n") - F.col("mu") + 0.5 * F.col("sigma")).over(w_ord).alias("cum_lo"),
+    )
+    s = cums.select(
+        "bucket",
+        "event_type",
+        "n",
+        "sigma",
+        (F.col("cum_hi") - F.least(F.lit(0.0), F.min("cum_hi").over(w_ord))).alias("s_hi"),
+        (F.greatest(F.lit(0.0), F.max("cum_lo").over(w_ord)) - F.col("cum_lo")).alias("s_lo"),
+    )
+    up = F.round("s_hi", 6) > F.round(4 * F.col("sigma"), 6)
+    down = F.round("s_lo", 6) > F.round(4 * F.col("sigma"), 6)
+    return (
+        s.filter(up | down)
+        .select(
+            F.date_format("bucket", TS_FMT).alias("bucket"),
+            "event_type",
+            "n",
+            F.when(up, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+            F.round(F.when(up, F.col("s_hi")).otherwise(F.col("s_lo")), 4).alias("cusum"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_CUSUM_CHANGEPOINTS = f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT bucket, event_type, n,
+         avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+),
+cums AS (
+  SELECT bucket, event_type, n, sigma,
+         sum(n - mu - 0.5 * sigma) OVER w AS cum_hi,
+         sum(n - mu + 0.5 * sigma) OVER w AS cum_lo
+  FROM stats
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT bucket, event_type, n, sigma,
+         cum_hi - least(0, min(cum_hi) OVER w) AS s_hi,
+         greatest(0, max(cum_lo) OVER w) - cum_lo AS s_lo
+  FROM cums
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(bucket, '{SQL_TS_FMT}') AS bucket, event_type, n,
+       CASE WHEN round(s_hi, 6) > round(4 * sigma, 6) THEN 'up' ELSE 'down' END AS direction,
+       round(CASE WHEN round(s_hi, 6) > round(4 * sigma, 6) THEN s_hi ELSE s_lo END, 4) AS cusum
+FROM s
+WHERE round(s_hi, 6) > round(4 * sigma, 6) OR round(s_lo, 6) > round(4 * sigma, 6)
+ORDER BY event_type, bucket
+"""
+
+
+def q_seasonal_dow_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of daily order
+    revenue at weekly period: trend = centered 7-day moving average
+    (full windows only), detrended ratio = value / trend, seasonal
+    index = per-day-of-week mean ratio — the seasonality profile a
+    forecast or anomaly job factors out first. Day-of-week is derived
+    from the epoch-day integer (datediff from 1970-01-01, a Thursday),
+    not locale/format-sensitive dayname(), so both engines bucket
+    identically. All windows run over the DAILY rollup — at 100 TB the
+    series is days-long regardless of order volume."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("_w_n"),
+    ).filter(F.col("_w_n") == 7)
+    return (
+        trended.groupBy(
+            F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), F.lit(7)).alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("revenue") / F.col("trend")), 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+SQL_SEASONAL_DOW_INDEX = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+trended AS (
+  SELECT day, revenue,
+         avg(revenue) OVER w AS trend,
+         count(*) OVER w AS w_n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INTEGER) AS dow,
+       count(*) AS n_days,
+       round(avg(revenue / trend), 6) AS seasonal_index
+FROM trended
+WHERE w_n = 7
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
+    "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
+    "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),
     "purged_time_split": (q_purged_time_split, SQL_PURGED_TIME_SPLIT),
     "tumbling_events": (q_tumbling_events, SQL_TUMBLING_EVENTS),

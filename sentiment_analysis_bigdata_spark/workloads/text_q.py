@@ -1943,8 +1943,178 @@ GROUP BY source
 """
 
 
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source character-entropy profile — the gibberish/low-diversity
+    quality signal (a doc whose byte distribution collapses to a few
+    symbols is boilerplate, padding, or encoding damage): per document
+    the Shannon entropy of its lowercase character distribution in nats
+    (H = ln n − Σ c·ln c / n over exact integer counts), then per source
+    the doc count, mean/min/max entropy, and how many docs fall under
+    the 2.75-nat low-diversity line.
+
+    Scale shape: explode-to-chars feeds a (doc_id, char) groupBy whose
+    map-side partial combine collapses each partition to docs×alphabet
+    rows before the shuffle — shuffle volume is bounded by the alphabet,
+    not by corpus bytes — and every later stage is aggregate-over-
+    aggregate. Per-doc entropies are rounded to 6dp before the source
+    rollup so the low-diversity cut compares identical doubles on both
+    engines."""
+    docs = _docs(spark, sf).select("doc_id", "source", F.lower(F.col("text")).alias("t"))
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split("t", ""), lambda c: c != F.lit(""))).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        per.groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clnc"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"), 6
+            ).alias("h"),
+        )
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.min("h").alias("min_entropy"),
+            F.max("h").alias("max_entropy"),
+            F.sum((F.col("h") < 2.75).cast("bigint")).alias("n_low"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, source, c
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), ''), x -> x <> '')) AS u(c)
+),
+per AS (SELECT doc_id, source, c, count(*) AS cnt FROM chars GROUP BY 1, 2, 3),
+ent AS (
+  SELECT doc_id, source,
+         round(ln(CAST(sum(cnt) AS DOUBLE))
+               - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt), 6) AS h
+  FROM per GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs, round(avg(h), 4) AS avg_entropy,
+       min(h) AS min_entropy, max(h) AS max_entropy,
+       CAST(count(*) FILTER (h < 2.75) AS BIGINT) AS n_low
+FROM ent GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate detection — the headers/footers/templates
+    sweep of a web-corpus curation run (C4's 'three-sentence' rule at
+    n-gram granularity): a trigram is boilerplate WITHIN a source when
+    it appears in ≥ max(2, 8% of that source's docs) distinct documents;
+    report per source the boilerplate-gram count, how many docs carry at
+    least one (with the coverage share), and the top offender (highest
+    doc frequency, ties broken lexicographically).
+
+    Scale shape: distinct (source, doc, gram) → groupBy df is the same
+    map-side-combining shingle rollup as winnowing; the coverage pass
+    joins docs' distinct grams against the per-source boilerplate set
+    on the (source, gram) key — both sides are post-aggregation, and no
+    pair of documents is ever compared directly."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "source", TXT.tokenize_nonempty("text").alias("ts")
+    )
+    grams = docs.select(
+        "doc_id", "source", F.explode(TXT.ngrams("ts", 3)).alias("g")
+    ).distinct()
+    n_docs = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tbl = (
+        grams.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(n_docs, "source")
+        .filter(F.col("df") >= F.greatest(F.lit(2), F.ceil(0.08 * F.col("n_docs"))))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("df").desc(), F.col("g").asc())
+    top = (
+        df_tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("g").alias("top_gram"), F.col("df").alias("top_df"))
+    )
+    covered = (
+        grams.join(df_tbl.select("source", "g"), ["source", "g"], "left_semi")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("docs_covered"))
+    )
+    stats = df_tbl.groupBy("source").agg(F.count(F.lit(1)).alias("n_boiler_grams"))
+    return (
+        n_docs.join(stats, "source")
+        .join(covered, "source")
+        .join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_boiler_grams",
+            "docs_covered",
+            F.round(F.col("docs_covered") / F.col("n_docs").cast("double"), 6).alias(
+                "coverage"
+            ),
+            "top_gram",
+            "top_df",
+        )
+        .orderBy("source")
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKS} AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+2], ' ') AS g
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+),
+nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
+df AS (
+  SELECT source, g, count(*) AS df FROM grams GROUP BY 1, 2
+),
+boiler AS (
+  SELECT df.source, df.g, df.df
+  FROM df JOIN nd USING (source)
+  WHERE df.df >= greatest(2, CAST(ceil(0.08 * n_docs) AS BIGINT))
+),
+top AS (
+  SELECT source, g AS top_gram, df AS top_df
+  FROM (SELECT source, g, df,
+               row_number() OVER (PARTITION BY source ORDER BY df DESC, g ASC) AS rn
+        FROM boiler)
+  WHERE rn = 1
+),
+covered AS (
+  SELECT g.source, count(DISTINCT g.doc_id) AS docs_covered
+  FROM grams g JOIN boiler b ON g.source = b.source AND g.g = b.g
+  GROUP BY 1
+),
+stats AS (SELECT source, count(*) AS n_boiler_grams FROM boiler GROUP BY 1)
+SELECT source, n_docs, n_boiler_grams, docs_covered,
+       round(docs_covered / CAST(n_docs AS DOUBLE), 6) AS coverage,
+       top_gram, top_df
+FROM nd JOIN stats USING (source) JOIN covered USING (source) JOIN top USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
     "dedup_attribution": (q_dedup_attribution, SQL_DEDUP_ATTRIBUTION),

@@ -845,7 +845,118 @@ FROM classes CROSS JOIN tot
 """
 
 
+def q_benford_dq(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law conformance check on order totals — the data-quality
+    screen that flags fabricated, defaulted, or unit-mangled monetary
+    columns (first significant digits of organic amounts follow
+    P(d) = log10(1 + 1/d); a flat or spiked digit histogram is a red
+    flag): per digit 1-9 the observed count, observed vs expected share,
+    and the chi-square contribution (observed − expected)²/expected.
+
+    The digit is extracted integer-exactly on both engines — price →
+    integer cents via round(x·100) → first character of the integer's
+    decimal rendering — never through log10/float-power, whose last-ULP
+    behavior at exact powers of ten differs across engines. One
+    groupBy(digit) over the scan; 9-row output."""
+    orders = load_table(spark, sf, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("n_total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("observed_share"),
+            F.round(expected, 6).alias("expected_share"),
+            F.round(
+                F.pow(F.col("n") - expected * F.col("n_total"), 2)
+                / (expected * F.col("n_total")),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_DQ = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+total AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM counts)
+SELECT digit, n,
+       round(n / n_total, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_share,
+       round(pow(n - log10(1.0 + 1.0 / digit) * n_total, 2)
+             / (log10(1.0 + 1.0 / digit) * n_total), 4) AS chi2_term
+FROM counts CROSS JOIN total
+ORDER BY digit
+"""
+
+
+_LDIV_L = 3
+
+
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the governance
+    check k-anonymity misses: a quasi-identifier class can be large yet
+    still leak if everyone in it shares the same sensitive value. Over
+    the (nation, market-segment) QI classes, count members and DISTINCT
+    sensitive values (order priority of the members' orders) and flag
+    classes with fewer than l = 3 distinct values — those would reveal a
+    member's priority by association alone.
+
+    One join from the QI table to the fact table on the customer key,
+    then one aggregation producing class-cardinality-sized output; both
+    counts are exact distincts over a low-cardinality attribute, so the
+    audit is one shuffle regardless of fact volume."""
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_members"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            "n_orders",
+            "n_sensitive",
+            (F.col("n_sensitive") < _LDIV_L).alias("risky"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+SQL_L_DIVERSITY = f"""
+SELECT c_nationkey, c_mktsegment,
+       count(DISTINCT c_custkey) AS n_members,
+       count(*) AS n_orders,
+       count(DISTINCT o_orderpriority) AS n_sensitive,
+       count(DISTINCT o_orderpriority) < {_LDIV_L} AS risky
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "benford_dq": (q_benford_dq, SQL_BENFORD_DQ),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

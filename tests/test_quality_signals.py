@@ -1,0 +1,187 @@
+"""Tests for the round-5 quality/monitoring additions: the exact
+neighborhood function (ANF), CUSUM changepoints (closed form vs the
+sequential recurrence), Murphy's Brier decomposition, the Benford DQ
+screen, char-entropy profiling, and boilerplate n-gram detection."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from sentiment_analysis_bigdata_spark.operators.graph import neighborhood_function
+from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+    q_brier_decomposition,
+)
+from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+    q_cusum_changepoints,
+    q_seasonal_dow_index,
+)
+from sentiment_analysis_bigdata_spark.workloads.text_q import (
+    q_boilerplate_ngrams,
+    q_char_entropy,
+)
+from sentiment_analysis_bigdata_spark.workloads.warehouse_q import q_benford_dq
+
+
+class TestNeighborhoodFunction:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+    def test_path_graph_counts(self, spark):
+        # path 1-2-3-4-5: ordered pairs at distance 1/2/3 are 8/6/4
+        out = neighborhood_function(
+            self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_hops=3
+        ).collect()
+        got = {r.hop: (r.n_pairs, r.cum_pairs, r.avg_reach) for r in out}
+        assert got[1] == (8, 8, 1.6)
+        assert got[2] == (6, 14, 2.8)
+        assert got[3] == (4, 18, 3.6)
+
+    def test_early_stop_past_diameter(self, spark):
+        # triangle: everything is reached at hop 1; hops 2+ emit no rows
+        out = neighborhood_function(
+            self._edges(spark, [(1, 2), (2, 3), (1, 3)]), max_hops=5
+        ).collect()
+        assert [r.hop for r in out] == [1]
+        assert out[0].n_pairs == 6
+
+    def test_orientation_invariant(self, spark):
+        canon = [(1, 2), (2, 3), (3, 4)]
+        both = canon + [(b, a) for a, b in canon]
+        a = neighborhood_function(self._edges(spark, canon), max_hops=3).collect()
+        b = neighborhood_function(self._edges(spark, both), max_hops=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestCusumChangepoints:
+    def test_matches_sequential_recurrence(self, spark, sf_dir):
+        """The window closed form S+ = C - min(0, running-min C) must flag
+        exactly the hours the textbook sequential recurrence flags."""
+        got = {
+            (r.bucket, r.event_type, r.direction)
+            for r in q_cusum_changepoints(spark, sf_dir).collect()
+        }
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ev["bucket"] = ev["ts"].dt.floor("h")
+        hourly = ev.groupby(["event_type", "bucket"]).size().rename("n").reset_index()
+        want = set()
+        for etype, grp in hourly.groupby("event_type"):
+            grp = grp.sort_values("bucket")
+            mu = grp["n"].mean()
+            sigma = grp["n"].std(ddof=1)
+            s_hi = s_lo = 0.0
+            for _, row in grp.iterrows():
+                s_hi = max(0.0, s_hi + (row["n"] - mu - 0.5 * sigma))
+                s_lo = max(0.0, s_lo + (mu - row["n"] - 0.5 * sigma))
+                key = row["bucket"].strftime("%Y-%m-%d %H:%M:%S")
+                if round(s_hi, 6) > round(4 * sigma, 6):
+                    want.add((key, etype, "up"))
+                elif round(s_lo, 6) > round(4 * sigma, 6):
+                    want.add((key, etype, "down"))
+        assert got == want
+        assert want  # fixture actually exercises the detector
+
+    def test_seasonal_index_centers_on_one(self, spark, sf_dir):
+        rows = q_seasonal_dow_index(spark, sf_dir).collect()
+        assert [r.dow for r in rows] == sorted({r.dow for r in rows})
+        assert all(0.5 < r.seasonal_index < 2.0 for r in rows)
+        mean_idx = sum(r.seasonal_index for r in rows) / len(rows)
+        assert abs(mean_idx - 1.0) < 0.1
+
+
+class TestBrierDecomposition:
+    def test_identity_and_bounds(self, spark, sf_dir):
+        r = q_brier_decomposition(spark, sf_dir).collect()[0]
+        # Murphy identity: Brier = REL - RES + UNC + within-bin gap
+        assert abs(
+            r.brier - (r.reliability - r.resolution + r.uncertainty + r.decomp_gap)
+        ) < 5e-6
+        assert 0.0 <= r.reliability
+        assert 0.0 <= r.resolution <= r.uncertainty + 5e-6
+        assert 0.0 <= r.uncertainty <= 0.25
+
+
+class TestBenfordDq:
+    def test_digit_partition_and_shares(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        rows = q_benford_dq(spark, sf_dir).collect()
+        assert {r.digit for r in rows} <= set(range(1, 10))
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        assert sum(r.n for r in rows) == n_orders
+        assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert abs(r.expected_share - math.log10(1 + 1 / r.digit)) < 1e-6
+            assert r.chi2_term >= 0.0
+
+
+class TestTextQuality:
+    def test_char_entropy_bounds_and_totals(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        rows = q_char_entropy(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        for r in rows:
+            assert 0.0 <= r.min_entropy <= r.avg_entropy <= r.max_entropy
+            # entropy of a text over ~27 lowercase symbols is < ln(64)
+            assert r.max_entropy < math.log(64)
+            assert 0 <= r.n_low <= r.n_docs
+
+    def test_boilerplate_threshold_and_coverage(self, spark, sf_dir):
+        rows = q_boilerplate_ngrams(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.top_df >= max(2, math.ceil(0.08 * r.n_docs))
+            assert 0 < r.docs_covered <= r.n_docs
+            assert abs(r.coverage - r.docs_covered / r.n_docs) < 1e-6
+            assert len(r.top_gram.split(" ")) == 3
+
+
+class TestIsotonicCalibration:
+    def test_monotone_and_mass_preserving(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_isotonic_calibration,
+        )
+
+        rows = q_isotonic_calibration(spark, sf_dir).collect()
+        fits = [r.isotonic_fit for r in rows]
+        assert fits == sorted(fits)  # isotonic by construction
+        assert all(0.0 <= f <= 1.0 for f in fits)
+        # PAV is a projection that preserves block means: total fitted
+        # positives equal total observed positives
+        fitted_pos = sum(r.n * r.isotonic_fit for r in rows)
+        observed_pos = sum(r.n * r.pos_rate for r in rows)
+        assert abs(fitted_pos - observed_pos) < 1e-2 * max(1.0, observed_pos)
+
+
+class TestLDiversity:
+    def test_flags_match_distinct_counts(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            _LDIV_L,
+            q_l_diversity,
+        )
+
+        rows = q_l_diversity(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_sensitive <= 5  # five order priorities exist
+            assert r.risky == (r.n_sensitive < _LDIV_L)
+            assert r.n_members <= r.n_orders
+
+
+class TestNeighborhoodHll:
+    def test_sparse_mode_is_exact_on_small_graph(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.graph import neighborhood_hll
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+        )
+        got = {
+            r.hop: r.cum_pairs_est
+            for r in neighborhood_hll(edges, max_hops=3).collect()
+        }
+        # HLL sparse mode is exact at these cardinalities -> matches the
+        # exact neighborhood function on the path graph
+        assert got == {1: 8, 2: 14, 3: 18}
