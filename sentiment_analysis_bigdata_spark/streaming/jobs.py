@@ -526,6 +526,58 @@ def run_stream_bloom_to_parquet(
     _await_or_raise(q, timeout_s)
 
 
+def hll_fold(out_dir: str, key_col: str, item_col: str):
+    """foreachBatch fold maintaining RUNNING per-key HLL distinct-count
+    sketches (Spark's built-in DataSketches ``hll_sketch_agg`` /
+    ``hll_union_agg``): per micro-batch, sketch the batch's items per
+    key and register-max it into the persisted state through the same
+    versioned-commit machinery as the other sketch sinks. Like
+    :func:`bloom_fold` — and unlike :func:`cms_fold` — NO replay guard
+    is needed: register-max union is IDEMPOTENT, so a replayed batch
+    re-unions registers that are already absorbed and the state is
+    exactly-once by algebra. State is keys × sketch-size regardless of
+    stream length — the incremental face of the per-day HLL rollup
+    (``hll_user_rollup``), and the pattern that replaces an unbounded
+    streaming ``groupBy(key).approx_count_distinct`` at 100 TB."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = batch_df.groupBy(key_col).agg(
+            F.hll_sketch_agg(item_col).alias("sk")
+        )
+        current = _read_marker(out_dir)
+        merged = batch_sk
+        if current is not None:
+            prev = spark.read.parquet(f"{out_dir}/{current}")
+            merged = (
+                prev.unionByName(batch_sk)
+                .groupBy(key_col)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        _commit_version(merged, out_dir, batch_id, current)
+
+    return fold
+
+
+def run_stream_hll_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    item_col: str,
+    timeout_s: float = 120.0,
+) -> None:
+    """Run :func:`hll_fold` until available data drains; the final
+    sketches must estimate the same distincts as one batch build."""
+    q = (
+        stream_df.writeStream.foreachBatch(hll_fold(out_dir, key_col, item_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
 def run_stream_topk_to_parquet(
     stream_df: DataFrame,
     out_dir: str,

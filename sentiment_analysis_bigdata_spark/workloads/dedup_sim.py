@@ -2409,8 +2409,191 @@ FROM cand WHERE hamming <= {_AHASH_HAM_MAX}
 GROUP BY hamming
 """
 
+def _cosine_col(a, b):
+    """Cosine of two float-array columns, all higher-order expressions
+    (zip_with dot product + per-side norms) — JVM-side, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when(na * nb > 0, dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Alignment & uniformity of the embedding space (Wang & Isola 2020,
+    arXiv:2005.10242) — the two-number health check of a contrastive
+    embedding model: alignment = E‖u−v‖² over positive pairs (same
+    label; lower = positives sit together), uniformity =
+    ln E exp(−2‖u−v‖²) over random pairs (lower = mass spreads over the
+    sphere; a collapsed space scores near 0). On unit vectors
+    ‖u−v‖² = 2−2cos, so both reduce to the same JVM-side cosine.
+
+    Pairing is deterministic and O(n) — each vector pairs with the NEXT
+    vector of its label (alignment) and the next vector in
+    content-addressed md5 order (uniformity), one lead() window each —
+    never the O(n²) expectation the definitions literally state, which
+    is the difference between a metric and a job that cannot finish at
+    100 TB. The oracle replays both pairings exactly."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf)
+    w_pos = Window.partitionBy("label").orderBy("vec_id")
+    pos = (
+        emb.select("label", "vec_id", "embedding")
+        .withColumn("nxt", F.lead("embedding").over(w_pos))
+        .filter(F.col("nxt").isNotNull())
+        .select(_cosine_col(F.col("embedding"), F.col("nxt")).alias("cos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pos_pairs"),
+            F.round(F.avg(2.0 - 2.0 * F.col("cos")), 6).alias("alignment"),
+        )
+    )
+    hkey = H.md5_hash64(F.col("vec_id").cast("string"))
+    w_rnd = Window.orderBy(hkey.asc(), F.col("vec_id").asc())
+    rnd = (
+        emb.select("vec_id", "embedding")
+        .withColumn("nxt", F.lead("embedding").over(w_rnd))
+        .filter(F.col("nxt").isNotNull())
+        .select(_cosine_col(F.col("embedding"), F.col("nxt")).alias("cos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rand_pairs"),
+            F.round(
+                F.log(F.avg(F.exp(-2.0 * (2.0 - 2.0 * F.col("cos"))))), 6
+            ).alias("uniformity"),
+        )
+    )
+    return pos.crossJoin(rnd)
+
+
+SQL_EMBEDDING_ALIGNMENT = f"""
+WITH pos AS (
+  SELECT embedding AS a,
+         lead(embedding) OVER (PARTITION BY label ORDER BY vec_id) AS b
+  FROM embeddings
+),
+posn AS (SELECT {_sql_cosine('a', 'b')} AS cos FROM pos WHERE b IS NOT NULL),
+rnd AS (
+  SELECT embedding AS a,
+         lead(embedding) OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    vec_id) AS b
+  FROM embeddings
+),
+rndn AS (SELECT {_sql_cosine('a', 'b')} AS cos FROM rnd WHERE b IS NOT NULL)
+SELECT (SELECT count(*) FROM posn) AS n_pos_pairs,
+       (SELECT round(avg(2 - 2 * cos), 6) FROM posn) AS alignment,
+       (SELECT count(*) FROM rndn) AS n_rand_pairs,
+       (SELECT round(ln(avg(exp(-2 * (2 - 2 * cos)))), 6) FROM rndn) AS uniformity
+"""
+
+
+SWEEP_T_FLOOR = 0.5
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup threshold sweep — the curve a curation team reads BEFORE
+    committing to a near-dup threshold: one exact PPJoin pass at the
+    floor t=0.5 enumerates every pair any candidate threshold could
+    use, then each threshold in {0.50, 0.55, …, 1.00} reports its
+    surviving pair count, how many documents min-id survivorship would
+    remove, and the corpus dedup rate. Choosing t by re-running the
+    join per threshold is 11 corpus joins; this is ONE (the pair set is
+    filtered 11 ways against a broadcast 11-row edge frame), which is
+    the only affordable shape when the join input is 100 TB."""
+    docs = _docs(spark, sf)
+    pairs = DD.prefix_filtered_jaccard_pairs(docs, SWEEP_T_FLOOR)
+    edges = spark.createDataFrame(
+        [(t / 100.0,) for t in range(50, 105, 5)], "threshold double"
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(edges))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("b").alias("n_docs_removed"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_removed",
+            F.round(F.col("n_docs_removed") / F.col("n_docs").cast("double"), 6).alias(
+                "dedup_rate"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+SQL_JACCARD_THRESHOLD_SWEEP = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct({{toks}})) AS token FROM documents
+),
+dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+rnk AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY df ASC, token ASC) AS INT) AS rank
+  FROM dfreq
+),
+ranked AS (SELECT doc, rank FROM toks JOIN rnk USING (token)),
+sets AS (SELECT doc, list_sort(list(rank)) AS ranks FROM ranked GROUP BY 1),
+pre AS (
+  SELECT doc, ranks,
+         list_slice(ranks, 1,
+                    len(ranks) - CAST(ceil(len(ranks) * CAST({SWEEP_T_FLOOR} AS DOUBLE)) AS INT) + 1)
+           AS prefix
+  FROM sets
+),
+postings AS (SELECT doc, unnest(prefix) AS rank FROM pre),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM postings x JOIN postings y ON x.rank = y.rank AND x.doc < y.doc
+),
+verified AS (
+  SELECT c.a, c.b,
+         round(CAST(len(list_intersect(sa.ranks, sb.ranks)) AS DOUBLE)
+               / (len(sa.ranks) + len(sb.ranks)
+                  - len(list_intersect(sa.ranks, sb.ranks))), 6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc = c.a
+  JOIN sets sb ON sb.doc = c.b
+  WHERE round(CAST(len(list_intersect(sa.ranks, sb.ranks)) AS DOUBLE)
+              / (len(sa.ranks) + len(sb.ranks)
+                 - len(list_intersect(sa.ranks, sb.ranks))), 6)
+        >= CAST({SWEEP_T_FLOOR} AS DOUBLE)
+),
+edges_t AS (SELECT CAST(unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]) AS DOUBLE) AS threshold),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT threshold, count(*) AS n_pairs,
+       count(DISTINCT b) AS n_docs_removed,
+       round(count(DISTINCT b) / CAST(any_value(n_docs) AS DOUBLE), 6) AS dedup_rate
+FROM verified CROSS JOIN edges_t CROSS JOIN nd
+WHERE jaccard >= threshold
+GROUP BY threshold
+ORDER BY threshold
+""".replace("{toks}", SQL_TOKS)
+
+
 QUERIES = {
     "image_ahash_near_dup": (q_image_ahash_near_dup, SQL_IMAGE_AHASH_NEAR_DUP),
+    "embedding_alignment": (q_embedding_alignment, SQL_EMBEDDING_ALIGNMENT),
+    "jaccard_threshold_sweep": (q_jaccard_threshold_sweep, SQL_JACCARD_THRESHOLD_SWEEP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),

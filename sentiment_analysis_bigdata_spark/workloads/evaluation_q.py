@@ -1424,9 +1424,134 @@ ORDER BY bin
 """
 
 
+def q_matthews_corrcoef(spark: SparkSession, sf: str) -> DataFrame:
+    """Matthews correlation coefficient — the single-number binary-
+    classification summary that stays honest under class imbalance
+    (accuracy and F1 both inflate when one class dominates; MCC is the
+    Pearson correlation of the label/prediction indicator variables).
+    One pass of conditional counts; every input to the final expression
+    is an exact integer, so both engines evaluate the identical formula
+    (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))."""
+    preds = _preds(spark, sf)
+    c = preds.agg(
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 0)).cast("long")).alias("fn"),
+    )
+    mcc = (
+        F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    ).cast("double") / F.sqrt(
+        (
+            (F.col("tp") + F.col("fp"))
+            * (F.col("tp") + F.col("fn"))
+            * (F.col("tn") + F.col("fp"))
+            * (F.col("tn") + F.col("fn"))
+        ).cast("double")
+    )
+    return c.select("tp", "fp", "tn", "fn", F.round(mcc, 6).alias("mcc"))
+
+
+SQL_MATTHEWS_CORRCOEF = f"""
+WITH c AS (
+  SELECT CAST(sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM ({SQL_PREDS})
+)
+SELECT tp, fp, tn, fn,
+       round(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE)), 6)
+         AS mcc
+FROM c
+"""
+
+
+def q_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift & cumulative-gains table — the targeting readout that
+    tells a curation/labeling team how much of the positive mass the top
+    k% of model scores captures: rank rows by score (doc_id breaks the
+    heavy fixture ties so both engines cut identical deciles), split
+    into 10 equal-count bins, and report each bin's positive count, its
+    lift over the base rate, and the cumulative captured share of all
+    positives. One global ntile window over the scored rows, then a
+    10-row rollup — at 100 TB the ranking is the one sort-shaped stage,
+    and ntile-by-hash bands (hash_split) is the documented alternative
+    when even that sort is unaffordable."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    preds = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (
+            (F.col("doc_id") * 37 % 101).cast("double") / 100.0 * 0.7
+            + (F.col("doc_id") % 2).cast("double") * 0.3
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    binned = preds.select(
+        "label", F.ntile(10).over(w).alias("decile")
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("positives"),
+    )
+    totals = binned.agg(
+        F.sum("n").cast("double").alias("n_total"),
+        F.sum("positives").cast("double").alias("pos_total"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n",
+            "positives",
+            F.round(
+                (F.col("positives") / F.col("n")) / (F.col("pos_total") / F.col("n_total")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("positives").over(w_cum) / F.col("pos_total"), 6
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_LIFT_GAINS = """
+WITH preds AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS label,
+         CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 * 0.7
+           + CAST(doc_id % 2 AS DOUBLE) * 0.3 AS score
+  FROM documents
+),
+binned AS (
+  SELECT label, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+  FROM preds
+),
+agg AS (
+  SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS positives
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS n_total, CAST(sum(positives) AS DOUBLE) AS pos_total
+  FROM agg
+)
+SELECT decile, n, positives,
+       round((positives / CAST(n AS DOUBLE)) / (pos_total / n_total), 6) AS lift,
+       round(sum(positives) OVER (ORDER BY decile) / pos_total, 6) AS cum_gain
+FROM agg CROSS JOIN tot
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
+    "matthews_corrcoef": (q_matthews_corrcoef, SQL_MATTHEWS_CORRCOEF),
+    "lift_gains": (q_lift_gains, SQL_LIFT_GAINS),
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),

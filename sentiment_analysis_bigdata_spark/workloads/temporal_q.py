@@ -1376,8 +1376,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental distinct-user counting over a REAL multi-batch stream
+    (streaming/jobs.py ``run_stream_hll_to_parquet``): events are staged
+    as 6 parquet files consumed one per micro-batch, each batch's HLL
+    sketch register-maxed into the persisted per-event-type state; the
+    drained state is then estimated and compared to the exact distinct
+    count. The oracle pins the exact counts (value-checked) and the
+    ±5% estimate bound as a TRUE boolean — a lost batch, double union,
+    or stale version read turns the row red. Per-key fixed-size state
+    regardless of stream length: the incremental complement of the
+    batch ``hll_user_rollup`` lane."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="hll_src_")
+    out = tempfile.mkdtemp(prefix="hll_table_")
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    try:
+        events = load_table(spark, sf, "events")
+        events.select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        ).repartition(6).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, uid string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        SJ.run_stream_hll_to_parquet(
+            stream, out, ckpt, "event_type", "uid", timeout_s=120
+        )
+        sketches = SJ.read_upsert_table(spark, out).select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        )
+        exact = events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        res = exact.join(sketches, "event_type").select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        ).orderBy("event_type")
+        rows = res.collect()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_HLL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS est_within_5pct
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
+    "streaming_hll": (q_streaming_hll, SQL_STREAMING_HLL),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

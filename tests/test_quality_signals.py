@@ -185,3 +185,93 @@ class TestNeighborhoodHll:
         # HLL sparse mode is exact at these cardinalities -> matches the
         # exact neighborhood function on the path graph
         assert got == {1: 8, 2: 14, 3: 18}
+
+
+class TestMatthewsAndLift:
+    def test_mcc_matches_closed_form(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_matthews_corrcoef,
+        )
+
+        r = q_matthews_corrcoef(spark, sf_dir).collect()[0]
+        denom = (
+            (r.tp + r.fp) * (r.tp + r.fn) * (r.tn + r.fp) * (r.tn + r.fn)
+        ) ** 0.5
+        assert abs(r.mcc - (r.tp * r.tn - r.fp * r.fn) / denom) < 1e-6
+        assert -1.0 <= r.mcc <= 1.0
+
+    def test_lift_gains_monotone_and_complete(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import q_lift_gains
+
+        rows = q_lift_gains(spark, sf_dir).collect()
+        assert [r.decile for r in rows] == list(range(1, 11))
+        gains = [r.cum_gain for r in rows]
+        assert gains == sorted(gains)
+        assert abs(gains[-1] - 1.0) < 1e-6
+        # the fixture's score carries label*0.3, so the top decile must
+        # over-capture positives
+        assert rows[0].lift > 1.0
+
+
+class TestJaccardThresholdSweep:
+    def test_counts_monotone_in_threshold(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_jaccard_threshold_sweep,
+        )
+
+        rows = q_jaccard_threshold_sweep(spark, sf_dir).collect()
+        pair_counts = [r.n_pairs for r in rows]
+        removed = [r.n_docs_removed for r in rows]
+        assert pair_counts == sorted(pair_counts, reverse=True)
+        assert removed == sorted(removed, reverse=True)
+        for r in rows:
+            assert r.n_docs_removed <= r.n_pairs or r.n_pairs == 0
+
+
+class TestEmbeddingAlignment:
+    def test_bounds_and_pair_counts(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.sources import load_table
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_embedding_alignment,
+        )
+
+        r = q_embedding_alignment(spark, sf_dir).collect()[0]
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        n_labels = emb.select(F.countDistinct("label")).collect()[0][0]
+        assert r.n_pos_pairs == n - n_labels
+        assert r.n_rand_pairs == n - 1
+        assert 0.0 <= r.alignment <= 4.0  # squared unit-vector distance
+        assert -8.0 <= r.uniformity <= 0.0  # ln of a mean of exp(-[0,8])
+
+
+class TestStreamingHll:
+    def test_fold_is_replay_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+
+        out = str(tmp_path / "state")
+        batch = spark.createDataFrame(
+            [("a", str(i)) for i in range(50)] + [("b", str(i)) for i in range(7)],
+            "k string, uid string",
+        )
+        fold = SJ.hll_fold(out, "k", "uid")
+        fold(batch, 0)
+        once = {
+            r.k: r.est
+            for r in SJ.read_upsert_table(spark, out)
+            .select("k", F.hll_sketch_estimate("sk").alias("est"))
+            .collect()
+        }
+        fold(batch, 1)  # replaying the same rows must not change registers
+        twice = {
+            r.k: r.est
+            for r in SJ.read_upsert_table(spark, out)
+            .select("k", F.hll_sketch_estimate("sk").alias("est"))
+            .collect()
+        }
+        assert once == twice
+        assert once["a"] == 50 and once["b"] == 7  # sparse mode is exact here
