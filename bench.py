@@ -186,6 +186,42 @@ FAMILY_EXTRA = [
     "dedup_attribution",
     # r5 final: confident-learning label-noise gate
     "label_noise_estimate",
+    # r5 session 2: connectivity profiling (exact pair-BFS ANF and its
+    # HyperBall sketch twin), CUSUM drift alarms, weekly seasonal index
+    "neighborhood_function",
+    "anf_hll",
+    "cusum_changepoints",
+    "seasonal_dow_index",
+    # r5 session 2: corpus quality signals (char entropy, boilerplate
+    # n-grams) and governance/DQ gates (Benford, l-diversity)
+    "char_entropy",
+    "boilerplate_ngrams",
+    "benford_dq",
+    "l_diversity",
+    # r5 session 2: eval additions — Brier decomposition, closed-form
+    # isotonic PAV, MCC, decile lift/gains
+    "brier_decomposition",
+    "isotonic_calibration",
+    "matthews_corrcoef",
+    "lift_gains",
+    # r5 session 2: embedding-space health, dedup threshold sweep, and
+    # the incremental streaming HLL sink
+    "embedding_alignment",
+    "jaccard_threshold_sweep",
+    "streaming_hll",
+    # r5 session 2: CDC merge apply, SCD2 point-in-time enrichment, and
+    # last-touch conversion attribution (warehouse/temporal additions)
+    "cdc_apply",
+    "scd2_pit_lookup",
+    "lasttouch_attribution",
+    # r5 session 2: rank-biased overlap (query-truncation robustness)
+    "rbo_rankings",
+    # r5 session 2: corpus statistics (heavy-tail exponent, vocabulary
+    # inequality), SymSpell typo mining, activation latency
+    "hill_tail_index",
+    "token_gini",
+    "symspell_variants",
+    "time_to_convert",
 ]
 
 

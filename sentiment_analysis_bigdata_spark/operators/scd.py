@@ -89,3 +89,31 @@ def asof_state(
         ],
         "left",
     )
+
+
+def cdc_apply(
+    cdc: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete change stream to produce the final
+    table state — the CDC-merge half of a MERGE INTO, as one relational
+    pass: per key keep the HIGHEST-sequence change (row_number over the
+    key partition), then drop keys whose final operation is a delete.
+
+    ONE shuffle on the key; no base-table self-join and no sequential
+    replay — the change log can be arbitrarily long per key and the plan
+    shape does not change. ``seq_col`` must be a total order per key
+    (a log offset / commit LSN); ties would make the survivor
+    engine-dependent, so callers with tie-prone sequences must composite
+    a tiebreak into ``seq_col`` first (same contract as
+    :func:`scd2_history`).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        cdc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op_col) != "D")
+    )

@@ -316,8 +316,146 @@ FROM ranked WHERE rank <= 10
 """
 
 
+_RBO_P, _RBO_D = 0.9, 10
+# truncated-RBO depth weights: a doc first present in both prefixes at
+# depth m contributes w(m) = sum_{i=m}^{d} p^(i-1)/i. Computed once in
+# Python and formatted into BOTH engines' literals, so every weight is
+# the identical double.
+_RBO_W = [
+    sum(_RBO_P ** (i - 1) / i for i in range(m, _RBO_D + 1))
+    for m in range(1, _RBO_D + 1)
+]
+
+
+def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between a query's BM25
+    top-10 and the SAME query truncated to its first 3 terms — the
+    ranking-robustness diagnostic (high RBO = the head terms carry the
+    ranking and the long tail of the query is redundant; low RBO = every
+    term matters and query rewriting is risky). Truncated RBO@10 with
+    p = 0.9, computed WITHOUT per-depth prefix loops: a doc ranked
+    ra/rb in the two rankings enters both prefixes at m = max(ra, rb),
+    so its total contribution is the precomputed weight w(m) — one join
+    of the two 10-row-per-query lanes, one literal-array lookup, one
+    per-query sum (the weights are Python-computed once and formatted
+    into BOTH engines' literals as identical doubles). Lanes reuse the
+    independently-oracle-proven BM25 pipeline."""
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+    n_q = 3
+    docs = load_table(spark, sf, "documents")
+    base_q = docs.filter(F.col("doc_id") < n_q).select(
+        F.col("doc_id").alias("query_id"),
+        tokenize_nonempty(F.col("text")).alias("toks"),
+    )
+    full_q = base_q.select("query_id", F.slice("toks", 1, 5).alias("terms"))
+    trunc_q = base_q.select("query_id", F.slice("toks", 1, 3).alias("terms"))
+    lane_a = (
+        affinity.bm25_scores(docs, full_q, top_k=_RBO_D)
+        .filter(F.col("doc") != F.col("query_id"))
+        .select("query_id", "doc", F.col("rank").alias("r_full"))
+    )
+    lane_b = (
+        affinity.bm25_scores(docs, trunc_q, top_k=_RBO_D)
+        .filter(F.col("doc") != F.col("query_id"))
+        .select("query_id", "doc", F.col("rank").alias("r_trunc"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    common = lane_a.join(lane_b, ["query_id", "doc"]).select(
+        "query_id",
+        F.element_at(
+            w_arr, F.greatest(F.col("r_full"), F.col("r_trunc")).cast("int")
+        ).alias("w"),
+    )
+    agg = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round((1.0 - _RBO_P) * F.sum("w"), 6).alias("rbo"),
+    )
+    base = docs.filter(F.col("doc_id") < n_q).select(
+        F.col("doc_id").alias("query_id")
+    )
+    return (
+        base.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_rbo() -> str:
+    w_list = ", ".join(f"({m}, {w!r})" for m, w in enumerate(_RBO_W, start=1))
+    lane = """
+  SELECT q.query_id, tf.doc,
+         sum(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM {Q} q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc = tf.doc
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+"""
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+tf AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qfull AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(l[1:5])) AS term
+  FROM toks WHERE doc_id < 3
+),
+qtrunc AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(l[1:3])) AS term
+  FROM toks WHERE doc_id < 3
+),
+full_scored AS ({lane.replace('{Q}', 'qfull')}),
+trunc_scored AS ({lane.replace('{Q}', 'qtrunc')}),
+lane_a AS (
+  SELECT query_id, doc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc ASC) AS r_full
+  FROM full_scored
+),
+lane_b AS (
+  SELECT query_id, doc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc ASC) AS r_trunc
+  FROM trunc_scored
+),
+ak AS (SELECT * FROM lane_a WHERE r_full <= {_RBO_D} AND doc <> query_id),
+bk AS (SELECT * FROM lane_b WHERE r_trunc <= {_RBO_D} AND doc <> query_id),
+wts AS (SELECT * FROM (VALUES {w_list}) AS t(m, w)),
+common AS (
+  SELECT a.query_id, w.w
+  FROM ak a JOIN bk b ON a.query_id = b.query_id AND a.doc = b.doc
+  JOIN wts w ON w.m = greatest(a.r_full, b.r_trunc)
+),
+agg AS (
+  SELECT query_id, count(*) AS n_common,
+         round((1.0 - {_RBO_P}) * sum(w), 6) AS rbo
+  FROM common GROUP BY 1
+)
+SELECT d.doc_id AS query_id,
+       CAST(coalesce(a.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(a.rbo, 0.0) AS DOUBLE) AS rbo
+FROM (SELECT doc_id FROM documents WHERE doc_id < 3) d
+LEFT JOIN agg a ON a.query_id = d.doc_id
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
+    "rbo_rankings": (q_rbo_rankings, _sql_rbo()),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "hybrid_rrf_search": (q_hybrid_rrf_search, _sql_hybrid_rrf()),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),

@@ -2477,7 +2477,7 @@ def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("uniformity"),
         )
     )
-    return pos.crossJoin(rnd)
+    return pos.crossJoin(F.broadcast(rnd))
 
 
 SQL_EMBEDDING_ALIGNMENT = f"""

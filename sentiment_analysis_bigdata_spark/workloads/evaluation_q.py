@@ -1357,9 +1357,11 @@ def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
         F.col("bin").alias("i"),
         (F.col("cn") - F.col("n")).alias("cn_lo"),
         (F.col("cp") - F.col("pos")).alias("cp_lo"),
-    )
+    ).limit(20)  # no-op (≤20 bins); makes the broadcast side's boundedness plan-visible
     hi = cum.select(F.col("bin").alias("j"), "cn", "cp")
-    pairs = lo.join(hi, F.col("i") <= F.col("j")).select(
+    # the 20-row anchor side is bounded at ANY scale (bins, not rows)
+    # — broadcast it so the inequality join plans as BNLJ, not cartesian
+    pairs = F.broadcast(lo).join(hi, F.col("i") <= F.col("j")).select(
         "i",
         "j",
         (

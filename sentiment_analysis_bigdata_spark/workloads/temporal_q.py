@@ -1433,9 +1433,148 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_lasttouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent prior (or same-instant) non-purchase event —
+    the standard marketing/product question "which behavior immediately
+    precedes conversion", reported per channel with conversion counts
+    and shares. Touches are first deduplicated to one per (user, ts)
+    with an integer arg-max tiebreak (event_id), so the as-of match is
+    deterministic under timestamp collisions; purchases with no prior
+    touch credit 'none'. The as-of join is the union+window operator
+    (one shuffle on user_id, never a range-join explosion); the rollup
+    is channel-cardinality-sized. The oracle uses DuckDB's NATIVE ASOF
+    join over the same deduped touches — two independent as-of
+    implementations must agree on every credit."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("channel"))
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["channel"],
+    )
+    counts = out.groupBy(
+        F.coalesce(F.col("channel_matched"), F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions"))
+    total = counts.agg(F.sum("conversions").cast("double").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "conversions",
+            F.round(F.col("conversions") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_LASTTOUCH_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS channel
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+att AS (
+  SELECT coalesce(t.channel, 'none') AS channel
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+),
+c AS (SELECT channel, count(*) AS conversions FROM att GROUP BY 1)
+SELECT channel, conversions,
+       round(conversions / (SELECT CAST(sum(conversions) AS DOUBLE) FROM c), 6) AS share
+FROM c ORDER BY channel
+"""
+
+
+def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-conversion distribution: per user the gap from first
+    signup to the first purchase STRICTLY AFTER it, summarized as
+    converter counts, conversion rate, and exact p50/p90 latency — the
+    activation-funnel health number product teams watch. Two per-user
+    min aggregates (one conditional), INTEGER epoch-millisecond deltas
+    (unix_timestamp/epoch() disagree on sub-second fractions across
+    engines; millisecond integers cannot), and
+    an exact percentile over the converter frame (approx_percentile is
+    the documented 100 TB knob, same shape as winsorize)."""
+    ev = _events(spark, sf)
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts")
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user.filter(F.col("signup_ts").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.min(F.unix_millis("ts")) - F.first(F.unix_millis("signup_ts")))
+                / 1000.0
+            ).alias("gap_s")
+        )
+    )
+    n_signups = per_user.filter(F.col("signup_ts").isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("n_signups")
+    )
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(gap_s, 0.5)").alias("p50_s"),
+            F.expr("percentile(gap_s, 0.9)").alias("p90_s"),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            F.col("n_signups").cast("bigint").alias("n_signups"),
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_signups"), 6).alias("conversion_rate"),
+            F.round("p50_s", 4).alias("p50_s"),
+            F.round("p90_s", 4).alias("p90_s"),
+        )
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id,
+         (min(epoch_ms(e.ts)) - any_value(epoch_ms(su.signup_ts))) / 1000.0 AS gap_s
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+  GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_signups FROM su)
+SELECT CAST(n_signups AS BIGINT) AS n_signups,
+       count(*) AS n_converted,
+       round(count(*) / n_signups, 6) AS conversion_rate,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 4) AS p90_s
+FROM conv CROSS JOIN n
+GROUP BY n_signups
+"""
+
+
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
     "streaming_hll": (q_streaming_hll, SQL_STREAMING_HLL),
+    "lasttouch_attribution": (q_lasttouch_attribution, SQL_LASTTOUCH_ATTRIBUTION),
+    "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

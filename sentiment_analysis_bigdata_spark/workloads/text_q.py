@@ -2111,10 +2111,231 @@ ORDER BY source
 """
 
 
+_HILL_K = 100
+
+
+def q_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill estimator of the document-length tail exponent (Hill 1975)
+    — the heavy-tail profile a packing/chunking plan reads before
+    sizing sequence budgets (α near 1 = lengths are wildly heavy-tailed
+    and a max-length cut loses real mass; α ≥ 3 = tails are thin and
+    truncation is cheap): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
+    order statistics.
+
+    The ONLY corpus-sized operation is a top-(k+1) selection, which
+    Spark plans as TakeOrderedAndProject (per-partition heaps, k+1-row
+    driver merge) — never a global sort. Ties at the boundary are
+    value-ties, so the selected multiset (all the estimator sees) is
+    deterministic on both engines; tied rows contribute ln(1) = 0."""
+    docs = _docs(spark, sf)
+    top = (
+        docs.select(F.col("n_chars").cast("double").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(_HILL_K + 1)
+    )
+    xmin = top.agg(F.min("x").alias("xmin"))
+    return (
+        top.crossJoin(F.broadcast(xmin))
+        .groupBy("xmin")
+        .agg(
+            F.lit(_HILL_K).alias("k"),
+            F.round(
+                _HILL_K / F.nullif(F.sum(F.log(F.col("x") / F.col("xmin"))), F.lit(0.0)),
+                6,
+            ).alias("hill_alpha"),
+        )
+        .select("k", "xmin", "hill_alpha")
+    )
+
+
+SQL_HILL_TAIL_INDEX = f"""
+WITH top AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+  ORDER BY n_chars DESC LIMIT {_HILL_K + 1}
+),
+b AS (SELECT min(x) AS xmin FROM top)
+SELECT {_HILL_K} AS k, xmin,
+       round({_HILL_K} / nullif(sum(ln(x / xmin)), 0), 6) AS hill_alpha
+FROM top CROSS JOIN b GROUP BY xmin
+"""
+
+
+def q_token_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the token frequency distribution — the
+    single-number inequality readout of corpus vocabulary concentration
+    (Gini → 1 means a few types carry all the mass, the signature of
+    templated/boilerplate text; natural corpora sit high but not
+    degenerate under Zipf): G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over
+    counts ranked ascending.
+
+    One corpus explode feeds a vocab-sized count agg; the rank window
+    sorts the VOCABULARY (bounded by Heaps' law), never the corpus, and
+    every term in the formula is an exact integer sum, so both engines
+    round the identical rational."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        _docs(spark, sf)
+        .select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").asc(), F.col("token").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("total_tokens"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c")).cast("double")
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_TOKEN_GINI = f"""
+WITH counts AS (
+  SELECT token, count(*) AS c
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, token ASC) AS i FROM counts
+)
+SELECT count(*) AS n_types,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       round(2.0 * sum(i * c) / CAST(count(*) * sum(c) AS DOUBLE)
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+def q_symspell_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo/variant detection via SymSpell deletion neighborhoods (Garbe
+    2012): two tokens within edit distance 1 necessarily share a
+    1-deletion variant (or one IS the other's deletion), so candidates
+    come from an equi join on deletion keys — the scale path for fuzzy
+    vocabulary matching, O(vocab × token_len) keys instead of the O(v²)
+    all-pairs Levenshtein. Survivors are exact-verified with
+    levenshtein = 1 and reported as (rare → ≥10× more frequent)
+    correction pairs, the normalize-before-dedup step of a text cleaner.
+
+    The synthetic vocabulary is typo-free, so the fixture PLANTS typos
+    deterministically — every 17th document's first token loses its 2nd
+    character — and the oracle replays both the corruption and the
+    detection, so every planted typo's (typo, correction, counts) row
+    is value-checked. Vocab-sized work end to end; the corpus is
+    touched once for counts."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.posexplode(TXT.tokenize_nonempty("text")).alias("pos", "raw")
+    )
+    corrupted = toks.select(
+        F.when(
+            (F.col("doc_id") % 17 == 0) & (F.col("pos") == 0) & (F.length("raw") >= 4),
+            F.expr("concat(substring(raw, 1, 1), substring(raw, 3))"),
+        )
+        .otherwise(F.col("raw"))
+        .alias("token")
+    )
+    counts = (
+        corrupted.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("token") >= 3)
+    )
+    # deletion keys: the token itself + each single-char deletion
+    # (substring with a lambda-bound position needs the SQL form — the
+    # Python F.substring signature takes int literals only)
+    keyed = counts.select(
+        "token",
+        "c",
+        F.explode(
+            F.array_union(
+                F.array(F.col("token")),
+                F.expr(
+                    "transform(sequence(1, length(token)), i -> "
+                    "concat(substring(token, 1, i - 1), substring(token, i + 1)))"
+                ),
+            )
+        ).alias("key"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), F.col("a.key") == F.col("b.key"))
+        .filter(F.col("a.token") < F.col("b.token"))
+        .select(
+            F.col("a.token").alias("t1"),
+            F.col("a.c").alias("c1"),
+            F.col("b.token").alias("t2"),
+            F.col("b.c").alias("c2"),
+        )
+        .distinct()
+        .filter(F.levenshtein("t1", "t2") == 1)
+    )
+    return (
+        cand.select(
+            F.when(F.col("c1") <= F.col("c2"), F.col("t1")).otherwise(F.col("t2")).alias("typo"),
+            F.when(F.col("c1") <= F.col("c2"), F.col("c1")).otherwise(F.col("c2")).alias("typo_count"),
+            F.when(F.col("c1") <= F.col("c2"), F.col("t2")).otherwise(F.col("t1")).alias("correction"),
+            F.when(F.col("c1") <= F.col("c2"), F.col("c2")).otherwise(F.col("c1")).alias("corr_count"),
+        )
+        .filter(F.col("corr_count") >= 10 * F.col("typo_count"))
+        .orderBy("typo", "correction")
+    )
+
+
+SQL_SYMSPELL_VARIANTS = f"""
+WITH raw AS (
+  SELECT doc_id, i AS pos, l[i] AS rawtok
+  FROM (SELECT doc_id, {SQL_TOKS} AS l FROM documents),
+       unnest(range(1, len(l) + 1)) AS r(i)
+),
+stream AS (
+  SELECT CASE WHEN doc_id % 17 = 0 AND pos = 1 AND length(rawtok) >= 4
+              THEN substr(rawtok, 1, 1) || substr(rawtok, 3)
+              ELSE rawtok END AS token
+  FROM raw
+),
+counts AS (
+  SELECT token, count(*) AS c FROM stream GROUP BY 1
+  HAVING length(token) >= 3
+),
+keyed AS (
+  SELECT token, c, key
+  FROM counts,
+       unnest(list_distinct(
+         list_append(
+           list_transform(range(1, length(token) + 1),
+                          i -> substr(token, 1, i - 1) || substr(token, i + 1)),
+           token)
+       )) AS u(key)
+),
+cand AS (
+  SELECT DISTINCT a.token AS t1, a.c AS c1, b.token AS t2, b.c AS c2
+  FROM keyed a JOIN keyed b ON a.key = b.key
+  WHERE a.token < b.token
+),
+verified AS (
+  SELECT * FROM cand WHERE levenshtein(t1, t2) = 1
+)
+SELECT CASE WHEN c1 <= c2 THEN t1 ELSE t2 END AS typo,
+       CASE WHEN c1 <= c2 THEN c1 ELSE c2 END AS typo_count,
+       CASE WHEN c1 <= c2 THEN t2 ELSE t1 END AS correction,
+       CASE WHEN c1 <= c2 THEN c2 ELSE c1 END AS corr_count
+FROM verified
+WHERE (CASE WHEN c1 <= c2 THEN c2 ELSE c1 END)
+      >= 10 * (CASE WHEN c1 <= c2 THEN c1 ELSE c2 END)
+ORDER BY typo, correction
+"""
+
+
 QUERIES = {
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
+    "token_gini": (q_token_gini, SQL_TOKEN_GINI),
+    "symspell_variants": (q_symspell_variants, SQL_SYMSPELL_VARIANTS),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
     "dedup_attribution": (q_dedup_attribution, SQL_DEDUP_ATTRIBUTION),

@@ -954,9 +954,149 @@ ORDER BY 1, 2
 """
 
 
+_WH_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_WH_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC merge — apply an insert/update/delete change log to produce
+    final table state (operators/scd.py ``cdc_apply``: per-key max-seq
+    survivor + delete drop, one shuffle, no base-table self-join). The
+    change log is synthesized deterministically from ``orders`` — every
+    order inserts at seq 1, every 7th key updates (status X, price
+    +10%) at seq 2, every 13th key deletes at seq 3 — so the oracle
+    replays log construction AND application, and the full final state
+    is value-checked row by row. Prices ride as INTEGER CENTS end to
+    end (the compaction_plan lesson: Spark's round() half-ups the
+    shortest-decimal rendering while DuckDB rounds the binary double,
+    so a float price column diverges at the cent boundary; integer
+    cents + integer DIV cannot)."""
+    orders = load_table(spark, sf, "orders")
+    ins = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("status"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+            " + CAST(round(o_totalprice * 100) AS BIGINT) DIV 10"
+        ).alias("price_cents"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+    )
+    cdc = ins.unionByName(upd).unionByName(dele)
+    return scd.cdc_apply(cdc, ["k"], "seq").select("k", "seq", "status", "price_cents")
+
+
+SQL_CDC_APPLY = """
+WITH cdc AS (
+  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'X',
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CAST(round(o_totalprice * 100) AS BIGINT) // 10
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL, CAST(NULL AS BIGINT)
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+latest AS (
+  SELECT k, seq, op, status, price_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM cdc)
+  WHERE rn = 1
+)
+SELECT k, CAST(seq AS INTEGER) AS seq, status, price_cents
+FROM latest WHERE op <> 'D'
+"""
+
+
+def q_scd2_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 history
+    (operators/scd.py ``asof_state``): for each purchasing user, the
+    behavioral state ONE SECOND BEFORE their first purchase — "what was
+    this user doing right before converting", the PIT-correctness shape
+    (an equi join on the key + an interval filter against the
+    [valid_from, valid_to) spans) that a feature-store backfill must get
+    right to avoid label leakage. Users whose first purchase opens
+    their history get state 'none'."""
+    ev = load_table(spark, sf, "events")
+    hist = scd.scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    probes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+        .select(
+            "user_id",
+            (F.col("pts") - F.expr("INTERVAL 1 SECOND")).alias("probe_ts"),
+        )
+    )
+    out = scd.asof_state(hist, probes, ["user_id"], "probe_ts")
+    return out.select(
+        F.col("p.user_id").alias("user_id"),
+        F.date_format("probe_ts", _WH_TS_FMT).alias("probe_ts"),
+        F.coalesce(F.col("h.event_type"), F.lit("none")).alias("state"),
+        F.coalesce(
+            F.date_format(F.col("h.valid_from"), _WH_TS_FMT), F.lit("none")
+        ).alias("state_since"),
+    )
+
+
+SQL_SCD2_PIT_LOOKUP = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+),
+hist AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM starts
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+probes AS (
+  SELECT user_id, min(ts) - INTERVAL 1 SECOND AS probe_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT p.user_id,
+       strftime(p.probe_ts, '{_WH_SQL_TS_FMT}') AS probe_ts,
+       coalesce(h.event_type, 'none') AS state,
+       coalesce(strftime(h.valid_from, '{_WH_SQL_TS_FMT}'), 'none') AS state_since
+FROM probes p LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.probe_ts
+ AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+"""
+
+
 QUERIES = {
     "benford_dq": (q_benford_dq, SQL_BENFORD_DQ),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "scd2_pit_lookup": (q_scd2_pit_lookup, SQL_SCD2_PIT_LOOKUP),
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

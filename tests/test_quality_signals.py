@@ -275,3 +275,115 @@ class TestStreamingHll:
         }
         assert once == twice
         assert once["a"] == 50 and once["b"] == 7  # sparse mode is exact here
+
+
+class TestCdcApply:
+    def test_merge_semantics_and_order_independence(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.scd import cdc_apply
+
+        rows = [
+            ("A", 1, "I", "a1"),
+            ("A", 2, "U", "a2"),
+            ("B", 1, "I", "b1"),
+            ("B", 2, "D", None),
+            ("C", 1, "I", "c1"),
+        ]
+        schema = "k string, seq int, op string, val string"
+        out = {
+            r.k: (r.seq, r.val)
+            for r in cdc_apply(
+                spark.createDataFrame(rows, schema), ["k"], "seq"
+            ).collect()
+        }
+        assert out == {"A": (2, "a2"), "C": (1, "c1")}
+        # arrival order must not matter — the log is keyed by seq, not order
+        shuffled = spark.createDataFrame(list(reversed(rows)), schema)
+        out2 = {
+            r.k: (r.seq, r.val)
+            for r in cdc_apply(shuffled, ["k"], "seq").collect()
+        }
+        assert out2 == out
+
+    def test_pit_lookup_covers_every_purchasing_user(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.sources import load_table
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            q_scd2_pit_lookup,
+        )
+
+        rows = q_scd2_pit_lookup(spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        n_buyers = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_buyers
+        types = {r[0] for r in ev.select("event_type").distinct().collect()}
+        assert {r.state for r in rows} <= types | {"none"}
+
+    def test_lasttouch_shares_sum_to_one(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_lasttouch_attribution,
+        )
+
+        rows = q_lasttouch_attribution(spark, sf_dir).collect()
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        assert all(r.conversions > 0 for r in rows)
+        assert "purchase" not in {r.channel for r in rows}
+
+
+class TestCorpusStatistics:
+    def test_hill_alpha_on_pareto_tail(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import (
+            q_hill_tail_index,
+        )
+
+        r = q_hill_tail_index(spark, sf_dir).collect()[0]
+        assert r.k == 100
+        assert r.xmin > 0
+        assert r.hill_alpha is None or r.hill_alpha > 0
+
+    def test_token_gini_bounds(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import q_token_gini
+
+        r = q_token_gini(spark, sf_dir).collect()[0]
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_types <= r.total_tokens
+
+    def test_symspell_finds_planted_typos(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import (
+            q_symspell_variants,
+        )
+
+        rows = q_symspell_variants(spark, sf_dir).collect()
+        assert rows  # the planted corruptions must surface
+        for r in rows:
+            # a deletion typo is exactly one char shorter or a 1-sub variant
+            assert abs(len(r.typo) - len(r.correction)) <= 1
+            assert r.corr_count >= 10 * r.typo_count
+
+    def test_rbo_bounds_and_overlap(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.affinity_q import (
+            q_rbo_rankings,
+        )
+
+        rows = q_rbo_rankings(spark, sf_dir).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert 0.0 <= r.rbo <= 1.0 + 1e-9
+            assert 0 <= r.n_common <= 10
+        # truncating a query must retain SOME head agreement on this corpus
+        assert any(r.n_common > 0 for r in rows)
+
+    def test_time_to_convert_sane(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_time_to_convert,
+        )
+
+        r = q_time_to_convert(spark, sf_dir).collect()[0]
+        assert 0 < r.n_converted <= r.n_signups
+        assert 0 <= r.conversion_rate <= 1
+        assert 0 < r.p50_s <= r.p90_s

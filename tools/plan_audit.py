@@ -507,6 +507,69 @@ AUDIT = {
         "purged split: three partition-prunable range slices, "
         "count-distinct aggs, a semi join against the test-user frame",
     ),
+    "cusum_changepoints": (
+        ["Window", "HashAggregate", "!SortMergeJoin"],
+        "CUSUM: every window (per-type stats, running sums, running "
+        "min/max) runs over the HOURLY rollup — hours x types rows in, "
+        "regardless of event volume; raw events scanned once",
+    ),
+    "char_entropy": (
+        ["HashAggregate", "Generate", "!Window"],
+        "char entropy: explode-to-chars feeds a (doc, char) hash agg "
+        "whose map-side partial combine bounds the shuffle to "
+        "docs x alphabet; everything after is aggregate-over-aggregate",
+    ),
+    "benford_dq": (
+        ["HashAggregate", "BroadcastNestedLoopJoin|BroadcastExchange"],
+        "Benford: one groupBy(digit) over the scan; the 1-row total "
+        "rides back as a broadcast; 9-row output",
+    ),
+    "isotonic_calibration": (
+        ["HashAggregate", "Window", "!CartesianProduct"],
+        "isotonic PAV: corpus-sized work is ONE groupBy(bin); the "
+        "minimax closed form (self-join + running-min window + max) "
+        "runs on the 20-row bin table",
+    ),
+    "lift_gains": (
+        ["Window", "HashAggregate"],
+        "lift/gains: one global ntile ranking (the sort-shaped stage), "
+        "then a 10-row rollup; hash-banded split is the documented "
+        "alternative when the sort is unaffordable",
+    ),
+    "jaccard_threshold_sweep": (
+        ["BroadcastHashJoin|BroadcastNestedLoopJoin", "!CartesianProduct"],
+        "threshold sweep: ONE PPJoin pass enumerates pairs at the floor; "
+        "the 11-row edge frame broadcasts and the verdicts are a "
+        "pairs-sized groupBy — never one join per candidate threshold",
+    ),
+    "neighborhood_function": (
+        ["HashAggregate", "!CartesianProduct"],
+        "exact ANF: per hop one frontier-vs-edges equi join + one "
+        "anti join behind localCheckpoint barriers; the audited final "
+        "plan is the hop-count rollup (hops-sized window input)",
+    ),
+    "embedding_alignment": (
+        ["Window", "!CartesianProduct", "!SortMergeJoin"],
+        "alignment/uniformity: two O(n) lead() pairings (per-label and "
+        "content-addressed) — never the all-pairs expectation; the "
+        "1-row aggregates cross-join at the end",
+    ),
+    "cdc_apply": (
+        ["Window", "!SortMergeJoin", "!CartesianProduct"],
+        "CDC merge: per-key max-seq survivor is ONE row_number window "
+        "(one shuffle on the key), delete-drop is a filter — no "
+        "base-table self-join, change-log length never changes the plan",
+    ),
+    "scd2_pit_lookup": (
+        ["Window", "!CartesianProduct"],
+        "PIT lookup: SCD2 history (one key shuffle, shared sort) joined "
+        "to key-grained probes on the key + interval filter",
+    ),
+    "lasttouch_attribution": (
+        ["Window", "HashAggregate", "!CartesianProduct"],
+        "last-touch: union+window as-of (one user_id shuffle), then a "
+        "channel-cardinality rollup with a 1-row broadcast total",
+    ),
 }
 
 
