@@ -222,6 +222,12 @@ FAMILY_EXTRA = [
     "token_gini",
     "symspell_variants",
     "time_to_convert",
+    # r5 session 2: Platt scaling, Apriori triples, windowed funnel,
+    # FFT peak detection over real PCM, CDC/PIT warehouse ops
+    "platt_scaling",
+    "frequent_triples",
+    "window_funnel_7d",
+    "audio_peak_freq",
 ]
 
 

@@ -777,3 +777,116 @@ def ahash_64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(
         kernel, schema=f"{in_cols}, ahash_hi bigint, ahash_lo bigint"
     )
+
+
+TONE_N_SAMPLES = 512
+TONE_AMPLITUDE = 8000
+
+
+def synthesize_tone_wav(bin_k: int, n_samples: int = TONE_N_SAMPLES,
+                        rate: int = WAV_RATE) -> bytes:
+    """RIFF/WAVE carrying a pure sine at DFT bin ``bin_k``: sample t =
+    round(A·sin(2π·k·t/N)). Because the tone frequency sits EXACTLY on
+    the length-N DFT grid, the spectrum's argmax bin equals k in closed
+    form — the property that lets an oracle verify a frequency analysis
+    without running one."""
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64)
+    samples = np.round(
+        TONE_AMPLITUDE * np.sin(2.0 * np.pi * bin_k * t / n_samples)
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_tone_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture ingestion for the frequency lane: a 512-sample 8 kHz pure
+    tone per row at DFT bin k = 1 + id mod 200 (always under Nyquist),
+    so the planted peak bin is a closed-form function of the id. Only
+    200 distinct tones exist, so synthesis is memoized per bin."""
+    def kernel(batches):
+        import pandas as pd
+
+        cache: dict = {}
+
+        def tone(k: int) -> bytes:
+            if k not in cache:
+                cache[k] = synthesize_tone_wav(k)
+            return cache[k]
+
+        for pdf in batches:
+            payloads = [tone(1 + int(i) % 200) for i in pdf[id_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, payload binary"
+    )
+
+
+def audio_peak_bin(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Dominant-frequency detection over real PCM bytes: walk the RIFF
+    chunks, reinterpret the data chunk as int16, take the length-N rFFT
+    magnitude argmax over bins 1..N/2 (DC excluded) — the feature-
+    extraction step of an audio-curation pipeline (tone/DTMF/hum
+    detection, silence screening). Arrow-batched numpy per batch, never
+    per row; undecodable payloads degrade to null bins (quarantine-
+    don't-crash, same policy as the image lanes)."""
+    import numpy as np
+
+    def one(b: bytes):
+        duration_ms, rate, channels, bits = decode_wav_header(bytes(b))
+        pos = 12
+        data = None
+        while pos + 8 <= len(b):
+            tag, length = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            if tag == b"data":
+                data = b[pos + 8 : pos + 8 + length]
+                break
+            pos += 8 + length + (length & 1)
+        if data is None or bits != 16:
+            return None
+        pcm = np.frombuffer(data, dtype="<i2").astype(np.float64)
+        if len(pcm) < 4:
+            return None
+        spec = np.abs(np.fft.rfft(pcm))
+        k = int(np.argmax(spec[1:])) + 1
+        return k, len(pcm), rate
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = {c: pdf[c] for c in pdf.columns if c != payload_col}
+            out = {"peak_bin": [], "n_samples": [], "sample_rate": []}
+            for payload in pdf[payload_col]:
+                try:
+                    r = one(payload)
+                except (ValueError, struct.error):
+                    r = None
+                for key, v in zip(out, r or (None, None, None)):
+                    out[key].append(v)
+            yield pd.DataFrame({**keep, **out})
+
+    in_cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    return df.mapInPandas(
+        kernel,
+        schema=f"{in_cols}, peak_bin int, n_samples int, sample_rate int",
+    )

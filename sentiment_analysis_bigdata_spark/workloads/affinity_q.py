@@ -453,9 +453,84 @@ ORDER BY 1
 """
 
 
+def q_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent 3-itemsets by the Apriori candidate-join step (Agrawal &
+    Srikant 1994): triples come ONLY from extending frequent pairs that
+    share their first item — (a,b) ⋈ (a,c) with b < c — then one
+    basket-grained recount verifies true support ≥ 2. The classic
+    anti-monotonicity prune: candidate volume is bounded by the frequent
+    -pair table, never by items³, and baskets (TPC-H orders, ≤ 7 lines)
+    bound the per-basket recount fan-out. The step that takes
+    market-basket mining past ``co_purchase_pairs``/``association_rules``
+    pair rules."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    pairs = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), F.col("x.basket") == F.col("y.basket"))
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    cand = (
+        pairs.alias("p")
+        .join(pairs.alias("q"), F.col("p.a") == F.col("q.a"))
+        .filter(F.col("p.b") < F.col("q.b"))
+        .select(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"), F.col("q.b").alias("c")
+        )
+    )
+    counted = (
+        cand.join(baskets.alias("ba"), F.col("a") == F.col("ba.item"))
+        .join(
+            baskets.alias("bb"),
+            (F.col("b") == F.col("bb.item"))
+            & (F.col("ba.basket") == F.col("bb.basket")),
+        )
+        .join(
+            baskets.alias("bc"),
+            (F.col("c") == F.col("bc.item"))
+            & (F.col("ba.basket") == F.col("bc.basket")),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.countDistinct("ba.basket").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return counted.orderBy("a", "b", "c")
+
+
+SQL_FREQUENT_TRIPLES = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+pairs AS (
+  SELECT x.item AS a, y.item AS bb, count(*) AS support
+  FROM b x JOIN b y ON x.basket = y.basket
+  WHERE x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+cand AS (
+  SELECT p.a, p.bb AS b2, q.bb AS c2
+  FROM pairs p JOIN pairs q ON p.a = q.a
+  WHERE p.bb < q.bb
+)
+SELECT cand.a, cand.b2 AS b, cand.c2 AS c,
+       count(DISTINCT ba.basket) AS support
+FROM cand
+JOIN b ba ON cand.a = ba.item
+JOIN b bbj ON cand.b2 = bbj.item AND ba.basket = bbj.basket
+JOIN b bcj ON cand.c2 = bcj.item AND ba.basket = bcj.basket
+GROUP BY 1, 2, 3
+HAVING count(DISTINCT ba.basket) >= 2
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
     "rbo_rankings": (q_rbo_rankings, _sql_rbo()),
+    "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "hybrid_rrf_search": (q_hybrid_rrf_search, _sql_hybrid_rrf()),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),

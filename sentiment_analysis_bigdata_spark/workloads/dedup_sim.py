@@ -2590,10 +2590,49 @@ ORDER BY threshold
 """.replace("{toks}", SQL_TOKS)
 
 
+def q_audio_peak_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency analysis over real PCM audio bytes
+    (operators/multimodal.py ``audio_peak_bin``): per document a planted
+    512-sample pure tone at DFT bin k = 1 + doc_id mod 200 is
+    synthesized, round-tripped through RIFF bytes, and recovered by an
+    rFFT-magnitude argmax — the tone/hum/DTMF detection step of an
+    audio-curation pipeline. Because the tone sits exactly on the DFT
+    grid, the peak bin is a CLOSED-FORM function of the id, so the
+    oracle verifies a Fourier analysis without running one; the derived
+    frequency k·rate/N is the same double arithmetic on both engines."""
+    from sentiment_analysis_bigdata_spark.operators import multimodal as MM
+
+    docs = MM.attach_tone_payloads(
+        ensure_min_parallelism(
+            _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    )
+    out = MM.audio_peak_bin(docs)
+    return out.select(
+        "doc_id",
+        "peak_bin",
+        "n_samples",
+        F.round(
+            F.col("peak_bin") * F.col("sample_rate") / F.col("n_samples").cast("double"),
+            6,
+        ).alias("peak_freq_hz"),
+    )
+
+
+SQL_AUDIO_PEAK_FREQ = """
+SELECT doc_id,
+       CAST(1 + doc_id % 200 AS INTEGER) AS peak_bin,
+       512 AS n_samples,
+       round((1 + doc_id % 200) * 8000 / CAST(512 AS DOUBLE), 6) AS peak_freq_hz
+FROM documents
+"""
+
+
 QUERIES = {
     "image_ahash_near_dup": (q_image_ahash_near_dup, SQL_IMAGE_AHASH_NEAR_DUP),
     "embedding_alignment": (q_embedding_alignment, SQL_EMBEDDING_ALIGNMENT),
     "jaccard_threshold_sweep": (q_jaccard_threshold_sweep, SQL_JACCARD_THRESHOLD_SWEEP),
+    "audio_peak_freq": (q_audio_peak_freq, SQL_AUDIO_PEAK_FREQ),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),

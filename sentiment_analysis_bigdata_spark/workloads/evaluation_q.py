@@ -1549,11 +1549,131 @@ ORDER BY decile
 """
 
 
+_PLATT_ITERS = 8
+
+
+def q_platt_scaling(spark: SparkSession, sf: str) -> DataFrame:
+    """Platt scaling (Platt 1999) — the parametric complement to
+    ``isotonic_calibration``: fit sigmoid(a·score + b) to the observed
+    outcome rates by weighted Newton-Raphson over the 20-bin calibration
+    rollup, then report each bin's calibrated probability alongside the
+    raw rate. Where isotonic can only ever output step functions, Platt
+    gives a smooth two-parameter curve — the right tool when scores are
+    logits with a miscalibrated temperature.
+
+    Scale shape is the PCA/LR recipe: ONE corpus pass builds the 20-bin
+    sufficient statistics, the 8 fixed Newton iterations are pure driver
+    math over that bounded frame in a FIXED summation order, and the
+    oracle replays the identical recursion as unrolled 1-row CTEs — the
+    2×2 Hessian solve is closed-form, so every intermediate is the same
+    IEEE arithmetic on both engines."""
+    import math
+
+    preds = _preds(spark, sf)
+    bins = (
+        preds.select(
+            F.least(F.floor(F.col("score") * 20), F.lit(19)).cast("int").alias("bin"),
+            F.col("label").cast("long").alias("label"),
+            "score",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("pos"),
+            F.avg("score").alias("x"),
+        )
+    )
+    cells = sorted(
+        (r["bin"], float(r["n"]), int(r["pos"]), float(r["x"]))
+        for r in bins.collect()
+    )
+    a = b = 0.0
+    for _ in range(_PLATT_ITERS):
+        g1 = g2 = h11 = h12 = h22 = 0.0
+        for _bin, n, pos, x in cells:
+            p = 1.0 / (1.0 + math.exp(-(a * x + b)))
+            y = pos / n
+            w = n * p * (1.0 - p)
+            g1 += n * (y - p) * x
+            g2 += n * (y - p)
+            h11 += w * x * x
+            h12 += w * x
+            h22 += w
+        det = h11 * h22 - h12 * h12
+        a += (h22 * g1 - h12 * g2) / det
+        b += (h11 * g2 - h12 * g1) / det
+    rows = [
+        (
+            _bin,
+            int(n),
+            round(x, 6),
+            round(pos / n, 6),
+            round(1.0 / (1.0 + math.exp(-(a * x + b))), 6),
+            round(a, 6),
+            round(b, 6),
+        )
+        for _bin, n, pos, x in cells
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bin int, n bigint, mean_score double, pos_rate double, "
+        "platt_prob double, coef_a double, coef_b double",
+    ).orderBy("bin")
+
+
+def _sql_platt() -> str:
+    ctes = [
+        """binstats AS (
+  SELECT CAST(least(floor(score * 20), 19) AS INTEGER) AS bin,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+         avg(score) AS x
+  FROM ({preds})
+  GROUP BY 1
+)""".replace("{preds}", SQL_PREDS),
+        "it0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b)",
+    ]
+    for k in range(1, _PLATT_ITERS + 1):
+        ctes.append(
+            f"""it{k} AS (
+  SELECT a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+         b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+  FROM (
+    SELECT a, b,
+           sum(n * (y - p) * x) AS g1,
+           sum(n * (y - p)) AS g2,
+           sum(n * p * (1 - p) * x * x) AS h11,
+           sum(n * p * (1 - p) * x) AS h12,
+           sum(n * p * (1 - p)) AS h22
+    FROM (
+      SELECT t.n, t.x, t.pos / t.n AS y, i.a, i.b,
+             1.0 / (1.0 + exp(-(i.a * t.x + i.b))) AS p
+      FROM binstats t CROSS JOIN it{k - 1} i
+    ) s
+    GROUP BY a, b
+  ) g
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT bin, CAST(n AS BIGINT) AS n, round(x, 6) AS mean_score,
+       round(pos / n, 6) AS pos_rate,
+       round(1.0 / (1.0 + exp(-(f.a * x + f.b))), 6) AS platt_prob,
+       round(f.a, 6) AS coef_a, round(f.b, 6) AS coef_b
+FROM binstats CROSS JOIN it{_PLATT_ITERS} f
+ORDER BY bin
+"""
+    )
+
+
 QUERIES = {
     "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "matthews_corrcoef": (q_matthews_corrcoef, SQL_MATTHEWS_CORRCOEF),
     "lift_gains": (q_lift_gains, SQL_LIFT_GAINS),
+    "platt_scaling": (q_platt_scaling, _sql_platt()),
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),

@@ -1570,11 +1570,115 @@ GROUP BY n_signups
 """
 
 
+_WF_WINDOW_MS = 7 * 86400 * 1000
+
+
+def q_window_funnel_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse ``windowFunnel`` shape): the
+    deepest signup → click → purchase step each user completes with
+    EVERY step inside 7 days of the signup — the bounded-window variant
+    that separates "eventually converted" from "converted while the
+    campaign was live". Stage timestamps are strictly-ordered
+    conditional mins (three key-grained aggregates); the window check
+    is an integer epoch-millisecond compare, exact on both engines.
+    Output is one row per depth (0-3) with user counts and shares."""
+    ev = _events(spark, sf)
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    ck = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ck, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    users = ev.select("user_id").distinct()
+    staged = (
+        users.join(su, "user_id", "left")
+        .join(ck, "user_id", "left")
+        .join(pu, "user_id", "left")
+    )
+    in_window = lambda c: (  # noqa: E731 — tiny local predicate
+        F.unix_millis(F.col(c)) - F.unix_millis(F.col("signup_ts"))
+    ) <= F.lit(_WF_WINDOW_MS)
+    step = (
+        F.when(F.col("purchase_ts").isNotNull() & in_window("purchase_ts"), 3)
+        .when(F.col("click_ts").isNotNull() & in_window("click_ts"), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    counts = staged.groupBy(step.alias("step")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = counts.agg(F.sum("n_users").cast("double").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "step",
+            "n_users",
+            F.round(F.col("n_users") / F.col("_t"), 6).alias("share"),
+        )
+        .orderBy("step")
+    )
+
+
+SQL_WINDOW_FUNNEL_7D = f"""
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+ck AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > su.signup_ts
+  GROUP BY 1
+),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN ck USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > ck.click_ts
+  GROUP BY 1
+),
+staged AS (
+  SELECT u.user_id, su.signup_ts, ck.click_ts, pu.purchase_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN su USING (user_id)
+  LEFT JOIN ck USING (user_id)
+  LEFT JOIN pu USING (user_id)
+),
+stepped AS (
+  SELECT CASE
+    WHEN purchase_ts IS NOT NULL
+         AND epoch_ms(purchase_ts) - epoch_ms(signup_ts) <= {_WF_WINDOW_MS} THEN 3
+    WHEN click_ts IS NOT NULL
+         AND epoch_ms(click_ts) - epoch_ms(signup_ts) <= {_WF_WINDOW_MS} THEN 2
+    WHEN signup_ts IS NOT NULL THEN 1
+    ELSE 0 END AS step
+  FROM staged
+),
+c AS (SELECT step, count(*) AS n_users FROM stepped GROUP BY 1)
+SELECT step, n_users,
+       round(n_users / (SELECT CAST(sum(n_users) AS DOUBLE) FROM c), 6) AS share
+FROM c ORDER BY step
+"""
+
+
 QUERIES = {
     "streaming_cms": (q_streaming_cms, SQL_STREAMING_CMS),
     "streaming_hll": (q_streaming_hll, SQL_STREAMING_HLL),
     "lasttouch_attribution": (q_lasttouch_attribution, SQL_LASTTOUCH_ATTRIBUTION),
     "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "window_funnel_7d": (q_window_funnel_7d, SQL_WINDOW_FUNNEL_7D),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

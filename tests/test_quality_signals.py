@@ -387,3 +387,49 @@ class TestCorpusStatistics:
         assert 0 < r.n_converted <= r.n_signups
         assert 0 <= r.conversion_rate <= 1
         assert 0 < r.p50_s <= r.p90_s
+
+
+class TestBatch5:
+    def test_platt_monotone_and_bounded(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_platt_scaling,
+        )
+
+        rows = q_platt_scaling(spark, sf_dir).collect()
+        probs = [r.platt_prob for r in rows]
+        coef_a = {r.coef_a for r in rows}
+        assert len(coef_a) == 1  # one global fit
+        assert all(0.0 <= p <= 1.0 for p in probs)
+        # sigmoid in score is monotone when a > 0 (scores carry signal)
+        if rows[0].coef_a > 0:
+            assert probs == sorted(probs)
+
+    def test_frequent_triples_are_supported_pairsets(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.affinity_q import (
+            q_frequent_triples,
+        )
+
+        rows = q_frequent_triples(spark, sf_dir).collect()
+        for r in rows:
+            assert r.a < r.b < r.c
+            assert r.support >= 2
+
+    def test_window_funnel_shares(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_window_funnel_7d,
+        )
+
+        rows = q_window_funnel_7d(spark, sf_dir).collect()
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        assert {r.step for r in rows} <= {0, 1, 2, 3}
+
+    def test_audio_peak_matches_planted_bin(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_audio_peak_freq,
+        )
+
+        rows = q_audio_peak_freq(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.peak_bin == 1 + r.doc_id % 200
+            assert abs(r.peak_freq_hz - r.peak_bin * 8000 / 512) < 1e-6
