@@ -228,6 +228,11 @@ FAMILY_EXTRA = [
     "frequent_triples",
     "window_funnel_7d",
     "audio_peak_freq",
+    # r5 session 2: order-insensitive dedup, invisible-char hygiene,
+    # token-weighted quantiles
+    "bagofwords_dedup",
+    "unicode_hygiene",
+    "weighted_quantiles",
 ]
 
 

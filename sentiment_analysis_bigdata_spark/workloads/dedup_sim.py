@@ -2628,11 +2628,49 @@ FROM documents
 """
 
 
+def q_bagofwords_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-of-words (order-insensitive) exact dedup: the fingerprint is
+    the md5 of the SORTED DISTINCT token set, so documents that differ
+    only by word order or repetition collapse into one group — the
+    dedup rung between byte-exact fingerprinting (misses any reorder)
+    and MinHash (pays the approximate machinery for what is here an
+    exact question). One narrow per-row expression (sort + join + md5,
+    all JVM-side) and one fingerprint-keyed count; reports each
+    multi-document group with its min-id survivor and size."""
+    docs = _docs(spark, sf)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(TXT.tokenize_nonempty("text"))), " ")
+    )
+    groups = (
+        docs.select("doc_id", fp.alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return groups.select("bag_fp", "survivor_id", "group_size").orderBy("bag_fp")
+
+
+SQL_BAGOFWORDS_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' ')) AS bag_fp
+  FROM documents
+)
+SELECT bag_fp, min(doc_id) AS survivor_id, count(*) AS group_size
+FROM fp GROUP BY 1 HAVING count(*) >= 2
+ORDER BY bag_fp
+"""
+
+
 QUERIES = {
     "image_ahash_near_dup": (q_image_ahash_near_dup, SQL_IMAGE_AHASH_NEAR_DUP),
     "embedding_alignment": (q_embedding_alignment, SQL_EMBEDDING_ALIGNMENT),
     "jaccard_threshold_sweep": (q_jaccard_threshold_sweep, SQL_JACCARD_THRESHOLD_SWEEP),
     "audio_peak_freq": (q_audio_peak_freq, SQL_AUDIO_PEAK_FREQ),
+    "bagofwords_dedup": (q_bagofwords_dedup, SQL_BAGOFWORDS_DEDUP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),

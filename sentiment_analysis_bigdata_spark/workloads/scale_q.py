@@ -998,7 +998,68 @@ FROM ranked WHERE rk <= {_GWS_K}
 """
 
 
+_WQ_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted quantiles of document length, weighted by TOKEN MASS —
+    the budget-planning readout an unweighted percentile gets wrong
+    (the p50 DOCUMENT is short, but the p50 TOKEN lives in a long
+    document; packing/truncation policy must follow the token mass):
+    for each q, the smallest length whose cumulative token weight
+    reaches q of the total.
+
+    Shape: one (length)-keyed weight rollup (support-sized — distinct
+    lengths, not documents), one cumulative window over that support,
+    and a broadcast 4-row quantile frame; every weight is an exact
+    integer so the q·total threshold compare is identical on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    per_len = (
+        docs.select(
+            F.col("n_chars").alias("length"),
+            F.size(TXT.tokenize_nonempty("text")).cast("long").alias("w"),
+        )
+        .groupBy("length")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = Window.orderBy("length").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_len.select(
+        "length", F.sum("w").over(w_cum).alias("cw")
+    ).crossJoin(
+        F.broadcast(per_len.agg(F.sum("w").cast("double").alias("tw")))
+    )
+    qs = spark.createDataFrame([(q,) for q in _WQ_QS], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") >= F.col("q") * F.col("tw"))
+        .groupBy("q")
+        .agg(F.min("length").alias("weighted_quantile"))
+        .orderBy("q")
+    )
+
+
+SQL_WEIGHTED_QUANTILES = f"""
+WITH per_len AS (
+  SELECT n_chars AS length, CAST(sum(len({SQL_TOKS})) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT length, sum(w) OVER (ORDER BY length) AS cw FROM per_len
+),
+tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM per_len),
+qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q)
+SELECT q, min(length) AS weighted_quantile
+FROM cum CROSS JOIN tot CROSS JOIN qs
+WHERE cw >= q * tw
+GROUP BY q ORDER BY q
+"""
+
+
 QUERIES = {
+    "weighted_quantiles": (q_weighted_quantiles, SQL_WEIGHTED_QUANTILES),
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
     "group_weighted_sample": (

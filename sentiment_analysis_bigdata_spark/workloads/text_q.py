@@ -2329,6 +2329,74 @@ ORDER BY typo, correction
 """
 
 
+# zero-width + bidi-control codepoints, embedded as literal characters so
+# both engines' regex engines see identical patterns
+_ZW_CHARS = "​‌‍﻿"
+_BIDI_CHARS = "‪‫‬‭‮⁦⁧⁨⁩"
+
+
+def q_unicode_hygiene(spark: SparkSession, sf: str) -> DataFrame:
+    """Invisible-character hygiene screen — the prompt-injection /
+    text-smuggling sweep a curation pipeline runs before training
+    (zero-width characters hide payloads inside innocuous text; bidi
+    control characters reorder what reviewers see vs what models read,
+    CVE-2021-42574 'Trojan Source'): per source, how many documents
+    carry zero-width or bidi-control codepoints. The plain-ASCII fixture
+    is corrupted deterministically — every 19th doc gains a zero-width
+    space, every 23rd a right-to-left override — and the oracle replays
+    BOTH the corruption and the detection, so each flag is value-checked.
+    One narrow rlike projection + one source-cardinality rollup."""
+    docs = _docs(spark, sf)
+    t = (
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("​"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    t = F.when(F.col("doc_id") % 23 == 0, F.concat(t, F.lit("‮"))).otherwise(t)
+    flagged = docs.select(
+        "source",
+        t.rlike(f"[{_ZW_CHARS}]").cast("bigint").alias("has_zw"),
+        t.rlike(f"[{_BIDI_CHARS}]").cast("bigint").alias("has_bidi"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_zw").alias("n_zero_width"),
+            F.sum("has_bidi").alias("n_bidi"),
+            F.sum(
+                ((F.col("has_zw") + F.col("has_bidi")) > 0).cast("bigint")
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_UNICODE_HYGIENE = f"""
+WITH corrupted AS (
+  SELECT source,
+         CASE WHEN doc_id % 23 = 0
+              THEN (CASE WHEN doc_id % 19 = 0 THEN chr(8203) || text ELSE text END) || chr(8238)
+              ELSE (CASE WHEN doc_id % 19 = 0 THEN chr(8203) || text ELSE text END)
+         END AS t
+  FROM documents
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN regexp_matches(t, '[{_ZW_CHARS}]') THEN 1 ELSE 0 END AS has_zw,
+         CASE WHEN regexp_matches(t, '[{_BIDI_CHARS}]') THEN 1 ELSE 0 END AS has_bidi
+  FROM corrupted
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(has_zw) AS BIGINT) AS n_zero_width,
+       CAST(sum(has_bidi) AS BIGINT) AS n_bidi,
+       CAST(sum(CASE WHEN has_zw + has_bidi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
@@ -2336,6 +2404,7 @@ QUERIES = {
     "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
     "token_gini": (q_token_gini, SQL_TOKEN_GINI),
     "symspell_variants": (q_symspell_variants, SQL_SYMSPELL_VARIANTS),
+    "unicode_hygiene": (q_unicode_hygiene, SQL_UNICODE_HYGIENE),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
     "dedup_attribution": (q_dedup_attribution, SQL_DEDUP_ATTRIBUTION),

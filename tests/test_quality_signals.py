@@ -433,3 +433,47 @@ class TestBatch5:
         for r in rows:
             assert r.peak_bin == 1 + r.doc_id % 200
             assert abs(r.peak_freq_hz - r.peak_bin * 8000 / 512) < 1e-6
+
+
+class TestBatch6:
+    def test_bagofwords_dedup_collapses_reorders(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import (
+            q_bagofwords_dedup,
+        )
+
+        rows = q_bagofwords_dedup(spark, sf_dir).collect()
+        for r in rows:
+            assert r.group_size >= 2
+            assert r.survivor_id >= 0
+
+    def test_unicode_hygiene_flags_planted_rows(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import (
+            q_unicode_hygiene,
+        )
+
+        rows = q_unicode_hygiene(spark, sf_dir).collect()
+        assert sum(r.n_zero_width for r in rows) > 0
+        assert sum(r.n_bidi for r in rows) > 0
+        for r in rows:
+            assert r.n_flagged <= r.n_docs
+            assert max(r.n_zero_width, r.n_bidi) <= r.n_flagged
+
+    def test_weighted_quantiles_monotone_and_shifted_right(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.sources import load_table
+        from sentiment_analysis_bigdata_spark.workloads.scale_q import (
+            q_weighted_quantiles,
+        )
+
+        rows = {r.q: r.weighted_quantile for r in q_weighted_quantiles(spark, sf_dir).collect()}
+        vals = [rows[q] for q in sorted(rows)]
+        assert vals == sorted(vals)
+        # token mass concentrates in longer docs, so the weighted median
+        # sits at or right of the unweighted one
+        med = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.expr("percentile(n_chars, 0.5)"))
+            .collect()[0][0]
+        )
+        assert rows[0.5] >= med * 0.9
