@@ -233,6 +233,9 @@ FAMILY_EXTRA = [
     "bagofwords_dedup",
     "unicode_hygiene",
     "weighted_quantiles",
+    # r5 session 2: forward as-of and FK-orphan audit
+    "asof_click_fulfillment",
+    "referential_integrity",
 ]
 
 

@@ -1570,6 +1570,71 @@ GROUP BY n_signups
 """
 
 
+def q_asof_click_fulfillment(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward',
+    operators/asof.py ``asof_join_forward``): each click matched to the
+    user's NEXT purchase at-or-after it — the "what happens next" face
+    of the backward as-of already certified by asof_purchase_signup
+    (next purchase after a click, next error after a deploy). Purchases
+    are deduped to one per (user, ts) by min event_id first, so the
+    equal-timestamp match is deterministic on both engines; the oracle
+    replays the dedup and takes the arg-min-by-timestamp subsequent
+    purchase per click. Same union+window shape — one user_id shuffle,
+    never a range-join explosion."""
+    from sentiment_analysis_bigdata_spark.operators.asof import asof_join_forward
+
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("purchase_event_id_matched", F.lit(-1)).cast("bigint").alias(
+            "next_purchase_event_id"
+        ),
+        F.coalesce(
+            F.round(
+                (F.unix_millis("ts_matched") - F.unix_millis("ts")) / 1000.0, 3
+            ),
+            F.lit(-1.0),
+        ).alias("wait_s"),
+    )
+
+
+SQL_ASOF_CLICK_FULFILLMENT = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts, min(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+matched AS (
+  SELECT c.event_id, c.user_id,
+         arg_min(p.purchase_event_id, p.ts) AS next_purchase_event_id,
+         (min(epoch_ms(p.ts)) - any_value(epoch_ms(c.ts))) / 1000.0 AS wait_s
+  FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CAST(coalesce(m.next_purchase_event_id, -1) AS BIGINT) AS next_purchase_event_id,
+       coalesce(round(m.wait_s, 3), -1.0) AS wait_s
+FROM c LEFT JOIN matched m USING (event_id, user_id)
+"""
+
+
 _WF_WINDOW_MS = 7 * 86400 * 1000
 
 
@@ -1679,6 +1744,7 @@ QUERIES = {
     "lasttouch_attribution": (q_lasttouch_attribution, SQL_LASTTOUCH_ATTRIBUTION),
     "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
     "window_funnel_7d": (q_window_funnel_7d, SQL_WINDOW_FUNNEL_7D),
+    "asof_click_fulfillment": (q_asof_click_fulfillment, SQL_ASOF_CLICK_FULFILLMENT),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

@@ -954,6 +954,86 @@ ORDER BY 1, 2
 """
 
 
+def q_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges —
+    the DQ gate that catches broken ingests and partial loads BEFORE a
+    join silently drops rows: for each child→parent edge, the child row
+    count and the number of orphans (child keys with no parent), each
+    edge ONE left-anti join against the parent's distinct keys. Edge
+    list is fixed; output is edges-sized regardless of table volume."""
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf, parent).select(F.col(pk).alias("fk")).distinct()
+        stats = c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+            F.broadcast(
+                c.join(p, "fk", "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_orphans")
+                )
+            )
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("references"),
+                "n_child_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("fk_edge", "references")
+
+
+SQL_REFERENTIAL_INTEGRITY = """
+WITH e AS (
+  SELECT 'orders.o_custkey' AS fk_edge, 'customer.c_custkey' AS references_,
+         (SELECT count(*) FROM orders) AS n_child_rows,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+)
+SELECT fk_edge, references_ AS references, n_child_rows, n_orphans,
+       n_orphans = 0 AS intact
+FROM e ORDER BY fk_edge, references_
+"""
+
+
 _WH_TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _WH_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -1097,6 +1177,7 @@ QUERIES = {
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "scd2_pit_lookup": (q_scd2_pit_lookup, SQL_SCD2_PIT_LOOKUP),
+    "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

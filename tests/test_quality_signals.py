@@ -8,6 +8,13 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from pyspark.sql import functions as _F
+
+
+def F_ts(col):
+    """Seconds-since-epoch bigint column -> timestamp."""
+    return _F.timestamp_seconds(_F.col(col) if isinstance(col, str) else col)
+
 
 from sentiment_analysis_bigdata_spark.operators.graph import neighborhood_function
 from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
@@ -477,3 +484,64 @@ class TestBatch6:
             .collect()[0][0]
         )
         assert rows[0.5] >= med * 0.9
+
+
+class TestBatch7:
+    def test_forward_asof_matches_next_value(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.asof import (
+            asof_join,
+            asof_join_forward,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10), (1, 25), (2, 5)], "k bigint, t bigint"
+        ).select("k", F_ts("t").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "z")],
+            "k bigint, t bigint, v string",
+        ).select("k", F_ts("t").alias("ts"), "v")
+        fwd = {
+            (r.k, r.ts): r.v_matched
+            for r in asof_join_forward(
+                left, right, key="k", left_ts="ts", right_ts="ts", payload_cols=["v"]
+            ).collect()
+        }
+        # equal ts matches (t=10 -> 'a'); t=25 -> next is 'c'; k=2 t=5 -> none
+        vals = sorted(fwd.values(), key=lambda x: (x is None, x))
+        assert set(v for v in fwd.values()) == {"a", "c", None}
+        bwd = {
+            r.v_matched
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="ts", payload_cols=["v"]
+            ).collect()
+        }
+        assert bwd == {"a", "b", "z"}  # backward sees prior rows instead
+
+    def test_referential_integrity_clean_fixture(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            q_referential_integrity,
+        )
+
+        rows = q_referential_integrity(spark, sf_dir).collect()
+        assert len(rows) == 6
+        assert all(r.intact and r.n_orphans == 0 for r in rows)
+
+    def test_referential_integrity_catches_orphans(self, spark, tmp_path, sf_dir):
+        # corrupt a copy of the star schema: drop half the customers
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            q_referential_integrity,
+        )
+
+        dst = str(tmp_path / "sf_corrupt")
+        shutil.copytree(sf_dir, dst)
+        spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_custkey") % 2 == 0
+        ).write.mode("overwrite").parquet(f"{dst}/customer.parquet")
+        rows = {r.fk_edge: r for r in q_referential_integrity(spark, dst).collect()}
+        assert rows["orders.o_custkey"].n_orphans > 0
+        assert not rows["orders.o_custkey"].intact
+        assert rows["lineitem.l_orderkey"].intact
