@@ -236,6 +236,9 @@ FAMILY_EXTRA = [
     # r5 session 2: forward as-of and FK-orphan audit
     "asof_click_fulfillment",
     "referential_integrity",
+    # r5 session 2: MI dependence screen and GDPR delete-cascade plan
+    "mutual_information",
+    "delete_cascade_plan",
 ]
 
 

@@ -1635,6 +1635,73 @@ FROM c LEFT JOIN matched m USING (event_id, user_id)
 """
 
 
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence screen that tells a feature/monitoring team whether a
+    categorical pair carries signal at all (MI = 0 ⇔ independent;
+    correlation only sees linear-ordinal structure): I(X;Y) =
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) plus both marginal entropies and the
+    normalized coefficient I/min(H(X),H(Y)).
+
+    One (x, y)-keyed count agg (bounded by |types|×24 cells), marginals
+    as two rollups of that grid, every probability an exact integer
+    ratio — both engines evaluate identical doubles. Hour-of-day comes
+    from the epoch-hour integer mod 24 (UTC-stable, no locale
+    surface)."""
+    ev = _events(spark, sf)
+    cells = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            F.floor(F.unix_millis("ts") / 3600000).cast("bigint").alias("_h"),
+        )
+        .select("x", F.pmod(F.col("_h"), F.lit(24)).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    total = cells.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    joined = (
+        cells.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(total))
+    )
+    mi = F.sum(
+        (F.col("nxy") / F.col("n"))
+        * F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+    )
+    # marginal entropies from the grid: sum over distinct x of
+    # -(nx/n)·ln(nx/n), computed via the per-cell share of its marginal
+    hx = -F.sum((F.col("nxy") / F.col("n")) * F.log(F.col("nx") / F.col("n")))
+    hy = -F.sum((F.col("nxy") / F.col("n")) * F.log(F.col("ny") / F.col("n")))
+    return joined.agg(
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(hx, 6).alias("h_type"),
+        F.round(hy, 6).alias("h_hour"),
+        F.round(mi / F.least(hx, hy), 6).alias("normalized_mi"),
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT event_type AS x,
+         CAST(floor(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS y,
+         count(*) AS nxy
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM cells),
+mx AS (SELECT x, sum(nxy) AS nx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(nxy) AS ny FROM cells GROUP BY 1)
+SELECT round(sum((nxy / n) * ln(nxy * n / (nx * ny))), 6) AS mi_nats,
+       round(-sum((nxy / n) * ln(nx / n)), 6) AS h_type,
+       round(-sum((nxy / n) * ln(ny / n)), 6) AS h_hour,
+       round(sum((nxy / n) * ln(nxy * n / (nx * ny)))
+             / least(-sum((nxy / n) * ln(nx / n)),
+                      -sum((nxy / n) * ln(ny / n))), 6) AS normalized_mi
+FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+"""
+
+
 _WF_WINDOW_MS = 7 * 86400 * 1000
 
 
@@ -1745,6 +1812,7 @@ QUERIES = {
     "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
     "window_funnel_7d": (q_window_funnel_7d, SQL_WINDOW_FUNNEL_7D),
     "asof_click_fulfillment": (q_asof_click_fulfillment, SQL_ASOF_CLICK_FULFILLMENT),
+    "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

@@ -954,6 +954,61 @@ ORDER BY 1, 2
 """
 
 
+def q_delete_cascade_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure cascade planning (the GDPR/CCPA delete-request
+    shape): given a deterministic request set (every 97th customer),
+    report per table how many rows a cascading delete would purge —
+    customers directly, their orders via the FK, their orders' line
+    items transitively — with each table's total and purge share. The
+    cascade is two semi joins down the FK chain; output is tables-sized.
+    A real deletion job would swap the counts for anti-join rewrites of
+    the same frames; the PLAN is what compliance reviews."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    req = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    hit_orders = orders.join(
+        req, orders.o_custkey == req.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    hit_li = li.join(hit_orders, li.l_orderkey == hit_orders.o_orderkey, "left_semi")
+    def _row(table, total_df, purge_df):
+        t = total_df.agg(F.count(F.lit(1)).alias("n_rows"))
+        p = purge_df.agg(F.count(F.lit(1)).alias("n_to_purge"))
+        return t.crossJoin(F.broadcast(p)).select(
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            "n_to_purge",
+            F.round(F.col("n_to_purge") / F.col("n_rows").cast("double"), 6).alias(
+                "purge_share"
+            ),
+        )
+    out = (
+        _row("customer", cust, req)
+        .unionByName(_row("orders", orders, hit_orders))
+        .unionByName(_row("lineitem", li, hit_li))
+    )
+    return out.orderBy("table_name")
+
+
+SQL_DELETE_CASCADE_PLAN = """
+WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+ho AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM req)),
+hl AS (SELECT 1 AS x FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ho)),
+e AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS n_rows,
+         (SELECT count(*) FROM req) AS n_to_purge
+  UNION ALL
+  SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM ho)
+  UNION ALL
+  SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM hl)
+)
+SELECT table_name, n_rows, n_to_purge,
+       round(n_to_purge / CAST(n_rows AS DOUBLE), 6) AS purge_share
+FROM e ORDER BY table_name
+"""
+
+
 def q_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit across the star schema's FK edges —
     the DQ gate that catches broken ingests and partial loads BEFORE a
@@ -1178,6 +1233,7 @@ QUERIES = {
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "scd2_pit_lookup": (q_scd2_pit_lookup, SQL_SCD2_PIT_LOOKUP),
     "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
+    "delete_cascade_plan": (q_delete_cascade_plan, SQL_DELETE_CASCADE_PLAN),
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

@@ -545,3 +545,29 @@ class TestBatch7:
         assert rows["orders.o_custkey"].n_orphans > 0
         assert not rows["orders.o_custkey"].intact
         assert rows["lineitem.l_orderkey"].intact
+
+
+class TestBatch8:
+    def test_mutual_information_bounds(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_mutual_information,
+        )
+
+        r = q_mutual_information(spark, sf_dir).collect()[0]
+        assert 0.0 <= r.mi_nats <= min(r.h_type, r.h_hour) + 1e-9
+        assert 0.0 <= r.normalized_mi <= 1.0 + 1e-9
+        import math
+
+        assert r.h_hour <= math.log(24) + 1e-6
+        assert r.h_type <= math.log(8) + 1e-6
+
+    def test_delete_cascade_counts_nest(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            q_delete_cascade_plan,
+        )
+
+        rows = {r.table_name: r for r in q_delete_cascade_plan(spark, sf_dir).collect()}
+        assert set(rows) == {"customer", "orders", "lineitem"}
+        assert rows["customer"].n_to_purge > 0
+        for r in rows.values():
+            assert 0 <= r.n_to_purge <= r.n_rows
