@@ -570,6 +570,43 @@ AUDIT = {
         "last-touch: union+window as-of (one user_id shuffle), then a "
         "channel-cardinality rollup with a 1-row broadcast total",
     ),
+    "weighted_quantiles": (
+        ["HashAggregate", "Window", "!SortMergeJoin"],
+        "weighted quantiles: the cumulative window runs over the "
+        "length SUPPORT (distinct lengths), never documents; the 4-row "
+        "quantile frame broadcasts",
+    ),
+    "referential_integrity": (
+        ["HashAggregate", "!CartesianProduct"],
+        "FK audit: one anti join per edge against the parent's distinct "
+        "keys; 1-row count frames broadcast; 6-row output",
+    ),
+    "mutual_information": (
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+        "MI: one (type, hour) grid agg bounds everything downstream to "
+        "types x 24 cells; marginals are grid rollups",
+    ),
+    "asof_click_fulfillment": (
+        ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+        "forward as-of: union+window (one user_id shuffle, "
+        "currentRow->following frame) — never a range-join explosion",
+    ),
+    "symspell_variants": (
+        ["HashAggregate", "Generate", "!CartesianProduct"],
+        "SymSpell: deletion-key postings equi join over the VOCAB "
+        "(O(vocab x len) keys), exact levenshtein verify on candidates "
+        "only — never all-pairs",
+    ),
+    "token_gini": (
+        ["HashAggregate", "Window"],
+        "Gini: the rank window sorts the VOCABULARY (Heaps-bounded), "
+        "never the corpus; one corpus explode feeds the count agg",
+    ),
+    "audio_peak_freq": (
+        ["MapInPandas", "!SortMergeJoin", "!Window"],
+        "FFT peak: two Arrow kernel passes (memoized tone synthesis, "
+        "rFFT argmax), narrow end to end",
+    ),
 }
 
 
