@@ -207,7 +207,12 @@ FAMILY_EXTRA = [
     # r5 session 2: embedding-space health, dedup threshold sweep, and
     # the incremental streaming HLL sink
     "embedding_alignment",
-    "jaccard_threshold_sweep",
+    # jaccard_threshold_sweep is EXCLUDED for the same reason as
+    # minhash_recall (BASELINE.md): its exact PPJoin floor must
+    # enumerate every Jaccard >= 0.5 pair, and on the pathologically
+    # self-similar fixture >50% of ALL doc pairs qualify (7M+ pairs at
+    # sf0.1, ~79s) — it is a correctness gate run by the sf0.01
+    # harness, not a throughput query.
     "streaming_hll",
     # r5 session 2: CDC merge apply, SCD2 point-in-time enrichment, and
     # last-touch conversion attribution (warehouse/temporal additions)
@@ -239,6 +244,12 @@ FAMILY_EXTRA = [
     # r5 session 2: MI dependence screen and GDPR delete-cascade plan
     "mutual_information",
     "delete_cascade_plan",
+    # r5 session 2: novelty curve, vocab richness, Neyman allocation,
+    # Markov stationary distribution
+    "ngram_novelty",
+    "vocab_richness",
+    "neyman_allocation",
+    "markov_stationary",
 ]
 
 

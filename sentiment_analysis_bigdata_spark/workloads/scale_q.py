@@ -1058,8 +1058,61 @@ GROUP BY q ORDER BY q
 """
 
 
+_NEYMAN_BUDGET = 10_000
+
+
+def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934): for
+    a fixed sample budget, allocate per stratum proportionally to
+    N_h·σ_h — the variance-minimizing design a proportional allocation
+    (mixture_plan's shape) leaves on the table when strata differ in
+    spread. Per source: size, length stddev, the optimal share, and the
+    allocated count for a 10k-doc budget. One per-stratum moment agg +
+    a 1-row total broadcast; the allocation math is exact given the
+    shared doubles."""
+    docs = load_table(spark, sf, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("sigma_h"),
+    )
+    weighted = strata.select(
+        "source", "n_h", "sigma_h", (F.col("n_h") * F.col("sigma_h")).alias("w")
+    )
+    total = weighted.agg(F.sum("w").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_h",
+            F.round("sigma_h", 4).alias("sigma_h"),
+            F.round(F.col("w") / F.col("tw"), 6).alias("alloc_share"),
+            F.floor(F.lit(_NEYMAN_BUDGET) * F.col("w") / F.col("tw"))
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NEYMAN_ALLOCATION = f"""
+WITH strata AS (
+  SELECT source, count(*) AS n_h,
+         stddev_samp(CAST(n_chars AS DOUBLE)) AS sigma_h
+  FROM documents GROUP BY 1
+),
+weighted AS (SELECT source, n_h, sigma_h, n_h * sigma_h AS w FROM strata),
+tot AS (SELECT sum(w) AS tw FROM weighted)
+SELECT source, n_h, round(sigma_h, 4) AS sigma_h,
+       round(w / tw, 6) AS alloc_share,
+       CAST(floor({_NEYMAN_BUDGET} * w / tw) AS BIGINT) AS n_alloc
+FROM weighted CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "weighted_quantiles": (q_weighted_quantiles, SQL_WEIGHTED_QUANTILES),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
     "group_weighted_sample": (

@@ -1702,6 +1702,97 @@ FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
 """
 
 
+_MARKOV_ITERS = 12
+
+
+def q_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain — where
+    the event mix settles if current transition behavior persists, the
+    long-run load/forecast complement to the one-step
+    ``event_transitions`` matrix. Power iteration π ← πP from uniform,
+    12 fixed rounds with L1 renormalization.
+
+    Scale shape is the PCA recipe: the corpus collapses to the
+    state²-bounded transition matrix (operators/timeseries.py — one key
+    shuffle), the iteration is fixed-order driver math on ≤ |states|²
+    cells, and the oracle replays the identical recursion as unrolled
+    CTEs over the same 6dp-rounded transition probabilities."""
+    from sentiment_analysis_bigdata_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    tm = transition_matrix(_events(spark, sf))
+    cells = sorted(
+        (r["from_state"], r["to_state"], float(r["p"])) for r in tm.collect()
+    )
+    states = sorted({f for f, _, _ in cells} | {t for _, t, _ in cells})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = [[0.0] * k for _ in range(k)]
+    for f, t, p in cells:
+        P[idx[f]][idx[t]] = p
+    pi = [1.0 / k] * k
+    for _ in range(_MARKOV_ITERS):
+        new = [sum(pi[i] * P[i][j] for i in range(k)) for j in range(k)]
+        s = sum(new)
+        pi = [x / s for x in new]
+    rows = [(st, round(pi[idx[st]], 6)) for st in states]
+    return spark.createDataFrame(rows, "state string, stationary_p double").orderBy(
+        "state"
+    )
+
+
+def _sql_markov_stationary() -> str:
+    ctes = [
+        """steps AS (
+  SELECT from_state, to_state FROM (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_state
+    FROM events
+  ) WHERE to_state IS NOT NULL
+)""",
+        "counts AS (SELECT from_state, to_state, count(*) AS n FROM steps GROUP BY 1, 2)",
+        "tots AS (SELECT from_state, sum(n) AS tot FROM counts GROUP BY 1)",
+        """trans AS (
+  SELECT c.from_state, c.to_state,
+         round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+  FROM counts c JOIN tots t USING (from_state)
+)""",
+        """states AS (
+  SELECT from_state AS state FROM counts
+  UNION SELECT to_state FROM counts
+)""",
+        """pi0 AS (
+  SELECT state, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM states) AS pi
+  FROM states
+)""",
+    ]
+    for i in range(1, _MARKOV_ITERS + 1):
+        # MATERIALIZED is load-bearing (the PCA-oracle lesson): pi_k
+        # references raw_k twice and raw_k references pi_{k-1}; plain
+        # CTE inlining makes the plan (and the underlying parquet scan)
+        # duplicate exponentially in the iteration depth.
+        ctes.append(
+            f"""raw{i} AS MATERIALIZED (
+  SELECT t.to_state AS state, sum(p.pi * t.p) AS pi
+  FROM trans t JOIN pi{i - 1} p ON p.state = t.from_state
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"pi{i} AS MATERIALIZED (SELECT state, pi / (SELECT sum(pi) FROM raw{i}) AS pi FROM raw{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT state, round(pi, 6) AS stationary_p
+FROM pi{_MARKOV_ITERS} ORDER BY state
+"""
+    )
+
+
 _WF_WINDOW_MS = 7 * 86400 * 1000
 
 
@@ -1813,6 +1904,7 @@ QUERIES = {
     "window_funnel_7d": (q_window_funnel_7d, SQL_WINDOW_FUNNEL_7D),
     "asof_click_fulfillment": (q_asof_click_fulfillment, SQL_ASOF_CLICK_FULFILLMENT),
     "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
+    "markov_stationary": (q_markov_stationary, _sql_markov_stationary()),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

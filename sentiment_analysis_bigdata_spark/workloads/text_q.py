@@ -2329,6 +2329,120 @@ ORDER BY typo, correction
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram novelty curve (the memorization-risk / diminishing-returns
+    readout of corpus growth): processing documents in id order, what
+    share of each document's distinct trigrams has never appeared in any
+    earlier document? Reported per corpus-order decile — the curve's
+    decay rate tells a collection effort when new data stops adding new
+    content. First occurrence is a min(doc_id) per gram (one grid agg);
+    novelty is a (doc, gram)-keyed join back — no sequential scan over
+    the corpus order is ever executed."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))).alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_new") / F.col("n_grams").cast("double")).alias("novelty"),
+        )
+    )
+    w = Window.orderBy("doc_id")
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+),
+first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) AS novelty
+  FROM grams JOIN first_seen USING (g)
+  GROUP BY 1
+),
+binned AS (
+  SELECT novelty, ntile(10) OVER (ORDER BY doc_id) AS decile FROM per_doc
+)
+SELECT decile, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary richness and unseen-mass estimation — the "how much
+    vocabulary have we NOT seen yet" number a tokenizer/vocab budget is
+    sized against: observed types V, token count N, hapax/dis legomena
+    (N1/N2), the Good-Turing unseen-probability mass N1/N, and the
+    BIAS-CORRECTED Chao1 richness floor V + N1(N1−1)/(2(N2+1)) — the
+    form that stays defined when the corpus has no dis legomena. One
+    vocab-sized count agg plus a constant-size rollup; every input an
+    exact integer."""
+    counts = (
+        _docs(spark, sf)
+        .select(F.explode(TXT.tokenize_nonempty("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("v_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1_hapax"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2_dis"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.sum("c").cast("double"), 6
+        ).alias("good_turing_unseen"),
+        F.round(
+            F.count(F.lit(1))
+            + F.sum((F.col("c") == 1).cast("long"))
+            * (F.sum((F.col("c") == 1).cast("long")) - 1)
+            / (2.0 * (F.sum((F.col("c") == 2).cast("long")) + 1)),
+            4,
+        ).alias("chao1_richness"),
+    )
+
+
+SQL_VOCAB_RICHNESS = f"""
+WITH counts AS (
+  SELECT token, count(*) AS c
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY 1
+)
+SELECT count(*) AS v_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_hapax,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_dis,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6)
+         AS good_turing_unseen,
+       round(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+             / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4) AS chao1_richness
+FROM counts
+"""
+
+
 # zero-width + bidi-control codepoints, embedded as literal characters so
 # both engines' regex engines see identical patterns
 _ZW_CHARS = "​‌‍﻿"
@@ -2405,6 +2519,8 @@ QUERIES = {
     "token_gini": (q_token_gini, SQL_TOKEN_GINI),
     "symspell_variants": (q_symspell_variants, SQL_SYMSPELL_VARIANTS),
     "unicode_hygiene": (q_unicode_hygiene, SQL_UNICODE_HYGIENE),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "vocab_richness": (q_vocab_richness, SQL_VOCAB_RICHNESS),
     "term_dispersion": (q_term_dispersion, SQL_TERM_DISPERSION),
     "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
     "dedup_attribution": (q_dedup_attribution, SQL_DEDUP_ATTRIBUTION),

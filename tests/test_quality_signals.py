@@ -571,3 +571,57 @@ class TestBatch8:
         assert rows["customer"].n_to_purge > 0
         for r in rows.values():
             assert 0 <= r.n_to_purge <= r.n_rows
+
+
+class TestBatch9:
+    def test_ngram_novelty_decays(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import q_ngram_novelty
+
+        rows = q_ngram_novelty(spark, sf_dir).collect()
+        byd = {r.decile: r.avg_novelty for r in rows}
+        assert all(0.0 <= v <= 1.0 for v in byd.values())
+        # the first decile sees a mostly-unseen corpus; the last does not
+        assert byd[1] > byd[10]
+
+    def test_vocab_richness_identities(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.text_q import q_vocab_richness
+
+        r = q_vocab_richness(spark, sf_dir).collect()[0]
+        assert 0 <= r.n1_hapax <= r.v_types <= r.n_tokens
+        assert 0.0 <= r.good_turing_unseen <= 1.0
+        assert r.chao1_richness >= r.v_types
+
+    def test_neyman_allocation_budget(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.scale_q import (
+            _NEYMAN_BUDGET,
+            q_neyman_allocation,
+        )
+
+        rows = q_neyman_allocation(spark, sf_dir).collect()
+        assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-4
+        total = sum(r.n_alloc for r in rows)
+        # floor() loses at most one doc per stratum
+        assert _NEYMAN_BUDGET - len(rows) <= total <= _NEYMAN_BUDGET
+
+    def test_markov_stationary_is_a_distribution(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_markov_stationary,
+        )
+
+        rows = q_markov_stationary(spark, sf_dir).collect()
+        assert abs(sum(r.stationary_p for r in rows) - 1.0) < 1e-4
+        assert all(r.stationary_p >= 0 for r in rows)
+        # fixed point: pi P ~= pi (12 rounds converge on a 5-state chain)
+        from sentiment_analysis_bigdata_spark.operators.timeseries import (
+            transition_matrix,
+        )
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        tm = transition_matrix(load_table(spark, sf_dir, "events")).collect()
+        pi = {r.state: r.stationary_p for r in rows}
+        nxt = {}
+        for c in tm:
+            nxt[c.to_state] = nxt.get(c.to_state, 0.0) + pi.get(c.from_state, 0.0) * c.p
+        z = sum(nxt.values())
+        for s in pi:
+            assert abs(nxt.get(s, 0.0) / z - pi[s]) < 1e-3
