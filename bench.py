@@ -250,6 +250,10 @@ FAMILY_EXTRA = [
     "vocab_richness",
     "neyman_allocation",
     "markov_stationary",
+    # r5 session 2: survival curve, decayed scoring, Pareto skyline
+    "kaplan_meier",
+    "decayed_engagement",
+    "skyline_parts",
 ]
 
 

@@ -258,3 +258,69 @@ QUERIES = {
     "hof_functions": (q_hof_functions, SQL_HOF_FUNCTIONS),
     "null_safe_join": (q_null_safe_join, SQL_NULL_SAFE_JOIN),
 }
+
+
+def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi et al. 2001 — the
+    multi-objective SELECT Spark has no native operator for): parts that
+    are not dominated on (retail price ↓, size ↑) — no other part is
+    both cheaper-or-equal AND larger-or-equal with at least one strict
+    improvement. The 2-D skyline needs NO pairwise dominance join: sort
+    by (price asc, size desc), keep rows whose size strictly exceeds the
+    running maximum size of all strictly-cheaper rows — one window over
+    the PRICE SUPPORT, O(n log n), vs the naive O(n²) self-join. Prices
+    compare as integer cents (the compaction_plan lesson) so dominance
+    ties are engine-exact."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    # running max size over all STRICTLY cheaper rows: order by price,
+    # range frame ending 1 cent before the current price
+    w = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # within an equal-price group a row is also dominated by a same-price
+    # strictly-larger row, so take the group's max size too
+    w_tie = Window.partitionBy("price_c")
+    return (
+        part.withColumn("max_cheaper", F.max("p_size").over(w))
+        .withColumn("max_same", F.max("p_size").over(w_tie))
+        .filter(
+            (F.col("max_cheaper").isNull() | (F.col("p_size") > F.col("max_cheaper")))
+            & (F.col("p_size") == F.col("max_same"))
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round(F.col("price_c") / 100.0, 2).alias("retail_price"),
+        )
+        .orderBy("retail_price", "p_partkey")
+    )
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+),
+flagged AS (
+  SELECT p_partkey, p_size, price_c,
+         max(p_size) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_cheaper,
+         max(p_size) OVER (PARTITION BY price_c) AS max_same
+  FROM p
+)
+SELECT p_partkey, p_size, round(price_c / 100.0, 2) AS retail_price
+FROM flagged
+WHERE (max_cheaper IS NULL OR p_size > max_cheaper) AND p_size = max_same
+ORDER BY retail_price, p_partkey
+"""
+
+QUERIES["skyline_parts"] = (q_skyline_parts, SQL_SKYLINE_PARTS)

@@ -1702,6 +1702,167 @@ FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (Kaplan & Meier
+    1958) — the churn readout that handles censoring correctly, which a
+    naive "average lifetime" cannot: lifetime = days from a user's first
+    to last event; users still active in the final 7 days of the
+    observation window are right-censored (their true lifetime is only
+    known to EXCEED the observed one). Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    distinct event (death) days.
+
+    Shape: one per-user min/max agg, one day-grained death/censor
+    rollup, one cumulative window over DISTINCT LIFETIME DAYS (support-
+    sized), with the product computed as exp(Σ ln) so both engines fold
+    identical per-day factors; reported at day 1/7/30/60/90 horizons."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("t_max"))
+    per_user = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("last_ts"), F.col("first_ts")).alias("lifetime_d"),
+        (
+            F.unix_millis("t_max") - F.unix_millis("last_ts")
+            <= F.lit(7 * 86400 * 1000)
+        ).alias("censored"),
+    )
+    days = per_user.groupBy("lifetime_d").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("ended"),
+    )
+    w = Window.orderBy("lifetime_d").rowsBetween(Window.unboundedPreceding, 0)
+    total = days.agg(F.sum("ended").cast("long").alias("n_total"))
+    km = (
+        days.crossJoin(F.broadcast(total))
+        .withColumn(
+            "at_risk",
+            F.col("n_total") - F.coalesce(
+                F.sum("ended").over(
+                    Window.orderBy("lifetime_d").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "ln_factor",
+            F.when(
+                (F.col("d") > 0) & (F.col("at_risk") > F.col("d")),
+                F.log(1.0 - F.col("d") / F.col("at_risk").cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("ln_s", F.sum("ln_factor").over(w))
+        .select("lifetime_d", F.exp("ln_s").alias("s"))
+    )
+    pts = spark.createDataFrame([(1,), (7,), (30,), (60,), (90,)], "horizon_d int")
+    return (
+        km.crossJoin(F.broadcast(pts))
+        .filter(F.col("lifetime_d") <= F.col("horizon_d"))
+        .groupBy("horizon_d")
+        .agg(F.round(F.min("s"), 6).alias("survival"))
+        .orderBy("horizon_d")
+    )
+
+
+SQL_KAPLAN_MEIER = """
+WITH span AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY 1
+),
+h AS (SELECT max(ts) AS t_max FROM events),
+per_user AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS lifetime_d,
+         epoch_ms(t_max) - epoch_ms(last_ts) <= 7 * 86400 * 1000 AS censored
+  FROM span CROSS JOIN h
+),
+days AS (
+  SELECT lifetime_d,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d,
+         count(*) AS ended
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ended) AS BIGINT) AS n_total FROM days),
+km AS (
+  SELECT lifetime_d,
+         exp(sum(ln_factor) OVER (ORDER BY lifetime_d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM (
+    SELECT lifetime_d,
+           CASE WHEN d > 0 AND at_risk > d
+                THEN ln(1.0 - d / CAST(at_risk AS DOUBLE)) ELSE 0.0 END AS ln_factor
+    FROM (
+      SELECT lifetime_d, d,
+             n_total - coalesce(sum(ended) OVER (ORDER BY lifetime_d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM days CROSS JOIN tot
+    ) r
+  ) f
+),
+pts AS (SELECT CAST(unnest([1, 7, 30, 60, 90]) AS INTEGER) AS horizon_d)
+SELECT horizon_d, round(min(s), 6) AS survival
+FROM km CROSS JOIN pts
+WHERE lifetime_d <= horizon_d
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_DECAY_HALFLIFE_D = 7.0
+
+
+def q_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially time-decayed engagement scoring (the recsys/
+    popularity freshness primitive): each user's events weighted by
+    2^(−age/half-life) as of the corpus horizon, so yesterday's activity
+    outweighs last month's — then the top-20 users by decayed score with
+    their raw counts for contrast. ONE aggregation pass (the decay
+    weight is a narrow per-row expression off the integer epoch-ms age);
+    the horizon is a 1-row broadcast; top-k is TakeOrdered. Ages are
+    integer milliseconds, and the weight math is the identical double
+    expression on both engines."""
+    ev = _events(spark, sf)
+    horizon = ev.agg(F.max("ts").alias("t_max"))
+    weighted = ev.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "value",
+        F.pow(
+            2.0,
+            -(F.unix_millis("t_max") - F.unix_millis("ts"))
+            / F.lit(_DECAY_HALFLIFE_D * 86400000.0),
+        ).alias("w"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("w"), 6).alias("decayed_score"),
+            F.round(F.sum(F.col("w") * F.col("value")), 4).alias("decayed_value"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+SQL_DECAYED_ENGAGEMENT = f"""
+WITH h AS (SELECT max(ts) AS t_max FROM events),
+weighted AS (
+  SELECT user_id, value,
+         pow(2.0, -(epoch_ms(t_max) - epoch_ms(ts))
+                  / {_DECAY_HALFLIFE_D * 86400000.0}) AS w
+  FROM events CROSS JOIN h
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(w), 6) AS decayed_score,
+       round(sum(w * value), 4) AS decayed_value
+FROM weighted GROUP BY 1
+ORDER BY decayed_score DESC, user_id ASC
+LIMIT 20
+"""
+
+
 _MARKOV_ITERS = 12
 
 
@@ -1905,6 +2066,8 @@ QUERIES = {
     "asof_click_fulfillment": (q_asof_click_fulfillment, SQL_ASOF_CLICK_FULFILLMENT),
     "mutual_information": (q_mutual_information, SQL_MUTUAL_INFORMATION),
     "markov_stationary": (q_markov_stationary, _sql_markov_stationary()),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "decayed_engagement": (q_decayed_engagement, SQL_DECAYED_ENGAGEMENT),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

@@ -625,3 +625,51 @@ class TestBatch9:
         z = sum(nxt.values())
         for s in pi:
             assert abs(nxt.get(s, 0.0) / z - pi[s]) < 1e-3
+
+
+class TestBatch10:
+    def test_kaplan_meier_monotone(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_kaplan_meier,
+        )
+
+        rows = q_kaplan_meier(spark, sf_dir).collect()
+        surv = [r.survival for r in sorted(rows, key=lambda r: r.horizon_d)]
+        assert all(0.0 <= s <= 1.0 for s in surv)
+        assert surv == sorted(surv, reverse=True)  # survival never increases
+
+    def test_decayed_engagement_bounds(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_decayed_engagement,
+        )
+
+        rows = q_decayed_engagement(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 20
+        for r in rows:
+            assert 0.0 < r.decayed_score <= r.n_events  # each weight <= 1
+
+    def test_skyline_no_dominated_survivor(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.relational_q8 import (
+            q_skyline_parts,
+        )
+        from sentiment_analysis_bigdata_spark.sources import load_table
+
+        sky = [
+            (r.retail_price, r.p_size)
+            for r in q_skyline_parts(spark, sf_dir).collect()
+        ]
+        allp = [
+            (round(r.p_retailprice, 2), r.p_size)
+            for r in load_table(spark, sf_dir, "part").collect()
+        ]
+        for price, size in sky:
+            dominated = any(
+                p2 <= price and s2 >= size and (p2 < price or s2 > size)
+                for p2, s2 in allp
+            )
+            assert not dominated
+        # along the frontier size strictly INCREASES with price (a more
+        # expensive survivor must offer something the cheaper one lacks)
+        ordered = sorted(sky)
+        sizes = [s for _, s in ordered]
+        assert sizes == sorted(sizes)
