@@ -177,12 +177,19 @@ _DRIVER_PREFIX: list[str] = [
     "benford_dq",
     # countvec_vocab displaced by bloom_contamination (see end of list)
     # -- queries NEW this round (never had a driver row by construction) --
+    # (late-session swaps, same twin-coverage rationale as above:
+    # source_overlap / fleiss_kappa / hard_negatives / semdedup_512 /
+    # crossdoc_dedup each share their surface with a prefix canary or a
+    # pytest-proven equality twin; the five replacements carry surfaces
+    # that exist nowhere else in the prefix — unrolled-Newton Platt,
+    # Kaplan-Meier exp/ln windows, FFT closed-form recovery, planted-
+    # corruption Levenshtein, and the 12-round Markov recursion)
     "dup_ngram_spans_ladder",
-    "source_overlap",
+    "kaplan_meier",
     "bradley_terry",
-    "fleiss_kappa",
+    "audio_peak_freq",
     "bpe_encode_arrow",
-    "hard_negatives",
+    "platt_scaling",
     "kcore_parts",
     # (displace kmeans_broadcast — pytest proves it assignment-identical
     # to the literal path kmeans_clusters certifies as a canary — for
@@ -194,7 +201,7 @@ _DRIVER_PREFIX: list[str] = [
     # (late-r5: these three displace three relational rotation rows —
     # relational already has the deepest historical driver coverage, and
     # a NEW query's first driver row is the strongest cross-engine check)
-    "crossdoc_dedup",
+    "symspell_variants",
     "matryoshka_recall",
     # (displace roc_points/hll_user_rollup — both oracle-green since r2 —
     # for the two queries added at round end, same NEW-first rationale)
