@@ -254,6 +254,9 @@ FAMILY_EXTRA = [
     "kaplan_meier",
     "decayed_engagement",
     "skyline_parts",
+    # r5 session 2: positional phrase search and two-proportion z-test
+    "phrase_search",
+    "ab_conversion_ztest",
 ]
 
 

@@ -527,10 +527,135 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase search — the capability bag-of-words retrieval
+    (BM25/TF-IDF) cannot express: match documents where two terms occur
+    ADJACENTLY in order, via a positional postings join (posting_a.pos
+    + 1 = posting_b.pos), the classic positional-inverted-index shape.
+    Queries are the corpus's top-5 bigrams by document frequency (so
+    the fixture always has matches); per phrase the report contrasts
+    docs matching the exact phrase vs docs merely containing both terms
+    — the gap is what positional indexing buys. Postings are one
+    posexplode; the phrase join is term-keyed and position-filtered,
+    never a text rescan per query."""
+    from pyspark.sql.window import Window
+
+    docs = _docs_phrase(spark, sf)
+    post = docs.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos", "term")
+    )
+    # top-5 bigrams by df = the deterministic query set
+    big = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS t1, toks[i] AS t2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.t1", "bg.t2")
+        .distinct()
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("t1").asc(), F.col("t2").asc())
+    queries = big.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    phrase_hits = (
+        queries.join(post.alias("a"), F.col("t1") == F.col("a.term"))
+        .join(
+            post.alias("b"),
+            (F.col("t2") == F.col("b.term"))
+            & (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.pos") + 1 == F.col("b.pos")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("a.doc_id").alias("n_phrase_docs"))
+    )
+    both_hits = (
+        queries.join(
+            post.select("doc_id", "term").distinct().alias("a"),
+            F.col("t1") == F.col("a.term"),
+        )
+        .join(
+            post.select("doc_id", "term").distinct().alias("b"),
+            (F.col("t2") == F.col("b.term"))
+            & (F.col("a.doc_id") == F.col("b.doc_id")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("a.doc_id").alias("n_both_docs"))
+    )
+    return (
+        queries.join(phrase_hits, ["t1", "t2"], "left")
+        .join(both_hits, ["t1", "t2"], "left")
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("phrase"),
+            "df",
+            F.coalesce("n_phrase_docs", F.lit(0)).alias("n_phrase_docs"),
+            F.coalesce("n_both_docs", F.lit(0)).alias("n_both_docs"),
+        )
+        .orderBy("phrase")
+    )
+
+
+def _docs_phrase(spark: SparkSession, sf: str):
+    from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
+
+    return load_table(spark, sf, "documents").select(
+        "doc_id", tokenize_nonempty(F.col("text")).alias("toks")
+    )
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+post AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS term
+  FROM toks, unnest(range(1, len(l) + 1)) AS r(i)
+),
+big AS (
+  SELECT t1, t2, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, l[i] AS t1, l[i + 1] AS t2
+    FROM toks, unnest(range(1, len(l))) AS r(i)
+  ) GROUP BY 1, 2
+),
+queries AS (
+  SELECT t1, t2, df FROM (
+    SELECT t1, t2, df,
+           row_number() OVER (ORDER BY df DESC, t1 ASC, t2 ASC) AS rk
+    FROM big
+  ) WHERE rk <= 5
+),
+phrase_hits AS (
+  SELECT q.t1, q.t2, count(DISTINCT a.doc_id) AS n_phrase_docs
+  FROM queries q
+  JOIN post a ON a.term = q.t1
+  JOIN post b ON b.term = q.t2 AND b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+dterms AS (SELECT DISTINCT doc_id, term FROM post),
+both_hits AS (
+  SELECT q.t1, q.t2, count(DISTINCT a.doc_id) AS n_both_docs
+  FROM queries q
+  JOIN dterms a ON a.term = q.t1
+  JOIN dterms b ON b.term = q.t2 AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+)
+SELECT q.t1 || ' ' || q.t2 AS phrase, q.df,
+       CAST(coalesce(p.n_phrase_docs, 0) AS BIGINT) AS n_phrase_docs,
+       CAST(coalesce(b.n_both_docs, 0) AS BIGINT) AS n_both_docs
+FROM queries q
+LEFT JOIN phrase_hits p ON p.t1 = q.t1 AND p.t2 = q.t2
+LEFT JOIN both_hits b ON b.t1 = q.t1 AND b.t2 = q.t2
+ORDER BY phrase
+"""
+
+
 QUERIES = {
     "co_purchase_pairs": (q_co_purchase_pairs, SQL_CO_PURCHASE_PAIRS),
     "rbo_rankings": (q_rbo_rankings, _sql_rbo()),
     "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "hybrid_rrf_search": (q_hybrid_rrf_search, _sql_hybrid_rrf()),
     "sparse_cosine_pairs": (q_sparse_cosine_pairs, SQL_SPARSE_COSINE_PAIRS),

@@ -1549,6 +1549,109 @@ ORDER BY decile
 """
 
 
+def q_ab_conversion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on conversion (signup → purchase within
+    3 days of the FIRST signup; the any-time definition is degenerate on
+    this fixture — every signup eventually buys) with a deterministic
+    hash arm split — the A/B readout next to
+    cuped_uplift's variance-reduced mean: per-arm signups and
+    converters, the rate difference, the pooled-variance z statistic,
+    and significance flags at 1.959964 (95%) and 2.575829 (99%) — the
+    constants inlined identically on both engines, no CDF needed. Two
+    key-grained aggregates and one 2-row rollup."""
+    ev = load_table(spark, sf, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(
+            (F.col("ts") > F.col("signup_ts"))
+            & (
+                F.unix_millis("ts") - F.unix_millis("signup_ts")
+                <= F.lit(3 * 86400 * 1000)
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = su.select(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).join(pu, "user_id", "left")
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce("converted", F.lit(0))).alias("conv"),
+    )
+    stats = per_arm.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    z = (p1 - p0) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return stats.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p1 - p0, 6).alias("rate_diff"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("sig_95"),
+        (F.abs(z) > 2.575829).alias("sig_99"),
+    )
+
+
+SQL_AB_CONVERSION_ZTEST = """
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+    AND epoch_ms(e.ts) - epoch_ms(su.signup_ts) <= 3 * 86400 * 1000
+),
+arms AS (
+  SELECT su.user_id, su.user_id % 2 AS arm,
+         CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END AS converted
+  FROM su LEFT JOIN pu USING (user_id)
+),
+per_arm AS (SELECT arm, count(*) AS n, sum(converted) AS conv FROM arms GROUP BY 1),
+s AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c1
+  FROM per_arm
+)
+SELECT n0, c0, n1, c1,
+       round(c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE), 6) AS rate_diff,
+       round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat,
+       abs((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+           / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / n0 + 1.0 / n1))) > 1.959964 AS sig_95,
+       abs((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+           / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / n0 + 1.0 / n1))) > 2.575829 AS sig_99
+FROM s
+"""
+
+
 _PLATT_ITERS = 8
 
 
@@ -1674,6 +1777,7 @@ QUERIES = {
     "matthews_corrcoef": (q_matthews_corrcoef, SQL_MATTHEWS_CORRCOEF),
     "lift_gains": (q_lift_gains, SQL_LIFT_GAINS),
     "platt_scaling": (q_platt_scaling, _sql_platt()),
+    "ab_conversion_ztest": (q_ab_conversion_ztest, SQL_AB_CONVERSION_ZTEST),
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "cuped_uplift": (q_cuped_uplift, SQL_CUPED_UPLIFT),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),

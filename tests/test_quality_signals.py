@@ -673,3 +673,27 @@ class TestBatch10:
         ordered = sorted(sky)
         sizes = [s for _, s in ordered]
         assert sizes == sorted(sizes)
+
+
+class TestBatch11:
+    def test_phrase_vs_bag_containment(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.affinity_q import (
+            q_phrase_search,
+        )
+
+        rows = q_phrase_search(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            # phrase matches are a subset of both-terms matches, and the
+            # phrase's own df is a lower bound on phrase docs
+            assert r.df <= r.n_phrase_docs <= r.n_both_docs
+
+    def test_ztest_internally_consistent(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.evaluation_q import (
+            q_ab_conversion_ztest,
+        )
+
+        r = q_ab_conversion_ztest(spark, sf_dir).collect()[0]
+        assert r.c0 <= r.n0 and r.c1 <= r.n1
+        assert abs(r.rate_diff - (r.c1 / r.n1 - r.c0 / r.n0)) < 1e-5
+        assert r.sig_99 <= r.sig_95  # 99% significance implies 95%
