@@ -257,6 +257,10 @@ FAMILY_EXTRA = [
     # r5 session 2: positional phrase search and two-proportion z-test
     "phrase_search",
     "ab_conversion_ztest",
+    # r5 session 2: FD profiling, gaps-and-islands streaks, DAU/MAU
+    "fd_discovery",
+    "activity_islands",
+    "dau_mau",
 ]
 
 

@@ -1810,6 +1810,115 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_activity_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST streak of consecutive
+    active days — the canonical warehouse pattern (engagement streaks,
+    uptime runs, sensor dropouts) solved with the row_number difference
+    trick: within a user, epoch_day − row_number(ordered by day) is
+    CONSTANT exactly along a run of consecutive days, so grouping by
+    that difference labels islands without any self-join or loop. Two
+    windows + two aggregates over the per-user DISTINCT DAY rollup
+    (days-sized, not events-sized); reports the top-20 streaks with a
+    (streak desc, user asc) deterministic cut."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_days"))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak_days").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+    )
+    return islands.orderBy(
+        F.col("longest_streak").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+SQL_ACTIVITY_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+grp AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+),
+islands AS (
+  SELECT user_id, g, count(*) AS streak_days FROM grp GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(streak_days) AS BIGINT) AS longest_streak,
+       count(*) AS n_islands
+FROM islands GROUP BY 1
+ORDER BY longest_streak DESC, user_id ASC
+LIMIT 20
+"""
+
+
+def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the product-health ratio
+    comparing two grains of the same activity (average daily actives ÷
+    monthly actives; 1.0 = every monthly user shows up every day). Month
+    keys are integer (year, month) extractions; DAU is a two-level
+    rollup (per-day distinct → per-month average), MAU one
+    month-grained distinct — all bounded by users × days."""
+    ev = _events(spark, sf)
+    keyed = ev.select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = (
+        keyed.groupBy("y", "m", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("y", "m")
+        .agg(F.avg("dau").alias("avg_dau"), F.count(F.lit(1)).alias("n_days"))
+    )
+    mau = keyed.groupBy("y", "m").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, ["y", "m"])
+        .select(
+            "y",
+            "m",
+            "n_days",
+            F.round("avg_dau", 4).alias("avg_dau"),
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+SQL_DAU_MAU = """
+WITH keyed AS (
+  SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT y, m, avg(dau) AS avg_dau, count(*) AS n_days
+  FROM (SELECT y, m, day, count(DISTINCT user_id) AS dau FROM keyed GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+mau AS (SELECT y, m, count(DISTINCT user_id) AS mau FROM keyed GROUP BY 1, 2)
+SELECT y, m, n_days, round(avg_dau, 4) AS avg_dau, mau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM dau JOIN mau USING (y, m)
+ORDER BY y, m
+"""
+
+
 _DECAY_HALFLIFE_D = 7.0
 
 
@@ -2068,6 +2177,8 @@ QUERIES = {
     "markov_stationary": (q_markov_stationary, _sql_markov_stationary()),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "decayed_engagement": (q_decayed_engagement, SQL_DECAYED_ENGAGEMENT),
+    "activity_islands": (q_activity_islands, SQL_ACTIVITY_ISLANDS),
+    "dau_mau": (q_dau_mau, SQL_DAU_MAU),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

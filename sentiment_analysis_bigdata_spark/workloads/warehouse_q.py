@@ -954,6 +954,72 @@ ORDER BY 1, 2
 """
 
 
+_FD_CANDIDATES = [
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def q_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE-style
+    profiling question a schema reviewer asks: does X determine Y?):
+    for each candidate X→Y, the share of X-groups with more than one
+    distinct Y (the g3-style violation rate) and whether the FD holds
+    exactly. Per candidate ONE (X)-keyed count-distinct aggregate and a
+    keyless rollup — determinant-cardinality work, the profiling shape
+    that scales to any fact volume."""
+    parts = []
+    for table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf, table)
+        grp = t.groupBy(det).agg(F.countDistinct(dep).alias("n_dep"))
+        stats = grp.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_dep") > 1).cast("long")).alias("n_violating"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{table}.{det}").alias("determinant"),
+                F.lit(f"{table}.{dep}").alias("dependent"),
+                "n_groups",
+                "n_violating",
+                F.round(
+                    F.col("n_violating") / F.col("n_groups").cast("double"), 6
+                ).alias("violation_rate"),
+                (F.col("n_violating") == 0).alias("fd_holds"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("determinant", "dependent")
+
+
+def _sql_fd() -> str:
+    blocks = []
+    for table, det, dep in _FD_CANDIDATES:
+        blocks.append(
+            f"""
+  SELECT '{table}.{det}' AS determinant, '{table}.{dep}' AS dependent,
+         count(*) AS n_groups,
+         CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         round(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+         sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+  FROM (SELECT {det}, count(DISTINCT {dep}) AS n_dep FROM {table} GROUP BY 1)"""
+        )
+    return (
+        "SELECT * FROM ("
+        + "\n  UNION ALL".join(blocks)
+        + "\n) ORDER BY determinant, dependent"
+    )
+
+
+SQL_FD_DISCOVERY = _sql_fd()
+
+
 def q_delete_cascade_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Right-to-erasure cascade planning (the GDPR/CCPA delete-request
     shape): given a deterministic request set (every 97th customer),
@@ -1234,6 +1300,7 @@ QUERIES = {
     "scd2_pit_lookup": (q_scd2_pit_lookup, SQL_SCD2_PIT_LOOKUP),
     "referential_integrity": (q_referential_integrity, SQL_REFERENTIAL_INTEGRITY),
     "delete_cascade_plan": (q_delete_cascade_plan, SQL_DELETE_CASCADE_PLAN),
+    "fd_discovery": (q_fd_discovery, SQL_FD_DISCOVERY),
     "dq_orders": (q_dq_orders, SQL_DQ_ORDERS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),

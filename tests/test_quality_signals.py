@@ -697,3 +697,36 @@ class TestBatch11:
         assert r.c0 <= r.n0 and r.c1 <= r.n1
         assert abs(r.rate_diff - (r.c1 / r.n1 - r.c0 / r.n0)) < 1e-5
         assert r.sig_99 <= r.sig_95  # 99% significance implies 95%
+
+
+class TestBatch12:
+    def test_fd_discovery_rates(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.warehouse_q import (
+            q_fd_discovery,
+        )
+
+        rows = q_fd_discovery(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert 0.0 <= r.violation_rate <= 1.0
+            assert r.fd_holds == (r.n_violating == 0)
+
+    def test_activity_islands_bounds(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+            q_activity_islands,
+        )
+
+        rows = q_activity_islands(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.longest_streak >= 1
+            assert r.n_islands >= 1
+
+    def test_dau_mau_stickiness_bounds(self, spark, sf_dir):
+        from sentiment_analysis_bigdata_spark.workloads.temporal_q import q_dau_mau
+
+        rows = q_dau_mau(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 < r.stickiness <= 1.0
+            assert r.avg_dau <= r.mau
