@@ -261,6 +261,8 @@ FAMILY_EXTRA = [
     "fd_discovery",
     "activity_islands",
     "dau_mau",
+    # r5 session 2: second-order path mining
+    "top_event_paths",
 ]
 
 

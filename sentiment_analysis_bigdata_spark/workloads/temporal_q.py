@@ -1865,6 +1865,62 @@ LIMIT 20
 """
 
 
+def q_top_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 three-step behavior paths — the second-order sequence
+    mining the first-order transition matrix can't see (A→B→C can be
+    common even when neither A→B nor B→C tops the pairwise counts):
+    consecutive event-type triples per user via two lead() windows over
+    the (ts, event_id)-ordered stream, one state³-bounded count, a
+    deterministic (n desc, path asc) top-10 cut, and each path's share
+    of all triples. One user-keyed shuffle; both lead()s share the same
+    sort."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = triples.agg(F.sum("n").cast("double").alias("_t"))
+    return (
+        triples.crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" > ", "s1", "s2", "s3").alias("path"),
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_EVENT_PATHS = """
+WITH seq AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+triples AS (
+  SELECT s1, s2, s3, count(*) AS n FROM seq WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM triples)
+SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path, n,
+       round(n / t, 6) AS share
+FROM triples CROSS JOIN tot
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
 def q_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
     """DAU/MAU stickiness per calendar month — the product-health ratio
     comparing two grains of the same activity (average daily actives ÷
@@ -2179,6 +2235,7 @@ QUERIES = {
     "decayed_engagement": (q_decayed_engagement, SQL_DECAYED_ENGAGEMENT),
     "activity_islands": (q_activity_islands, SQL_ACTIVITY_ISLANDS),
     "dau_mau": (q_dau_mau, SQL_DAU_MAU),
+    "top_event_paths": (q_top_event_paths, SQL_TOP_EVENT_PATHS),
     "cusum_changepoints": (q_cusum_changepoints, SQL_CUSUM_CHANGEPOINTS),
     "seasonal_dow_index": (q_seasonal_dow_index, SQL_SEASONAL_DOW_INDEX),
     "streaming_bloom": (q_streaming_bloom, SQL_STREAMING_BLOOM),

@@ -730,3 +730,16 @@ class TestBatch12:
         for r in rows:
             assert 0.0 < r.stickiness <= 1.0
             assert r.avg_dau <= r.mau
+
+
+def test_top_event_paths_shares(spark, sf_dir):
+    from sentiment_analysis_bigdata_spark.workloads.temporal_q import (
+        q_top_event_paths,
+    )
+
+    rows = q_top_event_paths(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r.share for r in rows) <= 1.0 + 1e-9
+    assert all(len(r.path.split(" > ")) == 3 for r in rows)
