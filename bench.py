@@ -263,6 +263,8 @@ FAMILY_EXTRA = [
     "dau_mau",
     # r5 session 2: second-order path mining
     "top_event_paths",
+    # r5 session 2: elbow diagnostic (3 bounded Lloyd runs)
+    "kmeans_elbow",
 ]
 
 

@@ -509,8 +509,78 @@ FROM a JOIN b USING (d)
 """
 
 
+_ELBOW_KS = (2, 4, 8)
+
+
+def q_kmeans_elbow(spark: SparkSession, sf: str) -> DataFrame:
+    """Elbow curve — total inertia at k ∈ {2, 4, 8} (each the same
+    deterministic 2-round Lloyd as kmeans_clusters) — the diagnostic
+    read before fixing the SemDeDup/kNN-blocking cluster count: where
+    the inertia drop flattens, extra clusters stop buying block-size
+    reduction. Three bounded Lloyd runs; output is |ks| rows. Inertia is
+    non-increasing in k BY CONSTRUCTION here because the k seeds are
+    nested (smallest-id init): every k=4 centroid set contains the k=2
+    seeds' basin structure refined further."""
+    emb = load_table(spark, sf, "embeddings")
+    parts = []
+    for k in _ELBOW_KS:
+        summary = kmeans_summary(emb, "embedding", "vec_id", k=k, iterations=ITERATIONS)
+        parts.append(
+            summary.agg(
+                F.lit(k).alias("k"),
+                F.sum("n_points").alias("n_points"),
+                F.round(F.sum("inertia"), 6).alias("total_inertia"),
+            )
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("k")
+
+
+def _sql_elbow() -> str:
+    def chain(k: int) -> str:
+        sfx = f"k{k}"
+        return f"""seeds_{sfx} AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+c0_{sfx} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM seeds_{sfx}
+),
+{_sql_assign(f"a1_{sfx}", f"c0_{sfx}")},
+{_sql_reestimate(f"m1_{sfx}", f"c1_{sfx}", f"a1_{sfx}", f"c0_{sfx}")},
+{_sql_assign(f"a2_{sfx}", f"c1_{sfx}")},
+{_sql_reestimate(f"m2_{sfx}", f"c2_{sfx}", f"a2_{sfx}", f"c1_{sfx}")},
+{_sql_assign(f"a3_{sfx}", f"c2_{sfx}")}"""
+
+    # two-level rounding mirrors the Spark side exactly: per-cluster
+    # inertia rounds to 6dp (kmeans_summary's contract) BEFORE the
+    # cross-cluster total — a raw 500-term sum differs in the last ULP
+    # across engines' summation orders
+    selects = [
+        f"SELECT {k} AS k, CAST(sum(n_points) AS BIGINT) AS n_points, "
+        f"round(sum(inertia), 6) AS total_inertia FROM ("
+        f"SELECT cid, count(*) AS n_points, round(sum(d), 6) AS inertia "
+        f"FROM a3_k{k} GROUP BY 1)"
+        for k in _ELBOW_KS
+    ]
+    return (
+        "WITH "
+        + ",\n".join(chain(k) for k in _ELBOW_KS)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY k"
+    )
+
+
+SQL_KMEANS_ELBOW = _sql_elbow()
+
+
 QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "kmeans_elbow": (q_kmeans_elbow, SQL_KMEANS_ELBOW),
     "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "silhouette_kmeans": (q_silhouette_kmeans, SQL_SILHOUETTE_KMEANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),

@@ -743,3 +743,13 @@ def test_top_event_paths_shares(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
     assert sum(r.share for r in rows) <= 1.0 + 1e-9
     assert all(len(r.path.split(" > ")) == 3 for r in rows)
+
+
+def test_kmeans_elbow_inertia_decreases(spark, sf_dir):
+    from sentiment_analysis_bigdata_spark.workloads.cluster_q import q_kmeans_elbow
+
+    rows = sorted(q_kmeans_elbow(spark, sf_dir).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 4, 8]
+    inertias = [r.total_inertia for r in rows]
+    assert inertias == sorted(inertias, reverse=True)  # more clusters, less inertia
+    assert all(r.n_points == rows[0].n_points for r in rows)
