@@ -129,7 +129,7 @@ _HEADLINE: dict[str, list[str]] = {
 # driver-certified; everything after the prefix keeps the round-robin
 # family interleave. Names not present in any lane are skipped.
 _DRIVER_PREFIX: list[str] = [
-    # -- canaries (driver-green in r4) --
+    # -- canaries (driver-green in r4 AND r5; regression tripwires) --
     "pricing_summary",
     "clean_documents",
     "minhash_near_dups",
@@ -140,96 +140,57 @@ _DRIVER_PREFIX: list[str] = [
     "group_sample",
     "pagerank_purchases",
     "kmeans_clusters",
-    # r4's only red row, rewritten integer-exact this round — must re-green
     "compaction_plan",
-    # -- never-driver-checked rotation, round 5 --
-    "ppjoin_pairs",
-    "multimodal_decode",
-    # (displace multimodal_resize — same decode path multimodal_decode
-    # already certifies this round — for the perceptual-hash lane's
-    # integer bit math, same NEW-first rationale)
-    "image_ahash_dedup",
-    "embedding_pca",
-    "ann_recall",
-    "simhash_near_dups",
-    "ann_ivf_index",
-    "winnow_overlap",
-    # (displace embedding_near_dup / dedup_components — oracle-green
-    # since r2, standard join shapes — for the Arrow NFC kernel (byte-
-    # level cross-engine contract vs DuckDB's native normalizer) and the
-    # seed-teleport PageRank, same NEW-first rationale)
-    "unicode_nfc",
-    "asof_purchase_signup",
-    # (displace personalized_pagerank / minhash_signatures /
-    # streaming_dedup / ml_naive_bayes / retrieval_metrics /
-    # link_prediction — each shares its kernel or recursion shape with a
-    # driver-green twin (pagerank_purchases, minhash_near_dups, the four
-    # r4 streaming rows, the golden-constant ML lane, average_precision,
-    # plain join+agg) — for the six queries added in this session, whose
-    # cross-engine surfaces (char-split + ln entropy, CUSUM float
-    # windows, recursive-CTE ANF, Brier float decomposition, integer
-    # digit extraction, n-gram tie-breaks) have never been certified)
-    "cusum_changepoints",
-    "char_entropy",
-    "boilerplate_ngrams",
-    "neighborhood_function",
-    "brier_decomposition",
-    "benford_dq",
-    # countvec_vocab displaced by bloom_contamination (see end of list)
-    # -- queries NEW this round (never had a driver row by construction) --
-    # (late-session swaps, same twin-coverage rationale as above:
-    # source_overlap / fleiss_kappa / hard_negatives / semdedup_512 /
-    # crossdoc_dedup each share their surface with a prefix canary or a
-    # pytest-proven equality twin; the five replacements carry surfaces
-    # that exist nowhere else in the prefix — unrolled-Newton Platt,
-    # Kaplan-Meier exp/ln windows, FFT closed-form recovery, planted-
-    # corruption Levenshtein, and the 12-round Markov recursion)
-    "dup_ngram_spans_ladder",
-    "kaplan_meier",
-    "bradley_terry",
-    "audio_peak_freq",
-    "bpe_encode_arrow",
-    "platt_scaling",
-    "kcore_parts",
-    # (displace kmeans_broadcast — pytest proves it assignment-identical
-    # to the literal path kmeans_clusters certifies as a canary — for
-    # the closed-form minimax PAV, whose bins² self-join + running-min
-    # surface is brand new this session)
-    "isotonic_calibration",
-    "semdedup_512",
-    "multimodal_jpeg",
-    # (late-r5: these three displace three relational rotation rows —
-    # relational already has the deepest historical driver coverage, and
-    # a NEW query's first driver row is the strongest cross-engine check)
-    "symspell_variants",
-    "matryoshka_recall",
-    # (displace roc_points/hll_user_rollup — both oracle-green since r2 —
-    # for the two queries added at round end, same NEW-first rationale)
-    "silhouette_kmeans",
-    "score_drift_psi",
-    # (displace pii_redaction/text_stats — oracle-green since r1 — for the
-    # two LLM-curation queries added late in r5, same NEW-first rationale)
-    "dsir_importance",
-    "perplexity_buckets",
-    # (displace dedup_exact — oracle-green since r1 — for the hybrid
-    # lexical+semantic RRF retrieval query, same NEW-first rationale)
-    "hybrid_rrf_search",
-    # (displace countvec_vocab — oracle-green since r2 with pinned Murmur3
-    # golden checksums — for the Bloom decontamination pre-filter added
-    # this session, same NEW-first rationale)
-    "bloom_contamination",
-    # (displace lang_id / tfidf_top_terms / retention_cohorts /
-    # funnel_conversion / ml_linear_svc — all plain-expression or
-    # golden-constant-pinned and oracle-green since r1/r2, the lowest
-    # cross-engine-risk rows in the prefix — for the five queries added
-    # in this session, same NEW-first rationale: incremental streaming
-    # CMS, pass@k, histogram-narrowing selection, quality-aware dedup,
-    # and the token-budget recipe)
-    "streaming_cms",
-    "pass_at_k",
-    "exact_quantiles_narrowed",
-    "dedup_keep_best",
-    "token_budget_plan",
+    # -- never-driver-checked rotation, round 6 --
+    # 39 queries with no row in any CORRECTNESS_r01..r05 (computed from the
+    # union of their keys vs all_queries()). The first 14 are VERDICT r5's
+    # explicit asks; the rest were picked for cross-engine-surface novelty
+    # (iterative float recursions, streaming twins, stats/DQ math, sampling
+    # determinism) and family spread.
+    "frequent_triples",
+    "anf_hll",
+    "cdc_apply",
+    "scd2_pit_lookup",
+    "kmeans_broadcast",
+    "weighted_sssp",
+    "personalized_pagerank",
+    "hits_purchases",
+    "streaming_dedup",
+    "lang_id",
+    "heavy_hitters",
+    "phrase_search",
+    "markov_stationary",
+    "accent_fold",
+    # iterative/float recursions & model math never driver-certified
+    "ml_crossval",
+    "forecast_backtest",
+    "stateful_ewma",
+    "embedding_drift",
+    "bootstrap_accuracy",
+    "cuped_uplift",
+    "ab_conversion_ztest",
+    "conformal_coverage",
+    "fleiss_kappa",
+    "mutual_information",
+    "hill_tail_index",
+    # warehouse/DQ surfaces
+    "table_diff",
+    "dataset_fingerprint",
+    "fd_discovery",
+    "k_anonymity",
+    "zorder_keys",
+    # streaming batch-twins beyond the r4/r5 certified four
+    "streaming_sessions",
+    "streaming_sliding",
+    # text/curation surfaces
+    "tfidf_top_terms",
+    "readability_scores",
+    "time_to_convert",
+    "multimodal_resize",
+    "cluster_diversity",
+    # deterministic sampling/splits
+    "hash_split",
+    "global_shuffle",
 ]
 
 
