@@ -370,7 +370,7 @@ def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
     per_row = enc.select(
         F.explode(F.element_at("subwords", 1)).alias("sub")
     )
-    return per_row.agg(
+    summary = per_row.agg(
         F.count(F.lit(1)).alias("n_subwords"),
         F.count_distinct("sub").alias("n_subword_types"),
     ).crossJoin(
@@ -382,6 +382,16 @@ def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("n_subwords") / F.col("n_tokens"), 4).alias(
             "subwords_per_token"
         ),
+    )
+    # One-row bounded collect (policy S6) to pin the golden witnesses —
+    # the only check this no-oracle query has beyond its row count.
+    row = summary.collect()[0].asDict()
+    pinned = _assert_golden(row, _BPE_ENC_1K_GOLDEN, sf, "bpe_encode_1k")
+    return spark.createDataFrame(
+        [(row["n_tokens"], row["n_subwords"], row["n_subword_types"],
+          row["subwords_per_token"], pinned)],
+        "n_tokens bigint, n_subwords bigint, n_subword_types bigint,"
+        " subwords_per_token double, witness_pinned boolean",
     )
 
 
@@ -664,6 +674,53 @@ GROUP BY 1
 
 BPE_1K_MERGES = 1000
 
+# Golden witnesses for the two 1,000-merge queries (VERDICT r5 #3). These
+# are the ONLY registry rows with no SQL oracle (a 1,000-merge recursion is
+# not replayable as unrolled CTEs), so their one-row summaries pin their
+# data-deterministic scalars against constants measured once per fixture
+# SF and RAISE on mismatch — a silent semantic break in the trainer or the
+# Arrow encoder can no longer hide behind a green row count. spark_jobs is
+# deliberately NOT pinned (it varies with input partition count /
+# SPARK_GRAFT_CPUS, not with semantics). Keyed by the sfX.Y token of the
+# data dir; unknown SFs (user-supplied corpora) skip the assertion and
+# report witness_pinned=false.
+_BPE_1K_GOLDEN: dict[str, dict[str, object]] = {
+    "0.001": {"n_merges": 1000, "first_merge": "er", "last_merge": "part_slow",
+              "merged_mass": 363530},
+    "0.01": {"n_merges": 1000, "first_merge": "er", "last_merge": "spark_merge",
+             "merged_mass": 354027},
+    "0.1": {"n_merges": 1000, "first_merge": "er", "last_merge": "a_stream",
+            "merged_mass": 3519664},
+}
+
+_BPE_ENC_1K_GOLDEN: dict[str, dict[str, object]] = {
+    "0.001": {"n_tokens": 26939, "n_subwords": 53997, "n_subword_types": 928},
+    "0.01": {"n_tokens": 26165, "n_subwords": 52443, "n_subword_types": 926},
+    "0.1": {"n_tokens": 260704, "n_subwords": 526466, "n_subword_types": 915},
+}
+
+
+def _sf_token(sf_dir: str) -> str | None:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1) if m else None
+
+
+def _assert_golden(row: dict, golden: dict[str, dict[str, object]],
+                   sf_dir: str, query: str) -> bool:
+    """Raise if a pinned witness drifted; return whether pins applied."""
+    pins = golden.get(_sf_token(sf_dir) or "")
+    if pins is None:
+        return False
+    bad = {k: (row[k], v) for k, v in pins.items() if row[k] != v}
+    if bad:
+        raise ValueError(
+            f"{query}: golden witness mismatch at {sf_dir}: "
+            + ", ".join(f"{k}: got {g!r}, pinned {w!r}" for k, (g, w) in bad.items())
+        )
+    return True
+
 
 def _trigram_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """A realistic-merge-space training corpus DERIVED from the fixture.
@@ -727,19 +784,20 @@ def q_bpe_merges_1k(spark: SparkSession, sf: str) -> DataFrame:
         sc.setJobGroup("", "")
     jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     n = len(merges)
+    row = {
+        "n_merges": n,
+        "spark_jobs": jobs,
+        "jobs_per_merge": round(jobs / max(n, 1), 4),
+        "first_merge": merges[0][3] if merges else None,
+        "last_merge": merges[-1][3] if merges else None,
+        "merged_mass": int(sum(m[4] for m in merges)),
+    }
+    pinned = _assert_golden(row, _BPE_1K_GOLDEN, sf, "bpe_merges_1k")
     return spark.createDataFrame(
-        [
-            (
-                n,
-                jobs,
-                round(jobs / max(n, 1), 4),
-                merges[0][3] if merges else None,
-                merges[-1][3] if merges else None,
-                int(sum(m[4] for m in merges)),
-            )
-        ],
+        [tuple(row.values()) + (pinned,)],
         "n_merges bigint, spark_jobs bigint, jobs_per_merge double,"
-        " first_merge string, last_merge string, merged_mass bigint",
+        " first_merge string, last_merge string, merged_mass bigint,"
+        " witness_pinned boolean",
     )
 
 

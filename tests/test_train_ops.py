@@ -197,7 +197,34 @@ class TestTrainBpe:
         assert row["spark_jobs"] <= 10
         assert row["jobs_per_merge"] <= 0.01
         assert row["first_merge"] == "er"
+        assert row["witness_pinned"] is True
         assert elapsed < 120, elapsed
+
+    def test_bpe_1k_golden_witnesses_pinned(self, spark):
+        """VERDICT r5 #3 done-criterion: the two no-oracle 1,000-merge
+        queries assert their data-deterministic scalars against golden
+        constants in-query (raise on mismatch) and report it via
+        witness_pinned, so a silent semantic break can't hide behind a
+        green row count."""
+        import pytest
+
+        from sentiment_analysis_bigdata_spark.workloads import train_q
+
+        row = train_q.q_bpe_encode_1k(spark, "/root/testdata/sf0.001").first()
+        assert row["witness_pinned"] is True
+        assert row["n_subword_types"] == 928
+
+        # A drifted golden constant must raise, not pass silently.
+        orig = train_q._BPE_1K_GOLDEN["0.001"]
+        train_q._BPE_1K_GOLDEN["0.001"] = dict(orig, merged_mass=orig["merged_mass"] + 1)
+        try:
+            with pytest.raises(ValueError, match="golden witness mismatch"):
+                train_q.q_bpe_merges_1k(spark, "/root/testdata/sf0.001").first()
+        finally:
+            train_q._BPE_1K_GOLDEN["0.001"] = orig
+
+        # Unknown SFs (user corpora) skip the pin: witness_pinned=false.
+        assert train_q._assert_golden({}, train_q._BPE_1K_GOLDEN, "/tmp/mydata", "x") is False
 
     def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
         # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]

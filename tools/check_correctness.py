@@ -84,8 +84,21 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
+            # No-oracle queries may still pin golden witnesses in-query
+            # (they RAISE on mismatch, caught above as SPARK ERROR) and
+            # report it via a witness_pinned column — stronger than a bare
+            # row count, weaker than a cross-engine hash.
+            if "witness_pinned" in scols and srows and all(
+                r["witness_pinned"] for r in srows
+            ):
+                print(
+                    f"✓ {name}: value-pinned golden witnesses"
+                    f" ({len(srows)} rows) [{time.time()-t0:.1f}s]"
+                )
+                n_pass += 1
+            else:
+                print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+                n_rowsonly += 1
             continue
         try:
             res = con.execute(oracles[name])
