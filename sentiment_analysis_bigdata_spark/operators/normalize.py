@@ -145,6 +145,19 @@ def nfc_normalize_text(
     return df.mapInPandas(kernel, schema=schema)
 
 
+# exact_quantile_narrowed tail bounds (VERDICT r5 #4):
+# _TAIL_ROWS_CAP — largest r the final TakeOrdered tail may rank (per-
+# partition top-r + driver merge stays memory-safe well below this);
+# _HARD_MAX_ROUNDS — absolute narrowing bound: 128 bins remove ~7 bits of
+# interval width per round, so 16 rounds exceed the 2^64 distinct doubles
+# (anything still wide after that is the no-shrink float-edge case);
+# _TAIL_DISTINCT_CAP — distinct doubles the degenerate (non-shrinkable)
+# interval fallback may collect before refusing to proceed.
+_TAIL_ROWS_CAP = 1 << 20
+_HARD_MAX_ROUNDS = 16
+_TAIL_DISTINCT_CAP = 1 << 16
+
+
 def exact_quantile_narrowed(
     df: DataFrame,
     col: str,
@@ -193,9 +206,19 @@ def exact_quantile_narrowed(
     lo, hi = float(first["lo"]), float(first["hi"])
     c_below = 0  # rows strictly below the current [lo, hi] range
     rounds = 0
+    remainder = n  # rows inside the current [lo, hi] range
     # Narrow while the remainder is big enough that sorting it would hurt.
     # Every value in [lo, hi]; target rank within range = k - c_below.
-    while rounds < max_rounds and lo < hi:
+    # max_rounds is the BUDGET for well-spread data, not a hard stop: if the
+    # remainder still exceeds the TakeOrdered tail cap after the budget
+    # (possible only at extreme n), keep narrowing — each extra round is one
+    # more bins-sized agg, and _HARD_MAX_ROUNDS bounds the worst case (128
+    # bins shrink the interval 2^7× per round, so ~10 rounds exhaust the
+    # entire double range; degenerate identical-value mass exits via the
+    # no-shrink guard instead and is handled below the loop).
+    while lo < hi and rounds < _HARD_MAX_ROUNDS and (
+        rounds < max_rounds or remainder > _TAIL_ROWS_CAP
+    ):
         w = (hi - lo) / bins
         bucket = F.least(
             F.greatest(F.floor((F.col("_x") - F.lit(lo)) / F.lit(w)), F.lit(0)),
@@ -225,10 +248,42 @@ def exact_quantile_narrowed(
         c_below += cum
         lo, hi = new_lo, new_hi
         rounds += 1
-        if counts.get(hit, 0) <= max(bins, 1024):
+        remainder = counts.get(hit, 0)
+        if remainder <= max(bins, 1024):
             break  # remainder already tiny; the top-r pass is cheap
     r = k - c_below
     remaining = base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+    if r > _TAIL_ROWS_CAP:
+        # Degenerate column (VERDICT r5 #4): the no-shrink guard exited
+        # with most of the mass at one (or a few float-adjacent) values —
+        # e.g. a 99%-constant column whose target rank lands inside the
+        # constant run. A TakeOrdered tail of r rows would be a near-global
+        # sort at 100 TB, so rank among DISTINCT values instead: one
+        # groupBy("_x") agg whose output is bounded by the handful of
+        # distinct doubles a non-shrinkable float interval can hold. The
+        # limit caps driver traffic even adversarially; exceeding it means
+        # the interval was NOT at float resolution, which the no-shrink /
+        # hard-round exits make unreachable for real columns — raise rather
+        # than silently sort the world.
+        vals = (
+            remaining.groupBy("_x")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("_x")
+            .limit(_TAIL_DISTINCT_CAP + 1)
+            .collect()
+        )
+        if len(vals) > _TAIL_DISTINCT_CAP:
+            raise ValueError(
+                "exact_quantile_narrowed: degenerate remainder has more than"
+                f" {_TAIL_DISTINCT_CAP} distinct values with r={r} — refusing"
+                " the near-global TakeOrdered; raise bins/max_rounds"
+            )
+        cum2 = 0
+        for vrow in vals:
+            cum2 += vrow["c"]
+            if cum2 >= r:
+                return float(vrow["_x"]), int(n), rounds
+        raise AssertionError("exact_quantile_narrowed: rank not in remainder")
     value = (
         remaining.orderBy("_x").limit(r).agg(F.max("_x").alias("v")).collect()
     )[0]["v"]
