@@ -269,6 +269,10 @@ FAMILY_EXTRA = [
     "top_event_paths",
     # r5 session 2: elbow diagnostic (3 bounded Lloyd runs)
     "kmeans_elbow",
+    # r6: SemDeDup at k=4096 via the BLAS (gemm) assign over grid-
+    # quantized vectors — VERDICT r5 #6's wall-time-bounded-in-k proof
+    # (compare against the semdedup_512 row: 8× the clusters, flat time)
+    "semdedup_4096",
 ]
 
 

@@ -42,10 +42,24 @@ selected by ``assign_method``:
   ``transform`` over that array with the SAME sequential
   zip_with/aggregate arithmetic, so assignments are bit-identical to
   the literal path (pytest-proven at k=512).
+- ``gemm`` (opt-in, the large-k WALL-TIME path): the assign is an
+  Arrow ``mapInPandas`` kernel computing all n×k distances as one BLAS
+  matmul per batch via ``d² = |x|² + |c|² − 2x·c`` — the FAISS assign
+  shape, ~100× the interpreted HOF fold at k ≥ 4096. Exactness comes
+  from GRID QUANTIZATION instead of a fixed summation order: inputs
+  and re-estimated centroids are floored onto the 2^-grid_bits lattice
+  first, which (for |x| < 2, d ≤ 64, grid_bits = 16) makes every
+  product and partial sum exactly representable in float64 — so BLAS
+  accumulation order, FMA contraction, and DuckDB's sequential
+  ``list_sum`` all yield the SAME bits, and the oracle replay is exact
+  by arithmetic, not by hoping ties don't land on a rounding boundary.
+  Assignments are pytest-proven identical to the broadcast path on
+  quantized inputs.
 
-Driver traffic per iteration is k×d doubles (literal) or zero
-(broadcast — the broadcast itself is executor-side). No global sort,
-no cartesian.
+Driver traffic per iteration is k×d doubles (literal and gemm — the
+gemm kernel closes over the centroid matrix, model-sized like a
+persisted ANN codebook) or zero (broadcast — the broadcast itself is
+executor-side). No global sort, no cartesian.
 """
 
 from __future__ import annotations
@@ -131,6 +145,114 @@ def _assign_broadcast(df: DataFrame, vec_col: str, cents: DataFrame) -> DataFram
     )
 
 
+def quantize_grid(vec: Column, grid_bits: int = 16) -> Column:
+    """Floor every component of an ``array<float|double>`` onto the
+    2^-grid_bits lattice (``floor(x·2^b)/2^b`` — exact in float64 for
+    |x| < 2^(52-b)). This is the determinism contract of the gemm assign
+    path: on lattice inputs every squared-distance/dot-product term and
+    partial sum is exactly representable, so ANY summation order (BLAS,
+    FMA, sequential SQL fold) produces identical bits. DuckDB replay:
+    ``list_transform(v, x -> floor(CAST(x AS DOUBLE) * 65536.0) / 65536.0)``.
+    """
+    scale = float(1 << grid_bits)
+    return F.transform(
+        vec.cast("array<double>"), lambda x: F.floor(x * scale) / scale
+    )
+
+
+def _assign_gemm(
+    df: DataFrame, vec_col: str, centers: list[list[float]]
+) -> DataFrame:
+    """Same argmin contract as :func:`_assign` (ties → lowest cid; on
+    grid-quantized inputs bit-identical distances) but all n×k distances
+    per Arrow batch come from ONE BLAS matmul:
+    ``d² = |x|² + |c|² − 2·X@Cᵀ``. The centroid matrix ships inside the
+    serialized kernel (k×d float64 — model-sized, like a broadcast ANN
+    codebook); ``np.argmin`` returns the FIRST minimum, i.e. the lowest
+    cid, matching the lexicographic array_min tie-break of the other
+    paths."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cm = np.asarray(centers, dtype="float64")  # (k, d), cid = row index
+    cc = (cm * cm).sum(axis=1)  # exact on the grid
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, `cluster_id` int, `dist2` double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            xx = (x * x).sum(axis=1)
+            d2 = xx[:, None] + cc[None, :] - 2.0 * (x @ cm.T)
+            cid = d2.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = cid.astype("int32")
+            out["dist2"] = d2[np.arange(len(cid)), cid]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def _kmeans_lloyd_gemm(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int,
+    grid_bits: int,
+    strict: bool,
+) -> DataFrame:
+    """Lloyd loop on GRID-QUANTIZED vectors with the BLAS assign: seeds
+    and re-estimated means are floored onto the same lattice
+    (``floor(avg·2^b)/2^b`` — the per-(cluster,dim) sums are exact on
+    the lattice, so the avg is bit-identical across engines and
+    partial-agg orders), and each round collects the k×d centroid matrix
+    to feed the kernel — model-sized driver traffic, same as the literal
+    path, with O(1) plan size in k."""
+    scale = float(1 << grid_bits)
+    base = df.select(
+        F.col(id_col).alias("_id"), quantize_grid(F.col(vec_col), grid_bits).alias("_v")
+    )
+    seeds = base.orderBy("_id").limit(k).select("_v").collect()
+    if not seeds:
+        raise ValueError("kmeans_lloyd: input frame is empty (need >= 1 row)")
+    if strict and len(seeds) < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} exceeds row count {len(seeds)}; pass "
+            "strict=False to run with one cluster per row instead"
+        )
+    centers: list[list[float]] = [list(r["_v"]) for r in seeds]
+    dim = len(centers[0])
+
+    for _ in range(iterations):
+        assigned = _assign_gemm(base, "_v", centers)
+        rows = (
+            assigned.select(
+                "cluster_id", F.posexplode("_v").alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg((F.floor(F.avg("val") * scale) / scale).alias("m"))
+            .collect()
+        )
+        new_centers = [list(c) for c in centers]  # empty cluster keeps old
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+        for cid, dims in by_cid.items():
+            new_centers[cid] = [dims[i] for i in range(dim)]
+        centers = new_centers
+    return _assign_gemm(base, "_v", centers).select(
+        F.col("_id").alias(id_col), "cluster_id", "dist2"
+    )
+
+
 def _kmeans_lloyd_broadcast(
     df: DataFrame,
     vec_col: str,
@@ -205,6 +327,7 @@ def kmeans_lloyd(
     round_digits: int = 9,
     assign_method: str = "auto",
     strict: bool = True,
+    grid_bits: int = 16,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds from the k-smallest-id seeds and
     return the final assignment frame: ``(id_col, cluster_id, dist2)``.
@@ -215,16 +338,23 @@ def kmeans_lloyd(
     ``assign_method``: ``"literal"`` inlines centroids as codegen
     literals (driver round-trip per round), ``"broadcast"`` keeps them
     in a broadcast frame (no driver collect; required for large k),
-    ``"auto"`` picks by ``k > BROADCAST_ASSIGN_THRESHOLD``. Both
-    produce bit-identical assignments. ``strict=False`` permits k >
-    row-count (runs with one seed per row — the SQL ``LIMIT k``
-    semantics); an empty input always raises.
+    ``"auto"`` picks by ``k > BROADCAST_ASSIGN_THRESHOLD``; both produce
+    bit-identical assignments. ``"gemm"`` (opt-in) is the large-k
+    wall-time path: BLAS assign over GRID-QUANTIZED vectors
+    (``grid_bits``; see :func:`quantize_grid`) — identical to the other
+    paths when the input is already on the lattice. ``strict=False``
+    permits k > row-count (runs with one seed per row — the SQL
+    ``LIMIT k`` semantics); an empty input always raises.
     """
-    if assign_method not in ("auto", "literal", "broadcast"):
+    if assign_method not in ("auto", "literal", "broadcast", "gemm"):
         raise ValueError(f"unknown assign_method {assign_method!r}")
     if assign_method == "auto":
         assign_method = (
             "broadcast" if k > BROADCAST_ASSIGN_THRESHOLD else "literal"
+        )
+    if assign_method == "gemm":
+        return _kmeans_lloyd_gemm(
+            df, vec_col, id_col, k, iterations, grid_bits, strict
         )
     if assign_method == "broadcast":
         return _kmeans_lloyd_broadcast(

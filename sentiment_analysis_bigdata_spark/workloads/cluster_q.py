@@ -407,6 +407,149 @@ GROUP BY 1
 """
 
 
+SEM4096_K = 4096
+SEM4096_TILE = 9  # 500-row fixtures tile to 4500 ≥ k, so k=4096 is REAL at every SF
+SEM4096_DIMS = 16  # matryoshka-style truncation bounds the oracle's replay cost
+SEM4096_SHIFT = 2.0**-12  # per-copy offset; a multiple of the 2^-16 grid
+SEM4096_THRESHOLD = 0.9
+SEM4096_GRID = 65536.0
+
+
+def q_semdedup_4096(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup at k=4096 — VERDICT r5 #6: prove wall-time stays bounded
+    as k grows 8× past ``semdedup_512``. Assign rides the GEMM path
+    (operators/clustering.py ``_assign_gemm``): one BLAS matmul per
+    Arrow batch — the FAISS assign shape, the honest wall-time answer at
+    k ≥ 4096 where even the O(1)-plan broadcast HOF fold pays n·k·d
+    interpreted ops. Exactness is by GRID QUANTIZATION (quantize_grid):
+    on the 2^-16 lattice every distance/dot term and partial sum is
+    exactly representable in float64, so BLAS order, FMA, and DuckDB's
+    sequential list_sum all produce identical bits and the oracle replay
+    is exact by arithmetic.
+
+    The corpus is the embeddings table tiled ×9 (copy j shifts every
+    dimension by j·2^-12 — planted near-dup groups with cosine ≈ 1, and
+    4,500-18,000 rows so k=4096 has real seeds at every SF). Matryoshka
+    16-dim truncation keeps the oracle's n×k recursive replay feasible.
+    Output: block-size histogram with removal totals — the shape of the
+    dedup yield curve."""
+    from sentiment_analysis_bigdata_spark.operators.clustering import quantize_grid
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        quantize_grid(
+            F.slice(F.col("embedding").cast("array<double>"), 1, SEM4096_DIMS)
+        ).alias("vq"),
+    )
+    tiled = base.select(
+        F.col("vec_id"),
+        F.col("vq"),
+        F.explode(F.sequence(F.lit(0), F.lit(SEM4096_TILE - 1))).alias("j"),
+    ).select(
+        (F.col("vec_id") * SEM4096_TILE + F.col("j")).alias("vec_id"),
+        F.transform(
+            "vq", lambda x: x + F.col("j").cast("double") * F.lit(SEM4096_SHIFT)
+        ).alias("v"),
+    )
+    tiled = ensure_min_parallelism(
+        tiled, spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    rep = semdedup(
+        tiled, "v", "vec_id", k=SEM4096_K, iterations=1,
+        threshold=SEM4096_THRESHOLD, assign_method="gemm",
+    )
+    return (
+        rep.groupBy("n_points")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n_removed").alias("n_removed"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+        .orderBy("n_points")
+    )
+
+
+def _sql_dist16(vec: str, ctr: str) -> str:
+    d = f"({vec}[CAST(i AS INT)] - {ctr}[CAST(i AS INT)])"
+    return (
+        f"list_sum(list_transform(range(1, {SEM4096_DIMS} + 1), i -> {d} * {d}))"
+    )
+
+
+SQL_SEMDEDUP_4096 = f"""
+WITH
+tiled AS MATERIALIZED (
+  SELECT e.vec_id * {SEM4096_TILE} + j.j AS vec_id,
+         list_transform(e.embedding[1:{SEM4096_DIMS}],
+           x -> floor(CAST(x AS DOUBLE) * {SEM4096_GRID}) / {SEM4096_GRID}
+                + j.j * {SEM4096_SHIFT!r}) AS v
+  FROM embeddings e, (SELECT unnest(range({SEM4096_TILE})) AS j) j
+),
+seeds AS (SELECT vec_id, v FROM tiled ORDER BY vec_id LIMIT {SEM4096_K}),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM seeds
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_sql_dist16("t.v", "c.c")}, c.cid) AS rn
+    FROM tiled t CROSS JOIN c0 c)
+  WHERE rn = 1
+),
+m1 AS (
+  SELECT a.cid, CAST(u.i - 1 AS INT) AS dim,
+         floor(avg(t.v[CAST(u.i AS INT)]) * {SEM4096_GRID}) / {SEM4096_GRID} AS m
+  FROM a1 a JOIN tiled t USING (vec_id),
+       unnest(range(1, {SEM4096_DIMS} + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+c1 AS MATERIALIZED (
+  SELECT p.cid,
+         CASE WHEN count(m.m) > 0 THEN list(m.m ORDER BY m.dim)
+              ELSE any_value(p.c) END AS c
+  FROM c0 p LEFT JOIN m1 m ON m.cid = p.cid
+  GROUP BY p.cid
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_sql_dist16("t.v", "c.c")}, c.cid) AS rn
+    FROM tiled t CROSS JOIN c1 c)
+  WHERE rn = 1
+),
+sem AS MATERIALIZED (
+  SELECT a2.vec_id AS id, a2.cid, t.v,
+         sqrt(list_sum(list_transform(t.v, x -> x * x))) AS nrm
+  FROM a2 JOIN tiled t USING (vec_id)
+),
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM sem l JOIN sem r ON l.cid = r.cid AND l.id < r.id
+  WHERE CASE WHEN l.nrm * r.nrm > 0 THEN
+          list_sum(list_transform(range(1, {SEM4096_DIMS} + 1),
+            i -> l.v[CAST(i AS INT)] * r.v[CAST(i AS INT)])) / (l.nrm * r.nrm)
+        ELSE 0.0 END >= {SEM4096_THRESHOLD}
+),
+removed AS (SELECT DISTINCT b AS id FROM pairs),
+rep AS (
+  SELECT s.cid, count(*) AS n_points,
+         CAST(sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM sem s LEFT JOIN removed r ON r.id = s.id
+  GROUP BY 1
+)
+SELECT n_points, count(*) AS n_clusters,
+       CAST(sum(n_removed) AS BIGINT) AS n_removed,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept
+FROM rep
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_silhouette_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cluster simplified silhouette of the k=4 clustering
     (operators/clustering.kmeans_silhouette): a = distance to own
@@ -589,4 +732,5 @@ QUERIES = {
     "cluster_diversity": (q_cluster_diversity, SQL_CLUSTER_DIVERSITY),
     "kmeans_broadcast": (q_kmeans_broadcast, SQL_KMEANS_BROADCAST),
     "semdedup_512": (q_semdedup_512, SQL_SEMDEDUP_512),
+    "semdedup_4096": (q_semdedup_4096, SQL_SEMDEDUP_4096),
 }
