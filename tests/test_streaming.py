@@ -224,6 +224,85 @@ def test_upsert_sink_replay_after_repoint(spark, tmp_path):
     assert versions == ["_v0", "_v0_retry"]
 
 
+def test_upsert_recovery_from_checkpoint(spark, tmp_path):
+    """VERDICT r5 #7 done-criterion — the exactly-once claim under a REAL
+    mid-stream kill + checkpoint restart: four single-file micro-batches;
+    the first run crashes AFTER batch 1's versioned commit + _LATEST
+    repoint but BEFORE its streaming checkpoint commits (the worst crash
+    point — the replayed batch must take the _retry sibling instead of
+    overwriting the directory it reads); the restarted query resumes from
+    the checkpoint, replays batch 1, and finishes 2-3. Final table state
+    must equal an uninterrupted run's, key for key."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double, props string"
+    batches = [
+        [(1, 100, t0, "click", 1.0, "{}"), (2, 101, t0, "view", 2.0, "{}")],
+        [(1, 102, t0 + dt.timedelta(hours=1), "purchase", 9.0, "{}")],
+        [(3, 103, t0, "click", 3.0, "{}"), (2, 104, t0 + dt.timedelta(hours=2), "purchase", 4.0, "{}")],
+        [(1, 105, t0 + dt.timedelta(hours=3), "view", 5.0, "{}"), (4, 106, t0, "click", 6.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(d / f"f{i}.parquet"), coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(T._parse_datatype_string(schema))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    fold = SJ.upsert_fold(out, keys, order)
+
+    def crash_after_batch_1(batch_df, batch_id):
+        fold(batch_df, batch_id)  # commit + repoint SUCCEED first
+        if batch_id == 1:
+            raise RuntimeError("injected mid-stream crash")
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(crash_after_batch_1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected mid-stream crash"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+    # the crash landed after the repoint: marker is at batch 1's commit
+    with open(f"{out}/_LATEST") as f:
+        assert f.read().strip() == "_v1"
+
+    # restart the REAL production runner from the SAME checkpoint: batch 1
+    # replays (its offsets never committed) via the _retry path, then 2-3 run
+    SJ.run_stream_upsert_to_parquet(make_stream(), out, ckpt, keys, order)
+
+    # uninterrupted twin on a fresh table + checkpoint
+    out2, ckpt2 = str(tmp_path / "table2"), str(tmp_path / "ckpt2")
+    SJ.run_stream_upsert_to_parquet(make_stream(), out2, ckpt2, keys, order)
+
+    got = sorted(map(tuple, SJ.read_upsert_table(spark, out).collect()))
+    want = sorted(map(tuple, SJ.read_upsert_table(spark, out2).collect()))
+    assert got == want
+    assert {r[0]: r[3] for r in got} == {
+        1: "view", 2: "purchase", 3: "click", 4: "click"
+    }
+
+
 def test_streaming_interval_join_outer_equals_batch(spark, sf_dir):
     """Left-outer stream-stream join: inside the stream-end watermark
     horizon (min-side max ts − watermark − within − slack) the incremental
