@@ -273,6 +273,12 @@ FAMILY_EXTRA = [
     # quantized vectors — VERDICT r5 #6's wall-time-bounded-in-k proof
     # (compare against the semdedup_512 row: 8× the clusters, flat time)
     "semdedup_4096",
+    # r6: the three canonical curation recipes the registry lacked —
+    # Gopher composite doc gate, C4 line-level cleaning, UniMax
+    # epoch-capped budget allocation (each integer-exact cross-engine)
+    "gopher_quality_gate",
+    "c4_line_filters",
+    "unimax_mixture",
 ]
 
 

@@ -594,6 +594,135 @@ FROM est e JOIN exact x ON x.event_type = e.event_type AND x.q = e.q
 _MIX_TEMP = 2.0  # temperature: w_s ∝ p_s^(1/T) (T=1 natural, T→∞ uniform)
 
 
+# UniMax (Chung et al. 2023): budget B = 19/10 of corpus tokens, per-source
+# epoch cap E = 2 — chosen so SOME sources hit the cap on the fixture
+# (capacities vary ~±10% around B/n). All math is INTEGER (DIV), so the
+# knife-edge capped/uncapped boundary cannot drift cross-engine.
+UNIMAX_BUDGET_NUM = 19
+UNIMAX_BUDGET_DEN = 10
+UNIMAX_MAX_EPOCHS = 2
+
+
+def q_unimax_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023): distribute a total
+    token budget UNIFORMLY across sources, capping each source at
+    ``UNIMAX_MAX_EPOCHS`` epochs of its own data and re-spreading the
+    surplus over the uncapped rest — the epoch-capped alternative to
+    temperature mixing (``mixture_plan``) that avoids over-epoching
+    low-resource sources. Water-filling has a CLOSED FORM over the
+    capacity-sorted sources (no iteration): source i is capped iff its
+    capacity fits under the level computed from the budget left after
+    capping everything smaller — one window chain, integer arithmetic
+    end to end (budget = B·19 DIV 10, level = remaining DIV n_uncapped),
+    so both engines agree exactly even at knife-edge caps.
+
+    100 TB shape: one corpus pass for token counts, then all math on the
+    sources-sized frame (window over ~10²-10³ rows). Epochs reported at
+    6 dp from identical integer inputs."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(TXT.tokenize_nonempty("text"))).alias("tokens")
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    from pyspark.sql import Window
+
+    cap = (F.lit(UNIMAX_MAX_EPOCHS) * F.col("tokens")).alias("capacity")
+    w = Window.orderBy("capacity", "source")
+    d = (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            cap,
+            (
+                F.col("_total") * UNIMAX_BUDGET_NUM
+                - (F.col("_total") * UNIMAX_BUDGET_NUM) % UNIMAX_BUDGET_DEN
+            ).alias("_bnum"),  # floor to a multiple of DEN, then exact DIV
+            "_n",
+        )
+        .withColumn("budget", (F.col("_bnum") / UNIMAX_BUDGET_DEN).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("capacity").over(w))
+    )
+    # capped iff capacity <= level available BEFORE this row is capped:
+    # avail = B - (cum - capacity); share = avail DIV remaining rows
+    avail = F.col("budget") - (F.col("cum") - F.col("capacity"))
+    share = (avail - avail % (F.col("_n") - F.col("rn") + 1)) / (
+        F.col("_n") - F.col("rn") + 1
+    )
+    d = d.withColumn("capped", F.col("capacity") <= share.cast("bigint"))
+    # level for the uncapped rows: budget left after ALL capped rows,
+    # split evenly (integer DIV) over the uncapped count
+    agg = d.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0)).alias(
+            "_capped_sum"
+        ),
+        F.sum((~F.col("capped")).cast("bigint")).alias("_n_uncapped"),
+    )
+    rem = F.col("budget") - F.col("_capped_sum")
+    level = (rem - rem % F.greatest(F.col("_n_uncapped"), F.lit(1))) / F.greatest(
+        F.col("_n_uncapped"), F.lit(1)
+    )
+    return (
+        d.join(F.broadcast(agg))
+        .select(
+            "source",
+            "tokens",
+            "capacity",
+            "capped",
+            F.when(F.col("capped"), F.col("capacity"))
+            .otherwise(level.cast("bigint"))
+            .alias("allocated"),
+        )
+        .withColumn(
+            "epochs", F.round(F.col("allocated") / F.col("tokens"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+SQL_UNIMAX_MIXTURE = f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total, count(*) AS n FROM per_src
+),
+d AS (
+  SELECT p.source, p.tokens,
+         {UNIMAX_MAX_EPOCHS} * p.tokens AS capacity,
+         (t.total * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} AS budget,
+         t.n AS n,
+         row_number() OVER (ORDER BY {UNIMAX_MAX_EPOCHS} * p.tokens, p.source) AS rn,
+         sum({UNIMAX_MAX_EPOCHS} * p.tokens)
+           OVER (ORDER BY {UNIMAX_MAX_EPOCHS} * p.tokens, p.source) AS cum
+  FROM per_src p CROSS JOIN tot t
+),
+flagged AS (
+  SELECT *,
+         capacity <= (budget - (cum - capacity)) // (n - rn + 1) AS capped
+  FROM d
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS capped_sum,
+         CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_uncapped
+  FROM flagged
+)
+SELECT f.source, f.tokens, f.capacity, f.capped,
+       CASE WHEN f.capped THEN f.capacity
+            ELSE (f.budget - a.capped_sum) // greatest(a.n_uncapped, 1) END AS allocated,
+       round((CASE WHEN f.capped THEN f.capacity
+                   ELSE (f.budget - a.capped_sum) // greatest(a.n_uncapped, 1) END)
+             / CAST(f.tokens AS DOUBLE), 6) AS epochs
+FROM flagged f CROSS JOIN agg a
+ORDER BY 1
+"""
+
+
 def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-weighted data-recipe computation (the per-source
     sampling table of a multilingual/multi-source pretraining run, cf.
@@ -1125,6 +1254,7 @@ QUERIES = {
         SQL_EXACT_QUANTILES_NARROWED,
     ),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "unimax_mixture": (q_unimax_mixture, SQL_UNIMAX_MIXTURE),
     "cms_token_counts": (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS),
     "hist_quantiles": (q_hist_quantiles, SQL_HIST_QUANTILES),
     "dataset_fingerprint": (q_dataset_fingerprint, SQL_DATASET_FINGERPRINT),

@@ -2512,7 +2512,276 @@ FROM flagged GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Gopher quality rules (Rae et al. 2021, Appendix A) -----------------------
+
+# The canonical composite doc-level gate every large-scale curation run
+# applies before anything else. All rule comparisons are INTEGER
+# cross-multiplications (no float ratios can drift cross-engine).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rules (Rae et al. 2021, Appendix A), the composite
+    document-level quality gate: word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (# or ellipsis) <= 0.1,
+    >= 80% of words contain an alphabetic character, and >= 2 distinct
+    required stopwords present. Per-source report of docs passing and a
+    per-rule failure breakdown (failures are not mutually exclusive —
+    each rule is counted independently, which is what you tune).
+
+    100 TB shape: one corpus pass, all per-doc math inside whole-stage
+    codegen over the token array; the report is sources-sized. Every
+    rule compares INTEGERS (cross-multiplied thresholds: e.g.
+    3*count <= sum_len <= 10*count), so the oracle replay cannot drift."""
+    docs = _docs(spark, sf)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    d = docs.select(
+        "source",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+        ).alias("words"),
+    ).select(
+        "source",
+        F.size("words").alias("wc"),
+        F.expr(
+            "aggregate(words, 0L, (a, w) -> a + length(w))"
+        ).alias("sum_len"),
+        F.expr(
+            "size(filter(words, w -> w rlike '[a-zA-Z]'))"
+        ).alias("alpha_words"),
+        F.expr(
+            "size(filter(words, w -> w rlike '[#…]' or w like '%...%'))"
+        ).alias("symbol_words"),
+        F.size(
+            F.filter(stops, lambda s: F.array_contains(F.col("words"), s))
+        ).alias("stop_hits"),
+    )
+    rules = d.select(
+        "source",
+        (
+            (F.col("wc") >= GOPHER_MIN_WORDS) & (F.col("wc") <= GOPHER_MAX_WORDS)
+        ).alias("ok_wc"),
+        (
+            (F.col("sum_len") >= 3 * F.col("wc"))
+            & (F.col("sum_len") <= 10 * F.col("wc"))
+        ).alias("ok_mwl"),
+        (10 * F.col("symbol_words") <= F.col("wc")).alias("ok_sym"),
+        (5 * F.col("alpha_words") >= 4 * F.col("wc")).alias("ok_alpha"),
+        (F.col("stop_hits") >= GOPHER_MIN_STOPWORDS).alias("ok_stop"),
+    )
+    passed = (
+        F.col("ok_wc") & F.col("ok_mwl") & F.col("ok_sym")
+        & F.col("ok_alpha") & F.col("ok_stop")
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(passed.cast("bigint")).alias("n_pass"),
+            F.sum((~F.col("ok_wc")).cast("bigint")).alias("n_fail_word_count"),
+            F.sum((~F.col("ok_mwl")).cast("bigint")).alias("n_fail_mean_word_len"),
+            F.sum((~F.col("ok_sym")).cast("bigint")).alias("n_fail_symbol_ratio"),
+            F.sum((~F.col("ok_alpha")).cast("bigint")).alias("n_fail_alpha"),
+            F.sum((~F.col("ok_stop")).cast("bigint")).alias("n_fail_stopwords"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_gopher_stoplist() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+SQL_GOPHER_QUALITY_GATE = f"""
+WITH words AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+d AS (
+  SELECT source,
+         len(w) AS wc,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_filter(w, x -> regexp_matches(x, '[#…]') OR x LIKE '%...%')) AS symbol_words,
+         len(list_filter({_sql_gopher_stoplist()}, s -> list_contains(w, s))) AS stop_hits
+  FROM words
+),
+rules AS (
+  SELECT source,
+         (wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS}) AS ok_wc,
+         (sum_len >= 3 * wc AND sum_len <= 10 * wc) AS ok_mwl,
+         (10 * symbol_words <= wc) AS ok_sym,
+         (5 * alpha_words >= 4 * wc) AS ok_alpha,
+         (stop_hits >= {GOPHER_MIN_STOPWORDS}) AS ok_stop
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+       CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+       CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol_ratio,
+       CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords
+FROM rules GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- C4 line-level filters (Raffel et al. 2020 §2.2) --------------------------
+
+# The fixture corpus is single-line, so line structure is PLANTED
+# deterministically from (doc_id, line_no) — the same synthesize→process→
+# closed-form-oracle pattern as the multimodal PNG lane: terminal
+# punctuation on lines where (doc_id + line_no) % 3 != 0, a policy term
+# injected on line doc_id % 7, lines are 8-word chunks (the tail chunk
+# is shorter, exercising the min-words rule).
+C4_LINE_WORDS = 8
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_POLICY_TERMS = ["cookie", "javascript", "lorem ipsum"]
+
+
+def q_c4_line_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): a line is kept
+    only if it ends in terminal punctuation, has >= 5 words, and carries
+    no policy boilerplate term; a document survives only with >= 3 kept
+    lines. This is the famous line-grained gate between raw crawl and
+    every downstream doc-level operator — finer than doc-level
+    text_quality and coarser than span dedup.
+
+    100 TB shape: one posexplode to line grain (bounded fan-out:
+    len/8 lines per doc), whole-stage-codegen predicates per line, two
+    hash aggs (doc then source). All counts are integers."""
+    docs = _docs(spark, sf)
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(words) / {C4_LINE_WORDS}.0) AS INT) - 1),"
+                    f" i -> array_join(slice(words, i * {C4_LINE_WORDS} + 1, {C4_LINE_WORDS}), ' '))"
+                )
+            ).alias("line_no", "line"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "line_no",
+            # plant terminal punctuation and the policy term
+            F.when(
+                F.col("line_no") == F.col("doc_id") % 7,
+                F.concat(F.col("line"), F.lit(" cookie")),
+            )
+            .otherwise(F.col("line"))
+            .alias("l0"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "line_no",
+            F.when(
+                (F.col("doc_id") + F.col("line_no")) % 3 != 0,
+                F.concat(F.col("l0"), F.lit(".")),
+            )
+            .otherwise(F.col("l0"))
+            .alias("line"),
+        )
+    )
+    policy = "|".join(C4_POLICY_TERMS)
+    judged = lines.select(
+        "doc_id",
+        "source",
+        F.col("line").rlike(r"[.!?\"]$").alias("ok_punct"),
+        (
+            F.size(F.expr("filter(split(line, '\\\\s+'), t -> t <> '')"))
+            >= C4_MIN_LINE_WORDS
+        ).alias("ok_len"),
+        (~F.lower(F.col("line")).rlike(policy)).alias("ok_policy"),
+    )
+    per_doc = judged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("ok_punct") & F.col("ok_len") & F.col("ok_policy")).cast("bigint")
+        ).alias("n_kept"),
+        F.sum((~F.col("ok_punct")).cast("bigint")).alias("f_punct"),
+        F.sum((~F.col("ok_len")).cast("bigint")).alias("f_len"),
+        F.sum((~F.col("ok_policy")).cast("bigint")).alias("f_policy"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_kept").alias("n_lines_kept"),
+            F.sum("f_punct").alias("n_fail_punct"),
+            F.sum("f_len").alias("n_fail_short"),
+            F.sum("f_policy").alias("n_fail_policy"),
+            F.sum(
+                (F.col("n_kept") >= C4_MIN_KEPT_LINES).cast("bigint")
+            ).alias("n_docs_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_C4_LINE_FILTERS = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words
+  FROM documents
+),
+raw_lines AS (
+  SELECT doc_id, source, u.i - 1 AS line_no,
+         array_to_string(words[(u.i - 1) * {C4_LINE_WORDS} + 1 : (u.i) * {C4_LINE_WORDS}], ' ') AS line
+  FROM w, unnest(range(1, CAST(ceil(len(words) / {C4_LINE_WORDS}.0) AS BIGINT) + 1)) AS u(i)
+),
+planted AS (
+  SELECT doc_id, source, line_no,
+         CASE WHEN (doc_id + line_no) % 3 <> 0
+              THEN l0 || '.' ELSE l0 END AS line
+  FROM (
+    SELECT doc_id, source, line_no,
+           CASE WHEN line_no = doc_id % 7
+                THEN line || ' cookie' ELSE line END AS l0
+    FROM raw_lines)
+),
+judged AS (
+  SELECT doc_id, source,
+         regexp_matches(line, '[.!?"]$') AS ok_punct,
+         len(list_filter(string_split_regex(line, '\\s+'), t -> t <> '')) >= {C4_MIN_LINE_WORDS} AS ok_len,
+         NOT regexp_matches(lower(line), '{"|".join(C4_POLICY_TERMS)}') AS ok_policy
+  FROM planted
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_lines,
+         sum(CASE WHEN ok_punct AND ok_len AND ok_policy THEN 1 ELSE 0 END) AS n_kept,
+         sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS f_punct,
+         sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS f_len,
+         sum(CASE WHEN NOT ok_policy THEN 1 ELSE 0 END) AS f_policy
+  FROM judged GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_kept) AS BIGINT) AS n_lines_kept,
+       CAST(sum(f_punct) AS BIGINT) AS n_fail_punct,
+       CAST(sum(f_len) AS BIGINT) AS n_fail_short,
+       CAST(sum(f_policy) AS BIGINT) AS n_fail_policy,
+       CAST(sum(CASE WHEN n_kept >= {C4_MIN_KEPT_LINES} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "gopher_quality_gate": (q_gopher_quality_gate, SQL_GOPHER_QUALITY_GATE),
+    "c4_line_filters": (q_c4_line_filters, SQL_C4_LINE_FILTERS),
     "accent_fold": (q_accent_fold, SQL_ACCENT_FOLD),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
