@@ -256,3 +256,45 @@ def test_narrowed_quantile_equals_sorted_rank(spark, vals, q):
     want = float(s[max(1, math.ceil(q * len(s))) - 1])
     assert n == len(vals)
     assert got == want, (q, got, want, s[:5])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=1, max_value=64),
+)
+def test_grid_quantized_distance_is_order_invariant(data, dim):
+    """The r6 gemm-assign exactness contract (clustering.quantize_grid):
+    after flooring vectors onto the 2^-16 lattice (|x| < 2), the squared
+    L2 distance is EXACTLY representable in float64, so every evaluation
+    strategy — sequential left-to-right fold (the DuckDB list_sum / HOF
+    zip_with order), reversed fold, numpy pairwise summation, and the
+    BLAS decomposition |x|^2 + |c|^2 - 2 x.c — yields identical bits.
+    Pure-arithmetic property, no Spark session needed."""
+    import math
+
+    import numpy as np
+
+    fl = st.floats(min_value=-1.999, max_value=1.999,
+                   allow_nan=False, allow_infinity=False)
+    x = [data.draw(fl) for _ in range(dim)]
+    c = [data.draw(fl) for _ in range(dim)]
+    q = lambda v: math.floor(v * 65536.0) / 65536.0
+    xq = [q(v) for v in x]
+    cq = [q(v) for v in c]
+
+    # sequential left-to-right (the SQL fold)
+    seq = 0.0
+    for a, b in zip(xq, cq):
+        seq = seq + (a - b) * (a - b)
+    # reversed order
+    rev = 0.0
+    for a, b in reversed(list(zip(xq, cq))):
+        rev = rev + (a - b) * (a - b)
+    # numpy pairwise summation
+    xn, cn = np.array(xq, dtype="float64"), np.array(cq, dtype="float64")
+    npsum = float(((xn - cn) ** 2).sum())
+    # BLAS decomposition (dot products via numpy, any internal order)
+    decomp = float(xn @ xn + cn @ cn - 2.0 * (xn @ cn))
+
+    assert seq == rev == npsum == decomp
