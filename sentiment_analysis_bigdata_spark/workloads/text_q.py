@@ -2523,28 +2523,20 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_STOPWORDS = 2
 
 
-def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher rules (Rae et al. 2021, Appendix A), the composite
-    document-level quality gate: word count in [50, 100k], mean word
-    length in [3, 10], symbol-to-word ratio (# or ellipsis) <= 0.1,
-    >= 80% of words contain an alphabetic character, and >= 2 distinct
-    required stopwords present. Per-source report of docs passing and a
-    per-rule failure breakdown (failures are not mutually exclusive —
-    each rule is counted independently, which is what you tune).
-
-    100 TB shape: one corpus pass, all per-doc math inside whole-stage
-    codegen over the token array; the report is sources-sized. Every
-    rule compares INTEGERS (cross-multiplied thresholds: e.g.
-    3*count <= sum_len <= 10*count), so the oracle replay cannot drift."""
-    docs = _docs(spark, sf)
+def gopher_rules_frame(docs: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Per-document Gopher rule booleans (ok_wc, ok_mwl, ok_sym,
+    ok_alpha, ok_stop) alongside ``keep_cols`` — the reusable core shared
+    by the ``gopher_quality_gate`` query and the 200k-doc corpus-scale
+    pipeline (tools/corpus_scale.py). One pass, whole-stage codegen, all
+    integer cross-multiplied comparisons."""
     stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     d = docs.select(
-        "source",
+        *keep_cols,
         F.expr(
             "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
         ).alias("words"),
     ).select(
-        "source",
+        *keep_cols,
         F.size("words").alias("wc"),
         F.expr(
             "aggregate(words, 0L, (a, w) -> a + length(w))"
@@ -2559,8 +2551,8 @@ def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
             F.filter(stops, lambda s: F.array_contains(F.col("words"), s))
         ).alias("stop_hits"),
     )
-    rules = d.select(
-        "source",
+    return d.select(
+        *keep_cols,
         (
             (F.col("wc") >= GOPHER_MIN_WORDS) & (F.col("wc") <= GOPHER_MAX_WORDS)
         ).alias("ok_wc"),
@@ -2572,6 +2564,22 @@ def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
         (5 * F.col("alpha_words") >= 4 * F.col("wc")).alias("ok_alpha"),
         (F.col("stop_hits") >= GOPHER_MIN_STOPWORDS).alias("ok_stop"),
     )
+
+
+def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rules (Rae et al. 2021, Appendix A), the composite
+    document-level quality gate: word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (# or ellipsis) <= 0.1,
+    >= 80% of words contain an alphabetic character, and >= 2 distinct
+    required stopwords present. Per-source report of docs passing and a
+    per-rule failure breakdown (failures are not mutually exclusive —
+    each rule is counted independently, which is what you tune).
+
+    100 TB shape: one corpus pass, all per-doc math inside whole-stage
+    codegen over the token array; the report is sources-sized. Every
+    rule compares INTEGERS (cross-multiplied thresholds: e.g.
+    3*count <= sum_len <= 10*count), so the oracle replay cannot drift."""
+    rules = gopher_rules_frame(_docs(spark, sf), ["source"])
     passed = (
         F.col("ok_wc") & F.col("ok_mwl") & F.col("ok_sym")
         & F.col("ok_alpha") & F.col("ok_stop")

@@ -103,6 +103,31 @@ def main() -> int:
             )
         stats["clean"] = clean_stats
 
+        # Gopher composite gate at corpus scale: the synthetic vocabulary
+        # is 'w<rank>' tokens, so the alphabetic / mean-word-length /
+        # symbol rules PASS every doc while the 40-token docs fail the
+        # 50-word floor and (having no English stopwords) the stopword
+        # rule — exact, closed-form expectations at any n_docs.
+        with stage("gopher_gate"):
+            from sentiment_analysis_bigdata_spark.workloads.text_q import (
+                gopher_rules_frame,
+            )
+
+            rules = gopher_rules_frame(spark.read.parquet(cleaned), [])
+            g = rules.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((~F.col("ok_wc")).cast("bigint")).alias("f_wc"),
+                F.sum((~F.col("ok_stop")).cast("bigint")).alias("f_stop"),
+                F.sum((~F.col("ok_mwl")).cast("bigint")).alias("f_mwl"),
+                F.sum((~F.col("ok_sym")).cast("bigint")).alias("f_sym"),
+                F.sum((~F.col("ok_alpha")).cast("bigint")).alias("f_alpha"),
+            ).first()
+        stats["gopher"] = {k: int(g[k]) for k in ("n", "f_wc", "f_stop")}
+        if not (g["f_wc"] == g["f_stop"] == g["n"]):
+            failures.append(f"gopher gate: expected all {g['n']} docs to fail wc+stopwords, got {g['f_wc']}/{g['f_stop']}")
+        if g["f_mwl"] != 0 or g["f_sym"] != 0 or g["f_alpha"] != 0:
+            failures.append("gopher gate: mwl/sym/alpha rules should pass the synthetic vocab")
+
         deduped = f"{work}/dedup"
         with stage("cluster_dedup"):
             dd = C.cluster_dedup_corpus(
