@@ -432,6 +432,38 @@ AUDIT = {
         "window; the only Exchange is the parallelism-floor repartition "
         "that the single-row-group fixture needs (a no-op on real splits)",
     ),
+    "semdedup_4096": (
+        ["HashAggregate", "SortMergeJoin|BroadcastHashJoin",
+         "!CartesianProduct", "!Window"],
+        "SemDeDup at k=4096 on the BLAS assign path: centroid argmin is "
+        "ONE Arrow kernel per batch (MapInPandas — upstream of the "
+        "audited plan because semdedup localCheckpoints the assigned "
+        "frame, same lineage cut as kmeans_broadcast) with plan size and "
+        "jobs O(1) in k, the k×d matrix model-sized in the kernel; the "
+        "pair scan is an equi-join on cluster_id (blocks bound pair work "
+        "to n²/k), never a cartesian",
+    ),
+    "gopher_quality_gate": (
+        ["HashAggregate", "!CartesianProduct", "!Window", "!SortMergeJoin",
+         "!MapInPandas"],
+        "Gopher composite gate: one corpus pass, every rule an integer "
+        "comparison inside whole-stage codegen over the token array; the "
+        "only shuffle is the sources-sized report agg (map-side partials)",
+    ),
+    "c4_line_filters": (
+        ["HashAggregate", "!CartesianProduct", "!Window", "!SortMergeJoin"],
+        "C4 line filters: posexplode to line grain (fan-out bounded at "
+        "len/8 lines per doc), codegen'd per-line predicates, then doc- "
+        "and source-level hash aggs — two shuffles total, no joins",
+    ),
+    "unimax_mixture": (
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin",
+         "!CartesianProduct", "!SortMergeJoin"],
+        "UniMax allocation: one corpus pass to source-level token counts; "
+        "the water-filling closed form is a window chain + 1-row "
+        "aggregates on the sources-sized frame (broadcast nested-loop "
+        "joins of bounded frames), integer arithmetic end to end",
+    ),
     "code_prose_profile": (
         ["HashAggregate", "Union", "!Window", "!CartesianProduct"],
         "code/prose routing: two narrow char-class projections union into "
