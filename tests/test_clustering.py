@@ -166,6 +166,36 @@ def test_gemm_jobs_per_round_bounded_k4096(spark):
     assert j4096 == j512  # O(1) in k
 
 
+def test_broadcast_jobs_per_round_bounded_k4096(spark):
+    """VERDICT r5 #6, broadcast-path side: the frame-only Lloyd loop's
+    Spark job count is O(1) in k — the localCheckpoint barriers and the
+    seed count are per-ROUND costs, not per-centroid. Measured via job
+    groups at k=512 and k=4096 on the same frame; counts must be equal
+    and small."""
+    import math
+
+    rows = [(i, [math.sin(0.3 * i), math.cos(0.2 * i)]) for i in range(4200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sc = spark.sparkContext
+
+    def run(k: int) -> int:
+        group = f"bc-jobs-{k}"
+        sc.setJobGroup(group, "", interruptOnCancel=False)
+        try:
+            kmeans_lloyd(
+                df, "embedding", "vec_id", k=k, iterations=1,
+                assign_method="broadcast",
+            ).count()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j4096 = run(4096)
+    j512 = run(512)
+    assert j4096 == j512
+    assert j4096 <= 16, j4096
+
+
 def test_empty_and_overk_guards(spark):
     import pytest
 
