@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 
 def test_accuracy_band_vs_reference_published(spark):
     sys.path.insert(0, "/root/repo/tools")
@@ -31,3 +33,25 @@ def test_accuracy_band_vs_reference_published(spark):
     # (BASELINE.md: ~0.53, an artifact of uncalibrated NB raw margins)
     assert out["models"]["nb"]["roc_auc"] < 0.6
     assert out["models"]["lr"]["roc_auc"] > 0.7
+
+
+def test_corpus_scale_pipeline_invariants():
+    """The end-to-end curation pipeline tool (synthesize → clean → Gopher
+    gate → cluster-dedup → chunk → pack → mix) holds its planted
+    invariants at a reduced 20k docs — run as a subprocess because the
+    tool owns its SparkSession lifecycle (it stops the session on exit,
+    which would kill the shared pytest fixture in-process)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/corpus_scale.py", "20000"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["failures"] == []
+    assert out["stats"]["gopher"]["f_wc"] == 20000
+    assert out["stats"]["dedup"]["removed"] == pytest.approx(4000, rel=0.1)
+
