@@ -73,6 +73,21 @@ def get_spark(
             ),
         )
     )
+    # --- streaming state store backend ---
+    # The default HDFSBackedStateStoreProvider keeps every state row on the
+    # executor HEAP — fine for the bounded-state jobs here at test scale,
+    # but at 100 TB a long-horizon watermark or a high-cardinality keyed
+    # state must spill: RocksDB is the production answer (native memory +
+    # local disk, incremental checkpointing). Opt-in via
+    # SPARK_GRAFT_STATE_STORE=rocksdb; the full streaming test suite and
+    # the state-store audit pass under it unchanged (stream ≡ batch twins
+    # are backend-independent — see SCALING.md "Streaming").
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
