@@ -2672,10 +2672,16 @@ def q_c4_line_filters(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # empty-doc guard: F.sequence counts DOWN when the end bound is
+            # below the start (sequence(0, -1) = [0, -1]), which would
+            # fabricate two bogus lines where DuckDB's range(1, 1) yields
+            # none — gate on size(words) > 0 so both engines emit no lines
             F.posexplode(
                 F.expr(
+                    f"CASE WHEN size(words) > 0 THEN "
                     f"transform(sequence(0, CAST(ceil(size(words) / {C4_LINE_WORDS}.0) AS INT) - 1),"
                     f" i -> array_join(slice(words, i * {C4_LINE_WORDS} + 1, {C4_LINE_WORDS}), ' '))"
+                    f" ELSE array() END"
                 )
             ).alias("line_no", "line"),
         )

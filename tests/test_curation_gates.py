@@ -96,9 +96,16 @@ class TestC4LineFilters:
             ("a", " ".join(f"w{i}" for i in range(37))),
             ("a", " ".join(f"x{i}" for i in range(8))),
             ("b", " ".join(f"y{i}" for i in range(95))),
+            ("b", "   "),  # whitespace-only doc: zero lines on BOTH engines
         ]
         sf = _write_docs(spark, tmp_path, rows)
         out = text_q.q_c4_line_filters(spark, sf)
+        got = {r["source"]: r.asDict() for r in out.collect()}
+        # a line-less doc contributes zero lines on BOTH engines and so
+        # drops out of the line-grain report entirely (n_docs counts docs
+        # WITH lines) — without the empty-doc guard Spark would fabricate
+        # two bogus lines for it (sequence(0,-1) counts down) and diverge
+        assert got["b"]["n_docs"] == 1
         _assert_matches_oracle(out, text_q.SQL_C4_LINE_FILTERS, sf)
 
 
