@@ -678,7 +678,14 @@ def q_unimax_mixture(spark: SparkSession, sf: str) -> DataFrame:
             .alias("allocated"),
         )
         .withColumn(
-            "epochs", F.round(F.col("allocated") / F.col("tokens"), 6)
+            # a source whose docs are all empty has tokens=0 (capacity 0,
+            # capped, allocated 0): define epochs as 0.0 rather than 0/0 —
+            # ANSI Spark would error and DuckDB would emit NaN
+            "epochs",
+            F.when(
+                F.col("tokens") > 0,
+                F.round(F.col("allocated") / F.col("tokens"), 6),
+            ).otherwise(F.lit(0.0)),
         )
         .orderBy("source")
     )
@@ -715,9 +722,11 @@ agg AS (
 SELECT f.source, f.tokens, f.capacity, f.capped,
        CASE WHEN f.capped THEN f.capacity
             ELSE (f.budget - a.capped_sum) // greatest(a.n_uncapped, 1) END AS allocated,
-       round((CASE WHEN f.capped THEN f.capacity
-                   ELSE (f.budget - a.capped_sum) // greatest(a.n_uncapped, 1) END)
-             / CAST(f.tokens AS DOUBLE), 6) AS epochs
+       CASE WHEN f.tokens > 0 THEN
+         round((CASE WHEN f.capped THEN f.capacity
+                     ELSE (f.budget - a.capped_sum) // greatest(a.n_uncapped, 1) END)
+               / CAST(f.tokens AS DOUBLE), 6)
+       ELSE 0.0 END AS epochs
 FROM flagged f CROSS JOIN agg a
 ORDER BY 1
 """
