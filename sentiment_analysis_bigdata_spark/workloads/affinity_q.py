@@ -544,9 +544,14 @@ def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     post = docs.select(
         "doc_id", F.posexplode(F.col("toks")).alias("pos", "term")
     )
-    # top-5 bigrams by df = the deterministic query set
+    # top-5 bigrams by df = the deterministic query set. The size guard
+    # matters beyond semantics: sequence(1, size-1) counts DOWN when
+    # size < 2 (sequence(1, 0) = [1, 0]), and the resulting toks[-1] /
+    # toks[size] subscripts ERROR under ANSI — a 1-token doc would crash
+    # the query (docs with < 2 tokens contribute no bigrams either way).
     big = (
-        docs.select(
+        docs.where(F.size("toks") >= 2)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
