@@ -158,10 +158,10 @@ def q_returnflag_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_RETURNFLAG_PRIORITY_COUNTS = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'

@@ -138,7 +138,7 @@ pairs AS (
   FROM words, unnest(range(1, length(word))) AS t(i)
   WHERE length(word) >= 2
 )
-SELECT pair, sum(freq) AS n
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
 FROM pairs
 GROUP BY 1
 ORDER BY n DESC, pair
@@ -183,7 +183,7 @@ SELECT morton >> 16 AS zfile,
        count(*) AS n_rows,
        min(morton) AS min_morton,
        max(morton) AS max_morton,
-       sum(morton) AS sum_morton
+       CAST(sum(morton) AS BIGINT) AS sum_morton
 FROM keyed
 GROUP BY 1
 """

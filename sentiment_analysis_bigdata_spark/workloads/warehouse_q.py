@@ -119,7 +119,7 @@ WITH b AS (
 )
 SELECT d.source,
        count(*) AS n_docs,
-       sum(CASE WHEN n_chars < lo OR n_chars > hi THEN 1 ELSE 0 END) AS n_clipped,
+       CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        round(avg(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)), 4) AS avg_wins
 FROM documents d JOIN b USING (source)
 GROUP BY 1
@@ -159,7 +159,7 @@ SELECT event_type,
        count(*) AS n,
        round(min(z), 4) AS min_z,
        round(max(z), 4) AS max_z,
-       sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM scaled
 GROUP BY 1
 """
