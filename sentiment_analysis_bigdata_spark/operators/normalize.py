@@ -212,11 +212,15 @@ def exact_quantile_narrowed(
     # max_rounds is the BUDGET for well-spread data, not a hard stop: if the
     # remainder still exceeds the TakeOrdered tail cap after the budget
     # (possible only at extreme n), keep narrowing — each extra round is one
-    # more bins-sized agg, and _HARD_MAX_ROUNDS bounds the worst case (128
+    # more bins-sized agg, and the absolute bound caps the worst case (128
     # bins shrink the interval 2^7× per round, so ~10 rounds exhaust the
     # entire double range; degenerate identical-value mass exits via the
-    # no-shrink guard instead and is handled below the loop).
-    while lo < hi and rounds < _HARD_MAX_ROUNDS and (
+    # no-shrink guard instead and is handled below the loop). A caller-
+    # supplied max_rounds above _HARD_MAX_ROUNDS raises the absolute bound
+    # too — with tiny bins (e.g. 2) a round removes only 1 bit, so a
+    # converging call may legitimately need more than 16 rounds.
+    hard_rounds = max(_HARD_MAX_ROUNDS, max_rounds)
+    while lo < hi and rounds < hard_rounds and (
         rounds < max_rounds or remainder > _TAIL_ROWS_CAP
     ):
         w = (hi - lo) / bins

@@ -141,56 +141,59 @@ _DRIVER_PREFIX: list[str] = [
     "pagerank_purchases",
     "kmeans_clusters",
     "compaction_plan",
-    # -- never-driver-checked rotation, round 6 --
-    # 39 queries with no row in any CORRECTNESS_r01..r05 (computed from the
-    # union of their keys vs all_queries()). The first 14 are VERDICT r5's
-    # explicit asks; the rest were picked for cross-engine-surface novelty
-    # (iterative float recursions, streaming twins, stats/DQ math, sampling
-    # determinism) and family spread.
-    "frequent_triples",
-    "anf_hll",
-    "cdc_apply",
-    "scd2_pit_lookup",
-    "kmeans_broadcast",
-    "weighted_sssp",
-    "personalized_pagerank",
-    "hits_purchases",
-    "streaming_dedup",
-    "lang_id",
-    "heavy_hitters",
-    "phrase_search",
-    "markov_stationary",
-    "accent_fold",
-    # iterative/float recursions & model math never driver-certified
-    "ml_crossval",
-    "forecast_backtest",
-    "stateful_ewma",
-    "embedding_drift",
-    "bootstrap_accuracy",
-    "cuped_uplift",
-    "ab_conversion_ztest",
-    "conformal_coverage",
-    "fleiss_kappa",
-    "mutual_information",
-    "hill_tail_index",
-    # warehouse/DQ surfaces
-    "table_diff",
-    "dataset_fingerprint",
-    "fd_discovery",
-    "k_anonymity",
+    # -- rotation, round 7 --
+    # 38 never-driver-checked queries (no row in any CORRECTNESS_r01..r06)
+    # plus zorder_keys, the r6 red row whose oracle HUGEINT→BIGINT cast must
+    # re-certify. Priorities per VERDICT r6: the 4 latent HUGEINT siblings
+    # re-typed this round, the 4 r6 registry additions (new code meets the
+    # driver first), never-certified flagships with novel cross-engine
+    # surfaces, and ~10 cheap relational/SQL long-tail rows (ask #6 —
+    # sub-second at sf0.01, fastest certified-coverage per driver-minute).
     "zorder_keys",
-    # streaming batch-twins beyond the r4/r5 certified four
-    "streaming_sessions",
-    "streaming_sliding",
-    # text/curation surfaces
-    "tfidf_top_terms",
-    "readability_scores",
-    "time_to_convert",
-    "multimodal_resize",
-    "cluster_diversity",
-    # deterministic sampling/splits
-    "hash_split",
-    "global_shuffle",
+    # re-typed HUGEINT oracle siblings (commit a9912d1)
+    "bpe_merge_candidates",
+    "winsorized_doc_lengths",
+    "robust_scaled_events",
+    "returnflag_priority_counts",
+    # round-6 registry additions
+    "gopher_quality_gate",
+    "c4_line_filters",
+    "unimax_mixture",
+    "semdedup_4096",
+    # never-certified flagships
+    "dedup_exact",
+    "minhash_signatures",
+    "tumbling_events",
+    "session_windows",
+    "interval_join",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_pq",
+    "countvec_vocab",
+    "text_quality",
+    "pack_sequences",
+    "bigram_pmi",
+    "triangle_count",
+    "retention_cohorts",
+    "pii_redaction",
+    # streaming sketch-sink twins
+    "streaming_hll",
+    "streaming_bloom",
+    # ML model twins beyond logistic regression
+    "ml_naive_bayes",
+    "ml_linear_svc",
+    # relational/SQL long tail (ask #6)
+    "sql_interface",
+    "lateral_top_orders",
+    "null_safe_join",
+    "promo_revenue_share",
+    "market_share",
+    "skyline_parts",
+    "percent_rank_cume",
+    "unpivot_lineitem_amounts",
+    "hof_functions",
+    "cheapest_supplier_per_part",
+    "returned_item_losses",
 ]
 
 

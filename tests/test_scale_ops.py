@@ -247,6 +247,33 @@ class TestExactQuantileNarrowed:
             assert got == want == 7.5
             assert n == len(vals)
 
+    def test_caller_max_rounds_raises_hard_bound(self, spark, monkeypatch):
+        """ADVICE r6: with tiny bins (2 → 1 bit removed per round) a
+        converging call may need more than _HARD_MAX_ROUNDS rounds; a
+        caller-supplied max_rounds above the hard cap must raise the
+        absolute bound instead of being silently clamped to 16 and
+        tripping the degenerate-remainder refusal."""
+        import math
+
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        # Shrink the hard cap so the unit test stays small: with bins=2 the
+        # remainder halves per round, so converging 100k rows to the tail
+        # cap needs ~6 rounds — more than the (patched) hard cap of 3. The
+        # old clamping would stop at 3 rounds with a ~12.5k remainder and
+        # trip the degenerate refusal; the fix lets max_rounds=10 govern.
+        monkeypatch.setattr(NORM, "_HARD_MAX_ROUNDS", 3)
+        monkeypatch.setattr(NORM, "_TAIL_ROWS_CAP", 2000)
+        monkeypatch.setattr(NORM, "_TAIL_DISTINCT_CAP", 16)
+        vals = [float(i) for i in range(100_000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got, n, rounds = NORM.exact_quantile_narrowed(
+            df.repartition(8), "v", 0.9, bins=2, max_rounds=10
+        )
+        want = float(sorted(vals)[max(1, math.ceil(0.9 * len(vals))) - 1])
+        assert got == want
+        assert rounds > NORM._HARD_MAX_ROUNDS  # needed more than the hard cap
+
     def test_degenerate_spread_remainder_refuses_global_sort(
         self, spark, monkeypatch
     ):
@@ -261,7 +288,10 @@ class TestExactQuantileNarrowed:
         monkeypatch.setattr(NORM, "_HARD_MAX_ROUNDS", 0)
         df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
         with pytest.raises(ValueError, match="degenerate remainder"):
-            NORM.exact_quantile_narrowed(df, "v", 0.9)
+            # max_rounds=0 too: the absolute bound is max(_HARD_MAX_ROUNDS,
+            # max_rounds), so a caller budget above the hard cap would
+            # otherwise keep narrowing (the small-bins convergence fix).
+            NORM.exact_quantile_narrowed(df, "v", 0.9, max_rounds=0)
 
     def test_extreme_n_keeps_narrowing_past_round_budget(self, spark, monkeypatch):
         """max_rounds is a budget, not a hard stop: when the remainder

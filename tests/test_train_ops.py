@@ -226,6 +226,38 @@ class TestTrainBpe:
         # Unknown SFs (user corpora) skip the pin: witness_pinned=false.
         assert train_q._assert_golden({}, train_q._BPE_1K_GOLDEN, "/tmp/mydata", "x") is False
 
+    def test_bpe_golden_gated_on_fixture_fingerprint(self, monkeypatch):
+        """ADVICE r6: goldens were keyed only by the sfX.Y path token, so a
+        regenerated fixture at the same SF made the 1k queries raise
+        everywhere (bench extras included). The pin must skip — not raise —
+        when documents.parquet's byte size no longer matches the size the
+        goldens were measured against, and under SPARK_GRAFT_SKIP_GOLDEN=1."""
+        from sentiment_analysis_bigdata_spark.workloads import train_q
+
+        sf = "/root/testdata/sf0.001"
+        # A full golden-shaped row with one drifted value: mismatches iff
+        # the pins actually apply.
+        row = dict(train_q._BPE_1K_GOLDEN["0.001"], n_merges=-1)
+
+        # Real fixture → pins apply → the drifted row raises.
+        import pytest
+
+        with pytest.raises(ValueError, match="golden witness mismatch"):
+            train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x")
+
+        # Regenerated fixture (size mismatch) → pins skipped, no raise.
+        monkeypatch.setitem(
+            train_q._GOLDEN_DOCS_BYTES,
+            "0.001",
+            train_q._GOLDEN_DOCS_BYTES["0.001"] + 1,
+        )
+        assert train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x") is False
+        monkeypatch.undo()
+
+        # Explicit env override → pins skipped.
+        monkeypatch.setenv("SPARK_GRAFT_SKIP_GOLDEN", "1")
+        assert train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x") is False
+
     def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
         # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]
         df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
