@@ -388,7 +388,22 @@ def main() -> None:
             if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         rnd = str(max(prior, default=0) + 1)
+    # Never overwrite an existing committed snapshot (VERDICT r6 #4: the
+    # driver's re-run clobbered the builder's steady-state r6.json in the
+    # working tree, breaking round-over-round bench archaeology). The first
+    # run of a round owns r{N}.json; later runs in the same tree — the
+    # driver's per-round snapshot — land on r{N}_rerun[K].json so both
+    # records survive. BASELINE.md documents which is which.
     path = os.path.join(out_dir, f"r{int(rnd)}.json")
+    if os.path.exists(path):
+        k = 1
+        while os.path.exists(
+            p := os.path.join(
+                out_dir, f"r{int(rnd)}_rerun{k if k > 1 else ''}.json"
+            )
+        ):
+            k += 1
+        path = p
     with open(path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
@@ -405,7 +420,7 @@ def main() -> None:
         "family_extra_warm_total": full["family_extra_warm_total"],
         "n_extra": len(extra),
         "load_factor": full["load_factor"],
-        "full_results": f"bench_results/r{int(rnd)}.json",
+        "full_results": os.path.relpath(path, os.path.dirname(out_dir)),
         "sf": sf,
     }
     line = json.dumps(compact)

@@ -3,10 +3,36 @@ results run incrementally (file stream, availableNow) and as one batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.sources import load_table
 from sentiment_analysis_bigdata_spark.streaming import jobs as SJ
+
+_STATE_PKG = "org.apache.spark.sql.execution.streaming.state."
+_PROVIDERS = {
+    "hdfs": _STATE_PKG + "HDFSBackedStateStoreProvider",
+    "rocksdb": _STATE_PKG + "RocksDBStateStoreProvider",
+}
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=sorted(_PROVIDERS), autouse=True)
+def state_store(request, spark):
+    """Run every streaming test under BOTH state-store providers
+    (VERDICT r6 #3): the opt-in RocksDB scale path
+    (SPARK_GRAFT_STATE_STORE=rocksdb, session.py) must not silently rot.
+    The provider class is a runtime SQLConf read at streaming-query start,
+    so flipping it per-test on the shared session is safe — each test uses
+    a fresh checkpoint dir, and stream ≡ batch twins are
+    backend-independent."""
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _PROVIDERS[request.param])
+    yield request.param
+    if old is None:
+        spark.conf.unset(_PROVIDER_KEY)
+    else:
+        spark.conf.set(_PROVIDER_KEY, old)
 
 
 def _norm(rows):
