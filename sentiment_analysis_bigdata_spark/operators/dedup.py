@@ -1438,3 +1438,99 @@ def duplicated_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """Byte-offset duplicated-span extraction — the removal-oriented
+    variant of suffix-array substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 ExactSubstr): emit, per document, the maximal
+    character intervals covered by some length-``min_len`` window whose
+    text occurs ≥ 2 times corpus-wide (across OR within documents).
+    Returns ``(doc_id, span_start, span_end, span_len)`` with 1-based
+    inclusive start and exclusive end — exactly the offsets a curation
+    pass cuts out of the raw text, where ``duplicated_span_stats`` only
+    reports per-doc coverage counts.
+
+    Semantics: any duplicated substring of length ≥ ``min_len`` is the
+    union of its stride-1 ``min_len``-windows, each itself duplicated, so
+    the union of duplicated-window intervals [off, off+L) is precisely
+    the character mass ExactSubstr removes at threshold L.
+
+    Scale shape (the reason this is not a naive text-keyed group-by,
+    which would shuffle L× the corpus bytes): the corpus-sized shuffle
+    carries only ``(doc_id, off, xxhash64(window))`` — ~24 bytes per
+    position regardless of L. Hash-duplicate candidates (dup-rate-sized
+    on real corpora) then re-materialize their window TEXT from the doc
+    row and re-group by it, so 64-bit collisions can only ADD candidates
+    and are always eliminated — the result is exact. Per-doc interval
+    merge is one lag window (equal-length intervals: a new span starts
+    when ``off - prev_off > L``). Position-level rows are inherent to
+    exact substring dedup; where the paper pays for them with one giant
+    suffix array on a single machine, this formulation pays one
+    fixed-width hash shuffle and stays data-parallel.
+    """
+    L = int(min_len)
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    # length guard first: F.sequence(1, k) counts DOWN for k < 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= L)
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_t) - {L} + 1),"
+                f" i -> struct(CAST(i AS BIGINT) AS off,"
+                f" xxhash64(substring(_t, i, {L})) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.off", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("h")
+    )
+    cand = wins.join(dup_h, "h", "left_semi").select("doc_id", "off")
+    # verification pass: only hash-dup candidates re-derive window text
+    cand_w = cand.join(base, "doc_id").select(
+        "doc_id",
+        "off",
+        F.expr(f"substring(_t, CAST(off AS INT), {L})").alias("w"),
+    )
+    dup_w = (
+        cand_w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("w")
+    )
+    marked = cand_w.join(dup_w, "w", "left_semi").select("doc_id", "off")
+    ord_w = Window.partitionBy("doc_id").orderBy("off")
+    brk = marked.withColumn(
+        "b",
+        F.when(F.col("off") - F.lag("off").over(ord_w) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = brk.withColumn(
+        "g", F.sum("b").over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + L).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

@@ -2097,6 +2097,52 @@ FROM sized s LEFT JOIN pd USING (doc_id)
 """
 
 
+_SUBSTR_L = 40
+
+
+def q_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-offset duplicated spans (operators/dedup.exact_substring_spans
+    — Lee et al. 2022 ExactSubstr removal semantics, VERDICT r6's reserved
+    registry slot): per document, the maximal 1-based [span_start,
+    span_end) character intervals covered by a 40-char window whose text
+    repeats anywhere in the corpus — the literal offsets a curation pass
+    cuts, where dup_ngram_spans only reports token-coverage counts."""
+    return DD.exact_substring_spans(_docs(spark, sf), min_len=_SUBSTR_L)
+
+
+SQL_EXACT_SUBSTRING_SPANS = f"""
+WITH base AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS off,
+         substring(t, CAST(i AS INT), {_SUBSTR_L}) AS w
+  FROM base, unnest(range(1, length(t) - {_SUBSTR_L} + 2)) AS u(i)
+),
+dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(*) > 1),
+marked AS (SELECT doc_id, off FROM wins JOIN dup USING (w)),
+brk AS (
+  SELECT doc_id, off,
+         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                  <= {_SUBSTR_L}
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, off,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY off
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+)
+SELECT doc_id,
+       min(off) AS span_start,
+       max(off) + {_SUBSTR_L} AS span_end,
+       max(off) + {_SUBSTR_L} - min(off) AS span_len
+FROM grp
+GROUP BY doc_id, g
+"""
+
+
 _CLIQUE_K = 2
 _CLIQUE_ROUNDS = 3
 
@@ -2674,6 +2720,7 @@ QUERIES = {
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
+    "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
     "dup_ngram_spans_ladder": (
         q_dup_ngram_spans_ladder,
         SQL_DUP_NGRAM_SPANS_LADDER,

@@ -455,6 +455,76 @@ class TestDuplicatedSpanStats:
         assert all(r["dup_tokens"] == 0 for r in out)
 
 
+class TestExactSubstringSpans:
+    """operators/dedup.exact_substring_spans — byte-offset duplicated
+    spans (Lee et al. 2022 ExactSubstr removal semantics)."""
+
+    def _spans(self, spark, docs, min_len):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {}
+        for r in exact_substring_spans(df, min_len=min_len).collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["span_len"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    def test_cross_doc_planted_passage_exact_offsets(self, spark):
+        # A 20-char passage shared by two docs at DIFFERENT offsets; all
+        # surrounding text unique. With L=10, the duplicated stride-1
+        # windows tile exactly the passage, so each doc reports one span
+        # of exactly [start, start+20) — 1-based start, exclusive end.
+        shared = "ABCDEFGHIJKLMNOPQRST"  # 20 chars
+        d0 = "0123456789" + shared + "abcdefghij"  # passage at 1-based 11
+        d1 = shared + "klmnopqrstuvwxyz!@#$"  # passage at 1-based 1
+        # doc 2 must be non-self-repeating: a periodic string like
+        # "zyxwvuts"*5 duplicates its own windows at stride 8.
+        out = self._spans(
+            spark, [(0, d0), (1, d1), (2, "zyxwvutsrqponmlkjihgfedcba9876543210")], 10
+        )
+        assert out[0] == [(11, 31, 20)]
+        assert out[1] == [(1, 21, 20)]
+        assert 2 not in out  # no duplicated window → no rows
+
+    def test_intra_doc_repeat_two_spans(self, spark):
+        # The same 12-char string twice within ONE doc, separated by more
+        # than L unique chars → two disjoint spans (intra-doc occurrences
+        # count toward the >1 threshold, like ExactSubstr).
+        s = "AAABBBCCCDDD"
+        doc = s + "0123456789012345" + s
+        out = self._spans(spark, [(0, doc)], 12)
+        assert out[0] == [(1, 13, 12), (29, 41, 12)]
+
+    def test_adjacent_windows_merge_into_one_span(self, spark):
+        # A 30-char passage duplicated across docs with L=10: 21 dup
+        # windows at offsets o..o+20 merge into ONE maximal interval, not
+        # 21 rows.
+        shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars
+        out = self._spans(
+            spark, [(0, "ab" + shared + "cd"), (1, shared + "wxyz!@#$%^")], 10
+        )
+        assert out[0] == [(3, 33, 30)]
+        assert out[1] == [(1, 31, 30)]
+
+    def test_docs_shorter_than_min_len_emit_nothing(self, spark):
+        out = self._spans(spark, [(0, "short"), (1, "short")], 40)
+        assert out == {}
+
+    def test_min_len_validation(self, spark):
+        import pytest
+
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_len"):
+            exact_substring_spans(df, min_len=0)
+
+
 class TestDuplicatedSpanLadder:
     def test_planted_100_token_copy_counted_once(self, spark):
         """VERDICT r4 #7 done-criterion: a 100-token planted copy fires
