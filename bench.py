@@ -279,6 +279,10 @@ FAMILY_EXTRA = [
     "gopher_quality_gate",
     "c4_line_filters",
     "unimax_mixture",
+    # r7: byte-offset ExactSubstr spans (Lee et al. 2022 removal
+    # semantics) — the one r7 registry addition, VERDICT r6 #5's
+    # reserved slot; hash-only position shuffle + text-verified merge
+    "exact_substring_spans",
 ]
 
 

@@ -464,6 +464,16 @@ AUDIT = {
         "aggregates on the sources-sized frame (broadcast nested-loop "
         "joins of bounded frames), integer arithmetic end to end",
     ),
+    "exact_substring_spans": (
+        ["HashAggregate", "Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
+        "ExactSubstr byte-offset spans: the corpus-sized shuffle carries "
+        "(doc_id, off, xxhash64) — fixed ~24 B/position, never L× the "
+        "corpus text; dup-hash candidates semi-join back, re-derive "
+        "window TEXT doc-locally and re-group so hash collisions only "
+        "ADD candidates (exactness); the per-doc interval merge is one "
+        "lag/cumsum window — no pair join anywhere",
+    ),
     "code_prose_profile": (
         ["HashAggregate", "Union", "!Window", "!CartesianProduct"],
         "code/prose routing: two narrow char-class projections union into "
