@@ -155,11 +155,13 @@ _DRIVER_PREFIX: list[str] = [
     "winsorized_doc_lengths",
     "robust_scaled_events",
     "returnflag_priority_counts",
-    # round-6 registry additions
+    # round-6 registry additions + the r7 addition (new code meets the
+    # driver first — the r6 precedent)
     "gopher_quality_gate",
     "c4_line_filters",
     "unimax_mixture",
     "semdedup_4096",
+    "exact_substring_spans",
     # never-certified flagships
     "dedup_exact",
     "minhash_signatures",
@@ -193,7 +195,6 @@ _DRIVER_PREFIX: list[str] = [
     "unpivot_lineitem_amounts",
     "hof_functions",
     "cheapest_supplier_per_part",
-    "returned_item_losses",
 ]
 
 
