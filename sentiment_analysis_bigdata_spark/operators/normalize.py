@@ -220,6 +220,16 @@ def exact_quantile_narrowed(
     # too — with tiny bins (e.g. 2) a round removes only 1 bit, so a
     # converging call may legitimately need more than 16 rounds.
     hard_rounds = max(_HARD_MAX_ROUNDS, max_rounds)
+    # Membership is tracked as the CHAIN of per-round bucket predicates,
+    # never as nominal [lo, hi] bounds: float rounding in (x - lo) / w can
+    # assign a value to a bucket whose nominal range excludes it (found by
+    # hypothesis: -2^-52 - (-3.0) rounds to exactly 3.0, landing the value
+    # in 0.0's bucket whose nominal lower edge is 0.0 > -2^-52). Counting
+    # and recursion use the SAME Spark expression, so the set counted as
+    # "bucket hit" is bit-for-bit the set recursed into, and the rank
+    # arithmetic (k - c_below) stays exact by induction. lo/hi remain the
+    # nominal bounds that drive next round's bucket arithmetic only.
+    pred = F.lit(True)
     while lo < hi and rounds < hard_rounds and (
         rounds < max_rounds or remainder > _TAIL_ROWS_CAP
     ):
@@ -229,7 +239,7 @@ def exact_quantile_narrowed(
             F.lit(bins - 1),
         ).cast("int")
         counts = dict(
-            base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+            base.filter(pred)
             .groupBy(bucket.alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -250,13 +260,14 @@ def exact_quantile_narrowed(
         if new_lo <= lo and new_hi >= hi:
             break
         c_below += cum
+        pred = pred & (bucket == F.lit(hit))
         lo, hi = new_lo, new_hi
         rounds += 1
         remainder = counts.get(hit, 0)
         if remainder <= max(bins, 1024):
             break  # remainder already tiny; the top-r pass is cheap
     r = k - c_below
-    remaining = base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+    remaining = base.filter(pred)
     if r > _TAIL_ROWS_CAP:
         # Degenerate column (VERDICT r5 #4): the no-shrink guard exited
         # with most of the mass at one (or a few float-adjacent) values —

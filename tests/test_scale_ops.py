@@ -247,6 +247,25 @@ class TestExactQuantileNarrowed:
             assert got == want == 7.5
             assert n == len(vals)
 
+    def test_bucket_rounding_cannot_lose_the_target(self, spark):
+        """Regression (hypothesis, r7): -2^-52 - (-3.0) rounds to exactly
+        3.0 in float64, so the bucket expression lands -2^-52 in 0.0's
+        bucket — whose NOMINAL range [0.0, 0.25) excludes it. Filtering
+        the remainder by nominal bounds then drops the true rank-2
+        element and returns 0.0. The fix filters by the chained bucket
+        predicates (the same Spark expression that counted), so the set
+        counted is bit-for-bit the set recursed into."""
+        import math
+
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        vals = [0.0] * 8 + [1.0, -3.0, -2.220446049250313e-16]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got, n, _ = NORM.exact_quantile_narrowed(df, "v", 0.1, bins=16, max_rounds=3)
+        want = float(sorted(vals)[max(1, math.ceil(0.1 * len(vals))) - 1])
+        assert got == want == -2.220446049250313e-16
+        assert n == len(vals)
+
     def test_caller_max_rounds_raises_hard_bound(self, spark, monkeypatch):
         """ADVICE r6: with tiny bins (2 → 1 bit removed per round) a
         converging call may need more than _HARD_MAX_ROUNDS rounds; a
