@@ -2106,8 +2106,15 @@ def q_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     registry slot): per document, the maximal 1-based [span_start,
     span_end) character intervals covered by a 40-char window whose text
     repeats anywhere in the corpus — the literal offsets a curation pass
-    cuts, where dup_ngram_spans only reports token-coverage counts."""
-    return DD.exact_substring_spans(_docs(spark, sf), min_len=_SUBSTR_L)
+    cuts, where dup_ngram_spans only reports token-coverage counts.
+
+    Parallelism floor on the input (3.2× at sf0.1): the stride-1 window
+    explode is compute-dense (substring + xxhash64 per position) and the
+    single-row-group fixture would otherwise run it as ONE task."""
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return DD.exact_substring_spans(docs, min_len=_SUBSTR_L)
 
 
 SQL_EXACT_SUBSTRING_SPANS = f"""
