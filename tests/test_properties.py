@@ -298,3 +298,58 @@ def test_grid_quantized_distance_is_order_invariant(data, dim):
     decomp = float(xn @ xn + cn @ cn - 2.0 * (xn @ cn))
 
     assert seq == rev == npsum == decomp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(min_value=2, max_value=5),
+)
+def test_exact_substring_spans_equals_bruteforce(spark, docs, min_len):
+    """exact_substring_spans == the brute-force position union: for every
+    stride-1 window whose text occurs >= 2 times across all (doc, offset)
+    positions, union the [off, off+L) intervals per doc and emit maximal
+    spans. A 2-letter alphabet makes duplicate windows (incl. periodic
+    intra-doc self-matches) the common case, not the corner case."""
+    from collections import Counter
+
+    from sentiment_analysis_bigdata_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    L = min_len
+    # brute force, 1-based offsets
+    occ: Counter[str] = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for d, t in enumerate(docs):
+        for i in range(1, len(t) - L + 2):
+            occ[t[i - 1 : i - 1 + L]] += 1
+    for d, t in enumerate(docs):
+        offs = [
+            i for i in range(1, len(t) - L + 2) if occ[t[i - 1 : i - 1 + L]] > 1
+        ]
+        if offs:
+            per_doc[d] = offs
+    want = set()
+    for d, offs in per_doc.items():
+        start, end = offs[0], offs[0] + L
+        for o in offs[1:]:
+            if o <= end:
+                end = o + L
+            else:
+                want.add((d, start, end, end - start))
+                start, end = o, o + L
+        want.add((d, start, end, end - start))
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_substring_spans(df, min_len=L).collect()
+    }
+    assert got == want
