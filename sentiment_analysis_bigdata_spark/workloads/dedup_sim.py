@@ -690,7 +690,7 @@ def _sql_hashing_tf(nnz: int, checksum: int, max_bucket: int) -> str:
     """n_docs/total_tf recomputed from the raw table; Murmur3-dependent
     aggregates are golden constants measured at sf0.01 (the driver's
     correctness scale)."""
-    return f"""
+    return f"""-- GOLDEN-CONSTANTS @ sf0.01 (data-dependent literals; other SFs skip)
 SELECT CAST((SELECT count(*) FROM documents WHERE len({SQL_TOKS}) > 0) AS BIGINT) AS n_docs,
        CAST((SELECT sum(len({SQL_TOKS})) FROM documents) AS BIGINT) AS total_tf,
        CAST({nnz} AS BIGINT) AS nnz,

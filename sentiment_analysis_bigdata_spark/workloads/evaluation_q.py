@@ -360,7 +360,7 @@ def _metrics_literal_sql(n_test, tp, fp, fn, tn, acc, f1, auc) -> str:
     valid because the Spark query is bitwise-reproducible (see
     _synthetic_tweets). Mirrors the reference's metrics-JSON contract
     (reference model_logistic_regression.py:202-209, metrics/lr_metrics.json)."""
-    return f"""
+    return f"""-- GOLDEN-CONSTANTS @ sf0.01 (data-dependent literals; other SFs skip)
 SELECT CAST({n_test} AS BIGINT) AS n_test,
        CAST({tp} AS BIGINT) AS tp, CAST({fp} AS BIGINT) AS fp,
        CAST({fn} AS BIGINT) AS fn, CAST({tn} AS BIGINT) AS tn,
@@ -451,7 +451,10 @@ def _crossval_literal_sql(rows: list[tuple]) -> str:
         f"CAST({auc} AS BIGINT) AS auc_ppm"
         for (f, n, tp, fp, fn, tn, acc, f1, auc) in rows
     ]
-    return "\nUNION ALL\n".join(selects)
+    return (
+        "-- GOLDEN-CONSTANTS @ sf0.01 (data-dependent literals; other SFs skip)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 # --- bootstrap confidence interval for accuracy ----------------------------------

@@ -69,7 +69,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     selected = args.queries or list(qs)
 
-    n_pass = n_fail = n_rowsonly = n_pinned = 0
+    n_pass = n_fail = n_rowsonly = n_pinned = n_sf_pinned = 0
+    # Golden-constant oracles embed data-dependent literals measured at the
+    # driver's correctness SF; running them against any other fixture SF
+    # compares apples to oranges, so they're skipped (and counted) there.
+    at_golden_sf = "sf0.01" in args.sf.rstrip("/")
     for name in selected:
         if name not in qs:
             print(f"  {name}: UNKNOWN")
@@ -102,6 +106,10 @@ def main() -> int:
             else:
                 print(f"~ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
                 n_rowsonly += 1
+            continue
+        if oracles[name].lstrip().startswith("-- GOLDEN-CONSTANTS") and not at_golden_sf:
+            print(f"~ {name}: golden-constant oracle pinned to sf0.01 — skipped at {args.sf}")
+            n_sf_pinned += 1
             continue
         try:
             res = con.execute(oracles[name])
@@ -139,6 +147,7 @@ def main() -> int:
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only,"
         f" {n_pinned} witness-pinned"
+        + (f", {n_sf_pinned} golden-sf-skipped" if n_sf_pinned else "")
     )
     spark.stop()
     return 1 if n_fail else 0
