@@ -303,7 +303,9 @@ def q_corpus_filter_report(spark: SparkSession, sf: str) -> DataFrame:
     flags = docs.select(
         (F.length("text") >= 50).alias("r_len"),
         (TXT.lang_id("text") == "en").alias("r_lang"),
-        (F.round(TXT.quality_score("text"), 4) >= 0.5).alias("r_quality"),
+        (
+            F.round(TXT.quality_score("text") * 10000).cast("bigint") >= 5000
+        ).alias("r_quality"),
         (F.round(TXT.repetition_ratio("text"), 6) <= 0.2).alias("r_rep"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("r_dedup"),
     )
@@ -347,7 +349,7 @@ flags AS (
   SELECT d.doc_id,
          length(d.text) >= 50 AS r_len,
          lg.lang_guess = 'en' AS r_lang,
-         q.quality >= 0.5 AS r_quality,
+         q.quality_bp >= 5000 AS r_quality,
          rp.rep3 <= 0.2 AS r_rep,
          dups.r_dedup
   FROM documents d
@@ -413,7 +415,16 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = ensure_min_parallelism(
         _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
     )
-    return docs.select("doc_id", F.round(TXT.quality_score("text"), 4).alias("quality"))
+    # integer ten-thousandths, not round(double, 4): both engines compute
+    # bit-identical score doubles, but rounding-to-DOUBLE takes different
+    # paths (Spark BigDecimal HALF_UP on the shortest decimal repr vs
+    # DuckDB binary rounding) and diverged in the 4th decimal on two sf0.1
+    # docs. round-to-INTEGER agrees in both engines (x.5 is dyadic, both
+    # round it away from zero) — the same convention as money cents.
+    return docs.select(
+        "doc_id",
+        F.round(TXT.quality_score("text") * 10000).cast("bigint").alias("quality_bp"),
+    )
 
 
 SQL_TEXT_QUALITY = f"""
@@ -425,13 +436,13 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-       round(
+       CAST(round((
          0.4 * least(n / 200.0, 1.0)
          + 0.3 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
          + 0.3 * (CASE WHEN len(toks) > 0
                        THEN least(CAST(len(list_filter(toks, t -> list_contains({_sql_stoplist()}, t))) AS DOUBLE)
                                   / len(toks) * 3.0, 1.0)
-                       ELSE 0.0 END), 4) AS quality
+                       ELSE 0.0 END)) * 10000) AS BIGINT) AS quality_bp
 FROM base
 """
 
