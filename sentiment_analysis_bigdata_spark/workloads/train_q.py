@@ -703,13 +703,14 @@ _BPE_ENC_1K_GOLDEN: dict[str, dict[str, object]] = {
 }
 
 
-# Byte size of each fixture SF's documents.parquet at golden-measurement
-# time: the cheap fingerprint that detects a regenerated fixture (any seed
-# or generator change rewrites the file) without a data pass.
-_GOLDEN_DOCS_BYTES: dict[str, int] = {
-    "0.001": 65515,
-    "0.01": 65049,
-    "0.1": 594568,
+# Content fingerprint (md5 of the whole file — the fixtures are <1 MB, so
+# this is cheaper than one Spark job) of each fixture SF's documents.parquet
+# at golden-measurement time: detects a regenerated fixture even when the
+# new file happens to land on the same byte size.
+_GOLDEN_DOCS_MD5: dict[str, str] = {
+    "0.001": "a9ad0e7f18501085037a2ff6f023be4b",
+    "0.01": "b733c5a4f655b98c6136fbe529e33dc4",
+    "0.1": "dc9fbed08ada35e8c6330d6dc891c6cb",
 }
 
 
@@ -721,14 +722,29 @@ def _sf_token(sf_dir: str) -> str | None:
 
 
 def _fixture_matches(sf_dir: str, token: str) -> bool:
+    """True iff the fixture is byte-identical to golden-measurement time.
+
+    A *missing* fixture raises (a broken test environment must surface, not
+    silently disable the pins); a *present-but-different* fixture returns
+    False (regenerated data — pins would compare against the wrong corpus,
+    so they are skipped and the harness reports the query as unpinned).
+    """
+    import hashlib as _hashlib
     import os as _os
 
-    expected = _GOLDEN_DOCS_BYTES.get(token)
-    try:
-        actual = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
-    except OSError:
+    expected = _GOLDEN_DOCS_MD5.get(token)
+    if expected is None:
         return False
-    return expected is not None and actual == expected
+    path = _os.path.join(sf_dir, "documents.parquet")
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"golden fixture absent: {path} (cannot decide whether pins apply)"
+        )
+    h = _hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest() == expected
 
 
 def _assert_golden(row: dict, golden: dict[str, dict[str, object]],

@@ -245,14 +245,17 @@ class TestTrainBpe:
         with pytest.raises(ValueError, match="golden witness mismatch"):
             train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x")
 
-        # Regenerated fixture (size mismatch) → pins skipped, no raise.
+        # Regenerated fixture (content fingerprint mismatch) → pins skipped,
+        # no raise.
         monkeypatch.setitem(
-            train_q._GOLDEN_DOCS_BYTES,
-            "0.001",
-            train_q._GOLDEN_DOCS_BYTES["0.001"] + 1,
+            train_q._GOLDEN_DOCS_MD5, "0.001", "0" * 32,
         )
         assert train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x") is False
         monkeypatch.undo()
+
+        # Absent fixture → loud failure, never a silent unpin (ADVICE r7).
+        with pytest.raises(FileNotFoundError, match="golden fixture absent"):
+            train_q._fixture_matches("/nonexistent-sfdir", "0.001")
 
         # Explicit env override → pins skipped.
         monkeypatch.setenv("SPARK_GRAFT_SKIP_GOLDEN", "1")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -73,7 +74,9 @@ def main() -> int:
     # Golden-constant oracles embed data-dependent literals measured at the
     # driver's correctness SF; running them against any other fixture SF
     # compares apples to oranges, so they're skipped (and counted) there.
-    at_golden_sf = "sf0.01" in args.sf.rstrip("/")
+    # Exact directory-name match, not substring: "sf0.015" or a renamed copy
+    # of the sf0.01 fixture must not flip the golden-constant gate.
+    at_golden_sf = os.path.basename(args.sf.rstrip("/")) == "sf0.01"
     for name in selected:
         if name not in qs:
             print(f"  {name}: UNKNOWN")
