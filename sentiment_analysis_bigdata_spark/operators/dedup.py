@@ -1440,6 +1440,52 @@ def duplicated_span_stats(
     )
 
 
+def _exactsubstr_marked(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """Verified duplicated-window positions ``(doc_id, off, w)`` shared by
+    ``exact_substring_spans`` and ``exact_substring_attribution``: the
+    corpus-sized shuffle carries only fixed-width ``(doc_id, off,
+    xxhash64)``; hash-duplicate candidates re-materialize window TEXT and
+    re-group on it, so 64-bit collisions only add candidates — exact."""
+    if L < 1:
+        raise ValueError(f"min_len must be >= 1, got {L}")
+    # length guard first: F.sequence(1, k) counts DOWN for k < 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= L)
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_t) - {L} + 1),"
+                f" i -> struct(CAST(i AS BIGINT) AS off,"
+                f" xxhash64(substring(_t, i, {L})) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.off", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("h")
+    )
+    cand = wins.join(dup_h, "h", "left_semi").select("doc_id", "off")
+    # verification pass: only hash-dup candidates re-derive window text
+    cand_w = cand.join(base, "doc_id").select(
+        "doc_id",
+        "off",
+        F.expr(f"substring(_t, CAST(off AS INT), {L})").alias("w"),
+    )
+    dup_w = (
+        cand_w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("w")
+    )
+    return cand_w.join(dup_w, "w", "left_semi")
+
+
 def exact_substring_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1474,43 +1520,10 @@ def exact_substring_spans(
     suffix array on a single machine, this formulation pays one
     fixed-width hash shuffle and stays data-parallel.
     """
+    marked = _exactsubstr_marked(df, text_col, id_col, int(min_len)).select(
+        "doc_id", "off"
+    )
     L = int(min_len)
-    if L < 1:
-        raise ValueError(f"min_len must be >= 1, got {min_len}")
-    # length guard first: F.sequence(1, k) counts DOWN for k < 1
-    base = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
-    ).filter(F.length("_t") >= L)
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(_t) - {L} + 1),"
-                f" i -> struct(CAST(i AS BIGINT) AS off,"
-                f" xxhash64(substring(_t, i, {L})) AS h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.off", "w.h")
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") > 1)
-        .select("h")
-    )
-    cand = wins.join(dup_h, "h", "left_semi").select("doc_id", "off")
-    # verification pass: only hash-dup candidates re-derive window text
-    cand_w = cand.join(base, "doc_id").select(
-        "doc_id",
-        "off",
-        F.expr(f"substring(_t, CAST(off AS INT), {L})").alias("w"),
-    )
-    dup_w = (
-        cand_w.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") > 1)
-        .select("w")
-    )
-    marked = cand_w.join(dup_w, "w", "left_semi").select("doc_id", "off")
     ord_w = Window.partitionBy("doc_id").orderBy("off")
     brk = marked.withColumn(
         "b",
@@ -1533,4 +1546,75 @@ def exact_substring_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
+    )
+
+
+def exact_substring_attribution(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-doc ATTRIBUTION for ExactSubstr spans — contamination
+    forensics: for each maximal duplicated span (the intervals
+    ``exact_substring_spans`` removes), WHICH other documents share its
+    content. Returns ``(doc_id, span_start, span_end, span_len,
+    n_match_docs, first_match_doc)`` where ``n_match_docs`` counts the
+    distinct OTHER documents containing at least one of the span's
+    duplicated ``min_len``-windows and ``first_match_doc`` is the
+    smallest such doc_id (deterministic representative; NULL — with
+    ``n_match_docs = 0`` — for spans that are only intra-document
+    repeats, which a licensing/contamination audit treats differently
+    from cross-source copying).
+
+    Scale shape: everything downstream of the corpus-sized fixed-width
+    hash shuffle (shared ``_exactsubstr_marked`` pipeline) runs at
+    CANDIDATE-SET size — the attribution join is
+    ``positions × doc-frequency(window)``, never all-pairs over the
+    corpus. ``max_doc_freq`` df-caps that join for 100 TB runs the same
+    way winnowing caps its buckets: windows shared by more than
+    ``max_doc_freq`` distinct docs (ubiquitous boilerplate whose
+    per-pair attribution is meaningless) are dropped from match
+    enumeration, so capped spans report attribution over the remaining
+    informative windows only. Default ``None`` = exact (the oracle
+    contract).
+    """
+    L = int(min_len)
+    marked = _exactsubstr_marked(df, text_col, id_col, L)
+    ord_w = Window.partitionBy("doc_id").orderBy("off")
+    brk = marked.withColumn(
+        "b",
+        F.when(F.col("off") - F.lag("off").over(ord_w) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = brk.withColumn(
+        "g", F.sum("b").over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wd = marked.select("w", F.col("doc_id").alias("match_doc")).distinct()
+    if max_doc_freq is not None:
+        capped = (
+            wd.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= int(max_doc_freq))
+            .select("w")
+        )
+        wd = wd.join(capped, "w", "left_semi")
+    matches = grp.join(wd, "w").where(F.col("match_doc") != F.col("doc_id"))
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.min("off").alias("span_start"),
+        (F.max("off") + L).alias("span_end"),
+    )
+    match_agg = matches.groupBy("doc_id", "g").agg(
+        F.countDistinct("match_doc").alias("n_match_docs"),
+        F.min("match_doc").alias("first_match_doc"),
+    )
+    return spans.join(match_agg, ["doc_id", "g"], "left").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        F.coalesce(F.col("n_match_docs"), F.lit(0)).alias("n_match_docs"),
+        "first_match_doc",
     )

@@ -141,60 +141,58 @@ _DRIVER_PREFIX: list[str] = [
     "pagerank_purchases",
     "kmeans_clusters",
     "compaction_plan",
-    # -- rotation, round 7 --
-    # 38 never-driver-checked queries (no row in any CORRECTNESS_r01..r06)
-    # plus zorder_keys, the r6 red row whose oracle HUGEINT→BIGINT cast must
-    # re-certify. Priorities per VERDICT r6: the 4 latent HUGEINT siblings
-    # re-typed this round, the 4 r6 registry additions (new code meets the
-    # driver first), never-certified flagships with novel cross-engine
-    # surfaces, and ~10 cheap relational/SQL long-tail rows (ask #6 —
-    # sub-second at sf0.01, fastest certified-coverage per driver-minute).
-    "zorder_keys",
-    # re-typed HUGEINT oracle siblings (commit a9912d1)
-    "bpe_merge_candidates",
-    "winsorized_doc_lengths",
-    "robust_scaled_events",
-    "returnflag_priority_counts",
-    # round-6 registry additions + the r7 addition (new code meets the
-    # driver first — the r6 precedent)
-    "gopher_quality_gate",
-    "c4_line_filters",
-    "unimax_mixture",
-    "semdedup_4096",
-    "exact_substring_spans",
-    # never-certified flagships
-    "dedup_exact",
-    "minhash_signatures",
-    "tumbling_events",
-    "session_windows",
-    "interval_join",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_pq",
-    "countvec_vocab",
-    "text_quality",
-    "pack_sequences",
-    "bigram_pmi",
-    "triangle_count",
-    "retention_cohorts",
-    "pii_redaction",
-    # streaming sketch-sink twins
-    "streaming_hll",
-    "streaming_bloom",
-    # ML model twins beyond logistic regression
-    "ml_naive_bayes",
-    "ml_linear_svc",
-    # relational/SQL long tail (ask #6)
-    "sql_interface",
-    "lateral_top_orders",
-    "null_safe_join",
-    "promo_revenue_share",
-    "market_share",
-    "skyline_parts",
-    "percent_rank_cume",
-    "unpivot_lineitem_amounts",
-    "hof_functions",
-    "cheapest_supplier_per_part",
+    # -- rotation, round 8 --
+    # 39 never-driver-checked queries (no row in any CORRECTNESS_r01..r07).
+    # Priorities per VERDICT r7 #1: returned_item_losses re-added (bumped
+    # from the r7 prefix), the ANN long tail, streaming joins, dedup
+    # structure, evaluation rows, hashing_tf, multimodal_audio, and the
+    # TPC-H relational tail — plus the r8 registry addition
+    # exactsubstr_attribution (new code meets the driver first).
+    "returned_item_losses",
+    # ANN long tail
+    "ann_ivf",
+    "ann_ivf_append",
+    "ann_sq8",
+    "ann_sq8_recall",
+    "ann_gemm",
+    "ann_pq_recall",
+    "embedding_near_dup",
+    # streaming / interval joins
+    "streaming_interval_join",
+    "streaming_static_join",
+    "sliding_events",
+    "interval_join_outer",
+    # dedup structure
+    "dedup_components",
+    "dedup_components_star",
+    "intradoc_dedup",
+    "crossdoc_dedup",
+    "event_dedup",
+    # evaluation long tail
+    "roc_points",
+    "pr_points",
+    "classification_report",
+    "accuracy",
+    "calibration_report",
+    "hashing_tf",
+    "multimodal_audio",
+    # TPC-H relational tail
+    "rich_idle_customers",
+    "nation_pair_volume",
+    "profit_by_nation_year",
+    "sole_returned_supplier",
+    "unshipped_order_revenue",
+    "top_supplier_revenue",
+    "local_supplier_revenue",
+    "large_quantity_orders",
+    "brand_band_revenue",
+    "small_quantity_revenue",
+    # r8 registry addition + attribution/eval/temporal stragglers
+    "exactsubstr_attribution",
+    "dedup_attribution",
+    "doc_frequency_idf",
+    "average_precision",
+    "funnel_conversion",
 ]
 
 

@@ -2150,6 +2150,67 @@ GROUP BY doc_id, g
 """
 
 
+def q_exactsubstr_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc attribution for ExactSubstr spans
+    (operators/dedup.exact_substring_attribution — VERDICT r7's reserved
+    registry slot): each duplicated span from exact_substring_spans paired
+    with HOW MANY other documents share its content and the smallest such
+    doc_id — the contamination-forensics view (intra-doc repeats report
+    n_match_docs = 0 / NULL match). Attribution join runs at
+    candidate-set size; exact here (no df-cap) to honor the oracle."""
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return DD.exact_substring_attribution(docs, min_len=_SUBSTR_L)
+
+
+SQL_EXACTSUBSTR_ATTRIBUTION = f"""
+WITH base AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS off,
+         substring(t, CAST(i AS INT), {_SUBSTR_L}) AS w
+  FROM base, unnest(range(1, length(t) - {_SUBSTR_L} + 2)) AS u(i)
+),
+dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(*) > 1),
+marked AS MATERIALIZED (
+  SELECT doc_id, off, w FROM wins JOIN dup USING (w)
+),
+grp AS MATERIALIZED (
+  SELECT doc_id, off, w,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY off
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM (
+    SELECT doc_id, off, w,
+           CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                    <= {_SUBSTR_L}
+                THEN 0 ELSE 1 END AS b
+    FROM marked
+  )
+),
+wd AS (SELECT DISTINCT w, doc_id AS match_doc FROM marked),
+spans AS (
+  SELECT doc_id, g, min(off) AS span_start,
+         max(off) + {_SUBSTR_L} AS span_end
+  FROM grp GROUP BY doc_id, g
+),
+m AS (
+  SELECT grp.doc_id, grp.g,
+         count(DISTINCT wd.match_doc) AS n_match_docs,
+         min(wd.match_doc) AS first_match_doc
+  FROM grp JOIN wd USING (w)
+  WHERE wd.match_doc <> grp.doc_id
+  GROUP BY grp.doc_id, grp.g
+)
+SELECT s.doc_id, s.span_start, s.span_end,
+       s.span_end - s.span_start AS span_len,
+       CAST(coalesce(m.n_match_docs, 0) AS BIGINT) AS n_match_docs,
+       m.first_match_doc
+FROM spans s LEFT JOIN m ON s.doc_id = m.doc_id AND s.g = m.g
+"""
+
+
 _CLIQUE_K = 2
 _CLIQUE_ROUNDS = 3
 
@@ -2728,6 +2789,10 @@ QUERIES = {
     "dedup_cascade": (q_dedup_cascade, SQL_DEDUP_CASCADE),
     "dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM_SPANS),
     "exact_substring_spans": (q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS),
+    "exactsubstr_attribution": (
+        q_exactsubstr_attribution,
+        SQL_EXACTSUBSTR_ATTRIBUTION,
+    ),
     "dup_ngram_spans_ladder": (
         q_dup_ngram_spans_ladder,
         SQL_DUP_NGRAM_SPANS_LADDER,

@@ -525,6 +525,115 @@ class TestExactSubstringSpans:
             exact_substring_spans(df, min_len=0)
 
 
+class TestExactSubstringAttribution:
+    """operators/dedup.exact_substring_attribution — which OTHER docs each
+    duplicated span matches (contamination forensics)."""
+
+    def _attr(self, spark, docs, min_len, **kw):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_attribution,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {}
+        for r in exact_substring_attribution(df, min_len=min_len, **kw).collect():
+            out.setdefault(r["doc_id"], []).append(
+                (
+                    r["span_start"],
+                    r["span_end"],
+                    r["n_match_docs"],
+                    r["first_match_doc"],
+                )
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    def test_cross_doc_passage_attributes_to_partner(self, spark):
+        shared = "ABCDEFGHIJKLMNOPQRST"  # 20 chars
+        d0 = "0123456789" + shared + "abcdefghij"
+        d1 = shared + "klmnopqrstuvwxyz!@#$"
+        out = self._attr(spark, [(0, d0), (1, d1)], 10)
+        assert out[0] == [(11, 31, 1, 1)]
+        assert out[1] == [(1, 21, 1, 0)]
+
+    def test_intra_doc_repeat_reports_zero_matches(self, spark):
+        # Same 12-char string twice in ONE doc: both spans are duplicated
+        # (removal-eligible) but match no OTHER document → n_match_docs=0,
+        # first_match_doc NULL.
+        s = "AAABBBCCCDDD"
+        doc = s + "0123456789012345" + s
+        out = self._attr(spark, [(0, doc)], 12)
+        assert out[0] == [(1, 13, 0, None), (29, 41, 0, None)]
+
+    def test_three_way_copy_counts_both_partners_min_id_first(self, spark):
+        shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars
+        docs = [
+            (0, "ab" + shared + "cd"),
+            (1, shared + "wxyz!@#$%^"),
+            (2, "0987654321" + shared),
+        ]
+        out = self._attr(spark, docs, 10)
+        assert out[0] == [(3, 33, 2, 1)]
+        assert out[1] == [(1, 31, 2, 0)]
+        assert out[2] == [(11, 41, 2, 0)]
+
+    def test_spans_align_with_exact_substring_spans(self, spark):
+        # The (doc_id, span_start, span_end) set must be IDENTICAL to
+        # exact_substring_spans — attribution annotates, never re-segments.
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_attribution,
+            exact_substring_spans,
+        )
+
+        shared = "ABCDEFGHIJKLMNOPQRST"
+        df = spark.createDataFrame(
+            [
+                (0, "0123456789" + shared + "abcdefghij"),
+                (1, shared + "klmnopqrstuvwxyz!@#$"),
+                (2, shared + "ZYXWVU" + shared),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in exact_substring_spans(df, min_len=10).collect()
+        }
+        attr = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in exact_substring_attribution(df, min_len=10).collect()
+        }
+        assert spans == attr
+
+    def test_df_cap_drops_ubiquitous_windows_keeps_spans(self, spark):
+        # A boilerplate passage shared by FOUR docs plus a pair-only
+        # passage in two of them. With max_doc_freq=2 the boilerplate
+        # windows are dropped from match enumeration (their spans stay,
+        # reporting 0 matches); the pair passage still attributes.
+        boiler = "BOILERPLATE-BOILER0PLATE-BOILER1PLATE!"  # 38 chars
+        pair = "pairwise-shared-secret-passage-XY"  # 33 chars
+        docs = [
+            (0, boiler + "aaaaaaaaaa" + pair),
+            (1, boiler + "bbbbbbbbbb" + pair),
+            (2, boiler + "cccccccccc"),
+            (3, boiler + "dddddddddd"),
+        ]
+        out = self._attr(spark, docs, 10, max_doc_freq=2)
+        exact = self._attr(spark, docs, 10)
+        # exact: every doc's boilerplate span matches the 3 others
+        assert all(
+            any(n == 3 for (_, _, n, _) in spans) for spans in exact.values()
+        )
+        # capped: boilerplate spans survive with 0 matches; the pair
+        # passage in docs 0/1 still attributes to its partner
+        for d in (2, 3):
+            assert out[d] == [(1, 39, 0, None)]
+        for d, partner in ((0, 1), (1, 0)):
+            spans = dict(
+                ((s, e), (n, m)) for (s, e, n, m) in out[d]
+            )
+            assert spans[(1, 39)] == (0, None)  # capped boilerplate
+            assert spans[(49, 82)] == (1, partner)  # pair passage
+
+
 class TestDuplicatedSpanLadder:
     def test_planted_100_token_copy_counted_once(self, spark):
         """VERDICT r4 #7 done-criterion: a 100-token planted copy fires
