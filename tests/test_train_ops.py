@@ -261,6 +261,61 @@ class TestTrainBpe:
         monkeypatch.setenv("SPARK_GRAFT_SKIP_GOLDEN", "1")
         assert train_q._assert_golden(row, train_q._BPE_1K_GOLDEN, sf, "x") is False
 
+    def test_bpe_1k_vs_reference_impl(self, spark):
+        """VERDICT r7 #2: independent cross-checked evidence for the
+        1,000-merge path. The hybrid trainer (heap + lazy invalidation +
+        incremental pair deltas — the machinery bpe_merges_1k runs) is
+        compared MERGE-BY-MERGE against the naive Sennrich reference
+        (_py_bpe: full recount every round, no shared code) on the real
+        sf0.001 trigram vocabulary (16.5k words); then an independent
+        min-rank pure-Python encoder reproduces bpe_encode_1k's golden
+        corpus totals from the same merge list. Until now both 1k queries
+        were witness-pinned only (goldens measured from the same Spark
+        implementation they test)."""
+        from sentiment_analysis_bigdata_spark.workloads import train_q
+
+        tri = train_q._trigram_corpus(spark, "/root/testdata/sf0.001")
+        wf = tokenizer_train.word_frequencies(tri)
+        word_freqs = {r["word"]: r["freq"] for r in wf.collect()}
+        assert len(word_freqs) > 10_000  # genuinely corpus-shaped vocab
+
+        merges = tokenizer_train.train_bpe_from_word_counts(wf, n_merges=1000)
+        expected, _ = _py_bpe(word_freqs, 1000)
+        assert len(merges) == 1000
+        assert merges == expected  # rank, lhs, rhs, merged, count — all 1000
+
+        # Independent encode twin: leftmost-lowest-rank iterative merge
+        # application per word (the canonical BPE encoder), reproducing
+        # the bpe_encode_1k golden totals without the Arrow kernel.
+        ranks = {(m[1], m[2]): m[0] for m in merges}
+
+        def encode(word: str) -> list[str]:
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [
+                    syms[best_i] + syms[best_i + 1]
+                ]
+            return syms
+
+        n_tokens = n_subwords = 0
+        types: set[str] = set()
+        for w, f in word_freqs.items():
+            seg = encode(w)
+            n_tokens += f
+            n_subwords += f * len(seg)
+            types.update(seg)
+        golden = train_q._BPE_ENC_1K_GOLDEN["0.001"]
+        assert n_tokens == golden["n_tokens"]
+        assert n_subwords == golden["n_subwords"]
+        assert len(types) == golden["n_subword_types"]
+
     def test_adjacent_repeat_merge_is_non_overlapping(self, spark):
         # "aaaa" + merge (a,a) must give [aa, aa]; "aaa" gives [aa, a]
         df = spark.createDataFrame([Row(text="aaaa aaaa aaa")])
