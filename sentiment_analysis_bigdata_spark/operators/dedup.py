@@ -1581,7 +1581,15 @@ def exact_substring_attribution(
     contract).
     """
     L = int(min_len)
-    marked = _exactsubstr_marked(df, text_col, id_col, L)
+    # The verified candidate set feeds FOUR consumers (span grouping twice
+    # via grp, the distinct (window, doc) match table, and through it the
+    # match aggregate); a lazy localCheckpoint materializes the corpus-
+    # sized window explode + hash shuffle ONCE instead of once per branch
+    # (AQE exchange reuse only recovers part of it — measured 46 live
+    # exchanges without the barrier, 1/3 of them duplicated subtrees).
+    marked = _exactsubstr_marked(df, text_col, id_col, L).localCheckpoint(
+        eager=False
+    )
     ord_w = Window.partitionBy("doc_id").orderBy("off")
     brk = marked.withColumn(
         "b",

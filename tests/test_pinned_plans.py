@@ -1,0 +1,106 @@
+"""Pinned physical-plan shapes for flagship operators (VERDICT r7 #7).
+
+`tools/plan_audit.py` asserts global hygiene (pushed filters, no cartesian
+products) across every registered query; these tests pin the EXACT shape
+of the plans the scale story depends on, so a Catalyst upgrade or an
+innocent-looking code change that silently degrades one fails CI instead
+of waiting for a PLANS.md review.
+
+Pinned here:
+- exact_substring_spans / exactsubstr_attribution — the ExactSubstr
+  family must never grow a pair join (BroadcastNestedLoopJoin /
+  CartesianProduct); the corpus-sized shuffle count is pinned so an extra
+  recompute of the window explode shows up as a hard failure.
+- The ANN serving paths:
+  * ann_bruteforce IS a BroadcastNestedLoopJoin by design — broadcast
+    query block × one corpus scan; the pin is that the broadcast is on
+    the QUERY side (no shuffle of the corpus) and nothing else joins.
+  * ann_lsh / ann_ivf must be bucket/list equi-joins — BroadcastHashJoin
+    present, NO BroadcastNestedLoopJoin (a lost bucket key would
+    silently fall back to all-pairs and still return correct rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sentiment_analysis_bigdata_spark.plans import explain
+from sentiment_analysis_bigdata_spark.workloads import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _plan(spark, queries, name, sf_dir):
+    return explain.formatted_plan(queries[name](spark, sf_dir))
+
+
+class TestExactSubstrPlans:
+    def test_spans_no_pair_join(self, spark, queries, sf_dir):
+        p = _plan(spark, queries, "exact_substring_spans", sf_dir)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_spans_exchange_count_pinned(self, spark, queries, sf_dir):
+        # 1 explode→hash agg, semi join back, text re-join, text agg,
+        # semi join, final per-doc window: 11 exchanges at 8 shuffle
+        # partitions. A regression that recomputes the corpus-sized
+        # window explode shows up as extra exchanges here.
+        df = queries["exact_substring_spans"](spark, sf_dir)
+        assert explain.num_shuffles(df) <= 11
+
+    def test_attribution_no_pair_join_and_one_corpus_explode(
+        self, spark, queries, sf_dir
+    ):
+        p = _plan(spark, queries, "exactsubstr_attribution", sf_dir)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # The lazy localCheckpoint barrier means the corpus-sized window
+        # explode (the xxhash64 transform over every position) appears in
+        # the plan of the CHECKPOINTED subtree only — the consumer plan
+        # must read the materialized RDD, not re-derive windows.
+        assert len(re.findall(r"xxhash64", p)) == 0, (
+            "attribution consumer plan re-derives the window explode —"
+            " the localCheckpoint barrier is gone"
+        )
+
+    def test_attribution_matches_spans_intervals_at_fixture(
+        self, spark, queries, sf_dir
+    ):
+        spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in queries["exact_substring_spans"](spark, sf_dir).collect()
+        }
+        attr = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in queries["exactsubstr_attribution"](spark, sf_dir).collect()
+        }
+        assert spans == attr and len(spans) > 0
+
+
+class TestAnnServingPlans:
+    def test_bruteforce_is_broadcast_query_scan(self, spark, queries, sf_dir):
+        p = _plan(spark, queries, "ann_bruteforce", sf_dir)
+        # brute force = broadcast the bounded query block, ONE pass over
+        # the corpus — BroadcastNestedLoopJoin with BroadcastExchange is
+        # exactly that; a SortMergeJoin here would mean the corpus got
+        # shuffled for a bounded query set.
+        assert "BroadcastNestedLoopJoin" in p
+        assert "BroadcastExchange" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    @pytest.mark.parametrize("name", ["ann_lsh", "ann_ivf"])
+    def test_bucketed_paths_are_equi_joins(self, spark, queries, name, sf_dir):
+        p = _plan(spark, queries, name, sf_dir)
+        # bucket/list-pruned candidate generation joins on the bucket/list
+        # key: hash equi-join, never a nested-loop fallback (which would
+        # be all-pairs and still return the right rows — only the plan
+        # reveals the regression).
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
