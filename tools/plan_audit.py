@@ -474,6 +474,18 @@ AUDIT = {
         "ADD candidates (exactness); the per-doc interval merge is one "
         "lag/cumsum window — no pair join anywhere",
     ),
+    "exactsubstr_attribution": (
+        ["HashAggregate", "Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin", "!xxhash64"],
+        "ExactSubstr span attribution: the shared verified candidate set "
+        "is materialized ONCE behind a lazy localCheckpoint (its four "
+        "consumers — span grouping, the distinct (window, doc) match "
+        "table, and both final aggregates — read the checkpointed RDD, "
+        "so the consumer plan contains NO window re-derivation: xxhash64 "
+        "absent is the assertion); match expansion is an equi-join on "
+        "window text at candidate-set size, df-cappable for boilerplate "
+        "— no pair join anywhere",
+    ),
     "code_prose_profile": (
         ["HashAggregate", "Union", "!Window", "!CartesianProduct"],
         "code/prose routing: two narrow char-class projections union into "
