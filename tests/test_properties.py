@@ -353,3 +353,78 @@ def test_exact_substring_spans_equals_bruteforce(spark, docs, min_len):
         for r in exact_substring_spans(df, min_len=L).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(min_value=2, max_value=5),
+)
+def test_exact_substring_attribution_equals_bruteforce(spark, docs, min_len):
+    """exact_substring_attribution == brute force: per maximal duplicated
+    span, the distinct OTHER docs sharing any of the span's duplicated
+    windows, plus the min such doc_id (None when the span is an
+    intra-doc-only repeat). The 2-letter alphabet makes multi-doc and
+    intra-doc duplicate windows dense, exercising both match classes."""
+    from collections import Counter, defaultdict
+
+    from sentiment_analysis_bigdata_spark.operators.dedup import (
+        exact_substring_attribution,
+    )
+
+    L = min_len
+    occ: Counter[str] = Counter()
+    win_docs: dict[str, set[int]] = defaultdict(set)
+    for d, t in enumerate(docs):
+        for i in range(1, len(t) - L + 2):
+            w = t[i - 1 : i - 1 + L]
+            occ[w] += 1
+            win_docs[w].add(d)
+    want = set()
+    for d, t in enumerate(docs):
+        offs = [
+            i for i in range(1, len(t) - L + 2) if occ[t[i - 1 : i - 1 + L]] > 1
+        ]
+        if not offs:
+            continue
+        spans: list[list[int]] = [[offs[0], offs[0] + L]]
+        for o in offs[1:]:
+            if o <= spans[-1][1]:
+                spans[-1][1] = o + L
+            else:
+                spans.append([o, o + L])
+        for start, end in spans:
+            matches: set[int] = set()
+            for o in range(start, end - L + 1):
+                if o in set(offs):
+                    matches |= win_docs[docs[d][o - 1 : o - 1 + L]] - {d}
+            want.add(
+                (
+                    d,
+                    start,
+                    end,
+                    end - start,
+                    len(matches),
+                    min(matches) if matches else None,
+                )
+            )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["span_len"],
+            r["n_match_docs"],
+            r["first_match_doc"],
+        )
+        for r in exact_substring_attribution(df, min_len=L).collect()
+    }
+    assert got == want
