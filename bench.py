@@ -283,10 +283,12 @@ FAMILY_EXTRA = [
     # semantics) — the one r7 registry addition, VERDICT r6 #5's
     # reserved slot; hash-only position shuffle + text-verified merge
     "exact_substring_spans",
-    # r8: cross-doc span attribution — the one r8 registry addition,
-    # VERDICT r7 #5's reserved slot; candidate-set-sized match join
-    # behind the shared localCheckpoint barrier
+    # r8: cross-doc span attribution (VERDICT r7 #5's reserved slot;
+    # candidate-set-sized match join behind the shared localCheckpoint
+    # barrier) and removal materialization (the family's shippable
+    # artifact — pure-expression string surgery over the span lists)
     "exactsubstr_attribution",
+    "exactsubstr_removal",
 ]
 
 

@@ -1626,3 +1626,73 @@ def exact_substring_attribution(
         F.coalesce(F.col("n_match_docs"), F.lit(0)).alias("n_match_docs"),
         "first_match_doc",
     )
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """ExactSubstr REMOVAL materialized — the actual curation output: each
+    document's text with every duplicated span (``exact_substring_spans``
+    semantics, Lee et al. 2022 arXiv:2107.06499) cut out. Returns
+    ``(doc_id, clean_text, n_spans, kept_chars, removed_chars)``; docs
+    with no duplicated span pass through verbatim, a doc that is one big
+    duplicated span keeps the empty string.
+
+    Reconstruction is pure expressions: the per-doc span list (maximal,
+    disjoint, sorted — guaranteed by the span merge) folds left with
+    ``F.aggregate``, emitting the gap substring before each span and the
+    tail after the last; no UDF, no second corpus shuffle beyond the
+    span pipeline itself (the doc-sized span lists join back broadcast-
+    or hash-side at dup-rate size).
+    """
+    L = int(min_len)
+    spans = exact_substring_spans(df, text_col, id_col, L)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    spans_g = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sp")
+    )
+    joined = base.join(spans_g, "doc_id", "left")
+    rebuilt = F.aggregate(
+        F.col("sp"),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("s")
+        ),
+        lambda acc, sp: F.struct(
+            sp["span_end"].alias("pos"),
+            F.concat(
+                acc["s"],
+                F.expr("_t").substr(
+                    acc["pos"].cast("int"),
+                    (sp["span_start"] - acc["pos"]).cast("int"),
+                ),
+            ).alias("s"),
+        ),
+        lambda acc: F.concat(
+            acc["s"],
+            F.expr("_t").substr(
+                acc["pos"].cast("int"),
+                (F.length("_t") - acc["pos"] + 1).cast("int"),
+            ),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("sp").isNull(), F.col("_t"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce(F.size("sp"), F.lit(0)).cast("long").alias("n_spans"),
+        F.length("_t").cast("long").alias("_orig"),
+    ).select(
+        "doc_id",
+        "clean_text",
+        "n_spans",
+        F.length("clean_text").cast("long").alias("kept_chars"),
+        (F.col("_orig") - F.length("clean_text")).cast("long").alias(
+            "removed_chars"
+        ),
+    )

@@ -187,12 +187,13 @@ _DRIVER_PREFIX: list[str] = [
     "large_quantity_orders",
     "brand_band_revenue",
     "small_quantity_revenue",
-    # r8 registry addition + attribution/eval/temporal stragglers
+    # r8 registry additions (new code meets the driver first) +
+    # attribution/eval stragglers
     "exactsubstr_attribution",
+    "exactsubstr_removal",
     "dedup_attribution",
     "doc_frequency_idf",
     "average_precision",
-    "funnel_conversion",
 ]
 
 

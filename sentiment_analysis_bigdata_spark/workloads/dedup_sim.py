@@ -2150,6 +2150,82 @@ GROUP BY doc_id, g
 """
 
 
+def q_exactsubstr_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr removal MATERIALIZED (operators/dedup.
+    exact_substring_removal): the curation pipeline's actual output —
+    every document's text with its duplicated spans cut out, plus span /
+    kept / removed accounting. Docs without duplicated spans pass through
+    verbatim; a fully-duplicated doc keeps ''. The oracle replays the
+    whole span pipeline AND the string surgery, so the reconstruction is
+    value-checked character-for-character."""
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return DD.exact_substring_removal(docs, min_len=_SUBSTR_L)
+
+
+SQL_EXACTSUBSTR_REMOVAL = f"""
+WITH base AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS off,
+         substring(t, CAST(i AS INT), {_SUBSTR_L}) AS w
+  FROM base, unnest(range(1, length(t) - {_SUBSTR_L} + 2)) AS u(i)
+),
+dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(*) > 1),
+marked AS (SELECT doc_id, off FROM wins JOIN dup USING (w)),
+brk AS (
+  SELECT doc_id, off,
+         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                  <= {_SUBSTR_L}
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, off,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY off
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(off) AS span_start,
+         max(off) + {_SUBSTR_L} AS span_end
+  FROM grp GROUP BY doc_id, g
+),
+gaps AS (
+  SELECT doc_id, span_start, span_end,
+         lag(span_end, 1, 1) OVER (PARTITION BY doc_id
+                                   ORDER BY span_start) AS prev_end
+  FROM spans
+),
+rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(
+           substring(b.t, CAST(g.prev_end AS INT),
+                     CAST(g.span_start - g.prev_end AS INT)),
+           '' ORDER BY g.span_start)
+           || substring(b.t, CAST(max(g.span_end) AS INT),
+                        CAST(length(b.t) - max(g.span_end) + 1 AS INT))
+           AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         length(b.t) AS orig_len
+  FROM gaps g JOIN base b USING (doc_id)
+  GROUP BY g.doc_id, b.t
+)
+SELECT doc_id, clean_text, n_spans,
+       CAST(length(clean_text) AS BIGINT) AS kept_chars,
+       CAST(orig_len - length(clean_text) AS BIGINT) AS removed_chars
+FROM rebuilt
+UNION ALL
+SELECT d.doc_id, d.text AS clean_text, CAST(0 AS BIGINT) AS n_spans,
+       CAST(length(d.text) AS BIGINT) AS kept_chars,
+       CAST(0 AS BIGINT) AS removed_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM rebuilt)
+"""
+
+
 def q_exactsubstr_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-doc attribution for ExactSubstr spans
     (operators/dedup.exact_substring_attribution — VERDICT r7's reserved
@@ -2793,6 +2869,7 @@ QUERIES = {
         q_exactsubstr_attribution,
         SQL_EXACTSUBSTR_ATTRIBUTION,
     ),
+    "exactsubstr_removal": (q_exactsubstr_removal, SQL_EXACTSUBSTR_REMOVAL),
     "dup_ngram_spans_ladder": (
         q_dup_ngram_spans_ladder,
         SQL_DUP_NGRAM_SPANS_LADDER,

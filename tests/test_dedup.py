@@ -634,6 +634,75 @@ class TestExactSubstringAttribution:
             assert spans[(49, 82)] == (1, partner)  # pair passage
 
 
+class TestExactSubstringRemoval:
+    """operators/dedup.exact_substring_removal — span removal
+    materialized as clean text."""
+
+    def _rm(self, spark, docs, min_len):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_removal,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in exact_substring_removal(df, min_len=min_len).collect()
+        }
+
+    def test_planted_passage_cut_exactly(self, spark):
+        shared = "ABCDEFGHIJKLMNOPQRST"  # 20 chars
+        docs = [
+            (0, "0123456789" + shared + "abcdefghij"),
+            (1, shared + "klmnopqrstuvwxyz!@#$"),
+            (2, "zyxwvutsrqponmlkjihgfedcba9876543210"),  # unique
+            (3, shared),  # fully duplicated
+            (4, shared),
+        ]
+        out = self._rm(spark, docs, 10)
+        assert out[0]["clean_text"] == "0123456789abcdefghij"
+        assert out[1]["clean_text"] == "klmnopqrstuvwxyz!@#$"
+        assert out[2]["clean_text"] == docs[2][1]  # verbatim passthrough
+        assert out[2]["n_spans"] == 0 and out[2]["removed_chars"] == 0
+        assert out[3]["clean_text"] == "" and out[3]["kept_chars"] == 0
+        assert out[4]["removed_chars"] == 20
+
+    def test_two_intra_doc_spans_both_cut(self, spark):
+        s = "AAABBBCCCDDD"
+        mid = "0123456789012345"
+        out = self._rm(spark, [(0, s + mid + s)], 12)
+        assert out[0]["clean_text"] == mid
+        assert out[0]["n_spans"] == 2
+        assert out[0]["removed_chars"] == 24
+
+    def test_accounting_consistent_with_spans(self, spark):
+        # removed_chars must equal the sum of span_len from
+        # exact_substring_spans, and kept + removed == original length.
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_removal,
+            exact_substring_spans,
+        )
+
+        shared = "ABCDEFGHIJKLMNOPQRST"
+        docs = [
+            (0, "0123456789" + shared + "abcdefghij" + shared),
+            (1, shared + "klmnopqrstuvwxyz!@#$"),
+            (2, "unique-text-without-any-repeats!!"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        span_sum: dict[int, int] = {}
+        for r in exact_substring_spans(df, min_len=10).collect():
+            span_sum[r["doc_id"]] = span_sum.get(r["doc_id"], 0) + r["span_len"]
+        for r in exact_substring_removal(df, min_len=10).collect():
+            orig = len(dict(docs)[r["doc_id"]])
+            assert r["kept_chars"] + r["removed_chars"] == orig
+            assert r["removed_chars"] == span_sum.get(r["doc_id"], 0)
+
+    def test_every_doc_appears_exactly_once(self, spark):
+        docs = [(i, f"doc {i} body with no repeats {i}!") for i in range(6)]
+        out = self._rm(spark, docs, 10)
+        assert sorted(out) == list(range(6))
+
+
 class TestDuplicatedSpanLadder:
     def test_planted_100_token_copy_counted_once(self, spark):
         """VERDICT r4 #7 done-criterion: a 100-token planted copy fires

@@ -428,3 +428,59 @@ def test_exact_substring_attribution_equals_bruteforce(spark, docs, min_len):
         for r in exact_substring_attribution(df, min_len=L).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(min_value=2, max_value=5),
+)
+def test_exact_substring_removal_equals_bruteforce(spark, docs, min_len):
+    """exact_substring_removal == delete-the-brute-force-union: compute the
+    duplicated-position set per doc directly, keep exactly the characters
+    no duplicated window covers, and compare the rebuilt strings plus the
+    accounting columns character-for-character."""
+    from collections import Counter
+
+    from sentiment_analysis_bigdata_spark.operators.dedup import (
+        exact_substring_removal,
+    )
+
+    L = min_len
+    occ: Counter[str] = Counter()
+    for t in docs:
+        for i in range(1, len(t) - L + 2):
+            occ[t[i - 1 : i - 1 + L]] += 1
+    want = {}
+    for d, t in enumerate(docs):
+        covered = [False] * len(t)
+        for i in range(1, len(t) - L + 2):
+            if occ[t[i - 1 : i - 1 + L]] > 1:
+                for j in range(i - 1, i - 1 + L):
+                    covered[j] = True
+        clean = "".join(c for c, cov in zip(t, covered) if not cov)
+        # n_spans = number of maximal covered runs
+        n_spans = sum(
+            1
+            for k, cov in enumerate(covered)
+            if cov and (k == 0 or not covered[k - 1])
+        )
+        want[d] = (clean, n_spans, len(clean), len(t) - len(clean))
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_spans"],
+            r["kept_chars"],
+            r["removed_chars"],
+        )
+        for r in exact_substring_removal(df, min_len=L).collect()
+    }
+    assert got == want

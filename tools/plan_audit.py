@@ -486,6 +486,15 @@ AUDIT = {
         "window text at candidate-set size, df-cappable for boilerplate "
         "— no pair join anywhere",
     ),
+    "exactsubstr_removal": (
+        ["HashAggregate", "Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
+        "ExactSubstr removal: the span pipeline's output folds back onto "
+        "the corpus as a LEFT equi-join of dup-rate-sized per-doc span "
+        "lists; the text surgery is a pure-expression aggregate fold "
+        "(gap substrings + tail) inside the projection — no UDF, no "
+        "pair join, no extra corpus shuffle",
+    ),
     "code_prose_profile": (
         ["HashAggregate", "Union", "!Window", "!CartesianProduct"],
         "code/prose routing: two narrow char-class projections union into "
