@@ -341,6 +341,12 @@ def main() -> None:
     # per-query MEDIAN (VERDICT r5 #2) so a single co-tenant spike on one
     # pass can't masquerade as a regression.
     WARM_RUNS = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    if WARM_RUNS < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_WARM_RUNS must be >= 1 (got {WARM_RUNS}); "
+            "0 would leave the warm-sample lists empty and crash in the "
+            "median/min reduction far from this misconfiguration."
+        )
     warm_samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     for _ in range(WARM_RUNS):
         for name in HEADLINE:

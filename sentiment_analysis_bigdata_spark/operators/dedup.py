@@ -1579,6 +1579,13 @@ def exact_substring_attribution(
     enumeration, so capped spans report attribution over the remaining
     informative windows only. Default ``None`` = exact (the oracle
     contract).
+
+    Fault-tolerance tradeoff: ``localCheckpoint`` truncates lineage with
+    executor-local, non-replicated storage, so a lost executor aborts the
+    job instead of recomputing — acceptable for this bounded batch audit;
+    a 1000-executor 100 TB run should swap in reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` to keep
+    the same plan-dedup win with recoverable storage.
     """
     L = int(min_len)
     # The verified candidate set feeds FOUR consumers (span grouping twice

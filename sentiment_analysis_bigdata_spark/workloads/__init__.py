@@ -129,71 +129,73 @@ _HEADLINE: dict[str, list[str]] = {
 # driver-certified; everything after the prefix keeps the round-robin
 # family interleave. Names not present in any lane are skipped.
 _DRIVER_PREFIX: list[str] = [
-    # -- canaries (driver-green in r4 AND r5; regression tripwires) --
-    "pricing_summary",
-    "clean_documents",
-    "minhash_near_dups",
-    "streaming_upsert",
-    "bpe_merges",
-    "confusion_matrix",
-    "scd2_user_state",
-    "group_sample",
-    "pagerank_purchases",
-    "kmeans_clusters",
-    "compaction_plan",
-    # -- rotation, round 8 --
-    # 39 never-driver-checked queries (no row in any CORRECTNESS_r01..r07).
-    # Priorities per VERDICT r7 #1: returned_item_losses re-added (bumped
-    # from the r7 prefix), the ANN long tail, streaming joins, dedup
-    # structure, evaluation rows, hashing_tf, multimodal_audio, and the
-    # TPC-H relational tail — plus the r8 registry addition
-    # exactsubstr_attribution (new code meets the driver first).
-    "returned_item_losses",
-    # ANN long tail
-    "ann_ivf",
-    "ann_ivf_append",
-    "ann_sq8",
-    "ann_sq8_recall",
-    "ann_gemm",
-    "ann_pq_recall",
-    "embedding_near_dup",
-    # streaming / interval joins
-    "streaming_interval_join",
-    "streaming_static_join",
-    "sliding_events",
-    "interval_join_outer",
-    # dedup structure
-    "dedup_components",
-    "dedup_components_star",
-    "intradoc_dedup",
-    "crossdoc_dedup",
-    "event_dedup",
-    # evaluation long tail
-    "roc_points",
-    "pr_points",
-    "classification_report",
-    "accuracy",
-    "calibration_report",
-    "hashing_tf",
-    "multimodal_audio",
-    # TPC-H relational tail
-    "rich_idle_customers",
-    "nation_pair_volume",
-    "profit_by_nation_year",
-    "sole_returned_supplier",
-    "unshipped_order_revenue",
-    "top_supplier_revenue",
-    "local_supplier_revenue",
-    "large_quantity_orders",
-    "brand_band_revenue",
-    "small_quantity_revenue",
-    # r8 registry additions (new code meets the driver first) +
-    # attribution/eval stragglers
-    "exactsubstr_attribution",
-    "exactsubstr_removal",
-    "dedup_attribution",
-    "doc_frequency_idf",
-    "average_precision",
+    # -- rotation, round 9 --
+    # 50 never-driver-checked queries (no row in any CORRECTNESS_r01..r08);
+    # VERDICT r8 #1 asked for a full round of 50 first-timers (cumulative
+    # 250/348 → target ≥300). Leads with the reference-parity rows
+    # (token_topk/bigram_topk/label_distribution/text_stats cover SURVEY
+    # A1/A4/M1/M5 directly), then the verdict's named priorities, then a
+    # family-spanning fill. The two witness-pinned oracle-less entries
+    # (bpe_merges_1k, bpe_encode_1k) stay out of the prefix by design.
+    # reference-parity rows (VERDICT r8 #1 lead items)
+    "token_topk",
+    "bigram_topk",
+    "label_distribution",
+    "text_stats",
+    # verdict-named priorities
+    "simhash_signatures",
+    "fingerprint_clusters",
+    "winnow_fingerprints",
+    "roc_auc_hist",
+    "incremental_dedup",
+    "leakage_safe_split",
+    "priority_order_check",
+    "brand_supplier_counts",
+    "forecast_revenue",
+    # text/corpus analysis tail
+    "token_counts",
+    "lexical_stats",
+    "repetition_ratio",
+    "unicode_hygiene",
+    "html_stripped_docs",
+    "vocab_richness",
+    "length_histogram",
+    "corpus_health",
+    # dedup/similarity tail
+    "simhash_weighted",
+    "bagofwords_dedup",
+    "neardup_cliques",
+    "rolling_fingerprint",
+    "image_ahash_near_dup",
+    # evaluation tail
+    "matthews_corrcoef",
+    "expected_calibration_error",
+    "lift_gains",
+    "accuracy_by_slice",
+    "model_agreement",
+    "score_drift_ks",
+    # training-data / scale ops
+    "mixture_sample",
+    "dsir_sample",
+    "balance_sources",
+    "chunk_documents",
+    "span_corruption_plan",
+    "salted_supplier_join",
+    "key_skew_report",
+    "hll_user_rollup",
+    # temporal
+    "dau_mau",
+    "funnel_conversion",
+    "resample_ffill",
+    "time_weighted_avg",
+    # graph / clustering
+    "clustering_coeffs",
+    "link_prediction",
+    "label_centroids",
+    "kmeans_elbow",
+    # warehouse
+    "referential_integrity",
+    "table_profile",
 ]
 
 

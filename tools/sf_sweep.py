@@ -124,7 +124,12 @@ def main() -> int:
         print(json.dumps(rec))
         results.append(rec)
 
-    any_fail = any(r.get("n_fail", -1) != 0 for r in results)
+    # Fold in the child's exit code as well as the parsed fail count: a
+    # harness killed by a signal after printing a "0 fail" summary (or any
+    # path where summary and exit code disagree) must not read as green.
+    any_fail = any(
+        r.get("n_fail", -1) != 0 or r.get("exit_code", 1) != 0 for r in results
+    )
     combined = {
         "sweep_ok": not any_fail,
         "sfs": {r["sf"]: {k: r[k] for k in r if k != "sf"} for r in results},

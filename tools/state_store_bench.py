@@ -76,13 +76,19 @@ def main() -> int:
             None,
         )
         if line is None:
+            # Don't abort: run the remaining provider lanes anyway so a
+            # partial run still leaves a machine-readable combined record
+            # of which lane succeeded.
             print(f"provider {provider or 'hdfs'} FAILED:\n{proc.stderr[-2000:]}")
-            return 1
+            results.append({"provider": provider or "hdfs", "ok": False})
+            continue
         rec = json.loads(line[len("SSB_RESULT "):])
+        rec["ok"] = True
         print(json.dumps(rec))
         results.append(rec)
+    any_failed = any(not r["ok"] for r in results)
     print(json.dumps({"providers": {r["provider"]: r for r in results}}))
-    return 0
+    return 1 if any_failed else 0
 
 
 if __name__ == "__main__":
