@@ -1440,30 +1440,192 @@ def duplicated_span_stats(
     )
 
 
+# Winnowing-anchor prefilter tuning (``_exactsubstr_marked``): anchor
+# neighborhood width. Expected anchor density ~2/(W0+1) of positions, so the
+# first corpus-sized shuffle carries ~1/8.5 of the stride-1 row count at
+# W0=16. Prefilter engages when L >= _ANCHOR_MIN_L so the anchor gram length
+# L0 = L - W0 + 1 stays >= 9 chars (meaningfully collision-sparse).
+_ANCHOR_W0 = 16
+_ANCHOR_MIN_L = 24
+_LONG_MAX = "9223372036854775807"
+_LONG_MIN = "CAST(-9223372036854775808 AS BIGINT)"
+
+
+def _anchor_positions_expr(L: int, W0: int) -> str:
+    """SQL expr: winnowing anchors of ``_t`` as ``array<struct<p,ah>>``.
+
+    Content-defined anchor selection with the Schleimer et al. 2003
+    winnowing guarantee, generalized to ties: position ``p`` is an anchor
+    iff its ``L0``-gram hash equals the minimum of SOME valid width-``W0``
+    hash window containing ``p`` (``L0 = L - W0 + 1``). Any two equal
+    length-``L`` windows each fully contain one hash window; selection is
+    content-determined, so both occurrences anchor the SAME VALUE at
+    DISTINCT positions — grouping anchor values with occ >= 2 therefore
+    yields a superset of every duplicated-window region, and the exact
+    hash+text verification downstream removes false positives, never
+    misses (see ``_exactsubstr_marked``). xxhash64 collisions only ADD
+    candidates.
+
+    Sliding min/max are computed by doubling (4 ``least`` + 4
+    ``greatest`` zips, O(m log W0) primitive ops) instead of a
+    per-window argmin aggregate (O(m·W0) struct allocations — there is
+    no CSE in interpreted HOF eval). ``fk[i]`` = min of
+    ``hs[i..i+k-1]`` (identity LONG_MAX past the end); ``gk[p]`` = max
+    over valid window starts ``i ∈ [p-W0+1, p] ∩ [1, m-W0+1]`` of the
+    window min (incomplete window starts masked to LONG_MIN); anchor
+    iff ``g[p] == hs[p]`` — window mins never exceed ``hs[p]``, so
+    equality means "p attains some window's min". Stays JVM-side: an
+    Arrow mapInPandas kernel was measured SLOWER here (0.95 s vs
+    0.50 s warm at sf0.1 — Python worker round-trip on a corpus the
+    JVM already holds; tools/exactsubstr_shuffle_bench.py history in
+    SCALING.md)."""
+    if W0 & (W0 - 1) or W0 < 2:
+        raise ValueError(f"W0 must be a power of two >= 2, got {W0}")
+    L0 = L - W0 + 1
+    stages: dict[str, str] = {
+        "h0": (
+            f"transform(sequence(1, length(_t) - {L0} + 1),"
+            f" i -> xxhash64(substring(_t, i, {L0})))"
+        )
+    }
+    order = ["h0"]
+    prev, k = "h0", 1
+    while k < W0:
+        name = f"f{2 * k}"
+        stages[name] = (
+            f"transform(sequence(1, size({prev})),"
+            f" i -> least(element_at({prev}, i),"
+            f" IF(i + {k} <= size({prev}), element_at({prev}, i + {k}),"
+            f" {_LONG_MAX}L)))"
+        )
+        order.append(name)
+        prev, k = name, 2 * k
+    fmin = prev
+    stages["g0"] = (
+        f"transform(sequence(1, size({fmin})),"
+        f" i -> IF(i <= size({fmin}) - {W0} + 1, element_at({fmin}, i),"
+        f" {_LONG_MIN}))"
+    )
+    order.append("g0")
+    prev, k = "g0", 1
+    while k < W0:
+        name = f"g{2 * k}"
+        stages[name] = (
+            f"transform(sequence(1, size({prev})),"
+            f" i -> greatest(element_at({prev}, i),"
+            f" IF(i - {k} >= 1, element_at({prev}, i - {k}), {_LONG_MIN})))"
+        )
+        order.append(name)
+        prev, k = name, 2 * k
+    gmax = prev
+    anchors = (
+        f"transform(filter(sequence(1, size(h0)),"
+        f" p -> element_at({gmax}, p) = element_at(h0, p)),"
+        f" p -> named_struct('p', p, 'ah', element_at(h0, p)))"
+    )
+    # nest the pipeline into one expression via sequential let-bindings:
+    # each stage becomes a single-element-array lambda binding (the repo's
+    # standard CSE idiom) so every array is computed exactly once.
+    expr = anchors
+    for name in reversed(order):
+        expr = (
+            f"element_at(transform(array(({stages[name]})),"
+            f" {name} -> ({expr})), 1)"
+        )
+    return expr
+
+
 def _exactsubstr_marked(
-    df: DataFrame, text_col: str, id_col: str, L: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    L: int,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Verified duplicated-window positions ``(doc_id, off, w)`` shared by
     ``exact_substring_spans`` and ``exact_substring_attribution``: the
     corpus-sized shuffle carries only fixed-width ``(doc_id, off,
     xxhash64)``; hash-duplicate candidates re-materialize window TEXT and
-    re-group on it, so 64-bit collisions only add candidates — exact."""
+    re-group on it, so 64-bit collisions only add candidates — exact.
+
+    ``prefilter`` (default auto: on for ``L >= _ANCHOR_MIN_L``) engages the
+    winnowing-anchor pre-pass (VERDICT r8 #3): a narrow per-row anchor
+    selection emits ~2/(W0+1) of positions into the first corpus-wide
+    shuffle instead of all of them; only positions within ``W0`` of a
+    corpus-duplicated anchor VALUE re-enter the exact stride-1 hash →
+    text-verify pipeline. The anchor guarantee (see
+    ``_anchor_positions_expr``) makes the candidate set a superset of all
+    true duplicated offsets, so results are bit-identical with the
+    prefilter on or off — only shuffle volume changes (measured in
+    SCALING.md via ``tools/exactsubstr_shuffle_bench.py``)."""
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {L}")
     # length guard first: F.sequence(1, k) counts DOWN for k < 1
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= L)
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(_t) - {L} + 1),"
-                f" i -> struct(CAST(i AS BIGINT) AS off,"
-                f" xxhash64(substring(_t, i, {L})) AS h))"
+    if prefilter is None:
+        prefilter = L >= _ANCHOR_MIN_L
+    if prefilter:
+        W0 = _ANCHOR_W0
+        # The anchor table feeds TWO consumers (the occ>=2 aggregate and
+        # the semi join back); a lazy localCheckpoint materializes the
+        # anchor-density rows (~2/(W0+1) of positions, ~20 B each) once
+        # instead of running the per-row hash + doubling passes twice.
+        # Same executor-loss tradeoff note as exact_substring_attribution:
+        # cluster-scale runs should use reliable checkpointing.
+        anchors = (
+            base.select(
+                "doc_id",
+                F.explode(F.expr(_anchor_positions_expr(L, W0))).alias("a"),
             )
-        ).alias("w"),
-    ).select("doc_id", "w.off", "w.h")
+            .select("doc_id", "a.p", "a.ah")
+            .localCheckpoint(eager=False)
+        )
+        dup_ah = (
+            anchors.groupBy("ah")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .where(F.col("occ") > 1)
+            .select("ah")
+        )
+        cand_regions = (
+            anchors.join(dup_ah, "ah", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("p").alias("ps"))
+        )
+        wins = (
+            cand_regions.join(base, "doc_id")
+            .select(
+                "doc_id",
+                "_t",
+                F.explode(
+                    F.expr(
+                        f"array_distinct(flatten(transform(ps,"
+                        f" p -> sequence("
+                        f"CAST(greatest(1, p - {W0} + 1) AS BIGINT),"
+                        f" CAST(least(p, length(_t) - {L} + 1) AS BIGINT)))))"
+                    )
+                ).alias("off"),
+            )
+            .select(
+                "doc_id",
+                "off",
+                F.expr(f"xxhash64(substring(_t, CAST(off AS INT), {L}))").alias(
+                    "h"
+                ),
+            )
+        )
+    else:
+        wins = base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_t) - {L} + 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS off,"
+                    f" xxhash64(substring(_t, i, {L})) AS h))"
+                )
+            ).alias("w"),
+        ).select("doc_id", "w.off", "w.h")
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -1491,6 +1653,7 @@ def exact_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 40,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Byte-offset duplicated-span extraction — the removal-oriented
     variant of suffix-array substring dedup (Lee et al. 2022,
@@ -1520,7 +1683,9 @@ def exact_substring_spans(
     suffix array on a single machine, this formulation pays one
     fixed-width hash shuffle and stays data-parallel.
     """
-    marked = _exactsubstr_marked(df, text_col, id_col, int(min_len)).select(
+    marked = _exactsubstr_marked(
+        df, text_col, id_col, int(min_len), prefilter=prefilter
+    ).select(
         "doc_id", "off"
     )
     L = int(min_len)
@@ -1555,6 +1720,7 @@ def exact_substring_attribution(
     id_col: str = "doc_id",
     min_len: int = 40,
     max_doc_freq: int | None = None,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Cross-doc ATTRIBUTION for ExactSubstr spans — contamination
     forensics: for each maximal duplicated span (the intervals
@@ -1594,9 +1760,9 @@ def exact_substring_attribution(
     # sized window explode + hash shuffle ONCE instead of once per branch
     # (AQE exchange reuse only recovers part of it — measured 46 live
     # exchanges without the barrier, 1/3 of them duplicated subtrees).
-    marked = _exactsubstr_marked(df, text_col, id_col, L).localCheckpoint(
-        eager=False
-    )
+    marked = _exactsubstr_marked(
+        df, text_col, id_col, L, prefilter=prefilter
+    ).localCheckpoint(eager=False)
     ord_w = Window.partitionBy("doc_id").orderBy("off")
     brk = marked.withColumn(
         "b",
@@ -1640,6 +1806,7 @@ def exact_substring_removal(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 40,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """ExactSubstr REMOVAL materialized — the actual curation output: each
     document's text with every duplicated span (``exact_substring_spans``
@@ -1656,7 +1823,7 @@ def exact_substring_removal(
     or hash-side at dup-rate size).
     """
     L = int(min_len)
-    spans = exact_substring_spans(df, text_col, id_col, L)
+    spans = exact_substring_spans(df, text_col, id_col, L, prefilter=prefilter)
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     spans_g = spans.groupBy("doc_id").agg(
         F.array_sort(
@@ -1702,4 +1869,55 @@ def exact_substring_removal(
         (F.col("_orig") - F.length("clean_text")).cast("long").alias(
             "removed_chars"
         ),
+    )
+
+
+def exact_substring_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    max_iterations: int = 20,
+    prefilter: bool | None = None,
+) -> DataFrame:
+    """ExactSubstr duplicate-FAMILY view (VERDICT r8 #5's reserved slot):
+    group documents connected by shared duplicated ``min_len``-windows
+    into transitive families — the suffix-array-free analogue of
+    clustering ExactSubstr hits (Lee et al. 2022, arXiv:2107.06499),
+    composed from two certified operators: the shared
+    ``_exactsubstr_marked`` window pipeline and ``connected_components``.
+
+    Returns ``(doc_id, family_id, family_size)`` for every document that
+    shares at least one duplicated window with ANOTHER document
+    (``family_id`` = min doc_id in the family); docs whose duplicated
+    windows are only intra-document repeats are not cross-doc duplicates
+    and are excluded, like singletons in a dedup cluster report.
+
+    Scale shape: NO pair join anywhere — per-window doc sets collapse to
+    STAR edges (every doc → the window's min doc), which preserve
+    connectivity exactly while emitting one edge per (window, doc)
+    instead of O(df²) pairs, so boilerplate windows shared by thousands
+    of docs stay linear. Label propagation is the bounded-round
+    ``connected_components`` with localCheckpoint lineage truncation.
+    """
+    L = int(min_len)
+    wd = (
+        _exactsubstr_marked(df, text_col, id_col, L, prefilter=prefilter)
+        .select("w", "doc_id")
+        .distinct()
+    )
+    star = (
+        wd.join(wd.groupBy("w").agg(F.min("doc_id").alias("root")), "w")
+        .where(F.col("doc_id") != F.col("root"))
+        .select("root", "doc_id")
+        .distinct()
+    )
+    comp = connected_components(star, "root", "doc_id", max_iterations)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("family_id"),
+        F.col("family_size").cast("long").alias("family_size"),
     )

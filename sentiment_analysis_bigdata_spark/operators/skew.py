@@ -84,3 +84,39 @@ def salted_join_left_skewed(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l.join(r, [key, "__salt"]).drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    out: str = "n_distinct",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resilient ``COUNT(DISTINCT value)`` per key group.
+
+    Decomposable aggregates (sum/count/min/max) survive hot keys because
+    map-side partial aggregation collapses each key to one row per task
+    BEFORE the shuffle — ``salted_agg`` is belt-and-braces there. COUNT
+    DISTINCT is different: the partial phase must ship every distinct
+    (key, value) pair, so a hot key with millions of distinct values
+    still lands on ONE reducer. Remedy: salt by ``hash(value) % salt``
+    (content-derived, NOT random — every duplicate of a value lands in
+    the same salt bucket, so bucket-local distinct counts are disjoint
+    and sum exactly). Phase 1 counts distincts per (keys…, salt) over
+    ``salt`` reducers; phase 2 sums the disjoint partials.
+
+    Results are identical to ``groupBy(keys).agg(countDistinct(value))``
+    (NULL values are ignored by both, matching SQL COUNT(DISTINCT));
+    only the shuffle layout changes. Measured at bench scale in
+    SCALING.md (tools/skew_stress_bench.py).
+    """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count_distinct(F.col(value)).alias("__nd")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__nd").cast("long").alias(out))

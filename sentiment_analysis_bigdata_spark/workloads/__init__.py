@@ -193,9 +193,10 @@ _DRIVER_PREFIX: list[str] = [
     "link_prediction",
     "label_centroids",
     "kmeans_elbow",
-    # warehouse
-    "referential_integrity",
-    "table_profile",
+    # r9 registry additions (new code meets the driver first; displaced
+    # referential_integrity/table_profile to the r10 rotation)
+    "exactsubstr_clusters",
+    "salted_distinct_users",
 ]
 
 

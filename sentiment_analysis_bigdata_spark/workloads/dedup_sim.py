@@ -2287,6 +2287,51 @@ FROM spans s LEFT JOIN m ON s.doc_id = m.doc_id AND s.g = m.g
 """
 
 
+def q_exactsubstr_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr duplicate families (operators/dedup.
+    exact_substring_clusters — VERDICT r8 #5's reserved registry slot):
+    documents transitively connected by shared duplicated 40-char windows,
+    labeled with the family min doc_id and the family size. Star edges
+    (doc -> per-window min doc) preserve connectivity without a pair
+    join; bounded-round label propagation via connected_components."""
+    docs = ensure_min_parallelism(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return DD.exact_substring_clusters(docs, min_len=_SUBSTR_L)
+
+
+SQL_EXACTSUBSTR_CLUSTERS = f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+wins AS (
+  SELECT doc_id, substring(t, CAST(i AS INT), {_SUBSTR_L}) AS w
+  FROM base, unnest(range(1, length(t) - {_SUBSTR_L} + 2)) AS u(i)
+),
+dup AS (SELECT w FROM wins GROUP BY 1 HAVING count(*) > 1),
+wd AS MATERIALIZED (
+  SELECT DISTINCT w, doc_id FROM wins JOIN dup USING (w)
+),
+star AS (
+  SELECT DISTINCT wr.root AS a, wd.doc_id AS b
+  FROM wd JOIN (SELECT w, min(doc_id) AS root FROM wd GROUP BY 1) wr USING (w)
+  WHERE wd.doc_id <> wr.root
+),
+edges AS (SELECT a AS src, b AS dst FROM star UNION SELECT b, a FROM star),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS family_id FROM reach GROUP BY node)
+SELECT doc_id, family_id,
+       CAST(count(*) OVER (PARTITION BY family_id) AS BIGINT) AS family_size
+FROM comp
+"""
+
+
+
 _CLIQUE_K = 2
 _CLIQUE_ROUNDS = 3
 
@@ -2870,6 +2915,7 @@ QUERIES = {
         SQL_EXACTSUBSTR_ATTRIBUTION,
     ),
     "exactsubstr_removal": (q_exactsubstr_removal, SQL_EXACTSUBSTR_REMOVAL),
+    "exactsubstr_clusters": (q_exactsubstr_clusters, SQL_EXACTSUBSTR_CLUSTERS),
     "dup_ngram_spans_ladder": (
         q_dup_ngram_spans_ladder,
         SQL_DUP_NGRAM_SPANS_LADDER,

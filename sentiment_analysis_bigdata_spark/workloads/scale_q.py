@@ -51,6 +51,28 @@ GROUP BY l_suppkey, s_name
 """
 
 
+def q_salted_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-salted two-phase COUNT(DISTINCT) (operators/skew.
+    salted_count_distinct): distinct users per event type. event_type has
+    single-digit cardinality, so EVERY key is a hot key — the exact shape
+    where plain count_distinct ships all distinct (key, user) pairs to one
+    reducer per key and salting by hash(value) spreads each key over
+    ``salt`` reducers with exactly-summable disjoint partials. Must equal
+    the direct COUNT(DISTINCT) (oracle); wall-time A/B at bench scale in
+    SCALING.md (tools/skew_stress_bench.py)."""
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    return skew.salted_count_distinct(
+        ev, ["event_type"], "user_id", out="n_distinct_users", salt=16
+    )
+
+
+SQL_SALTED_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_stateful_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     EWMA of event values, run as a real incremental stream.
@@ -1274,6 +1296,10 @@ QUERIES = {
     "balance_sources": (q_balance_sources, SQL_BALANCE_SOURCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "salted_supplier_join": (q_salted_supplier_join, SQL_SALTED_SUPPLIER_JOIN),
+    "salted_distinct_users": (
+        q_salted_distinct_users,
+        SQL_SALTED_DISTINCT_USERS,
+    ),
     "stateful_ewma": (q_stateful_ewma, SQL_STATEFUL_EWMA),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -901,3 +901,56 @@ class TestCrossdocSegmentDedup:
         out = self._run(spark, rows, pct=60)
         assert out[0] == (1, 0, "")
         assert out[3] == (2, 2, "other words")
+
+
+class TestExactSubstringClusters:
+    """operators/dedup.exact_substring_clusters — transitive duplicate
+    families over shared duplicated windows (star edges + components)."""
+
+    def _fam(self, spark, docs, min_len):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_clusters,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["family_id"], r["family_size"])
+            for r in exact_substring_clusters(df, min_len=min_len).collect()
+        }
+
+    def test_transitive_chain_one_family(self, spark):
+        # doc0~doc1 share blockA, doc1~doc2 share blockB: one family of 3
+        # even though doc0 and doc2 share nothing directly.
+        a = "AAAAAAAAAABBBBBBBBBB"  # 20 chars
+        b = "CCCCCCCCCCDDDDDDDDDD"
+        docs = [
+            (0, a + "0123456789!@#$%^&*()"),
+            (1, "qwertyuiop" + a + b),
+            (2, b + "zxcvbnm,./ASDFGHJKL:"),
+            (3, "completely unique text with no repeats at all 123"),
+        ]
+        fam = self._fam(spark, docs, 10)
+        assert fam == {0: (0, 3), 1: (0, 3), 2: (0, 3)}
+
+    def test_intradoc_only_repeats_excluded(self, spark):
+        # doc0 repeats a block INSIDE itself only — duplicated windows but
+        # no cross-doc partner: excluded from the family view.
+        block = "XYXYXYXYXYXYXYXYXYXY"
+        docs = [
+            (0, block + "0123456789" + block),
+            (1, "totally unrelated content 9876543210 qwerty"),
+        ]
+        assert self._fam(spark, docs, 10) == {}
+
+    def test_two_disjoint_families_with_sizes(self, spark):
+        a = "SHAREDBLOCKONE_______"
+        b = "sharedblocktwo......."
+        docs = [
+            (0, a + "pad0pad0pad0"),
+            (1, a + "pad1pad1pad1"),
+            (2, b + "pad2pad2pad2"),
+            (3, b + "pad3pad3pad3"),
+            (4, b + "pad4pad4pad4"),
+        ]
+        fam = self._fam(spark, docs, 12)
+        assert fam == {0: (0, 2), 1: (0, 2), 2: (2, 3), 3: (2, 3), 4: (2, 3)}

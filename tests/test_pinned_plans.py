@@ -46,12 +46,27 @@ class TestExactSubstrPlans:
         assert "CartesianProduct" not in p
 
     def test_spans_exchange_count_pinned(self, spark, queries, sf_dir):
-        # 1 explode→hash agg, semi join back, text re-join, text agg,
-        # semi join, final per-doc window: 11 exchanges at 8 shuffle
-        # partitions. A regression that recomputes the corpus-sized
-        # window explode shows up as extra exchanges here.
+        # With the winnowing-anchor prefilter (round 9, VERDICT r8 #3):
+        # anchor agg + anchor semi join + per-doc candidate-region
+        # regroup + region join, then the exact pass (hash agg, semi
+        # join, text re-join, text agg, semi join) and the final per-doc
+        # window — 19 exchanges at 8 shuffle partitions, but every one
+        # AFTER the anchor pair is candidate-set-sized and the anchor
+        # pair carries ~2/(W0+1) of positions (measured 0.58x shuffle
+        # write bytes / 0.42x records at sf0.1 vs the stride-1 plan,
+        # tools/exactsubstr_shuffle_bench.py). A regression that
+        # reintroduces a corpus-sized recompute shows up as extra
+        # exchanges here.
         df = queries["exact_substring_spans"](spark, sf_dir)
-        assert explain.num_shuffles(df) <= 11
+        assert explain.num_shuffles(df) <= 19
+
+    def test_clusters_no_pair_join(self, spark, queries, sf_dir):
+        # exactsubstr_clusters must stay star-edge shaped: per-window doc
+        # sets collapse to (doc -> min doc) edges, never an all-pairs
+        # join over a window's doc set.
+        p = _plan(spark, queries, "exactsubstr_clusters", sf_dir)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
 
     def test_attribution_no_pair_join_and_one_corpus_explode(
         self, spark, queries, sf_dir

@@ -484,3 +484,67 @@ def test_exact_substring_removal_equals_bruteforce(spark, docs, min_len):
         for r in exact_substring_removal(df, min_len=L).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=90),
+        min_size=1,
+        max_size=6,
+    ),
+    min_len=st.integers(min_value=24, max_value=33),
+)
+def test_exact_substring_spans_prefilter_equals_bruteforce(spark, docs, min_len):
+    """The winnowing-anchor PREFILTER path (auto-on for min_len >= 24) ==
+    brute force. Same oracle as test_exact_substring_spans_equals_bruteforce
+    but at L >= _ANCHOR_MIN_L over longer 2-letter strings, so the doubling
+    sliding-min/max anchor selection, the candidate-region expansion
+    clipping, and the downstream exact verification are all exercised on
+    periodic/overlapping intra-doc matches — the adversarial case for a
+    content-defined sampler. Also pins that the prefilter actually engaged
+    (a silent fall-through to the stride-1 path would vacuously pass)."""
+    from collections import Counter
+
+    from sentiment_analysis_bigdata_spark.operators import dedup as DD
+
+    L = min_len
+    assert L >= DD._ANCHOR_MIN_L  # the path under test is the prefilter
+    occ: Counter[str] = Counter()
+    for t in docs:
+        for i in range(1, len(t) - L + 2):
+            occ[t[i - 1 : i - 1 + L]] += 1
+    want = set()
+    for d, t in enumerate(docs):
+        offs = [
+            i for i in range(1, len(t) - L + 2) if occ[t[i - 1 : i - 1 + L]] > 1
+        ]
+        if not offs:
+            continue
+        start, end = offs[0], offs[0] + L
+        for o in offs[1:]:
+            if o <= end:
+                end = o + L
+            else:
+                want.add((d, start, end, end - start))
+                start, end = o, o + L
+        want.add((d, start, end, end - start))
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in DD.exact_substring_spans(df, min_len=L).collect()
+    }
+    assert got == want
+    # prefilter-off twin must agree position-for-position
+    marked_on = {
+        (r["doc_id"], r["off"])
+        for r in DD._exactsubstr_marked(df, "text", "doc_id", L, prefilter=True).collect()
+    }
+    marked_off = {
+        (r["doc_id"], r["off"])
+        for r in DD._exactsubstr_marked(df, "text", "doc_id", L, prefilter=False).collect()
+    }
+    assert marked_on == marked_off

@@ -335,3 +335,55 @@ class TestExactQuantileNarrowed:
         assert got == want
         assert n == n_rows
         assert rounds > 1  # kept going past the budget to bound the tail
+
+
+class TestSaltedCountDistinct:
+    """operators/skew.salted_count_distinct ≡ direct COUNT(DISTINCT)."""
+
+    def test_equals_direct_count_distinct(self, spark):
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_bigdata_spark.operators.skew import (
+            salted_count_distinct,
+        )
+
+        # hot key: 'a' carries 500 rows over 137 distinct values (dups
+        # across salt buckets must not double-count); NULL values ignored
+        # like SQL COUNT(DISTINCT).
+        rows = [("a", f"v{i % 137}") for i in range(500)]
+        rows += [("b", f"v{i}") for i in range(40)]
+        rows += [("c", None), ("c", "only"), ("c", "only")]
+        df = spark.createDataFrame(rows, "key string, val string")
+        got = {
+            r["key"]: r["n_distinct"]
+            for r in salted_count_distinct(df, ["key"], "val", salt=7).collect()
+        }
+        want = {
+            r["key"]: r["nd"]
+            for r in df.groupBy("key")
+            .agg(F.count_distinct("val").alias("nd"))
+            .collect()
+        }
+        assert got == want == {"a": 137, "b": 40, "c": 1}
+
+    def test_salt_one_degenerates_to_direct(self, spark):
+        from sentiment_analysis_bigdata_spark.operators.skew import (
+            salted_count_distinct,
+        )
+
+        df = spark.createDataFrame(
+            [("k", "x"), ("k", "y"), ("k", "x")], "key string, val string"
+        )
+        out = salted_count_distinct(df, ["key"], "val", salt=1).collect()
+        assert [(r["key"], r["n_distinct"]) for r in out] == [("k", 2)]
+
+    def test_salt_zero_rejected(self, spark):
+        import pytest
+
+        from sentiment_analysis_bigdata_spark.operators.skew import (
+            salted_count_distinct,
+        )
+
+        df = spark.createDataFrame([("k", "x")], "key string, val string")
+        with pytest.raises(ValueError):
+            salted_count_distinct(df, ["key"], "val", salt=0)

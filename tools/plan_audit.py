@@ -43,7 +43,7 @@ AUDIT = {
     ),
     "region_revenue": (
         ["BroadcastHashJoin"],
-        "dimension tables broadcast — no shuffle for nation/region joins",
+        "nation/region dims broadcast; fact-fact joins sort-merge",
     ),
     "top_orders_global": (
         ["TakeOrderedAndProject"],
