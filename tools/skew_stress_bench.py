@@ -40,8 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def checksum(df, cols):
     from pyspark.sql import functions as F
 
+    # decimal(38,0) sum: ~10^7 rows x |xxhash64| <= 9.2e18 stays well under
+    # 10^38, where a bigint sum overflows ANSI arithmetic.
     return df.select(
-        F.sum(F.xxhash64(*[F.col(c) for c in cols])).alias("cs")
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("cs")
     ).collect()[0]["cs"]
 
 
