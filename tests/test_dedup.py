@@ -954,3 +954,54 @@ class TestExactSubstringClusters:
         ]
         fam = self._fam(spark, docs, 12)
         assert fam == {0: (0, 2), 1: (0, 2), 2: (2, 3), 3: (2, 3), 4: (2, 3)}
+
+
+class TestExactSubstrPrefilterBoundaries:
+    """Winnowing-anchor prefilter edges: the auto-threshold boundary
+    (L=23 stride-1 path vs L=24 prefiltered path) and a long-L case,
+    each against a hand-computed expectation and the prefilter-off twin."""
+
+    def _spans(self, spark, docs, L, **kw):
+        from sentiment_analysis_bigdata_spark.operators.dedup import (
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in exact_substring_spans(df, min_len=L, **kw).collect()
+        }
+
+    def test_threshold_boundary_paths_agree(self, spark):
+        shared = "SHARED-BLOCK-0123456789ABCDEF"  # 29 chars > both L
+        docs = [
+            (0, "qwertyuiop" + shared + "asdfghjkl;"),
+            (1, shared + "zxcvbnm,./!@#$%^&*()_+-=[每]"),
+            (2, "no duplicated content whatsoever 000"),
+        ]
+        for L in (23, 24):  # last stride-1 / first prefiltered
+            want = {(0, 11, 11 + 29), (1, 1, 1 + 29)}
+            got_auto = self._spans(spark, docs, L)
+            got_off = self._spans(spark, docs, L, prefilter=False)
+            got_on = self._spans(spark, docs, L, prefilter=True)
+            assert got_auto == got_off == got_on == want, L
+
+    def test_long_window_prefiltered(self, spark):
+        block = ("LONGBLOCK-" * 10)[:96]  # 96 chars, one shared block
+        docs = [
+            (0, "A" * 30 + block + "B" * 30),
+            (1, block + "C" * 50),
+        ]
+        want = {(0, 31, 31 + 96), (1, 1, 1 + 96)}
+        # periodic block: intra-block self-repeats extend the covered
+        # region; just assert both paths agree AND cover the planted copy
+        got_on = self._spans(spark, docs, 64, prefilter=True)
+        got_off = self._spans(spark, docs, 64, prefilter=False)
+        assert got_on == got_off
+        covered0 = [
+            (a, b) for d, a, b in got_on if d == 0 and a <= 31 and b >= 31 + 96
+        ]
+        covered1 = [
+            (a, b) for d, a, b in got_on if d == 1 and a <= 1 and b >= 1 + 96
+        ]
+        assert covered0 and covered1
