@@ -66,6 +66,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 # Above this k the assign step switches from k inline literal folds to a
 # broadcast centroid frame: plan size/parse time grow with k on the
@@ -278,7 +279,7 @@ def _kmeans_lloyd_broadcast(
         )
         .withColumn("cid", F.row_number().over(Window.orderBy("_sid")) - 1)
         .select("cid", "c")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     n_seeds = cents.count()
     if n_seeds == 0:
@@ -311,7 +312,7 @@ def _kmeans_lloyd_broadcast(
         cents = (
             cents.join(newc, "cid", "left")
             .select("cid", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
     return _assign_broadcast(df, vec_col, cents).select(
         F.col(id_col), "cluster_id", "dist2"
@@ -541,7 +542,7 @@ def semdedup(
         .join(
             assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
         )
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     l, r = base.alias("l"), base.alias("r")
     denom = F.col("l.nrm") * F.col("r.nrm")
@@ -612,7 +613,7 @@ def knn_graph(
             V.norm(F.col(vec_col)).alias("nrm"),
         )
         .join(assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     l, r = base.alias("l"), base.alias("r")
     denom = F.col("l.nrm") * F.col("r.nrm")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from sentiment_analysis_bigdata_spark.functions import hashing as H
 from sentiment_analysis_bigdata_spark.functions import text as TXT
 from sentiment_analysis_bigdata_spark.functions import vector as V
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 
 def exact_dedup(
@@ -489,13 +490,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
@@ -513,7 +514,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
@@ -894,13 +895,13 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     all_nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     for _ in range(max_rounds):
         # --- large star: symmetric neighborhoods; v > u re-attaches to m
@@ -914,7 +915,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         # --- small star: min-orient (u ≥ v); all small neighbors + u → m
         ori = large.select(
@@ -927,7 +928,7 @@ def connected_components_star(
             .union(ms.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         # convergence: edge multiset unchanged (both frames are distinct
         # sets, so two empty set-differences ⇔ equality)
@@ -1105,7 +1106,7 @@ def dedup_cascade(
     O(n²)).
     """
     total = docs.select(F.col(id_col).alias("doc_id"))
-    s1 = exact_dedup(docs, text_col, id_col).localCheckpoint(eager=True)
+    s1 = exact_dedup(docs, text_col, id_col).transform(barrier_eager)
     mh_pairs = minhash_near_duplicates(
         s1,
         text_col,
@@ -1116,7 +1117,7 @@ def dedup_cascade(
         max_bucket=minhash_max_bucket,
     )
     mh_removed = mh_pairs.select(F.col("b").alias(id_col)).distinct()
-    s2 = s1.join(mh_removed, [id_col], "left_anti").localCheckpoint(eager=True)
+    s2 = s1.join(mh_removed, [id_col], "left_anti").transform(barrier_eager)
     sem_base = emb.join(
         s2.select(F.col(id_col).alias(emb_id_col)), [emb_id_col], "left_semi"
     )
@@ -1234,7 +1235,7 @@ def source_overlap_matrix(
             ).alias("gram"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (
@@ -1319,7 +1320,7 @@ def duplicated_span_stats_ladder(
     # corpus scans + tokenizations
     sized = toks.select(
         "doc_id", F.size("l").alias("n_tokens"), "l"
-    ).localCheckpoint(eager=True)
+    ).transform(barrier_eager)
 
     def rung(k: int) -> DataFrame:
         grams = sized.where(F.col("n_tokens") >= k).select(
@@ -1572,15 +1573,15 @@ def _exactsubstr_marked(
         # the semi join back); a lazy localCheckpoint materializes the
         # anchor-density rows (~2/(W0+1) of positions, ~20 B each) once
         # instead of running the per-row hash + doubling passes twice.
-        # Same executor-loss tradeoff note as exact_substring_attribution:
-        # cluster-scale runs should use reliable checkpointing.
+        # Same executor-loss tradeoff note as exact_substring_attribution;
+        # SPARK_GRAFT_CHECKPOINT_DIR flips the barrier to reliable storage.
         anchors = (
             base.select(
                 "doc_id",
                 F.explode(F.expr(_anchor_positions_expr(L, W0))).alias("a"),
             )
             .select("doc_id", "a.p", "a.ah")
-            .localCheckpoint(eager=False)
+            .transform(barrier_lazy)
         )
         dup_ah = (
             anchors.groupBy("ah")
@@ -1746,12 +1747,13 @@ def exact_substring_attribution(
     informative windows only. Default ``None`` = exact (the oracle
     contract).
 
-    Fault-tolerance tradeoff: ``localCheckpoint`` truncates lineage with
-    executor-local, non-replicated storage, so a lost executor aborts the
-    job instead of recomputing — acceptable for this bounded batch audit;
-    a 1000-executor 100 TB run should swap in reliable
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` to keep
-    the same plan-dedup win with recoverable storage.
+    Fault-tolerance tradeoff: the default ``localCheckpoint`` barrier
+    truncates lineage with executor-local, non-replicated storage, so a
+    lost executor aborts the job instead of recomputing — acceptable for
+    this bounded batch audit. A 1000-executor 100 TB run sets
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to flip EVERY engine barrier to
+    reliable ``.checkpoint()`` storage (``plans/barrier.py``) with the
+    same plan-dedup win and identical results.
     """
     L = int(min_len)
     # The verified candidate set feeds FOUR consumers (span grouping twice
@@ -1762,7 +1764,7 @@ def exact_substring_attribution(
     # exchanges without the barrier, 1/3 of them duplicated subtrees).
     marked = _exactsubstr_marked(
         df, text_col, id_col, L, prefilter=prefilter
-    ).localCheckpoint(eager=False)
+    ).transform(barrier_lazy)
     ord_w = Window.partitionBy("doc_id").orderBy("off")
     brk = marked.withColumn(
         "b",

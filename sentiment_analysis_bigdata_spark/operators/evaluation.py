@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 
 def confusion_matrix(
@@ -570,7 +571,7 @@ def fleiss_kappa(
             F.col(item_col).alias("item"), F.col(category_col).alias("cat")
         )
         .agg(F.count(F.lit(1)).alias("n_ij"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     per_item = nij.groupBy("item").agg(
         F.sum("n_ij").alias("n_raters"),

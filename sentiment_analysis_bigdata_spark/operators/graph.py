@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 
 def pagerank(
@@ -56,12 +57,12 @@ def pagerank(
     # (scan + collapse + out-weight join) once per round
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier_lazy)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier_lazy)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
@@ -122,12 +123,12 @@ def personalized_pagerank(
     out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
-    ).localCheckpoint(eager=False)
+    ).transform(barrier_lazy)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier_lazy)
     )
     in_seeds = nodes.join(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
@@ -144,7 +145,7 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("tele"),
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier_lazy)
     )
     ranks = tele.select("node", F.col("tele").alias("rank"))
     for _ in range(iterations):
@@ -191,12 +192,12 @@ def hits(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(barrier_lazy)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(barrier_lazy)
     )
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = nodes.withColumn("auth", F.lit(1.0))
@@ -377,9 +378,9 @@ def label_propagation(
             edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
-    nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("s").alias("node")).distinct().transform(barrier_eager)
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(rounds):
         neigh = e.join(
@@ -402,7 +403,7 @@ def label_propagation(
             .select(
                 "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
             )
-            .localCheckpoint()
+            .transform(barrier_eager)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -431,12 +432,12 @@ def bfs_hops(
     fwd = edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     e = fwd.unionByName(
         edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(barrier_eager)
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
@@ -446,11 +447,11 @@ def bfs_hops(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(barrier_eager)
         frontier = nxt.select("node")
     return dist
 
@@ -497,13 +498,13 @@ def sssp_weighted(
         )
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     frontier = dist
     for _ in range(rounds):
@@ -517,7 +518,7 @@ def sssp_weighted(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         improved = (
             merged.join(
@@ -525,7 +526,7 @@ def sssp_weighted(
             )
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         dist = merged
         if improved.isEmpty():
@@ -570,7 +571,7 @@ def kcore_peel(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     e = und
 
@@ -591,7 +592,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         removed_last = before.count() - e.count()
     # output = the induced subgraph's degree table after the final peel
@@ -705,12 +706,12 @@ def neighborhood_function(
     e = (
         fwd.unionByName(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     nodes = e.select(F.col("s").alias("node")).distinct()
     visited = nodes.select(
         F.col("node").alias("src"), F.col("node").alias("dst")
-    ).withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    ).withColumn("hop", F.lit(0)).transform(barrier_eager)
     frontier = visited.select("src", "dst")
     per_hop = []
     for h in range(1, max_hops + 1):
@@ -720,12 +721,12 @@ def neighborhood_function(
             .distinct()
             .join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         if nxt.isEmpty():
             break
         per_hop.append(nxt.groupBy("hop").agg(F.count(F.lit(1)).alias("n_pairs")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(barrier_eager)
         frontier = nxt.select("src", "dst")
     spark = edges.sparkSession
     if not per_hop:
@@ -771,14 +772,14 @@ def neighborhood_hll(
     e = (
         fwd.unionByName(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     nodes = e.select(F.col("s").alias("node")).distinct()
     n_nodes = nodes.count()
     state = (
         nodes.groupBy("node")
         .agg(F.hll_sketch_agg("node", F.lit(lgk)).alias("sk"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     rows = []
     for h in range(1, max_hops + 1):
@@ -789,7 +790,7 @@ def neighborhood_hll(
             state.unionByName(nbr)
             .groupBy("node")
             .agg(F.hll_union_agg("sk").alias("sk"))
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
         est = state.agg(
             F.sum(F.hll_sketch_estimate("sk")).alias("reach")

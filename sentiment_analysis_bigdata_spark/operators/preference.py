@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 _ROUND = 12
 
@@ -79,7 +80,7 @@ def bt_scores(
         )
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n_ij"))
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     totals = (
         pairs.groupBy("i")
@@ -92,7 +93,7 @@ def bt_scores(
             "left",
         )
         .select("i", F.coalesce("wins", F.lit(0)).alias("wins"), "comparisons")
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     scores = totals.select("i", F.lit(1.0).alias("s"))
     for _ in range(iterations):
@@ -129,7 +130,7 @@ def bt_scores(
                     F.lit(1e-6),
                 ).alias("s"),
             )
-            .localCheckpoint(eager=True)
+            .transform(barrier_eager)
         )
     s_max = scores.agg(F.max("s").alias("m"))
     return (

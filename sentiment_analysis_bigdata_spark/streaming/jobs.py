@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark import schemas
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 
 def read_events_stream(
@@ -679,7 +680,7 @@ def topk_fold(
                 # genuine uniqueness violation the per-batch check can't
                 # see (cross-batch), and silently keeping one would commit
                 # an arrival-order-dependent leaderboard: raise instead.
-                merged = merged.distinct().localCheckpoint(eager=True)
+                merged = merged.distinct().transform(barrier_eager)
                 n, nd = merged.agg(
                     F.count(F.lit(1)), F.count_distinct(F.col(tiebreak_col))
                 ).first()

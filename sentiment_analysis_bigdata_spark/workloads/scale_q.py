@@ -14,6 +14,7 @@ from sentiment_analysis_bigdata_spark.sources import (
     load_table,
 )
 from sentiment_analysis_bigdata_spark.workloads.text_q import SQL_TOKS
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
 
 
 def q_salted_token_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -267,7 +268,7 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .join(split, "doc_id")
         .select("split", "fp")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(barrier_eager)
     )
     sizes = fps.groupBy("split").agg(F.count(F.lit(1)).alias("n_fps"))
     shared = (
@@ -855,7 +856,7 @@ def q_bloom_contamination(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))
             ).alias("gram"),
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier_lazy)
     )
     bench = grams.filter(F.col("doc_id") < 25).select("gram").distinct()
     corpus = grams.filter(F.col("doc_id") >= 25)
