@@ -130,6 +130,26 @@ _HEADLINE: dict[str, list[str]] = {
 # family interleave. Names not present in any lane are skipped.
 _DRIVER_PREFIX: list[str] = [
     # -- rotation, round 9 --
+    # ROUND-10 PLAN (written r9): after this round certifies the 50 below,
+    # EXACTLY 48 oracle-backed queries remain never-driver-checked —
+    # rbo_rankings, source_token_drift, quantile_bins, bpe_encode_corpus,
+    # l_diversity, weighted_quantiles, neyman_allocation,
+    # tokenizer_fertility, salted_token_counts, referential_integrity,
+    # delete_cascade_plan, group_weighted_sample, lasttouch_attribution,
+    # groupwise_regression, token_gini, window_funnel_7d,
+    # label_noise_estimate, embedding_alignment, asof_click_fulfillment,
+    # ngram_novelty, jaccard_threshold_sweep, runtime_filtered_join,
+    # split_leakage, term_dispersion, decayed_engagement,
+    # activity_islands, code_prose_profile, table_profile,
+    # top_event_paths, ngram_diversity, seasonal_dow_index,
+    # contamination_check, vocab_coverage, purged_time_split,
+    # chunk_token_windows, hourly_to_daily_rollup, ngram_jaccard_adjacent,
+    # doc_logprob, fuzzy_part_names, bigram_logprob, rate_anomalies,
+    # chi2_lang_terms, retrieval_metrics, source_overlap, hard_negatives,
+    # approx_aggregates, payload_stats, important_part_values.
+    # They fit ONE final rotation (48 + 2 driver-green canaries = 50),
+    # completing registry-wide driver certification. The witness-pinned
+    # BPE pair stays out by design (README note).
     # 50 never-driver-checked queries (no row in any CORRECTNESS_r01..r08);
     # VERDICT r8 #1 asked for a full round of 50 first-timers (cumulative
     # 250/348 → target ≥300). Leads with the reference-parity rows
