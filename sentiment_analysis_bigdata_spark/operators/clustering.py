@@ -66,7 +66,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager
 
 # Above this k the assign step switches from k inline literal folds to a
 # broadcast centroid frame: plan size/parse time grow with k on the

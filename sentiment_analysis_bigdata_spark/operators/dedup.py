@@ -467,6 +467,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 20,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """Connected components over a pair graph → (node, component) with
     component = min node id in the component.
@@ -499,6 +500,7 @@ def connected_components(
         .transform(barrier_eager)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -518,8 +520,19 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if require_convergence and not converged:
+        # One more fixed-point probe would cost a full round; callers with
+        # an EXACT contract (oracle-replayed reachability) must not return
+        # silently-partial labels when the graph diameter exceeds the
+        # round budget.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget); raise "
+            "max_iterations for this graph"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -1903,10 +1916,15 @@ def exact_substring_clusters(
     ``connected_components`` with localCheckpoint lineage truncation.
     """
     L = int(min_len)
+    # wd feeds the self-join AND its own per-window min aggregate, and the
+    # edge union downstream doubles consumers again — barrier it so the
+    # corpus-sized marked pipeline runs once (module convention; see
+    # exact_substring_attribution).
     wd = (
         _exactsubstr_marked(df, text_col, id_col, L, prefilter=prefilter)
         .select("w", "doc_id")
         .distinct()
+        .transform(barrier_lazy)
     )
     star = (
         wd.join(wd.groupBy("w").agg(F.min("doc_id").alias("root")), "w")
@@ -1914,7 +1932,12 @@ def exact_substring_clusters(
         .select("root", "doc_id")
         .distinct()
     )
-    comp = connected_components(star, "root", "doc_id", max_iterations)
+    # exact oracle contract (recursive-CTE reachability replay): a
+    # diameter larger than the round budget must FAIL, not silently split
+    # families.
+    comp = connected_components(
+        star, "root", "doc_id", max_iterations, require_convergence=True
+    )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("family_size")
     )

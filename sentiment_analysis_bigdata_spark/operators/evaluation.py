@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager
 
 
 def confusion_matrix(

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager
 
 _ROUND = 12
 

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.functions.text import tokenize_nonempty
-from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager, barrier_lazy
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:

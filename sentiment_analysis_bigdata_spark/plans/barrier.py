@@ -10,12 +10,29 @@ instead of recomputing.
 
 ``SPARK_GRAFT_CHECKPOINT_DIR`` flips every barrier in the engine to
 reliable ``DataFrame.checkpoint`` against that directory (HDFS/object
-store on a cluster), restoring executor-loss recovery at the cost of a
-write per barrier — the same posture switch the streaming side gets from
-``SPARK_GRAFT_STATE_STORE=rocksdb``. Call sites chain
-``.transform(barrier_eager)`` / ``.transform(barrier_lazy)`` so the
-choice stays central; results are identical either way (the barrier only
-changes storage, never semantics), which
+store on a cluster), restoring executor-loss recovery — the same posture
+switch the streaming side gets from ``SPARK_GRAFT_STATE_STORE=rocksdb``.
+Two costs the switch pays and how they're bounded:
+
+- **Double compute per barrier**: an RDD checkpoint write re-runs the
+  subtree after the triggering action unless the RDD is persisted
+  (Spark's documented persist-before-checkpoint recommendation). Eager
+  barriers therefore persist(MEMORY_AND_DISK) → checkpoint →
+  unpersist, so the checkpoint job reads cached blocks instead of
+  recomputing; lazy barriers stay persisted (evictable) because their
+  materialization point is unknown here.
+- **File accumulation**: checkpoint files are only auto-deleted when
+  ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on (set by
+  ``session.get_spark``) AND the RDD is garbage-collected; long-running
+  jobs should still point the directory at storage with a TTL/lifecycle
+  rule.
+
+The environment variable is consulted on every call and re-pins
+``sc.setCheckpointDir`` when it disagrees with the session's current
+checkpoint root, so a stale directory from earlier session state never
+silently wins. Call sites chain ``.transform(barrier_eager)`` /
+``.transform(barrier_lazy)``; results are identical in either mode (the
+barrier only changes storage, never semantics), which
 ``tests/test_reliable_checkpoint.py`` asserts by running representative
 iterative operators under both modes.
 """
@@ -25,6 +42,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 def _reliable_dir() -> str | None:
@@ -36,9 +54,20 @@ def _barrier(df: DataFrame, eager: bool) -> DataFrame:
     if d is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if not sc.getCheckpointDir():
+    # setCheckpointDir stores <d>/<uuid>; re-pin whenever the current
+    # root is absent or points somewhere else (stale session state).
+    current = sc.getCheckpointDir()
+    if not current or not current.startswith(d.rstrip("/")):
         sc.setCheckpointDir(d)
-    return df.checkpoint(eager=eager)
+    if eager:
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist(blocking=False)
+    # lazy: persist so the eventual checkpoint write reads cached blocks
+    # instead of recomputing; MEMORY_AND_DISK blocks are LRU-evictable.
+    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
 
 
 def barrier_eager(df: DataFrame) -> DataFrame:

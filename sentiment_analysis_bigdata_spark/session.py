@@ -63,6 +63,11 @@ def get_spark(
         #     sources.catalog converts back to TimestampType ---
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # --- reliable-checkpoint hygiene (plans/barrier.py): delete
+        #     checkpoint files once their RDDs are GC'd, so the
+        #     SPARK_GRAFT_CHECKPOINT_DIR switch doesn't accumulate files
+        #     without bound on long-running jobs ---
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         # --- warehouse for bucketed tables (static conf; see sources.bucketing) ---
         .config(

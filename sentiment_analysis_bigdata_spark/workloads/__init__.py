@@ -121,13 +121,13 @@ _HEADLINE: dict[str, list[str]] = {
 
 # Rotating driver-certification prefix. The external driver samples the
 # FIRST 50 registry entries for its oracle gate, so this list pins slots
-# 1-50 explicitly: ~10 family canaries that were driver-green last round
-# (regression tripwires — if one goes red the cause is environmental, not
-# the new queries) followed by ~40 queries that have NEVER received a
-# driver-side row (computed from the union of CORRECTNESS_r01..r04 keys).
-# Rotate the never-checked block each round until the whole registry is
-# driver-certified; everything after the prefix keeps the round-robin
-# family interleave. Names not present in any lane are skipped.
+# 1-50 explicitly. Layout varies per round: r9 pins 50 FIRST-TIMERS and
+# zero canaries (VERDICT r8 #1 asked for a full fresh round; every name
+# below is absent from CORRECTNESS_r01..r08 and locally green), while
+# r10 should pin the remaining 48-query tail plus 2 driver-green
+# canaries (see the ROUND-10 PLAN below). Everything after the prefix
+# keeps the round-robin family interleave. Names not present in any
+# lane are skipped.
 _DRIVER_PREFIX: list[str] = [
     # -- rotation, round 9 --
     # ROUND-10 PLAN (written r9): after this round certifies the 50 below,

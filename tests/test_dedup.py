@@ -992,9 +992,9 @@ class TestExactSubstrPrefilterBoundaries:
             (0, "A" * 30 + block + "B" * 30),
             (1, block + "C" * 50),
         ]
-        want = {(0, 31, 31 + 96), (1, 1, 1 + 96)}
         # periodic block: intra-block self-repeats extend the covered
-        # region; just assert both paths agree AND cover the planted copy
+        # region beyond the planted offsets, so exact span equality is
+        # not pinned here; assert both paths agree AND cover the copy
         got_on = self._spans(spark, docs, 64, prefilter=True)
         got_off = self._spans(spark, docs, 64, prefilter=False)
         assert got_on == got_off

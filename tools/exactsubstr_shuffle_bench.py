@@ -45,9 +45,8 @@ docs = ensure_min_parallelism(
 )
 
 t0 = time.time()
-marked = DD._exactsubstr_marked(docs, "text", "doc_id", L, prefilter=prefilter)
-# drive the three public consumers the way the registry queries do, with
-# the same marked pipeline semantics (spans is the checksum carrier)
+# drive the three public consumers the way the registry queries do
+# (spans is the checksum carrier)
 span_rows = sorted(
     (r["doc_id"], r["span_start"], r["span_end"])
     for r in DD.exact_substring_spans(docs, min_len=L, prefilter=prefilter).collect()
