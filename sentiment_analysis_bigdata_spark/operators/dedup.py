@@ -1580,6 +1580,22 @@ def _exactsubstr_marked(
     ).filter(F.length("_t") >= L)
     if prefilter is None:
         prefilter = L >= _ANCHOR_MIN_L
+    elif prefilter and L <= _ANCHOR_W0:
+        # For L <= W0 the anchor gram length L0 = L - W0 + 1 degenerates
+        # to <= 1 (or negative — hashing empty substrings), making EVERY
+        # position an anchor: results would still be correct, but the
+        # "prefilter" expands to a superset of the stride-1 candidate
+        # set plus the anchor passes — a silent, strictly-worse perf
+        # cliff. Fail loud instead (mirrors the W0 power-of-two guard in
+        # _anchor_positions_expr). L in (W0, _ANCHOR_MIN_L) is allowed
+        # when forced explicitly — the anchor grams are short but
+        # well-defined, and tests exercise that band for path parity.
+        raise ValueError(
+            f"prefilter=True requires min_len > W0={_ANCHOR_W0} "
+            f"(anchor gram length min_len - W0 + 1 must be >= 2); got "
+            f"min_len={L}. Use prefilter=None (auto engages at "
+            f"min_len >= {_ANCHOR_MIN_L}) or prefilter=False."
+        )
     if prefilter:
         W0 = _ANCHOR_W0
         # The anchor table feeds TWO consumers (the occ>=2 aggregate and

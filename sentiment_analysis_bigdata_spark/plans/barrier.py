@@ -49,6 +49,21 @@ def _reliable_dir() -> str | None:
     return os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
 
 
+def _under_root(current: str | None, d: str) -> bool:
+    """True iff ``current`` (the session's resolved checkpoint root,
+    always ``<dir>/<uuid>``) lives under directory ``d`` as a whole path
+    component — a bare prefix match would accept a sibling such as
+    ``<d>-old/<uuid>`` and silently keep checkpointing there. The
+    resolved root may carry a filesystem scheme (``file:`` locally),
+    which the env-var path typically lacks; strip it before comparing.
+    """
+    if not current:
+        return False
+    root = d.rstrip("/")
+    cur = current.removeprefix("file:")
+    return cur.startswith(root + "/") or os.path.dirname(cur.rstrip("/")) == root
+
+
 def _barrier(df: DataFrame, eager: bool) -> DataFrame:
     d = _reliable_dir()
     if d is None:
@@ -56,8 +71,7 @@ def _barrier(df: DataFrame, eager: bool) -> DataFrame:
     sc = df.sparkSession.sparkContext
     # setCheckpointDir stores <d>/<uuid>; re-pin whenever the current
     # root is absent or points somewhere else (stale session state).
-    current = sc.getCheckpointDir()
-    if not current or not current.startswith(d.rstrip("/")):
+    if not _under_root(sc.getCheckpointDir(), d):
         sc.setCheckpointDir(d)
     if eager:
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -66,8 +80,12 @@ def _barrier(df: DataFrame, eager: bool) -> DataFrame:
         finally:
             cached.unpersist(blocking=False)
     # lazy: persist so the eventual checkpoint write reads cached blocks
-    # instead of recomputing; MEMORY_AND_DISK blocks are LRU-evictable.
-    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
+    # instead of recomputing. MEMORY_ONLY (not _AND_DISK): the
+    # checkpoint itself is the durable copy, so spilling the
+    # pre-checkpoint cache to executor disk would only accumulate
+    # spill blocks with no unpersist point (the materialization site is
+    # unknown here); memory blocks are LRU-evicted for free.
+    return df.persist(StorageLevel.MEMORY_ONLY).checkpoint(eager=False)
 
 
 def barrier_eager(df: DataFrame) -> DataFrame:

@@ -121,102 +121,87 @@ _HEADLINE: dict[str, list[str]] = {
 
 # Rotating driver-certification prefix. The external driver samples the
 # FIRST 50 registry entries for its oracle gate, so this list pins slots
-# 1-50 explicitly. Layout varies per round: r9 pins 50 FIRST-TIMERS and
-# zero canaries (VERDICT r8 #1 asked for a full fresh round; every name
-# below is absent from CORRECTNESS_r01..r08 and locally green), while
-# r10 should pin the remaining 48-query tail plus 2 driver-green
-# canaries (see the ROUND-10 PLAN below). Everything after the prefix
-# keeps the round-robin family interleave. Names not present in any
-# lane are skipped.
+# 1-50 explicitly. Everything after the prefix keeps the round-robin
+# family interleave. Names not present in any lane are skipped.
+#
+# ROUND 10 (this round): the FINAL certification rotation — exactly the
+# 48-query tail that has never appeared in CORRECTNESS_r01..r09 (pinned
+# as the ROUND-10 PLAN in r9; verified again this round by diffing the
+# registry against all nine CORRECTNESS files), plus 2 long-green
+# canaries (pricing_summary, minhash_near_dups — both driver-green since
+# their first rotation) as drift guards. A green round completes
+# registry-wide driver certification: 348/348 oracle-backed queries
+# checked at least once. The witness-pinned BPE pair (bpe_merges_1k,
+# bpe_encode_1k) stays out by design — they can never produce a driver
+# row (README "Oracle-less pair" note).
+#
+# POST-CERTIFICATION CANARY POLICY (round 11 onward): once every
+# oracle-backed query is certified there is no rotation pressure left;
+# the prefix becomes a pure regression guard. From r11 on, pin
+#     _DRIVER_PREFIX = canary_prefix(ROUND_NO)
+# ``canary_prefix`` (defined below, tested in tests/test_registry.py)
+# draws a DETERMINISTIC 50-query sample over all oracle-backed queries,
+# STRATIFIED by family lane: slots are allocated proportionally to lane
+# size (largest-remainder rounding, every lane gets >= 1), and the
+# window within each lane advances by the lane's own allocation each
+# round, wrapping — so every family is re-checked every round and every
+# query re-certifies within 8 rounds (measured: 10 consecutive samples
+# cover all 348 by the 8th; tests/test_registry.py pins this). Pure
+# function of (round_no, registry): the driver and any local run agree
+# on the sample with no shared state.
 _DRIVER_PREFIX: list[str] = [
-    # -- rotation, round 9 --
-    # ROUND-10 PLAN (written r9): after this round certifies the 50 below,
-    # EXACTLY 48 oracle-backed queries remain never-driver-checked —
-    # rbo_rankings, source_token_drift, quantile_bins, bpe_encode_corpus,
-    # l_diversity, weighted_quantiles, neyman_allocation,
-    # tokenizer_fertility, salted_token_counts, referential_integrity,
-    # delete_cascade_plan, group_weighted_sample, lasttouch_attribution,
-    # groupwise_regression, token_gini, window_funnel_7d,
-    # label_noise_estimate, embedding_alignment, asof_click_fulfillment,
-    # ngram_novelty, jaccard_threshold_sweep, runtime_filtered_join,
-    # split_leakage, term_dispersion, decayed_engagement,
-    # activity_islands, code_prose_profile, table_profile,
-    # top_event_paths, ngram_diversity, seasonal_dow_index,
-    # contamination_check, vocab_coverage, purged_time_split,
-    # chunk_token_windows, hourly_to_daily_rollup, ngram_jaccard_adjacent,
-    # doc_logprob, fuzzy_part_names, bigram_logprob, rate_anomalies,
-    # chi2_lang_terms, retrieval_metrics, source_overlap, hard_negatives,
-    # approx_aggregates, payload_stats, important_part_values.
-    # They fit ONE final rotation (48 + 2 driver-green canaries = 50),
-    # completing registry-wide driver certification. The witness-pinned
-    # BPE pair stays out by design (README note).
-    # 50 never-driver-checked queries (no row in any CORRECTNESS_r01..r08);
-    # VERDICT r8 #1 asked for a full round of 50 first-timers (cumulative
-    # 250/348 → target ≥300). Leads with the reference-parity rows
-    # (token_topk/bigram_topk/label_distribution/text_stats cover SURVEY
-    # A1/A4/M1/M5 directly), then the verdict's named priorities, then a
-    # family-spanning fill. The two witness-pinned oracle-less entries
-    # (bpe_merges_1k, bpe_encode_1k) stay out of the prefix by design.
-    # reference-parity rows (VERDICT r8 #1 lead items)
-    "token_topk",
-    "bigram_topk",
-    "label_distribution",
-    "text_stats",
-    # verdict-named priorities
-    "simhash_signatures",
-    "fingerprint_clusters",
-    "winnow_fingerprints",
-    "roc_auc_hist",
-    "incremental_dedup",
-    "leakage_safe_split",
-    "priority_order_check",
-    "brand_supplier_counts",
-    "forecast_revenue",
-    # text/corpus analysis tail
-    "token_counts",
-    "lexical_stats",
-    "repetition_ratio",
-    "unicode_hygiene",
-    "html_stripped_docs",
-    "vocab_richness",
-    "length_histogram",
-    "corpus_health",
-    # dedup/similarity tail
-    "simhash_weighted",
-    "bagofwords_dedup",
-    "neardup_cliques",
-    "rolling_fingerprint",
-    "image_ahash_near_dup",
-    # evaluation tail
-    "matthews_corrcoef",
-    "expected_calibration_error",
-    "lift_gains",
-    "accuracy_by_slice",
-    "model_agreement",
-    "score_drift_ks",
-    # training-data / scale ops
-    "mixture_sample",
-    "dsir_sample",
-    "balance_sources",
-    "chunk_documents",
-    "span_corruption_plan",
-    "salted_supplier_join",
-    "key_skew_report",
-    "hll_user_rollup",
-    # temporal
-    "dau_mau",
-    "funnel_conversion",
-    "resample_ffill",
-    "time_weighted_avg",
-    # graph / clustering
-    "clustering_coeffs",
-    "link_prediction",
-    "label_centroids",
-    "kmeans_elbow",
-    # r9 registry additions (new code meets the driver first; displaced
-    # referential_integrity/table_profile to the r10 rotation)
-    "exactsubstr_clusters",
-    "salted_distinct_users",
+    # -- rotation, round 10: the final 48 first-timers --
+    "rbo_rankings",
+    "source_token_drift",
+    "quantile_bins",
+    "bpe_encode_corpus",
+    "l_diversity",
+    "weighted_quantiles",
+    "neyman_allocation",
+    "tokenizer_fertility",
+    "salted_token_counts",
+    "referential_integrity",
+    "delete_cascade_plan",
+    "group_weighted_sample",
+    "lasttouch_attribution",
+    "groupwise_regression",
+    "token_gini",
+    "window_funnel_7d",
+    "label_noise_estimate",
+    "embedding_alignment",
+    "asof_click_fulfillment",
+    "ngram_novelty",
+    "jaccard_threshold_sweep",
+    "runtime_filtered_join",
+    "split_leakage",
+    "term_dispersion",
+    "decayed_engagement",
+    "activity_islands",
+    "code_prose_profile",
+    "table_profile",
+    "top_event_paths",
+    "ngram_diversity",
+    "seasonal_dow_index",
+    "contamination_check",
+    "vocab_coverage",
+    "purged_time_split",
+    "chunk_token_windows",
+    "hourly_to_daily_rollup",
+    "ngram_jaccard_adjacent",
+    "doc_logprob",
+    "fuzzy_part_names",
+    "bigram_logprob",
+    "rate_anomalies",
+    "chi2_lang_terms",
+    "retrieval_metrics",
+    "source_overlap",
+    "hard_negatives",
+    "approx_aggregates",
+    "payload_stats",
+    "important_part_values",
+    # -- canaries (long driver-green; drift guards) --
+    "pricing_summary",
+    "minhash_near_dups",
 ]
 
 
@@ -226,6 +211,64 @@ def _lane_names(family: str, modules: list) -> list[str]:
         names.extend(m.QUERIES)
     head = [n for n in _HEADLINE.get(family, []) if n in names]
     return head + [n for n in names if n not in head]
+
+
+def canary_prefix(round_no: int, slots: int = 50) -> list[str]:
+    """Deterministic stratified regression-canary sample (r11+ policy).
+
+    Returns ``slots`` query names drawn from the oracle-backed registry,
+    stratified by family lane. Slot allocation is proportional to lane
+    size with largest-remainder rounding and a floor of one slot per
+    lane (capped at lane size). Within a lane, selection is a
+    contiguous window of the lane's allocation starting at
+    ``(round_no * alloc) % len(lane)`` — consecutive rounds advance the
+    window by exactly the allocation, so the windows tile the lane and
+    every query re-certifies on a ``ceil(len(lane)/alloc)``-round cycle
+    (8 rounds covers the whole 348-query registry at 50 slots — pinned
+    by tests/test_registry.py). Pure function of
+    ``(round_no, registry)``: no RNG, no shared state, so the external
+    driver and any local rerun agree on the sample.
+    """
+    lanes: list[list[str]] = []
+    for family, modules in _FAMILIES:
+        by_name: dict[str, tuple] = {}
+        for m in modules:
+            by_name.update(m.QUERIES)
+        names = [
+            n
+            for n in _lane_names(family, modules)
+            if by_name[n][1] is not None  # oracle-backed only
+        ]
+        if names:
+            lanes.append(names)
+    total = sum(len(lane) for lane in lanes)
+    slots = min(slots, total)
+    # Largest-remainder allocation with a floor of 1 per lane.
+    quotas = [len(lane) * slots / total for lane in lanes]
+    alloc = [int(q) for q in quotas]
+    remainders = sorted(
+        range(len(lanes)), key=lambda i: (quotas[i] - alloc[i], len(lanes[i])), reverse=True
+    )
+    short = slots - sum(alloc)
+    for i in remainders[:short]:
+        alloc[i] += 1
+    for i, lane in enumerate(lanes):
+        alloc[i] = min(alloc[i], len(lane))
+        if alloc[i] == 0:
+            alloc[i] = 1
+    # Floors/caps can leave us off-target; rebalance against the largest
+    # headroom (deterministic: index order breaks ties).
+    while sum(alloc) > slots:
+        i = max(range(len(lanes)), key=lambda j: (alloc[j], -j))
+        alloc[i] -= 1
+    while sum(alloc) < slots:
+        i = max(range(len(lanes)), key=lambda j: (len(lanes[j]) - alloc[j], -j))
+        alloc[i] += 1
+    out: list[str] = []
+    for lane, k in zip(lanes, alloc):
+        start = (round_no * k) % len(lane)
+        out.extend(lane[(start + j) % len(lane)] for j in range(k))
+    return out
 
 
 def _interleaved() -> list[tuple[str, tuple]]:

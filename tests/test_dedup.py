@@ -972,6 +972,27 @@ class TestExactSubstrPrefilterBoundaries:
             for r in exact_substring_spans(df, min_len=L, **kw).collect()
         }
 
+    def test_forced_prefilter_below_w0_rejected(self, spark):
+        """prefilter=True with L <= W0 degenerates (anchor gram length
+        <= 1 → every position an anchor → superset of the stride-1 work
+        plus the anchor passes). Guarded loud per ADVICE r9; the
+        (W0, _ANCHOR_MIN_L) band stays allowed for path-parity tests."""
+        from sentiment_analysis_bigdata_spark.operators import dedup as DD
+
+        df = spark.createDataFrame(
+            [(0, "some text long enough either way " * 4)],
+            "doc_id long, text string",
+        )
+        for L in (DD._ANCHOR_W0, DD._ANCHOR_W0 - 4, 2):
+            with pytest.raises(ValueError, match="prefilter=True requires"):
+                DD._exactsubstr_marked(df, "text", "doc_id", L, prefilter=True)
+        # auto mode at the same L silently takes the stride-1 path
+        DD._exactsubstr_marked(df, "text", "doc_id", DD._ANCHOR_W0).collect()
+        # forced-on just above W0 is allowed (parity band)
+        DD._exactsubstr_marked(
+            df, "text", "doc_id", DD._ANCHOR_W0 + 1, prefilter=True
+        ).collect()
+
     def test_threshold_boundary_paths_agree(self, spark):
         shared = "SHARED-BLOCK-0123456789ABCDEF"  # 29 chars > both L
         docs = [

@@ -90,3 +90,35 @@ class TestReliableCheckpointParity:
         # reliable mode must have materialized RDD checkpoints on disk
         n_files = sum(len(fs) for _, _, fs in os.walk(reliable_dir))
         assert n_files > 0, "no checkpoint files written under reliable mode"
+
+
+class TestUnderRoot:
+    """_under_root must match by whole path component, not string prefix:
+    a stale session root under a SIBLING directory like '<d>-old/<uuid>'
+    must trigger a re-pin (ADVICE r9)."""
+
+    def test_component_matching(self):
+        from sentiment_analysis_bigdata_spark.plans.barrier import _under_root
+
+        d = "/data/ckpt"
+        assert _under_root("/data/ckpt/abc-123", d)
+        assert _under_root("file:/data/ckpt/abc-123", d)
+        assert _under_root("/data/ckpt/abc-123", d + "/")  # trailing slash
+        assert not _under_root("/data/ckpt-old/abc-123", d)
+        assert not _under_root("file:/data/ckptX/abc-123", d)
+        assert not _under_root(None, d)
+        assert not _under_root("", d)
+
+    def test_sibling_dir_repins(self, spark, tmp_path, monkeypatch):
+        """End-to-end: point the session's checkpoint root at '<d>-old',
+        then barrier with SPARK_GRAFT_CHECKPOINT_DIR='<d>' — files must
+        land under d, not the stale sibling."""
+        from sentiment_analysis_bigdata_spark.plans.barrier import barrier_eager
+
+        d = str(tmp_path / "ckpt")
+        stale = d + "-old"
+        spark.sparkContext.setCheckpointDir(stale)
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", d)
+        barrier_eager(spark.range(10)).count()
+        n_new = sum(len(fs) for _, _, fs in os.walk(d))
+        assert n_new > 0, "checkpoint did not re-pin to the env directory"
