@@ -13,8 +13,19 @@ from the Spark status REST API. Also cross-checks that both variants
 return identical span rows.
 
 Usage: python tools/exactsubstr_shuffle_bench.py [--sf DIR] [--min-len 40]
+                                                 [--corpus table|lowdup]
 Prints one JSON line per variant and a combined summary line for
 SCALING.md.
+
+``--corpus lowdup`` (VERDICT r9 #4) swaps the fixture documents table —
+pathologically self-similar, 480 planted spans over 5k docs, so its
+candidate-region exact pass is bounded below by a large true-dup mass —
+for a synthesized SAME-SHAPE corpus (5k docs x ~290 chars, matching the
+sf0.1 documents profile) whose texts are per-doc md5 chains (cross-doc
+window collisions cryptographically negligible) with ONE 60-char block
+planted into 1% of docs. This is the realistic low-dup-rate regime where
+the prefilter's residual shuffle should approach the ~2/(W0+1) = 0.12x
+anchor-density floor instead of the fixture's 0.58x.
 """
 
 from __future__ import annotations
@@ -36,12 +47,44 @@ from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
 sf_dir = os.environ["SPARK_GRAFT_ESB_SF"]
 L = int(os.environ["SPARK_GRAFT_ESB_L"])
 prefilter = os.environ["SPARK_GRAFT_ESB_PREFILTER"] == "1"
+corpus = os.environ.get("SPARK_GRAFT_ESB_CORPUS", "table")
 spark = get_spark("exactsubstr-shuffle-bench", extra_conf={"spark.ui.enabled": "true"})
 spark.sparkContext.setLogLevel("ERROR")
+if corpus == "lowdup":
+    from pyspark.sql import functions as F
+
+    # Same shape as sf0.1 documents (5k docs, ~290 chars): 9 chained
+    # md5(salt || doc_id) segments = 288 hex chars, unique per doc, so
+    # cross-doc duplicated windows are negligible except ONE 60-char
+    # block planted into every 100th doc at offset 100.
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "",
+            *[
+                F.md5(F.concat(F.lit(f"seg{i}-"), F.col("id").cast("string")))
+                for i in range(9)
+            ],
+        ).alias("text"),
+    )
+    block = "PLANTED-DUPLICATE-BLOCK-" + "QWERTYUIOPASDFGHJKLZXCVBNM0123456789"
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 100 == 0,
+            F.concat(
+                F.substring("text", 1, 100),
+                F.lit(block),
+                F.expr("substring(text, 161)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+else:
+    docs = load_table(spark, sf_dir, "documents")
 docs = ensure_min_parallelism(
-    load_table(spark, sf_dir, "documents"),
-    spark.sparkContext.defaultParallelism,
-    "doc_id",
+    docs, spark.sparkContext.defaultParallelism, "doc_id"
 )
 
 t0 = time.time()
@@ -84,6 +127,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--min-len", type=int, default=40)
+    ap.add_argument("--corpus", choices=["table", "lowdup"], default="table")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -95,6 +139,7 @@ def main() -> int:
             SPARK_GRAFT_ESB_SF=args.sf,
             SPARK_GRAFT_ESB_L=str(args.min_len),
             SPARK_GRAFT_ESB_PREFILTER=prefilter,
+            SPARK_GRAFT_ESB_CORPUS=args.corpus,
         )
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD], env=env, cwd=repo,
@@ -114,7 +159,11 @@ def main() -> int:
         results.append(rec)
 
     ok = all(r["ok"] for r in results)
-    summary = {"sf": os.path.basename(args.sf.rstrip("/")), "min_len": args.min_len}
+    summary = {
+        "sf": os.path.basename(args.sf.rstrip("/")),
+        "min_len": args.min_len,
+        "corpus": args.corpus,
+    }
     if ok:
         off, on = results
         summary.update(
