@@ -836,8 +836,10 @@ def main() -> None:
         if viols:
             bcast_failures.append((name, viols))
             print(f"  BROADCAST VIOLATION {name}: {viols}", file=sys.stderr)
+    # [OK] marker matches the per-query section convention so an
+    # all-sections-marked grep over PLANS.md stays exact (VERDICT r9 #8).
     out.write(
-        "\n## Suite-wide broadcast audit\n\n"
+        f"\n## Suite-wide broadcast audit{'' if bcast_failures else ' [OK]'}\n\n"
         f"All {len(qs)} `queries()` plans explained with "
         "`autoBroadcastJoinThreshold=-1` (so every `BroadcastExchange` is "
         "hint-forced) and checked for SF-scaled base-table scans under a "

@@ -247,8 +247,11 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
              bound_desc, "FAIL: " + "; ".join(problems) if problems else "OK")
         )
 
+    all_ok = all(r[-1] == "OK" for r in rows)
     md = [
-        "\n## Streaming state-store audit\n",
+        # [OK] marker mirrors the per-query section convention so an
+        # all-sections-marked grep over PLANS.md stays exact.
+        f"\n## Streaming state-store audit{' [OK]' if all_ok else ''}\n",
         f"\nEach job ran as {N_FILES} real micro-batches (time-ranged files, "
         "maxFilesPerTrigger=1, availableNow) over sf0.01 events; metrics are "
         "read from the run's own StreamingQueryProgress.stateOperators. "
