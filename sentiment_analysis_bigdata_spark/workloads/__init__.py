@@ -137,8 +137,16 @@ _HEADLINE: dict[str, list[str]] = {
 #
 # POST-CERTIFICATION CANARY POLICY (round 11 onward): once every
 # oracle-backed query is certified there is no rotation pressure left;
-# the prefix becomes a pure regression guard. From r11 on, pin
-#     _DRIVER_PREFIX = canary_prefix(ROUND_NO)
+# the prefix becomes a pure regression guard. The switch is AUTOMATIC
+# (``_active_prefix`` below): the committed CORRECTNESS_r*.json driver
+# artifacts are the shared ground truth — while any oracle-backed query
+# has never been fully green, the pinned rotation list above stays
+# active (it must carry the stragglers); once the green set covers the
+# registry, the prefix becomes canary_prefix(latest_round + 1), which
+# advances by itself as each round's artifact lands. A query that later
+# turns red re-enters certification pressure only via a fix + its next
+# canary window; a query that was NEVER green keeps rotation mode on,
+# which is the fail-safe (red first-timers are first-class bugs).
 # ``canary_prefix`` (defined below, tested in tests/test_registry.py)
 # draws a DETERMINISTIC 50-query sample over all oracle-backed queries,
 # STRATIFIED by family lane: slots are allocated proportionally to lane
@@ -211,6 +219,42 @@ def _lane_names(family: str, modules: list) -> list[str]:
         names.extend(m.QUERIES)
     head = [n for n in _HEADLINE.get(family, []) if n in names]
     return head + [n for n in names if n not in head]
+
+
+def _certification_state() -> tuple[int, set[str]]:
+    """(latest driver round on record, queries ever fully green) from the
+    committed ``CORRECTNESS_r*.json`` artifacts at the repo root. Fully
+    green = rows + schema + hash all matched in at least one round.
+    Missing/unreadable artifacts degrade to (0, empty) — rotation mode —
+    never an import error."""
+    import json
+    import pathlib
+    import re as _re
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    latest, green = 0, set()
+    try:
+        files = list(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return latest, green
+    for f in files:
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        latest = max(latest, int(m.group(1)))
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return latest, green
 
 
 def canary_prefix(round_no: int, slots: int = 50) -> list[str]:
@@ -298,9 +342,28 @@ def _interleaved() -> list[tuple[str, tuple]]:
     # Pin the driver-certification prefix (slots 1-50), then the remaining
     # queries in their round-robin family order. Set semantics unchanged.
     by_name = dict(out)
-    prefix = [(n, by_name[n]) for n in _DRIVER_PREFIX if n in by_name]
+    prefix = [(n, by_name[n]) for n in _active_prefix() if n in by_name]
     prefix_names = {n for n, _ in prefix}
     return prefix + [(n, e) for n, e in out if n not in prefix_names]
+
+
+def _active_prefix() -> list[str]:
+    """The prefix the driver should sample THIS round: the pinned
+    rotation while any oracle-backed query has never been fully green
+    (the pinned list carries exactly those stragglers + canaries), else
+    the deterministic canary sample for the upcoming round. See the
+    POST-CERTIFICATION CANARY POLICY comment above _DRIVER_PREFIX."""
+    latest, green = _certification_state()
+    oracle_backed = {
+        name
+        for _family, modules in _FAMILIES
+        for m in modules
+        for name, entry in m.QUERIES.items()
+        if entry[1] is not None
+    }
+    if oracle_backed - green:
+        return _DRIVER_PREFIX
+    return canary_prefix(latest + 1)
 
 
 def all_queries() -> dict[str, SparkQuery]:

@@ -17,6 +17,8 @@ import pytest
 
 from sentiment_analysis_bigdata_spark.workloads import (
     _DRIVER_PREFIX,
+    _active_prefix,
+    _certification_state,
     all_oracles,
     all_queries,
     canary_prefix,
@@ -33,14 +35,48 @@ def registry():
 class TestDriverPrefix:
     def test_prefix_is_first_50_registry_entries(self, registry):
         names, _ = registry
-        assert names[:50] == _DRIVER_PREFIX
-        assert len(_DRIVER_PREFIX) == 50
-        assert len(set(_DRIVER_PREFIX)) == 50
+        active = _active_prefix()
+        assert names[:50] == active
+        assert len(active) == 50
+        assert len(set(active)) == 50
+        assert len(set(_DRIVER_PREFIX)) == len(_DRIVER_PREFIX) == 50
 
     def test_prefix_all_oracle_backed(self, registry):
         _, oracles = registry
-        missing = [n for n in _DRIVER_PREFIX if n not in oracles]
-        assert not missing, f"prefix entries without oracle SQL: {missing}"
+        for prefix in (_DRIVER_PREFIX, _active_prefix()):
+            missing = [n for n in prefix if n not in oracles]
+            assert not missing, f"prefix entries without oracle SQL: {missing}"
+
+    def test_mode_switch_rotation_vs_canary(self, registry, monkeypatch):
+        """While any oracle-backed query was never fully green, the
+        pinned rotation is active; once the green set covers the
+        registry, the prefix self-advances to canary_prefix(latest+1)."""
+        import sentiment_analysis_bigdata_spark.workloads as W
+
+        _, oracles = registry
+        some = next(iter(oracles))
+        monkeypatch.setattr(
+            W, "_certification_state", lambda: (10, set(oracles) - {some})
+        )
+        assert W._active_prefix() == W._DRIVER_PREFIX
+        monkeypatch.setattr(W, "_certification_state", lambda: (10, set(oracles)))
+        assert W._active_prefix() == W.canary_prefix(11)
+        monkeypatch.setattr(W, "_certification_state", lambda: (11, set(oracles)))
+        assert W._active_prefix() == W.canary_prefix(12)
+        # missing artifacts (fresh clone) degrade to rotation mode
+        monkeypatch.setattr(W, "_certification_state", lambda: (0, set()))
+        assert W._active_prefix() == W._DRIVER_PREFIX
+
+    def test_certification_state_reads_artifacts(self):
+        latest, green = _certification_state()
+        files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+        if not files:
+            assert (latest, green) == (0, set())
+            return
+        assert latest >= 9
+        # spot checks against the committed r9 artifact
+        assert "token_topk" in green
+        assert "bpe_merges_1k" not in green  # witness-pinned, never a row
 
     def test_r10_prefix_completes_certification(self, registry):
         """The round-10 rotation = every never-certified oracle-backed
