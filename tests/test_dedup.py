@@ -993,6 +993,38 @@ class TestExactSubstrPrefilterBoundaries:
             df, "text", "doc_id", DD._ANCHOR_W0 + 1, prefilter=True
         ).collect()
 
+    def test_forced_band_parity_short_anchor_grams(self, spark):
+        """The explicitly-allowed forced band W0 < L < _ANCHOR_MIN_L uses
+        anchor grams as short as 2 chars — maximal hash-collision density
+        on a small alphabet, the worst case for the anchor guarantee's
+        tie handling. Prefilter on/off must agree position-for-position
+        on adversarial periodic 2-letter corpora."""
+        from sentiment_analysis_bigdata_spark.operators import dedup as DD
+
+        docs = [
+            (0, "ab" * 40),                      # pure period-2
+            (1, "ab" * 15 + "ba" * 15),           # phase flip
+            (2, "a" * 50),                        # unary
+            (3, "ab" * 12 + "unique-tail-XYZQW"), # shared prefix only
+            (4, "zzqq" + "ab" * 20 + "qqzz"),     # embedded block
+            (5, "no dup here 0123456789!@#$%^&"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for L in (DD._ANCHOR_W0 + 1, 19, DD._ANCHOR_MIN_L - 1):
+            on = {
+                (r["doc_id"], r["off"])
+                for r in DD._exactsubstr_marked(
+                    df, "text", "doc_id", L, prefilter=True
+                ).collect()
+            }
+            off = {
+                (r["doc_id"], r["off"])
+                for r in DD._exactsubstr_marked(
+                    df, "text", "doc_id", L, prefilter=False
+                ).collect()
+            }
+            assert on == off, (L, on ^ off)
+
     def test_threshold_boundary_paths_agree(self, spark):
         shared = "SHARED-BLOCK-0123456789ABCDEF"  # 29 chars > both L
         docs = [
