@@ -158,6 +158,16 @@ _HEADLINE: dict[str, list[str]] = {
 # function of (round_no, registry): the driver and any local run agree
 # on the sample with no shared state.
 _DRIVER_PREFIX: list[str] = [
+    # ROUND-11 PLAN (written r10): a green CORRECTNESS_r10 completes
+    # registry-wide certification (348/348 oracle-backed + 2
+    # witness-pinned by design). _active_prefix() then switches to
+    # canary_prefix(11) AUTOMATICALLY — no edit needed here; that exact
+    # 50-query sample was pre-validated this round (50/50 green at
+    # sf0.01, BASELINE.md "Round-11 pre-validation"). If any r10 row
+    # comes back red, rotation mode stays on by itself: fix the query,
+    # keep it in this pinned list, re-certify. Registry freeze
+    # discipline continues (cap 356; candidates need genuinely novel
+    # 100 TB-curation semantics + a full oracle).
     # -- rotation, round 10: the final 48 first-timers --
     "rbo_rankings",
     "source_token_drift",

@@ -143,3 +143,27 @@ class TestCanaryPolicy:
         s = canary_prefix(11, slots=10_000)
         assert len(s) == len(oracles)
         assert set(s) == set(oracles)
+
+    def test_allocator_invariants_property(self, registry):
+        """The largest-remainder + floor + rebalance allocation must
+        produce exactly ``slots`` distinct oracle-backed names for ANY
+        (round, slots) — guards the rebalance while-loops' edge cases
+        (floors overshooting small slot counts, caps at lane size)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        _, oracles = registry
+        n = len(oracles)
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            round_no=st.integers(min_value=0, max_value=10_000),
+            slots=st.integers(min_value=1, max_value=n + 40),
+        )
+        def check(round_no: int, slots: int) -> None:
+            s = canary_prefix(round_no, slots=slots)
+            assert len(s) == min(slots, n)
+            assert len(set(s)) == len(s)
+            assert all(name in oracles for name in s)
+
+        check()
