@@ -53,11 +53,12 @@ spark.sparkContext.setLogLevel("ERROR")
 if corpus == "lowdup":
     from pyspark.sql import functions as F
 
-    # Same shape as sf0.1 documents (5k docs, ~290 chars): 9 chained
-    # md5(salt || doc_id) segments = 288 hex chars, unique per doc, so
-    # cross-doc duplicated windows are negligible except ONE 60-char
-    # block planted into every 100th doc at offset 100.
-    docs = spark.range(5000).select(
+    n_docs = int(os.environ.get("SPARK_GRAFT_ESB_NDOCS", "5000"))
+    # Same shape as sf0.1 documents (default 5k docs, ~290 chars): 9
+    # chained md5(salt || doc_id) segments = 288 hex chars, unique per
+    # doc, so cross-doc duplicated windows are negligible except ONE
+    # 60-char block planted into every 100th doc at offset 100.
+    docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             "",
@@ -128,6 +129,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--min-len", type=int, default=40)
     ap.add_argument("--corpus", choices=["table", "lowdup"], default="table")
+    ap.add_argument(
+        "--n-docs",
+        type=int,
+        default=5000,
+        help="lowdup corpus size (ignored for --corpus table); use to "
+        "measure the shuffle/wall scaling curve vs corpus bytes",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -140,6 +148,7 @@ def main() -> int:
             SPARK_GRAFT_ESB_L=str(args.min_len),
             SPARK_GRAFT_ESB_PREFILTER=prefilter,
             SPARK_GRAFT_ESB_CORPUS=args.corpus,
+            SPARK_GRAFT_ESB_NDOCS=str(args.n_docs),
         )
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD], env=env, cwd=repo,
@@ -163,6 +172,7 @@ def main() -> int:
         "sf": os.path.basename(args.sf.rstrip("/")),
         "min_len": args.min_len,
         "corpus": args.corpus,
+        "n_docs": args.n_docs if args.corpus == "lowdup" else None,
     }
     if ok:
         off, on = results
