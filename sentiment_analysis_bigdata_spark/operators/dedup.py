@@ -467,10 +467,18 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 20,
-    require_convergence: bool = False,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components over a pair graph → (node, component) with
     component = min node id in the component.
+
+    ``require_convergence`` defaults to True (round 10): propagation
+    needs O(diameter) rounds, and a graph deeper than the budget used to
+    return silently-PARTIAL labels — at corpus scale that is silent
+    under-deduplication through ``apps corpus-cluster-dedup``. Now it
+    fails loud; callers with genuinely deep graphs should use
+    :func:`connected_components_star` (O(log n) rounds) rather than
+    raising the budget.
 
     Near-dup pairs are edges; transitive closure groups a→b, b→c into one
     cluster (pairwise dedup alone would keep c). Algorithm: iterative
@@ -530,8 +538,9 @@ def connected_components(
         # round budget.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "rounds (graph diameter exceeds the budget); raise "
-            "max_iterations for this graph"
+            "rounds (graph diameter exceeds the budget); use "
+            "connected_components_star (O(log n) rounds) for deep graphs, "
+            "or raise max_iterations"
         )
     return labels.select("node", F.col("label").alias("component"))
 

@@ -393,8 +393,9 @@ class TestConnectedComponentsStar:
             for r in dedup.connected_components_star(df).collect()
         }
         # min-label propagation needs >= diameter rounds — exactly the
-        # weakness star contraction removes (its default 20 would silently
-        # underconverge on the 30-edge chain)
+        # weakness star contraction removes (its default budget of 20
+        # fails LOUD on the 30-edge chain since r10; see
+        # test_default_budget_fails_loud_on_deep_chain)
         prop = {
             r.node: r.component
             for r in dedup.connected_components(df, max_iterations=prop_iters).collect()
@@ -407,6 +408,24 @@ class TestConnectedComponentsStar:
         star, prop = self._cc(spark, edges)
         assert star == prop
         assert set(star.values()) == {0}
+
+    def test_default_budget_fails_loud_on_deep_chain(self, spark):
+        """A graph deeper than the round budget must RAISE under the
+        default (r10: require_convergence=True), never return
+        silently-partial labels — at corpus scale that silent path was
+        under-deduplication through apps corpus-cluster-dedup. The star
+        variant handles the same graph inside its default budget."""
+        edges = [(i, i + 1) for i in range(30)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            DD.connected_components(df).collect()
+        # explicit opt-out preserves the old partial-labels behavior
+        partial = DD.connected_components(
+            df, require_convergence=False
+        ).collect()
+        assert len(partial) == 31
+        star = DD.connected_components_star(df).collect()
+        assert {r.component for r in star} == {0}
 
     def test_equals_label_propagation_random(self, spark):
         import random
