@@ -889,6 +889,7 @@ def connected_components_star(
     a_col: str = "a",
     b_col: str = "b",
     max_rounds: int = 25,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
@@ -959,8 +960,22 @@ def connected_components_star(
             and e.exceptAll(small).isEmpty()
         ):
             e = small
+            converged = True
             break
         e = small
+    else:
+        converged = False
+    if require_convergence and not converged:
+        # Without the fixed point the edge set is not yet per-component
+        # stars: a node can still carry edges to several targets, so the
+        # join below would emit DUPLICATE (node, component) rows with
+        # conflicting labels — the same silent-partial trap the
+        # propagation variant closes (r10). Fail loud instead.
+        raise RuntimeError(
+            f"connected_components_star did not reach its fixed point in "
+            f"{max_rounds} rounds; raise max_rounds (convergence is "
+            "O(log n) alternating large/small-star rounds)"
+        )
     # final edge set is (node → root) stars; roots and isolated nodes map
     # to themselves
     roots = all_nodes.join(

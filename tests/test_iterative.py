@@ -427,6 +427,18 @@ class TestConnectedComponentsStar:
         star = DD.connected_components_star(df).collect()
         assert {r.component for r in star} == {0}
 
+    def test_star_budget_fails_loud_before_fixed_point(self, spark):
+        """Same trap class in the star variant: short of the fixed point
+        the edge set is not yet per-component stars and the final join
+        would emit conflicting duplicate labels — must raise, and the
+        explicit opt-out must be the only way past it."""
+        edges = [(i, i + 1) for i in range(64)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        with pytest.raises(RuntimeError, match="fixed point"):
+            DD.connected_components_star(df, max_rounds=1).collect()
+        ok = DD.connected_components_star(df).collect()  # default budget
+        assert {r.component for r in ok} == {0} and len(ok) == 65
+
     def test_equals_label_propagation_random(self, spark):
         import random
 
