@@ -926,7 +926,7 @@ def connected_components_star(
         .distinct()
         .transform(barrier_eager)
     )
-    for _ in range(max_rounds):
+    def _one_round(e: DataFrame) -> DataFrame:
         # --- large star: symmetric neighborhoods; v > u re-attaches to m
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
@@ -945,7 +945,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         ms = ori.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             ori.join(ms, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(ms.select("u", F.col("m").alias("v")))
@@ -953,18 +953,29 @@ def connected_components_star(
             .distinct()
             .transform(barrier_eager)
         )
-        # convergence: edge multiset unchanged (both frames are distinct
-        # sets, so two empty set-differences ⇔ equality)
-        if (
-            small.exceptAll(e).isEmpty()
-            and e.exceptAll(small).isEmpty()
-        ):
+
+    def _unchanged(a: DataFrame, b: DataFrame) -> bool:
+        # edge multiset unchanged (both frames are distinct sets, so two
+        # empty set-differences ⇔ equality)
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    for _ in range(max_rounds):
+        small = _one_round(e)
+        if _unchanged(small, e):
             e = small
             converged = True
             break
         e = small
     else:
-        converged = False
+        # The budget may have been exhausted ON the converging round:
+        # the in-loop check compares each round's OUTPUT to its INPUT,
+        # so an edge set that reached the fixed point exactly at round
+        # max_rounds still reads as unconverged. One confirming round
+        # (ADVICE r10) distinguishes "already a fixed point" from
+        # "genuinely short of contraction" instead of raising spuriously
+        # one round early.
+        nxt = _one_round(e)
+        converged = _unchanged(nxt, e)
     if require_convergence and not converged:
         # Without the fixed point the edge set is not yet per-component
         # stars: a node can still carry edges to several targets, so the

@@ -56,6 +56,72 @@ def deterministic_shuffle(
     )
 
 
+def banded_global_ordinal(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    descending: bool = False,
+    n_bands: int = 32,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Exact 1-based GLOBAL position of every row under the total order
+    ``(value_col [DESC], tiebreak_col ASC)`` — without the
+    single-partition sort a global ``row_number()``/``rank()`` window
+    compiles to (which serializes the whole table through one task at
+    100 TB).
+
+    Three bounded stages: (1) ``n_bands - 1`` exact value percentiles
+    from one constant-width aggregate split the order into contiguous
+    bands — the band is a function of the VALUE alone, so order-by ties
+    can never straddle a band; (2) ``row_number()`` within each band
+    (one hash shuffle on the band id, per-band sorts of ~n/n_bands
+    rows); (3) band offsets from an (n_bands)-row running sum, broadcast
+    back. position = offset + in-band row number. Cut-point placement
+    only balances the bands; positions are exact wherever the cuts land.
+    Raise ``n_bands`` toward the cluster's task count for big tables."""
+    qs = [i / n_bands for i in range(1, n_bands)]
+    if descending:
+        qs = qs[::-1]
+    bounds = df.agg(
+        F.percentile(value_col, F.lit(qs).cast("array<double>")).alias("__bounds")
+    )
+    val = F.col(value_col)
+    cmp = (lambda b: val < b) if descending else (lambda b: val > b)
+    banded = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__band",
+        F.aggregate(
+            "__bounds",
+            F.lit(0),
+            lambda acc, b: acc + F.when(cmp(b), F.lit(1)).otherwise(F.lit(0)),
+        ),
+    ).drop("__bounds")
+    # Band offsets ride back as ONE keyless-aggregated row (an array of
+    # (band, count) structs) rather than a band-keyed frame: the offset
+    # is an order-independent O(n_bands) fold per row, and the keyless
+    # agg is what lets the suite-wide broadcast audit PROVE the
+    # broadcast bounded (a band-keyed agg would be just as small but not
+    # provably so from the plan).
+    packed = (
+        banded.groupBy("__band")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .agg(F.collect_list(F.struct("__band", "__n")).alias("__bc"))
+    )
+    row_band = F.col("__band")
+    off = F.aggregate(
+        "__bc",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x["__band"] < row_band, x["__n"]).otherwise(F.lit(0).cast("long")),
+    )
+    order = [val.desc() if descending else val.asc(), F.col(tiebreak_col).asc()]
+    w_local = Window.partitionBy("__band").orderBy(*order)
+    return (
+        banded.crossJoin(F.broadcast(packed))
+        .withColumn(out_col, (off + F.row_number().over(w_local)).cast("bigint"))
+        .drop("__band", "__bc")
+    )
+
+
 def sql_shuffle_exprs(id_col: str, seed: int, n_shards: int) -> tuple[str, str]:
     """DuckDB twins of (shard, ordinal) for oracle queries."""
     key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"

@@ -54,13 +54,18 @@ def _under_root(current: str | None, d: str) -> bool:
     always ``<dir>/<uuid>``) lives under directory ``d`` as a whole path
     component — a bare prefix match would accept a sibling such as
     ``<d>-old/<uuid>`` and silently keep checkpointing there. The
-    resolved root may carry a filesystem scheme (``file:`` locally),
-    which the env-var path typically lacks; strip it before comparing.
-    """
+    resolved root may carry ANY filesystem scheme (``file:`` locally,
+    ``hdfs://nn:8020`` / ``s3a://bucket`` on a cluster) while the
+    env-var path is typically scheme-less; compare the PATH components
+    of both sides via urlparse so a scheme/authority never defeats the
+    match (which would re-pin setCheckpointDir on every barrier and
+    spray fresh ``<d>/<uuid>`` roots)."""
     if not current:
         return False
-    root = d.rstrip("/")
-    cur = current.removeprefix("file:")
+    from urllib.parse import urlparse
+
+    root = urlparse(d).path.rstrip("/") or d.rstrip("/")
+    cur = urlparse(current).path
     return cur.startswith(root + "/") or os.path.dirname(cur.rstrip("/")) == root
 
 
@@ -80,12 +85,21 @@ def _barrier(df: DataFrame, eager: bool) -> DataFrame:
         finally:
             cached.unpersist(blocking=False)
     # lazy: persist so the eventual checkpoint write reads cached blocks
-    # instead of recomputing. MEMORY_ONLY (not _AND_DISK): the
-    # checkpoint itself is the durable copy, so spilling the
-    # pre-checkpoint cache to executor disk would only accumulate
-    # spill blocks with no unpersist point (the materialization site is
-    # unknown here); memory blocks are LRU-evicted for free.
-    return df.persist(StorageLevel.MEMORY_ONLY).checkpoint(eager=False)
+    # instead of recomputing. Default MEMORY_AND_DISK: if the frame is
+    # bigger than executor memory, MEMORY_ONLY partitions get LRU-evicted
+    # before the lazy checkpoint materializes and the write recomputes
+    # the whole subtree — exactly the double-compute the persist exists
+    # to avoid (ADVICE r10). The cost is spill blocks with no explicit
+    # unpersist point here (the materialization site is unknown); they
+    # are reclaimed when the session's ContextCleaner GCs the RDD, and
+    # long-running sessions that would rather re-pay compute than hold
+    # disk can set SPARK_GRAFT_LAZY_BARRIER_LEVEL=MEMORY_ONLY.
+    level = getattr(
+        StorageLevel,
+        os.environ.get("SPARK_GRAFT_LAZY_BARRIER_LEVEL", "MEMORY_AND_DISK"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    return df.persist(level).checkpoint(eager=False)
 
 
 def barrier_eager(df: DataFrame) -> DataFrame:

@@ -68,6 +68,11 @@ def get_spark(
         #     SPARK_GRAFT_CHECKPOINT_DIR switch doesn't accumulate files
         #     without bound on long-running jobs ---
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # --- keep the reference-tracking cleaner OFF the critical path:
+        #     non-blocking removals so superseded-checkpoint/block deletes
+        #     never stall the cleaner behind block-manager RPCs while
+        #     queries run (VERDICT r10 #5) ---
+        .config("spark.cleaner.referenceTracking.blocking", "false")
         .config("spark.ui.enabled", "false")
         # --- warehouse for bucketed tables (static conf; see sources.bucketing) ---
         .config(

@@ -363,6 +363,8 @@ def _active_prefix() -> list[str]:
     (the pinned list carries exactly those stragglers + canaries), else
     the deterministic canary sample for the upcoming round. See the
     POST-CERTIFICATION CANARY POLICY comment above _DRIVER_PREFIX."""
+    import logging
+
     latest, green = _certification_state()
     oracle_backed = {
         name
@@ -371,8 +373,24 @@ def _active_prefix() -> list[str]:
         for name, entry in m.QUERIES.items()
         if entry[1] is not None
     }
+    log = logging.getLogger(__name__)
     if oracle_backed - green:
+        # The prefix depends on the CORRECTNESS_r*.json artifacts on
+        # disk; log the resolution so a checkout whose artifact set
+        # differs from the driver's (ADVICE r10) is diagnosable.
+        log.info(
+            "driver prefix: ROTATION mode (%d oracle-backed queries never "
+            "fully green; latest artifact round %d)",
+            len(oracle_backed - green),
+            latest,
+        )
         return _DRIVER_PREFIX
+    log.info(
+        "driver prefix: CANARY mode, canary_prefix(%d) "
+        "(registry fully certified through round %d)",
+        latest + 1,
+        latest,
+    )
     return canary_prefix(latest + 1)
 
 

@@ -2669,6 +2669,13 @@ def _cosine_col(a, b):
     return F.when(na * nb > 0, dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+# Deterministic md5-shard count for embedding_alignment's two lead()
+# pairings. 64 bounds every window partition to ~n/64 rows at any scale;
+# a real cluster would raise it to >= total cores so each shard is one
+# task's worth of sort.
+ALIGN_SHARDS = 64
+
+
 def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
     """Alignment & uniformity of the embedding space (Wang & Isola 2020,
     arXiv:2005.10242) — the two-number health check of a contrastive
@@ -2683,14 +2690,24 @@ def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
     content-addressed md5 order (uniformity), one lead() window each —
     never the O(n²) expectation the definitions literally state, which
     is the difference between a metric and a job that cannot finish at
-    100 TB. The oracle replays both pairings exactly."""
+    100 TB. Both lead() windows are PARTITIONED by a deterministic
+    md5 shard of vec_id (``ALIGN_SHARDS`` = 64; raise it on a real
+    cluster so each shard fits one task): an unpartitioned — or
+    label-partitioned, with two labels — window would single-partition
+    the whole embedding table at 100 TB. Each shard (and each
+    (label, shard) group) forfeits its last vector's pair, which only
+    thins the sampled expectation. The oracle replays both shardings
+    exactly."""
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf)
-    w_pos = Window.partitionBy("label").orderBy("vec_id")
+    hkey = H.md5_hash64(F.col("vec_id").cast("string"))
+    sharded = emb.select(
+        "label", "vec_id", "embedding", (hkey % ALIGN_SHARDS).alias("shard"), hkey.alias("hkey")
+    )
+    w_pos = Window.partitionBy("label", "shard").orderBy("vec_id")
     pos = (
-        emb.select("label", "vec_id", "embedding")
-        .withColumn("nxt", F.lead("embedding").over(w_pos))
+        sharded.withColumn("nxt", F.lead("embedding").over(w_pos))
         .filter(F.col("nxt").isNotNull())
         .select(_cosine_col(F.col("embedding"), F.col("nxt")).alias("cos"))
         .agg(
@@ -2698,11 +2715,9 @@ def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(2.0 - 2.0 * F.col("cos")), 6).alias("alignment"),
         )
     )
-    hkey = H.md5_hash64(F.col("vec_id").cast("string"))
-    w_rnd = Window.orderBy(hkey.asc(), F.col("vec_id").asc())
+    w_rnd = Window.partitionBy("shard").orderBy(F.col("hkey").asc(), F.col("vec_id").asc())
     rnd = (
-        emb.select("vec_id", "embedding")
-        .withColumn("nxt", F.lead("embedding").over(w_rnd))
+        sharded.withColumn("nxt", F.lead("embedding").over(w_rnd))
         .filter(F.col("nxt").isNotNull())
         .select(_cosine_col(F.col("embedding"), F.col("nxt")).alias("cos"))
         .agg(
@@ -2716,18 +2731,21 @@ def q_embedding_alignment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_EMBEDDING_ALIGNMENT = f"""
-WITH pos AS (
-  SELECT embedding AS a,
-         lead(embedding) OVER (PARTITION BY label ORDER BY vec_id) AS b
+WITH sharded AS (
+  SELECT label, vec_id, embedding,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hkey
   FROM embeddings
+),
+pos AS (
+  SELECT embedding AS a,
+         lead(embedding) OVER (PARTITION BY label, hkey % {ALIGN_SHARDS} ORDER BY vec_id) AS b
+  FROM sharded
 ),
 posn AS (SELECT {_sql_cosine('a', 'b')} AS cos FROM pos WHERE b IS NOT NULL),
 rnd AS (
   SELECT embedding AS a,
-         lead(embedding) OVER (
-           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
-                    vec_id) AS b
-  FROM embeddings
+         lead(embedding) OVER (PARTITION BY hkey % {ALIGN_SHARDS} ORDER BY hkey, vec_id) AS b
+  FROM sharded
 ),
 rndn AS (SELECT {_sql_cosine('a', 'b')} AS cos FROM rnd WHERE b IS NOT NULL)
 SELECT (SELECT count(*) FROM posn) AS n_pos_pairs,

@@ -1476,14 +1476,20 @@ FROM c
 def q_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
     """Decile lift & cumulative-gains table — the targeting readout that
     tells a curation/labeling team how much of the positive mass the top
-    k% of model scores captures: rank rows by score (doc_id breaks the
-    heavy fixture ties so both engines cut identical deciles), split
-    into 10 equal-count bins, and report each bin's positive count, its
-    lift over the base rate, and the cumulative captured share of all
-    positives. One global ntile window over the scored rows, then a
-    10-row rollup — at 100 TB the ranking is the one sort-shaped stage,
-    and ntile-by-hash bands (hash_split) is the documented alternative
-    when even that sort is unaffordable."""
+    k% of model scores captures: bin rows into 10 descending score
+    bands, and report each band's positive count, its lift over the
+    base rate, and the cumulative captured share of all positives.
+
+    Bands use the registry's PARTITIONED-DECILE pattern (the
+    quantile_bins shape — the scale-safe default any new decile query
+    should copy): nine exact score percentile cut points from one
+    constant-width aggregate (descending: 0.9 → 0.1, so decile 1 is the
+    TOP band), broadcast back, and a codegen'd boundary count assigns
+    each row its band. NEVER a global ``ntile() OVER (ORDER BY …)`` —
+    that window single-partitions the whole corpus at 100 TB. Value-cut
+    bands also retire the old rank tie-break entirely: tied scores land
+    in the same band by construction, so bands are equal-count only up
+    to ties (the standard thresholded-gains readout)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf, "documents")
@@ -1495,12 +1501,34 @@ def q_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
             + (F.col("doc_id") % 2).cast("double") * 0.3
         ).alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    binned = preds.select(
-        "label", F.ntile(10).over(w).alias("decile")
-    ).groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("label").cast("long").alias("positives"),
+    bounds = preds.agg(
+        F.transform(
+            F.percentile(
+                "score",
+                F.lit([i / 10 for i in range(9, 0, -1)]).cast("array<double>"),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bounds")
+    )
+    binned = (
+        preds.crossJoin(F.broadcast(bounds))
+        .select(
+            "label",
+            (
+                1
+                + F.aggregate(
+                    "bounds",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("score") < b, F.lit(1)).otherwise(F.lit(0)),
+                )
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("positives"),
+        )
     )
     totals = binned.agg(
         F.sum("n").cast("double").alias("n_total"),
@@ -1532,9 +1560,16 @@ WITH preds AS (
            + CAST(doc_id % 2 AS DOUBLE) * 0.3 AS score
   FROM documents
 ),
-binned AS (
-  SELECT label, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+bounds AS (
+  SELECT list_transform(quantile_cont(score,
+           [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]),
+         x -> round(x, 6)) AS bounds
   FROM preds
+),
+binned AS (
+  SELECT label,
+         CAST(1 + len(list_filter(b.bounds, x -> score < x)) AS INT) AS decile
+  FROM preds CROSS JOIN bounds b
 ),
 agg AS (
   SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS positives

@@ -349,16 +349,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 
 
 def q_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
-    """rank / dense_rank / ntile in one window pass over supplier balances."""
-    from pyspark.sql import Window
+    """rank / dense_rank / ntile over supplier balances.
+
+    The composite order (s_acctbal DESC, s_suppkey ASC) is UNIQUE
+    (s_suppkey is the key), so rank ≡ dense_rank ≡ global position; the
+    scale-relevant content is computing that position WITHOUT the
+    single-partition sort a global ranking window compiles to —
+    ``operators/ordering.banded_global_ordinal`` (percentile bands +
+    in-band row_number + broadcast offsets; r11). ntile(4) is then a
+    closed-form expression of (position, N): the ANSI convention both
+    engines share — the first N mod 4 quartiles take ceil(N/4) rows,
+    the rest floor(N/4). The oracle keeps the naive global window."""
+    from sentiment_analysis_bigdata_spark.operators.ordering import (
+        banded_global_ordinal,
+    )
 
     supp = _t(spark, sf, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
-    return supp.select(
+    pos = banded_global_ordinal(
+        supp.select("s_suppkey", "s_acctbal"),
+        "s_acctbal",
         "s_suppkey",
-        F.rank().over(w).cast("bigint").alias("bal_rank"),
-        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
-        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        descending=True,
+        out_col="pos",
+    )
+    n_total = supp.agg(F.count(F.lit(1)).alias("n_total"))
+    p, n = F.col("pos"), F.col("n_total")
+    base, rem = F.floor(n / 4), n % 4
+    head = rem * (base + 1)  # rows covered by the (base+1)-sized quartiles
+    quartile = F.when(base == 0, p).otherwise(
+        F.when(p <= head, F.ceil(p / (base + 1))).otherwise(
+            rem + F.ceil((p - head) / base)
+        )
+    )
+    return pos.crossJoin(F.broadcast(n_total)).select(
+        "s_suppkey",
+        p.alias("bal_rank"),
+        p.alias("bal_dense_rank"),
+        quartile.cast("int").alias("bal_quartile"),
     )
 
 

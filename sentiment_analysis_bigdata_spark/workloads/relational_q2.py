@@ -172,25 +172,47 @@ FROM base
 def q_range_frame_window(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE BETWEEN 500 PRECEDING AND CURRENT ROW over account balance:
     for each supplier, how many suppliers (incl. self) sit within 500
-    below them, and their summed balance."""
-    supp = _t(spark, sf, "supplier")
-    w = (
-        Window.orderBy(F.col("s_acctbal"))
-        .rangeBetween(-500, Window.currentRow)
-    )
-    return supp.select(
+    below them, and their summed balance.
+
+    r11 scale shape (the roc_points pattern): the range frame runs over
+    the BALANCE SUPPORT — one groupBy(balance) collapses the table to
+    per-value (count, sum) first, so the single-partition window sees
+    value cardinality (2-decimal money in [-999.99, 9999.99] → ≤ ~1.1M
+    distinct values, a constant of the domain), never row cardinality;
+    rows join the rolled-up frame back on their balance. Balances
+    aggregate as integer CENTS (the compaction_plan lesson) so the
+    support-subtotal addition order can't drift from the oracle's
+    per-row running sum."""
+    supp = _t(spark, sf, "supplier").select(
         "s_suppkey",
-        F.count(F.lit(1)).over(w).alias("n_within_500"),
-        F.round(F.sum("s_acctbal").over(w), 4).alias("bal_within_500"),
+        F.expr("CAST(round(s_acctbal * 100) AS BIGINT)").alias("bal_c"),
+    )
+    support = supp.groupBy("bal_c").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("bal_c").alias("sum_c")
+    )
+    w = Window.orderBy("bal_c").rangeBetween(-50000, Window.currentRow)
+    roll = support.select(
+        "bal_c",
+        F.sum("cnt").over(w).alias("n_within_500"),
+        F.sum("sum_c").over(w).alias("sum_within_c"),
+    )
+    return supp.join(roll, "bal_c").select(
+        "s_suppkey",
+        "n_within_500",
+        F.round(F.col("sum_within_c") / 100.0, 4).alias("bal_within_500"),
     )
 
 
 SQL_RANGE_FRAME_WINDOW = """
+WITH s AS (
+  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+  FROM supplier
+)
 SELECT s_suppkey,
        count(*) OVER w AS n_within_500,
-       round(sum(s_acctbal) OVER w, 4) AS bal_within_500
-FROM supplier
-WINDOW w AS (ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+       round((sum(bal_c) OVER w) / 100.0, 4) AS bal_within_500
+FROM s
+WINDOW w AS (ORDER BY bal_c RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
 """
 
 

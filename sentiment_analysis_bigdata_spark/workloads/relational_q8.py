@@ -270,7 +270,13 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
     running maximum size of all strictly-cheaper rows — one window over
     the PRICE SUPPORT, O(n log n), vs the naive O(n²) self-join. Prices
     compare as integer cents (the compaction_plan lesson) so dominance
-    ties are engine-exact."""
+    ties are engine-exact.
+
+    r11: "over the PRICE SUPPORT" is now literal in the plan — a
+    groupBy(price_c) collapses parts to per-price max size BEFORE the
+    running-max window, so the single-partition sort sees distinct
+    prices (bounded by the 2-decimal money domain, not by corpus size);
+    rows join the rolled-up support back on price."""
     from pyspark.sql.window import Window
 
     part = load_table(spark, sf, "part").select(
@@ -278,18 +284,18 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
         "p_size",
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_c"),
     )
-    # running max size over all STRICTLY cheaper rows: order by price,
-    # range frame ending 1 cent before the current price
+    # support: per distinct price, the max size AT that price (the
+    # same-price dominance bound) …
+    support = part.groupBy("price_c").agg(F.max("p_size").alias("max_same"))
+    # … plus the running max size over all STRICTLY cheaper prices:
+    # order by price, range frame ending 1 cent before the current price
     w = (
         Window.orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    # within an equal-price group a row is also dominated by a same-price
-    # strictly-larger row, so take the group's max size too
-    w_tie = Window.partitionBy("price_c")
+    roll = support.withColumn("max_cheaper", F.max("max_same").over(w))
     return (
-        part.withColumn("max_cheaper", F.max("p_size").over(w))
-        .withColumn("max_same", F.max("p_size").over(w_tie))
+        part.join(roll, "price_c")
         .filter(
             (F.col("max_cheaper").isNull() | (F.col("p_size") > F.col("max_cheaper")))
             & (F.col("p_size") == F.col("max_same"))

@@ -2349,9 +2349,17 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     content. First occurrence is min(doc_id) OVER the gram partition —
     one shuffle on the gram key total (measured 2× over the equivalent
     agg + join-back shape at sf0.1); no sequential scan over the corpus
-    order is ever executed."""
-    from pyspark.sql.window import Window
+    order is ever executed.
 
+    Deciles use the registry's PARTITIONED-DECILE pattern (the
+    quantile_bins shape — the scale-safe default any new decile query
+    should copy): nine exact doc_id percentile cut points from one
+    constant-width aggregate, broadcast back, and a codegen'd
+    strictly-greater boundary count assigns each doc its bin. NEVER a
+    global ``ntile() OVER (ORDER BY …)`` — that window single-partitions
+    the whole corpus at 100 TB. Cut points come from the cheap
+    eligible-doc_id scan (docs with ≥3 tokens — exactly the per-doc
+    frame's membership), not from a recompute of the gram pipeline."""
     docs = _docs(spark, sf)
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))).alias("g")
@@ -2369,10 +2377,33 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_new") / F.col("n_grams").cast("double")).alias("novelty"),
         )
     )
-    w = Window.orderBy("doc_id")
+    # eligible set == per_doc's doc set (≥3 tokens → ≥1 trigram), but
+    # computed from the raw scan so the gram pipeline runs exactly once
+    eligible = docs.select("doc_id", TXT.tokenize_nonempty("text").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
+    bounds = eligible.agg(
+        F.transform(
+            F.percentile(
+                "doc_id",
+                F.lit([i / 10 for i in range(1, 10)]).cast("array<double>"),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bounds")
+    )
+    binned = per_doc.crossJoin(F.broadcast(bounds)).select(
+        (
+            1
+            + F.aggregate(
+                "bounds",
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+        ).alias("decile"),
+        "novelty",
+    )
     return (
-        per_doc.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("novelty"), 6).alias("avg_novelty"),
@@ -2395,8 +2426,16 @@ per_doc AS (
   FROM grams JOIN first_seen USING (g)
   GROUP BY 1
 ),
+bounds AS (
+  SELECT list_transform(quantile_cont(doc_id,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+         x -> round(x, 6)) AS bounds
+  FROM toks WHERE len(ts) >= 3
+),
 binned AS (
-  SELECT novelty, ntile(10) OVER (ORDER BY doc_id) AS decile FROM per_doc
+  SELECT CAST(1 + len(list_filter(b.bounds, x -> doc_id > x)) AS INT) AS decile,
+         novelty
+  FROM per_doc CROSS JOIN bounds b
 )
 SELECT decile, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
 FROM binned GROUP BY 1 ORDER BY 1

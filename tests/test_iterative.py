@@ -439,6 +439,21 @@ class TestConnectedComponentsStar:
         ok = DD.connected_components_star(df).collect()  # default budget
         assert {r.component for r in ok} == {0} and len(ok) == 65
 
+    def test_star_budget_on_exact_converging_round_accepted(self, spark):
+        """ADVICE r10: the in-loop check compares each round's OUTPUT to
+        its INPUT, so a budget ending exactly on the round that PRODUCES
+        the fixed point used to read as unconverged and raise spuriously
+        one round early; the post-loop confirming round must accept it.
+        For this 17-node chain the fixed point is produced on round 4
+        (measured; deterministic — min/greatest/least only), so budget 4
+        must succeed with full labels and budget 3 must still raise."""
+        edges = [(i, i + 1) for i in range(16)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        ok = DD.connected_components_star(df, max_rounds=4).collect()
+        assert {r.component for r in ok} == {0} and len(ok) == 17
+        with pytest.raises(RuntimeError, match="fixed point"):
+            DD.connected_components_star(df, max_rounds=3).collect()
+
     def test_equals_label_propagation_random(self, spark):
         import random
 

@@ -119,3 +119,61 @@ class TestAnnServingPlans:
         assert "BroadcastHashJoin" in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+
+
+class TestPartitionedDecilePlans:
+    """The three r10-verdict global windows reworked in r11 and the
+    suite-wide single-partition audit rule that now polices the shape
+    (VERDICT r10 #1/#3)."""
+
+    @pytest.mark.parametrize("name", ["lift_gains", "ngram_novelty"])
+    def test_no_global_ntile(self, spark, queries, name, sf_dir):
+        p = _plan(spark, queries, name, sf_dir)
+        # NB: "percentile(" contains "ntile(" — match the window form
+        assert "ntile(10) windowspecdefinition" not in p, (
+            "partitioned-decile pattern regressed to a global NTILE "
+            "ranking — single-partitions the corpus at 100 TB"
+        )
+
+    def test_embedding_alignment_windows_sharded(self, spark, queries, sf_dir):
+        p = _plan(spark, queries, "embedding_alignment", sf_dir)
+        # both lead() pairings must shuffle on the md5 shard key, never
+        # funnel the embedding table through one partition
+        assert "hashpartitioning(shard" in p
+        assert "CartesianProduct" not in p
+
+    def test_single_partition_audit_rule(self, spark, queries, sf_dir):
+        """tools/plan_audit.single_partition_violations: flags an
+        unpartitioned window over a corpus-identity-keyed aggregate,
+        passes keyless-agg funnels and the reworked queries."""
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from tools.plan_audit import single_partition_violations
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        per_doc = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        bad = (
+            per_doc.withColumn("decile", F.ntile(10).over(Window.orderBy("doc_id")))
+            .groupBy("decile")
+            .count()
+        )
+        assert single_partition_violations(explain.formatted_plan(bad))
+        for name in [
+            "roc_points",
+            "lift_gains",
+            "ngram_novelty",
+            "embedding_alignment",
+            # the three §2.5 demos reworked in r11 (support-aggregated /
+            # banded-ordinal shapes) + one GlobalLimit false-positive rep
+            "rank_dense_ntile",
+            "range_frame_window",
+            "skyline_parts",
+            "ann_bruteforce",
+        ]:
+            p = _plan(spark, queries, name, sf_dir)
+            assert single_partition_violations(p) == [], name

@@ -246,10 +246,19 @@ class TestEmbeddingAlignment:
 
         r = q_embedding_alignment(spark, sf_dir).collect()[0]
         emb = load_table(spark, sf_dir, "embeddings")
-        n = emb.count()
-        n_labels = emb.select(F.countDistinct("label")).collect()[0][0]
-        assert r.n_pos_pairs == n - n_labels
-        assert r.n_rand_pairs == n - 1
+        from sentiment_analysis_bigdata_spark.functions import hashing as H
+        from sentiment_analysis_bigdata_spark.workloads.dedup_sim import ALIGN_SHARDS
+
+        # each shard / (label, shard) group forfeits its last vector's pair
+        sharded = emb.select(
+            "label",
+            (H.md5_hash64(F.col("vec_id").cast("string")) % ALIGN_SHARDS).alias("shard"),
+        )
+        n = sharded.count()
+        n_ls_groups = sharded.select("label", "shard").distinct().count()
+        n_shards = sharded.select("shard").distinct().count()
+        assert r.n_pos_pairs == n - n_ls_groups
+        assert r.n_rand_pairs == n - n_shards
         assert 0.0 <= r.alignment <= 4.0  # squared unit-vector distance
         assert -8.0 <= r.uniformity <= 0.0  # ln of a mean of exp(-[0,8])
 

@@ -109,6 +109,21 @@ class TestUnderRoot:
         assert not _under_root(None, d)
         assert not _under_root("", d)
 
+    def test_any_scheme_and_authority_stripped(self):
+        """ADVICE r10: on a cluster the resolved root carries
+        hdfs://nn:8020 or s3a://bucket while the env var is scheme-less;
+        the path-component compare must still match (a miss re-pins
+        setCheckpointDir on EVERY barrier, spraying fresh uuid roots)."""
+        from sentiment_analysis_bigdata_spark.plans.barrier import _under_root
+
+        d = "/data/ckpt"
+        assert _under_root("hdfs://nn:8020/data/ckpt/abc-123", d)
+        assert _under_root("s3a://bucket/data/ckpt/abc-123", d)
+        assert not _under_root("hdfs://nn:8020/data/ckpt-old/abc-123", d)
+        # scheme on BOTH sides: compare by path as well
+        assert _under_root("hdfs://nn:8020/data/ckpt/abc-123", "hdfs://nn:8020/data/ckpt")
+        assert not _under_root("hdfs://nn:8020/data/ckptX/abc-123", "hdfs://nn:8020/data/ckpt")
+
     def test_sibling_dir_repins(self, spark, tmp_path, monkeypatch):
         """End-to-end: point the session's checkpoint root at '<d>-old',
         then barrier with SPARK_GRAFT_CHECKPOINT_DIR='<d>' — files must

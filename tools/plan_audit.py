@@ -615,10 +615,20 @@ AUDIT = {
         "runs on the 20-row bin table",
     ),
     "lift_gains": (
-        ["Window", "HashAggregate"],
-        "lift/gains: one global ntile ranking (the sort-shaped stage), "
-        "then a 10-row rollup; hash-banded split is the documented "
-        "alternative when the sort is unaffordable",
+        ["HashAggregate", "BroadcastExchange", "!ntile(10) windowspecdefinition"],
+        "lift/gains: partitioned-decile pattern — nine exact score "
+        "percentiles from one constant-width aggregate broadcast back; "
+        "a codegen'd boundary count bins each row; the only window is "
+        "the cumulative sum over the 10-row band table (never a global "
+        "ntile ranking, which single-partitions the corpus)",
+    ),
+    "ngram_novelty": (
+        ["hashpartitioning(g", "BroadcastExchange", "!ntile(10) windowspecdefinition"],
+        "n-gram novelty: first-seen is min(doc_id) over the gram-key "
+        "partition (one gram shuffle); deciles are the partitioned-"
+        "decile pattern — nine exact doc_id percentiles broadcast back, "
+        "boundary-count bin assign — never a global ntile over the "
+        "per-doc frame",
     ),
     "jaccard_threshold_sweep": (
         ["BroadcastHashJoin|BroadcastNestedLoopJoin", "!CartesianProduct"],
@@ -633,10 +643,12 @@ AUDIT = {
         "plan is the hop-count rollup (hops-sized window input)",
     ),
     "embedding_alignment": (
-        ["Window", "!CartesianProduct", "!SortMergeJoin"],
+        ["Window", "hashpartitioning(shard", "!CartesianProduct", "!SortMergeJoin"],
         "alignment/uniformity: two O(n) lead() pairings (per-label and "
-        "content-addressed) — never the all-pairs expectation; the "
-        "1-row aggregates cross-join at the end",
+        "content-addressed), each PARTITIONED by a deterministic md5 "
+        "shard — never the all-pairs expectation and never a global or "
+        "two-label window sort; the 1-row aggregates cross-join at the "
+        "end",
     ),
     "cdc_apply": (
         ["Window", "!SortMergeJoin", "!CartesianProduct"],
@@ -736,6 +748,75 @@ def _parse_formatted_plan(plan: str):
     return tree, details
 
 
+# Group keys that do NOT bound an aggregate's output cardinality: row /
+# entity identities of the SF-scaled tables. An agg keyed by any of these
+# scales WITH the corpus, so it cannot justify funneling its output
+# through one partition. Everything else (score, decile, token, label,
+# band, shard, …) is value-cardinality — bounded for this audit.
+_ID_LIKE_KEY = re.compile(r"^(doc_id|vec_id|user_id|event_id|\w*key)$", re.I)
+
+
+def _unbounded_scans_below(
+    tree, details, idx: int, depth: int, keyed_agg_bounds: bool = False
+) -> list[str]:
+    """SF-scaled base-table scans in the contiguous subtree under
+    ``tree[idx]`` with no bounding node on the path down to the scan.
+    Returns the offending table names.
+
+    A bounding node is a global/top-k limit or an aggregate: keyless
+    always bounds (output = 1 row); a KEYED agg bounds only when
+    ``keyed_agg_bounds`` and none of its group keys is corpus-identity
+    (`_ID_LIKE_KEY`) — grouping by score/decile/token collapses the
+    corpus to value cardinality, grouping by doc_id does not. The
+    broadcast audit keeps the strict keyless-only rule (a keyed agg's
+    output can still be far too big to broadcast); the single-partition
+    audit accepts bounded-key aggs (their output fits one partition)."""
+    hits = []
+    # Walk the contiguous subtree, tracking the ancestor stack so each
+    # scan knows which nodes sit between it and the subtree root.
+    stack = []  # [(depth, name, node_id)]
+    for d2, n2, i2 in tree[idx + 1:]:
+        if d2 <= depth:
+            break
+        while stack and stack[-1][0] >= d2:
+            stack.pop()
+        stack.append((d2, n2, i2))
+        if not n2.startswith("Scan"):
+            continue
+        blk = details.get(i2, "")
+        m = re.search(r"/(\w+)\.parquet", blk)
+        if not (m and m.group(1) in SF_SCALED_TABLES):
+            continue
+        bounded = False
+        for _, an, ai in stack[:-1]:
+            if any(ln in an for ln in _LIMIT_NODES):
+                bounded = True
+                break
+            # A LocalLimit BELOW a single-partition exchange is the
+            # GlobalLimit split (LocalLimit → Exchange SinglePartition →
+            # GlobalLimit): each input partition ships ≤ k rows, so the
+            # funnel moves ≤ k×#partitions rows. It does NOT bound a
+            # broadcast (the GlobalLimit above the exchange does, and is
+            # outside this subtree anyway).
+            if keyed_agg_bounds and "LocalLimit" in an:
+                bounded = True
+                break
+            if any(ag in an for ag in _AGG_NODES):
+                ablk = details.get(ai, "")
+                if re.search(r"Keys(?: \[\d+\])?: \[\]", ablk):
+                    bounded = True
+                    break
+                if keyed_agg_bounds:
+                    km = re.search(r"Keys(?: \[\d+\])?: \[([^\]]*)\]", ablk)
+                    keys = re.findall(r"(\w+)#\d+", km.group(1)) if km else []
+                    if keys and not any(_ID_LIKE_KEY.match(k) for k in keys):
+                        bounded = True
+                        break
+        if not bounded:
+            hits.append(m.group(1))
+    return hits
+
+
 def broadcast_violations(plan: str) -> list[str]:
     """SF-scaled base-table scans under a BroadcastExchange with no
     bounding node (keyless agg / global limit) on the exchange→scan path."""
@@ -744,35 +825,34 @@ def broadcast_violations(plan: str) -> list[str]:
     for idx, (depth, name, _nid) in enumerate(tree):
         if "BroadcastExchange" not in name:
             continue
-        # Walk the contiguous subtree, tracking the ancestor stack so each
-        # scan knows which nodes sit between it and the exchange.
-        stack = []  # [(depth, name, node_id)]
-        for d2, n2, i2 in tree[idx + 1:]:
-            if d2 <= depth:
-                break
-            while stack and stack[-1][0] >= d2:
-                stack.pop()
-            stack.append((d2, n2, i2))
-            if not n2.startswith("Scan"):
-                continue
-            blk = details.get(i2, "")
-            m = re.search(r"/(\w+)\.parquet", blk)
-            if not (m and m.group(1) in SF_SCALED_TABLES):
-                continue
-            bounded = False
-            for _, an, ai in stack[:-1]:
-                if any(ln in an for ln in _LIMIT_NODES):
-                    bounded = True
-                    break
-                if any(ag in an for ag in _AGG_NODES):
-                    ablk = details.get(ai, "")
-                    if re.search(r"Keys(?: \[\d+\])?: \[\]", ablk):
-                        bounded = True
-                        break
-            if not bounded:
-                violations.append(
-                    f"BroadcastExchange over SF-scaled table '{m.group(1)}'"
-                )
+        for table in _unbounded_scans_below(tree, details, idx, depth):
+            violations.append(f"BroadcastExchange over SF-scaled table '{table}'")
+    return violations
+
+
+def single_partition_violations(plan: str) -> list[str]:
+    """SF-scaled base-table scans under an ``Exchange SinglePartition``
+    with no bounding node on the path (VERDICT r10 #3). A single-partition
+    exchange is how an UNPARTITIONED window (``Window.orderBy`` with no
+    ``partitionBy``) compiles; over a corpus-sized input it serializes
+    the whole table through one task at 100 TB. Keyless global
+    aggregates also compile to this exchange, but their map-side partial
+    agg sits BELOW it and bounds the exchanged rows to #partitions —
+    which is exactly what the shared bounded-path walk recognizes, so
+    only the genuinely corpus-cardinality single-partition funnels flag."""
+    tree, details = _parse_formatted_plan(plan)
+    violations = []
+    for idx, (depth, name, nid) in enumerate(tree):
+        if not name.startswith("Exchange"):
+            continue
+        if "SinglePartition" not in details.get(nid, ""):
+            continue
+        for table in _unbounded_scans_below(
+            tree, details, idx, depth, keyed_agg_bounds=True
+        ):
+            violations.append(
+                f"Exchange SinglePartition over SF-scaled table '{table}'"
+            )
     return violations
 
 
@@ -824,8 +904,10 @@ def main() -> None:
         out.write(f"\n## {name} — {why} [{status}]\n\n```\n{plan_clean}```\n")
         print(f"  {name}: {status}", file=sys.stderr)
 
-    # Suite-wide broadcast audit: EVERY queries() entry, not just AUDIT.
+    # Suite-wide broadcast + single-partition audit: EVERY queries()
+    # entry, not just AUDIT.
     bcast_failures = []
+    spart_failures = []
     for name in sorted(qs):
         try:
             plan = plans.setdefault(name, _plan_of(name))
@@ -836,6 +918,10 @@ def main() -> None:
         if viols:
             bcast_failures.append((name, viols))
             print(f"  BROADCAST VIOLATION {name}: {viols}", file=sys.stderr)
+        sviols = single_partition_violations(plan)
+        if sviols:
+            spart_failures.append((name, sviols))
+            print(f"  SINGLE-PARTITION VIOLATION {name}: {sviols}", file=sys.stderr)
     # [OK] marker matches the per-query section convention so an
     # all-sections-marked grep over PLANS.md stays exact (VERDICT r9 #8).
     out.write(
@@ -856,6 +942,33 @@ def main() -> None:
             "embeddings anywhere in the suite.\n"
         )
     failures.extend(bcast_failures)
+
+    out.write(
+        f"\n## Suite-wide single-partition audit{'' if spart_failures else ' [OK]'}\n\n"
+        f"All {len(qs)} `queries()` plans checked for `Exchange "
+        "SinglePartition` nodes whose subtree scans an SF-scaled base "
+        "table with no bounding keyless-aggregate/limit on the path — the "
+        "shape an unpartitioned `Window.orderBy` compiles to, which "
+        "serializes the corpus through ONE task at 100 TB (VERDICT r10 "
+        "#3). Bounding nodes on the path pass: global/top-k limits, "
+        "keyless aggregates (map-side partial bounds the exchange to "
+        "#partitions rows), and aggregates keyed ONLY by value-"
+        "cardinality columns (score/decile/token/label — the corpus "
+        "collapses to value cardinality before the funnel). Aggregates "
+        "keyed by corpus-identity columns (doc_id/vec_id/user_id/*key) "
+        "do NOT bound — their group count scales with the data.\n\n"
+    )
+    if spart_failures:
+        out.write("**VIOLATIONS:**\n\n")
+        for name, viols in spart_failures:
+            out.write(f"- `{name}`: {viols}\n")
+    else:
+        out.write(
+            "**0 violations** — every single-partition exchange in the "
+            "suite is fed by a bounded (partial-aggregated or limited) "
+            "input; no corpus-cardinality global window remains.\n"
+        )
+    failures.extend(spart_failures)
 
     # Streaming state-store audit: asserted from actual runs' progress
     # metrics (plans can't be explained for executed streaming queries).
