@@ -252,3 +252,67 @@ class TestDatasetFingerprint:
         fa = ordering.dataset_fingerprint(a).collect()[0].fingerprint
         fb = ordering.dataset_fingerprint(b).collect()[0].fingerprint
         assert fa == fb
+
+
+class TestBandedGlobalOrdinal:
+    """operators/ordering.banded_global_ordinal (r11): exact global
+    position without a single-partition sort. Equality against the
+    naive row_number window is the whole contract."""
+
+    def _naive(self, df, value_col, tiebreak_col, descending):
+        from pyspark.sql.window import Window
+
+        val = F.col(value_col)
+        order = [val.desc() if descending else val.asc(), F.col(tiebreak_col).asc()]
+        w = Window.orderBy(*order)
+        return {
+            r[0]: r[1]
+            for r in df.select(
+                tiebreak_col, F.row_number().over(w).cast("bigint")
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("descending", [False, True])
+    def test_matches_naive_row_number_with_heavy_ties(self, spark, descending):
+        # values collide 10 ways so ties MUST sit at band boundaries
+        rows = [(i, float(i % 10)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            r["id"]: r["pos"]
+            for r in ordering.banded_global_ordinal(
+                df, "v", "id", descending=descending, n_bands=8
+            ).collect()
+        }
+        assert got == self._naive(df, "v", "id", descending)
+
+    def test_more_bands_than_rows(self, spark):
+        df = spark.createDataFrame([(1, 5.0), (2, 3.0), (3, 9.0)], "id long, v double")
+        got = {
+            r["id"]: r["pos"]
+            for r in ordering.banded_global_ordinal(
+                df, "v", "id", n_bands=32
+            ).collect()
+        }
+        assert got == {2: 1, 1: 2, 3: 3}
+
+    def test_single_value_all_one_band(self, spark):
+        df = spark.createDataFrame([(i, 7.0) for i in range(9)], "id long, v double")
+        got = {
+            r["id"]: r["pos"]
+            for r in ordering.banded_global_ordinal(df, "v", "id").collect()
+        }
+        assert got == {i: i + 1 for i in range(9)}
+
+    def test_positions_are_a_permutation(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.uniform(-100, 100)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        pos = [
+            r["pos"]
+            for r in ordering.banded_global_ordinal(
+                df, "v", "id", n_bands=16
+            ).collect()
+        ]
+        assert sorted(pos) == list(range(1, 501))
