@@ -70,20 +70,26 @@ def banded_global_ordinal(
     compiles to (which serializes the whole table through one task at
     100 TB).
 
-    Three bounded stages: (1) ``n_bands - 1`` exact value percentiles
-    from one constant-width aggregate split the order into contiguous
-    bands — the band is a function of the VALUE alone, so order-by ties
-    can never straddle a band; (2) ``row_number()`` within each band
-    (one hash shuffle on the band id, per-band sorts of ~n/n_bands
-    rows); (3) band offsets from an (n_bands)-row running sum, broadcast
-    back. position = offset + in-band row number. Cut-point placement
-    only balances the bands; positions are exact wherever the cuts land.
-    Raise ``n_bands`` toward the cluster's task count for big tables."""
+    Three bounded stages: (1) ``n_bands - 1`` APPROXIMATE value
+    percentiles from one constant-width sketch aggregate split the order
+    into contiguous bands — cut placement only balances band sizes, the
+    POSITIONS are exact wherever the cuts land, so the bounded-state
+    ``approx_percentile`` sketch is strictly better here than the exact
+    ``percentile`` aggregate (whose state grows with DISTINCT values —
+    a corpus-cardinality value column would OOM one reducer); the band
+    is a function of the VALUE alone, so order-by ties can never
+    straddle a band; (2) ``row_number()`` within each band (one hash
+    shuffle on the band id, per-band sorts of ~n/n_bands rows); (3) band
+    offsets from an (n_bands)-row running sum, broadcast back.
+    position = offset + in-band row number. Raise ``n_bands`` toward the
+    cluster's task count for big tables."""
     qs = [i / n_bands for i in range(1, n_bands)]
     if descending:
         qs = qs[::-1]
     bounds = df.agg(
-        F.percentile(value_col, F.lit(qs).cast("array<double>")).alias("__bounds")
+        F.approx_percentile(
+            value_col, F.lit(qs).cast("array<double>"), F.lit(10000)
+        ).alias("__bounds")
     )
     val = F.col(value_col)
     cmp = (lambda b: val < b) if descending else (lambda b: val > b)

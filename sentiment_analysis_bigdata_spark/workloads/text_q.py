@@ -2351,15 +2351,23 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     agg + join-back shape at sf0.1); no sequential scan over the corpus
     order is ever executed.
 
-    Deciles use the registry's PARTITIONED-DECILE pattern (the
-    quantile_bins shape — the scale-safe default any new decile query
-    should copy): nine exact doc_id percentile cut points from one
-    constant-width aggregate, broadcast back, and a codegen'd
-    strictly-greater boundary count assigns each doc its bin. NEVER a
+    Deciles use the registry's PARTITIONED-DECILE pattern (the scale-safe
+    default any new decile query should copy), with the cut points from
+    ``operators/normalize.exact_quantile_narrowed`` — iterative histogram
+    narrowing, bounded driver traffic — because doc_id is CORPUS-
+    CARDINALITY: Spark's exact ``percentile`` aggregate (fine for
+    quantile_bins' money-domain values) would buffer every distinct
+    doc_id in one reducer's memory here. The nine rank-k cut points are
+    DATA doc_ids (rank = max(1, ceil(k·n/10)) over eligible docs — ≥3
+    tokens, exactly the per-doc frame's membership), so the oracle
+    replays them bit-for-bit by ranking; a codegen'd strictly-greater
+    fold over the 9-literal array assigns each doc its bin. NEVER a
     global ``ntile() OVER (ORDER BY …)`` — that window single-partitions
-    the whole corpus at 100 TB. Cut points come from the cheap
-    eligible-doc_id scan (docs with ≥3 tokens — exactly the per-doc
-    frame's membership), not from a recompute of the gram pipeline."""
+    the whole corpus at 100 TB."""
+    import math
+
+    from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
     docs = _docs(spark, sf)
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(TXT.ngrams(TXT.tokenize_nonempty("text"), 3))).alias("g")
@@ -2378,24 +2386,32 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     # eligible set == per_doc's doc set (≥3 tokens → ≥1 trigram), but
-    # computed from the raw scan so the gram pipeline runs exactly once
-    eligible = docs.select("doc_id", TXT.tokenize_nonempty("text").alias("ts")).filter(
-        F.size("ts") >= 3
+    # computed from the raw scan so the gram pipeline runs exactly once;
+    # persisted across the nine narrowing passes (collected here, so the
+    # cache is released before the result frame is returned)
+    eligible = (
+        docs.select("doc_id", TXT.tokenize_nonempty("text").alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select("doc_id")
+        .persist()
     )
-    bounds = eligible.agg(
-        F.transform(
-            F.percentile(
-                "doc_id",
-                F.lit([i / 10 for i in range(1, 10)]).cast("array<double>"),
-            ),
-            lambda x: F.round(x, 6),
-        ).alias("bounds")
-    )
-    binned = per_doc.crossJoin(F.broadcast(bounds)).select(
+    try:
+        n = eligible.count()
+        # distinct ranks: at tiny n adjacent deciles share a rank, and the
+        # oracle's IN-list dedups — mirror that exactly
+        ranks = sorted({max(1, math.ceil(k * n / 10)) for k in range(1, 10)})
+        cuts = [
+            NORM.exact_quantile_narrowed(eligible, "doc_id", 0.5, rank=r)[0]
+            for r in ranks
+        ]
+    finally:
+        eligible.unpersist(blocking=False)
+    cut_arr = F.array(*[F.lit(c) for c in cuts])
+    binned = per_doc.select(
         (
             1
             + F.aggregate(
-                "bounds",
+                cut_arr,
                 F.lit(0),
                 lambda acc, b: acc + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
             )
@@ -2426,16 +2442,30 @@ per_doc AS (
   FROM grams JOIN first_seen USING (g)
   GROUP BY 1
 ),
-bounds AS (
-  SELECT list_transform(quantile_cont(doc_id,
-           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-         x -> round(x, 6)) AS bounds
-  FROM toks WHERE len(ts) >= 3
+eligible AS (SELECT doc_id FROM toks WHERE len(ts) >= 3),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM eligible),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM eligible
+),
+cuts AS (
+  SELECT list(r.doc_id) AS cuts
+  FROM ranked r CROSS JOIN nn
+  WHERE r.rn IN (
+    greatest(1, CAST(ceil(1 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(2 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(3 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(4 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(5 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(6 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(7 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(8 * n / 10.0) AS BIGINT)),
+    greatest(1, CAST(ceil(9 * n / 10.0) AS BIGINT))
+  )
 ),
 binned AS (
-  SELECT CAST(1 + len(list_filter(b.bounds, x -> doc_id > x)) AS INT) AS decile,
+  SELECT CAST(1 + len(list_filter(c.cuts, x -> doc_id > x)) AS INT) AS decile,
          novelty
-  FROM per_doc CROSS JOIN bounds b
+  FROM per_doc CROSS JOIN cuts c
 )
 SELECT decile, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty
 FROM binned GROUP BY 1 ORDER BY 1
