@@ -2353,9 +2353,11 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
     Deciles use the registry's PARTITIONED-DECILE pattern (the scale-safe
     default any new decile query should copy), with the cut points from
-    ``operators/normalize.exact_quantile_narrowed`` — iterative histogram
-    narrowing, bounded driver traffic — because doc_id is CORPUS-
-    CARDINALITY: Spark's exact ``percentile`` aggregate (fine for
+    ``operators/normalize.exact_quantiles_narrowed_multi`` — iterative
+    histogram narrowing where all nine ranks SHARE each round's single
+    aggregation (~4 column passes total, not one narrowing per rank) —
+    because doc_id is CORPUS-CARDINALITY: Spark's exact ``percentile``
+    aggregate (fine for
     quantile_bins' money-domain values) would buffer every distinct
     doc_id in one reducer's memory here. The nine rank-k cut points are
     DATA doc_ids (rank = max(1, ceil(k·n/10)) over eligible docs — ≥3
@@ -2387,8 +2389,8 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     )
     # eligible set == per_doc's doc set (≥3 tokens → ≥1 trigram), but
     # computed from the raw scan so the gram pipeline runs exactly once;
-    # persisted across the nine narrowing passes (collected here, so the
-    # cache is released before the result frame is returned)
+    # persisted across the shared narrowing rounds (collected here, so
+    # the cache is released before the result frame is returned)
     eligible = (
         docs.select("doc_id", TXT.tokenize_nonempty("text").alias("ts"))
         .filter(F.size("ts") >= 3)
@@ -2396,14 +2398,17 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     try:
-        n = eligible.count()
-        # distinct ranks: at tiny n adjacent deciles share a rank, and the
-        # oracle's IN-list dedups — mirror that exactly
-        ranks = sorted({max(1, math.ceil(k * n / 10)) for k in range(1, 10)})
-        cuts = [
-            NORM.exact_quantile_narrowed(eligible, "doc_id", 0.5, rank=r)[0]
-            for r in ranks
-        ]
+        # distinct ranks (derived from the operator's own count — no
+        # separate count() pass): at tiny n adjacent deciles share a
+        # rank, and the oracle's IN-list dedups — mirror that exactly
+        by_rank, _n, _rounds = NORM.exact_quantiles_narrowed_multi(
+            eligible,
+            "doc_id",
+            ranks_fn=lambda n: sorted(
+                {max(1, math.ceil(k * n / 10)) for k in range(1, 10)}
+            ),
+        )
+        cuts = [by_rank[r] for r in sorted(by_rank)]
     finally:
         eligible.unpersist(blocking=False)
     cut_arr = F.array(*[F.lit(c) for c in cuts])

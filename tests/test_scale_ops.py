@@ -387,3 +387,72 @@ class TestSaltedCountDistinct:
         df = spark.createDataFrame([("k", "x")], "key string, val string")
         with pytest.raises(ValueError):
             salted_count_distinct(df, ["key"], "val", salt=0)
+
+
+class TestExactQuantilesNarrowedMulti:
+    """operators/normalize.exact_quantiles_narrowed_multi (r11): all
+    target ranks share each round's single aggregation. Contract: same
+    rank-k DATA values as sorting, same degenerate handling as the
+    single-target operator, one result per requested rank."""
+
+    def _want(self, vals, ranks):
+        s = sorted(vals)
+        return {k: float(s[k - 1]) for k in ranks}
+
+    def test_matches_sorted_ranks_shared_scan(self, spark):
+        import math
+
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        vals = [((i * 2654435761) % 100003) / 7.0 for i in range(5000)]
+        n = len(vals)
+        ranks = sorted(
+            {max(1, math.ceil(k * n / 10)) for k in range(1, 10)} | {1, n}
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got, n2, _rounds = NORM.exact_quantiles_narrowed_multi(
+            df.repartition(4), "v", ranks
+        )
+        assert got == self._want(vals, ranks)
+        assert n2 == n
+
+    def test_matches_single_target_operator(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        vals = [42.0] * 900 + [float(i) for i in range(100)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        ranks = [50, 500, 950, 1000]
+        multi, _, _ = NORM.exact_quantiles_narrowed_multi(df, "v", ranks)
+        for k in ranks:
+            single, _, _ = NORM.exact_quantile_narrowed(df, "v", 0.5, rank=k)
+            assert multi[k] == single, k
+
+    def test_degenerate_constant_mass_bounded_tail(self, spark, monkeypatch):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        monkeypatch.setattr(NORM, "_TAIL_ROWS_CAP", 100)
+        monkeypatch.setattr(NORM, "_BATCH_TAIL_CAP", 100)
+        vals = [7.5] * 49500 + [float(i) for i in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got, n, _ = NORM.exact_quantiles_narrowed_multi(
+            df.repartition(8), "v", [24750, 44550]
+        )
+        assert got == {24750: 7.5, 44550: 7.5}
+        assert n == len(vals)
+
+    def test_ranks_fn_and_arg_validation(self, spark):
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+        got, n, _ = NORM.exact_quantiles_narrowed_multi(
+            df, "v", ranks_fn=lambda n: [1, n // 2, n]
+        )
+        assert got == {1: 1.0, 50: 50.0, 100: 100.0} and n == 100
+        with pytest.raises(ValueError, match="exactly one"):
+            NORM.exact_quantiles_narrowed_multi(df, "v")
+        with pytest.raises(ValueError, match="exactly one"):
+            NORM.exact_quantiles_narrowed_multi(df, "v", [1], ranks_fn=lambda n: [1])
+        with pytest.raises(ValueError, match="within"):
+            NORM.exact_quantiles_narrowed_multi(df, "v", [0])
+        with pytest.raises(ValueError, match="within"):
+            NORM.exact_quantiles_narrowed_multi(df, "v", [101])
