@@ -623,12 +623,12 @@ AUDIT = {
         "ntile ranking, which single-partitions the corpus)",
     ),
     "ngram_novelty": (
-        ["hashpartitioning(g", "BroadcastExchange", "!ntile(10) windowspecdefinition"],
+        ["hashpartitioning(g", "!BroadcastExchange", "!ntile(10) windowspecdefinition"],
         "n-gram novelty: first-seen is min(doc_id) over the gram-key "
-        "partition (one gram shuffle); deciles are the partitioned-"
-        "decile pattern — nine exact doc_id percentiles broadcast back, "
-        "boundary-count bin assign — never a global ntile over the "
-        "per-doc frame",
+        "partition (one gram shuffle); decile cuts are rank-k doc_ids "
+        "from shared multi-rank narrowing, inlined as LITERALS into a "
+        "boundary-count bin assign — no broadcast, no join, and never a "
+        "global ntile over the per-doc frame",
     ),
     "jaccard_threshold_sweep": (
         ["BroadcastHashJoin|BroadcastNestedLoopJoin", "!CartesianProduct"],
