@@ -161,6 +161,32 @@ _TAIL_DISTINCT_CAP = 1 << 16
 _BATCH_TAIL_CAP = 1 << 16
 
 
+def _check_integral_precision(df: DataFrame, col: str, lo: float, hi: float, fname: str) -> None:
+    """Both narrowing operators run on a DOUBLE cast of the column, so
+    integer inputs with |value| >= 2^53 would round in the cast and the
+    returned cut points — which callers inline as literals compared back
+    against the EXACT integer column — could silently diverge from exact
+    integer ranking (ADVICE r11). Checked on the double-cast min/max the
+    first aggregate already computed (no extra pass): every double below
+    2^53 is an exact integer, and rounding-to-nearest never carries a
+    value across the 2^53 boundary, so the rounded extrema witness the
+    bound exactly. Fractional inputs are already in double's value space
+    and pass through."""
+    try:
+        dtype = df.schema[col].dataType.simpleString()
+    except Exception:
+        return
+    if dtype in ("tinyint", "smallint", "int", "bigint") and max(
+        abs(lo), abs(hi)
+    ) >= float(1 << 53):
+        raise ValueError(
+            f"{fname}: integer column '{col}' has |value| >= 2^53 — the"
+            " double-cast narrowing would lose integer precision and the"
+            " returned cut points could misrank; offset or rescale the"
+            " column (e.g. subtract its min) before narrowing"
+        )
+
+
 def exact_quantile_narrowed(
     df: DataFrame,
     col: str,
@@ -207,6 +233,7 @@ def exact_quantile_narrowed(
     # which is NOT expressible as ceil(q*n) without float hazards)
     k = min(n, max(1, rank)) if rank is not None else max(1, math.ceil(q * n))
     lo, hi = float(first["lo"]), float(first["hi"])
+    _check_integral_precision(df, col, lo, hi, "exact_quantile_narrowed")
     c_below = 0  # rows strictly below the current [lo, hi] range
     rounds = 0
     remainder = n  # rows inside the current [lo, hi] range
@@ -360,6 +387,10 @@ def exact_quantiles_narrowed_multi(
         raise ValueError(
             f"exact_quantiles_narrowed_multi: ranks must be within [1, {n}]"
         )
+    _check_integral_precision(
+        df, col, float(first["lo"]), float(first["hi"]),
+        "exact_quantiles_narrowed_multi",
+    )
     hard_rounds = max(_HARD_MAX_ROUNDS, max_rounds)
     tiny = max(bins, 1024)
     # One group per disjoint candidate interval. All targets in a group
@@ -458,24 +489,36 @@ def exact_quantiles_narrowed_multi(
                 }
                 if no_shrink:
                     # float-edge: keep the PARENT predicate/bounds so the
-                    # tail sees the same rows the counts were taken over
+                    # tail sees the same rows the counts were taken over.
+                    # ``widened`` marks that this group's predicate is NOT
+                    # disjoint from its bucket-restricted siblings' — the
+                    # batched tail (which assumes disjoint predicates for
+                    # its first-match group routing) must exclude it and
+                    # route it through the overlap-safe per-group path
+                    # (ADVICE r11).
                     children[hit]["pred"] = g["pred"]
                     children[hit]["c_below"] = g["c_below"]
                     children[hit]["remainder"] = g["remainder"]
+                    children[hit]["widened"] = True
             new_groups.extend(children.values())
         groups = new_groups
 
     out: dict[int, float] = {}
-    # Batched tail: the groups' predicates are disjoint, so when the
-    # combined remainder is driver-safe, ONE pass collects every
-    # non-degenerate group's rows instead of one TakeOrdered job per
-    # group — at fixture scale that's the difference between 2 and 10
+    # Batched tail: bucket-restricted groups' predicates are disjoint
+    # (same parent → different hit buckets; different parents → disjoint
+    # by induction), so when the combined remainder is driver-safe, ONE
+    # pass collects every non-degenerate group's rows instead of one
+    # TakeOrdered job per group. ``widened`` (no-shrink) groups keep
+    # their PARENT's predicate, which overlaps any bucket-restricted
+    # sibling — they are excluded here and handled by the per-group
+    # path below, which filters each group independently — at fixture scale that's the difference between 2 and 10
     # driver round-trips, and at 100 TB it's one fewer full-column pass
     # per group (the narrowing already shrank each group below the cap).
     batch = [
         g
         for g in groups
-        if max(k - g["c_below"] for k in g["ks"]) <= _TAIL_ROWS_CAP
+        if not g.get("widened")
+        and max(k - g["c_below"] for k in g["ks"]) <= _TAIL_ROWS_CAP
         and g["remainder"] <= _BATCH_TAIL_CAP
     ]
     if batch and sum(g["remainder"] for g in batch) <= _BATCH_TAIL_CAP:

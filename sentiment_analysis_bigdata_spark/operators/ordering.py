@@ -80,51 +80,64 @@ def banded_global_ordinal(
     is a function of the VALUE alone, so order-by ties can never
     straddle a band; (2) ``row_number()`` within each band (one hash
     shuffle on the band id, per-band sorts of ~n/n_bands rows); (3) band
-    offsets from an (n_bands)-row running sum, broadcast back.
-    position = offset + in-band row number. Raise ``n_bands`` toward the
-    cluster's task count for big tables."""
+    offsets from the running sum of per-band counts.
+    position = offset + in-band row number.
+
+    Cuts and offsets are collected to the driver and inlined as
+    LITERALS (two bounded collects: one row of ``n_bands - 1`` doubles,
+    then ≤ ``n_bands`` count rows — both constant in the parameter, the
+    registry's literal-cuts pattern). The broadcast-twice shape this
+    replaces executed the full banded lineage once under the offsets
+    broadcast and again in the output projection (ADVICE r11); with
+    literals the output job executes ``df`` exactly once, and the two
+    side passes are column-pruned to ``value_col``. The input lineage
+    still runs once per pass (three actions total) — callers feeding an
+    expensive lineage (an exploded-corpus aggregate, say) should barrier
+    it first so the passes read a materialized frame. Raise ``n_bands``
+    toward the cluster's task count for big tables."""
     qs = [i / n_bands for i in range(1, n_bands)]
     if descending:
         qs = qs[::-1]
-    bounds = df.agg(
-        F.approx_percentile(
-            value_col, F.lit(qs).cast("array<double>"), F.lit(10000)
-        ).alias("__bounds")
+    row = (
+        df.agg(
+            F.approx_percentile(
+                value_col, F.lit(qs).cast("array<double>"), F.lit(10000)
+            ).alias("__bounds")
+        ).collect()[0]
+        if n_bands > 1
+        else {"__bounds": []}
     )
+    bounds = [float(b) for b in (row["__bounds"] or [])]
     val = F.col(value_col)
     cmp = (lambda b: val < b) if descending else (lambda b: val > b)
-    banded = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__band",
-        F.aggregate(
-            "__bounds",
-            F.lit(0),
-            lambda acc, b: acc + F.when(cmp(b), F.lit(1)).otherwise(F.lit(0)),
-        ),
-    ).drop("__bounds")
-    # Band offsets ride back as ONE keyless-aggregated row (an array of
-    # (band, count) structs) rather than a band-keyed frame: the offset
-    # is an order-independent O(n_bands) fold per row, and the keyless
-    # agg is what lets the suite-wide broadcast audit PROVE the
-    # broadcast bounded (a band-keyed agg would be just as small but not
-    # provably so from the plan).
-    packed = (
-        banded.groupBy("__band")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
-        .agg(F.collect_list(F.struct("__band", "__n")).alias("__bc"))
-    )
-    row_band = F.col("__band")
-    off = F.aggregate(
-        "__bc",
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.when(x["__band"] < row_band, x["__n"]).otherwise(F.lit(0).cast("long")),
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(cmp(F.lit(b)), F.lit(1)).otherwise(F.lit(0))
+    banded = df.withColumn("__band", band)
+    counts = {
+        int(r["__band"]): int(r["__n"])
+        for r in banded.groupBy("__band")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_arr = F.array(
+        *[F.lit(offsets.get(b, 0)).cast("long") for b in range(len(bounds) + 1)]
     )
     order = [val.desc() if descending else val.asc(), F.col(tiebreak_col).asc()]
     w_local = Window.partitionBy("__band").orderBy(*order)
     return (
-        banded.crossJoin(F.broadcast(packed))
-        .withColumn(out_col, (off + F.row_number().over(w_local)).cast("bigint"))
-        .drop("__band", "__bc")
+        banded.withColumn(
+            out_col,
+            (
+                F.element_at(off_arr, F.col("__band") + 1)
+                + F.row_number().over(w_local)
+            ).cast("bigint"),
+        )
+        .drop("__band")
     )
 
 

@@ -56,16 +56,24 @@ def _under_root(current: str | None, d: str) -> bool:
     ``<d>-old/<uuid>`` and silently keep checkpointing there. The
     resolved root may carry ANY filesystem scheme (``file:`` locally,
     ``hdfs://nn:8020`` / ``s3a://bucket`` on a cluster) while the
-    env-var path is typically scheme-less; compare the PATH components
-    of both sides via urlparse so a scheme/authority never defeats the
-    match (which would re-pin setCheckpointDir on every barrier and
-    spray fresh ``<d>/<uuid>`` roots)."""
+    env-var path is typically scheme-less. When the env-var side DOES
+    carry an authority (``hdfs://nnA/...``), require the resolved root's
+    (scheme, netloc) to match before comparing paths — otherwise
+    ``hdfs://nnB/data/ckpt/<uuid>`` would be judged under root
+    ``hdfs://nnA/data/ckpt`` and the barrier would keep checkpointing to
+    the wrong cluster/bucket (ADVICE r11). Only a scheme-less env var
+    falls back to path-only comparison (so a local ``file:`` resolution
+    of a bare path still matches and doesn't re-pin + spray fresh
+    ``<d>/<uuid>`` roots on every barrier)."""
     if not current:
         return False
     from urllib.parse import urlparse
 
-    root = urlparse(d).path.rstrip("/") or d.rstrip("/")
-    cur = urlparse(current).path
+    pd_, pc = urlparse(d), urlparse(current)
+    if pd_.netloc and (pd_.scheme, pd_.netloc) != (pc.scheme, pc.netloc):
+        return False
+    root = pd_.path.rstrip("/") or d.rstrip("/")
+    cur = pc.path
     return cur.startswith(root + "/") or os.path.dirname(cur.rstrip("/")) == root
 
 

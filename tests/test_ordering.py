@@ -303,6 +303,21 @@ class TestBandedGlobalOrdinal:
         }
         assert got == {i: i + 1 for i in range(9)}
 
+    def test_long_count_column_equals_window_rank(self, spark):
+        """The ppjoin_pairs / token_gini shape (VERDICT r11 #2/#3): a
+        LONG count column ('df'/'c') with heavy Zipf-like ties and a
+        string tiebreak — banded positions must equal the naive
+        (count asc, token asc) global row_number window rank."""
+        rows = [(f"t{i:04d}", (i % 7) + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "token string, c long")
+        got = {
+            r["token"]: r["pos"]
+            for r in ordering.banded_global_ordinal(
+                df, "c", "token", n_bands=8
+            ).collect()
+        }
+        assert got == self._naive(df, "c", "token", False)
+
     def test_positions_are_a_permutation(self, spark):
         import random
 

@@ -124,6 +124,21 @@ class TestUnderRoot:
         assert _under_root("hdfs://nn:8020/data/ckpt/abc-123", "hdfs://nn:8020/data/ckpt")
         assert not _under_root("hdfs://nn:8020/data/ckptX/abc-123", "hdfs://nn:8020/data/ckpt")
 
+    def test_authority_mismatch_repins(self):
+        """ADVICE r11: when the env var names an authority, a resolved
+        root on a DIFFERENT cluster/bucket (same path) must NOT match —
+        otherwise the barrier keeps checkpointing to the wrong
+        filesystem instead of re-pinning."""
+        from sentiment_analysis_bigdata_spark.plans.barrier import _under_root
+
+        d = "hdfs://nnA:8020/data/ckpt"
+        assert _under_root("hdfs://nnA:8020/data/ckpt/abc-123", d)
+        assert not _under_root("hdfs://nnB:8020/data/ckpt/abc-123", d)
+        assert not _under_root("s3a://bucket/data/ckpt/abc-123", d)
+        assert not _under_root("/data/ckpt/abc-123", d)
+        # scheme-less env var still accepts any authority (path-only)
+        assert _under_root("hdfs://nnB:8020/data/ckpt/abc-123", "/data/ckpt")
+
     def test_sibling_dir_repins(self, spark, tmp_path, monkeypatch):
         """End-to-end: point the session's checkpoint root at '<d>-old',
         then barrier with SPARK_GRAFT_CHECKPOINT_DIR='<d>' — files must

@@ -440,6 +440,56 @@ class TestExactQuantilesNarrowedMulti:
         assert got == {24750: 7.5, 44550: 7.5}
         assert n == len(vals)
 
+    def test_no_shrink_widened_group_routed_per_group(self, spark):
+        """ADVICE r11 (medium): a no-shrink (float-edge) child keeps its
+        PARENT's predicate ('widened'), which is not disjoint from
+        bucket-restricted siblings — it must be excluded from the batched
+        tail and routed through the overlap-safe per-group path. Extreme
+        magnitudes make hi - lo overflow to inf, so round 1's bucket
+        width is inf and the hit bucket cannot shrink the interval: the
+        widened state is reached with > tiny rows remaining."""
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        vals = [-1.7e308] * 2000 + [1.7e308] * 2000
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got, n, _ = NORM.exact_quantiles_narrowed_multi(
+            df.repartition(4), "v", [500, 2000, 2001, 3500]
+        )
+        assert got == {
+            500: -1.7e308, 2000: -1.7e308, 2001: 1.7e308, 3500: 1.7e308
+        }
+        assert n == 4000
+
+    def test_integer_column_beyond_2_53_raises(self, spark):
+        """ADVICE r11: the narrowing runs on a double cast; int64 values
+        at |v| >= 2^53 would round, so cut points inlined as literals and
+        compared back against the exact long column could misrank —
+        refuse loudly instead."""
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        big = 1 << 53
+        df = spark.createDataFrame(
+            [(big + i,) for i in range(10)], "v bigint"
+        )
+        with pytest.raises(ValueError, match="2\\^53"):
+            NORM.exact_quantiles_narrowed_multi(df, "v", [5])
+        with pytest.raises(ValueError, match="2\\^53"):
+            NORM.exact_quantile_narrowed(df, "v", 0.5)
+
+    def test_integer_column_in_range_exact(self, spark):
+        """Long ids below 2^53 are exact in double — the guard passes and
+        rank-k values equal exact integer ranking."""
+        from sentiment_analysis_bigdata_spark.operators import normalize as NORM
+
+        ids = [(i * 2654435761) % 999999937 for i in range(3000)]
+        df = spark.createDataFrame([(v,) for v in ids], "v bigint")
+        got, n, _ = NORM.exact_quantiles_narrowed_multi(
+            df.repartition(4), "v", [1, 1500, 3000]
+        )
+        s = sorted(ids)
+        assert got == {1: float(s[0]), 1500: float(s[1499]), 3000: float(s[2999])}
+        assert n == 3000
+
     def test_ranks_fn_and_arg_validation(self, spark):
         from sentiment_analysis_bigdata_spark.operators import normalize as NORM
 
