@@ -141,6 +141,101 @@ def banded_global_ordinal(
     )
 
 
+def banded_grouped_ordinal(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    descending: bool = False,
+    n_bands: int = 32,
+    out_col: str = "pos",
+    n_col: str = "n_in_group",
+    max_entries: int = 8192,
+) -> DataFrame:
+    """Exact 1-based position of every row WITHIN its group under
+    ``(value_col [DESC], tiebreak_col ASC)``, plus the group's row count
+    — without the per-group single-task sort that
+    ``row_number()/percent_rank() OVER (PARTITION BY group)`` compiles to
+    when the group key is low-cardinality (an enum like order status
+    splits the corpus into a handful of corpus-scaled partitions, each
+    serialized through ONE task at 100 TB; VERDICT r11 #4 defect class).
+
+    Same three bounded stages as :func:`banded_global_ordinal`, keyed by
+    (group, band): one GLOBAL approx-percentile sketch cuts the value
+    order into bands (band membership is a function of the value alone,
+    so it is consistent across groups and ties cannot straddle a band);
+    ``row_number()`` within each (group, band) — uniform ~n/n_bands
+    fractions of each group per task; per-(group, band) counts collected
+    once and inlined as LITERAL offset/total maps.
+
+    The collect is bounded by |groups| × n_bands and the literal maps by
+    2 × that: ``group_cols`` must be enum-like (status, label, lang —
+    value cardinality constant in the corpus). ``max_entries`` fails
+    loudly when the key turns out corpus-scaled — use a doc-keyed window
+    (entity-bounded groups) or :func:`banded_global_ordinal` per group
+    instead. NULL group values are not supported (map lookup misses).
+    """
+    qs = [i / n_bands for i in range(1, n_bands)]
+    if descending:
+        qs = qs[::-1]
+    row = (
+        df.agg(
+            F.approx_percentile(
+                value_col, F.lit(qs).cast("array<double>"), F.lit(10000)
+            ).alias("__bounds")
+        ).collect()[0]
+        if n_bands > 1
+        else {"__bounds": []}
+    )
+    bounds = [float(b) for b in (row["__bounds"] or [])]
+    val = F.col(value_col)
+    cmp = (lambda b: val < b) if descending else (lambda b: val > b)
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(cmp(F.lit(b)), F.lit(1)).otherwise(F.lit(0))
+    banded = df.withColumn("__band", band)
+    counts_rows = (
+        banded.groupBy(*group_cols, "__band")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_entries + 1)
+        .collect()
+    )
+    if len(counts_rows) > max_entries:
+        raise ValueError(
+            f"banded_grouped_ordinal: more than {max_entries} (group, band)"
+            " cells — the group key looks corpus-scaled, not enum-like;"
+            " use an entity-bounded window or per-group banded_global_ordinal"
+        )
+    def _gkey(r) -> str:
+        return "\x1f".join(str(r[c]) for c in group_cols)
+
+    by_group: dict[str, dict[int, int]] = {}
+    for r in counts_rows:
+        by_group.setdefault(_gkey(r), {})[int(r["__band"])] = int(r["__n"])
+    off_items: list = []
+    n_items: list = []
+    for gk, cells in by_group.items():
+        acc = 0
+        for b in sorted(cells):
+            off_items.append(F.lit(f"{gk}\x1f{b}"))
+            off_items.append(F.lit(acc).cast("long"))
+            acc += cells[b]
+        n_items.append(F.lit(gk))
+        n_items.append(F.lit(acc).cast("long"))
+    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    off = F.create_map(*off_items)[F.concat_ws("\x1f", gkey, F.col("__band").cast("string"))]
+    n_g = F.create_map(*n_items)[gkey]
+    order = [val.desc() if descending else val.asc(), F.col(tiebreak_col).asc()]
+    w_local = Window.partitionBy(*group_cols, "__band").orderBy(*order)
+    return (
+        banded.withColumn(
+            out_col, (off + F.row_number().over(w_local)).cast("bigint")
+        )
+        .withColumn(n_col, n_g)
+        .drop("__band")
+    )
+
+
 def sql_shuffle_exprs(id_col: str, seed: int, n_shards: int) -> tuple[str, str]:
     """DuckDB twins of (shard, ordinal) for oracle queries."""
     key = f"CAST(('0x' || substr(md5({id_col} || ':{seed}'), 1, 15)) AS BIGINT)"

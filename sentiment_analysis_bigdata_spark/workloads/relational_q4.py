@@ -98,15 +98,39 @@ GROUP BY c_mktsegment
 def q_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     """percent_rank + cume_dist over order totals within each status —
     the normalized ranking family (rank_dense_ntile covers the integer
-    one)."""
+    one).
+
+    Order status is a 3-value ENUM, so
+    ``percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY …)``
+    serializes a third of the corpus through one window task at 100 TB
+    (VERDICT r11 #4 defect class — partitioned, but by a key whose
+    groups scale with the data). The in-group position comes from
+    ``operators/ordering.banded_grouped_ordinal`` instead — (status,
+    band)-partitioned row_number over uniform ~n/n_bands fractions, with
+    literal offset/total maps — and both normalized ranks are closed
+    forms of (position, N): the composite order (o_totalprice,
+    o_orderkey) is UNIQUE, so rank ≡ row_number, percent_rank =
+    (pos−1)/(N−1) and cume_dist = pos/N. The oracle keeps the naive
+    status-partitioned windows — same values, two shapes."""
+    from sentiment_analysis_bigdata_spark.operators.ordering import (
+        banded_grouped_ordinal,
+    )
+
     orders = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    pos = banded_grouped_ordinal(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        "o_orderkey",
+    )
+    p, n = F.col("pos"), F.col("n_in_group")
+    pct = F.when(n > 1, (p - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    return pos.select(
         "o_orderkey",
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(p.cast("double") / n, 6).alias("cume"),
     ).filter(F.col("pct_rank") >= 0.99)
 
 

@@ -331,3 +331,70 @@ class TestBandedGlobalOrdinal:
             ).collect()
         ]
         assert sorted(pos) == list(range(1, 501))
+
+
+class TestBandedGroupedOrdinal:
+    """operators/ordering.banded_grouped_ordinal (r12): exact in-group
+    position + group size for enum-keyed groups, without the per-group
+    single-task sort a group-partitioned ranking window compiles to.
+    Contract: equality against the naive grouped row_number window and
+    the group count."""
+
+    def test_matches_naive_grouped_row_number(self, spark):
+        from pyspark.sql.window import Window
+
+        rows = [
+            (i, "FOP"[i % 3], float((i * 37) % 11))  # heavy value ties
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            r["id"]: (r["pos"], r["n_in_group"])
+            for r in ordering.banded_grouped_ordinal(
+                df, ["g"], "v", "id", n_bands=8
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        wn = Window.partitionBy("g")
+        want = {
+            r["id"]: (r["rn"], r["n"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("bigint").alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_descending_and_multi_group(self, spark):
+        from pyspark.sql.window import Window
+
+        rows = [
+            (i, "ab"[i % 2], "xy"[(i // 2) % 2], float(i % 5)) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "id long, g1 string, g2 string, v double")
+        got = {
+            r["id"]: r["pos"]
+            for r in ordering.banded_grouped_ordinal(
+                df, ["g1", "g2"], "v", "id", descending=True, n_bands=4
+            ).collect()
+        }
+        w = Window.partitionBy("g1", "g2").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(w).cast("bigint").alias("rn")
+            ).collect()
+        }
+        assert got == want
+
+    def test_corpus_scaled_group_key_fails_loud(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"g{i}", float(i)) for i in range(50)], "id long, g string, v double"
+        )
+        with pytest.raises(ValueError, match="enum-like"):
+            ordering.banded_grouped_ordinal(
+                df, ["g"], "v", "id", n_bands=4, max_entries=16
+            )

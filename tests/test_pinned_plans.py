@@ -177,3 +177,65 @@ class TestPartitionedDecilePlans:
         ]:
             p = _plan(spark, queries, name, sf_dir)
             assert single_partition_violations(p) == [], name
+
+
+class TestUnboundedWindowPartitionPlans:
+    """r12 (VERDICT r11 #4): the unbounded-window-partition audit rule —
+    a window partitioned by a corpus-CONTENT key (gram / fingerprint /
+    low-cardinality enum) cannot split its hottest group across tasks,
+    so it serializes a corpus-scaled group through ONE task at 100 TB
+    even though the window IS partitioned. The rule must flag a
+    synthetic rebuild of the old ngram_novelty first-seen shape and pass
+    every query reworked away from it."""
+
+    def test_rule_flags_hot_key_window(self, spark, sf_dir):
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from tools.plan_audit import unbounded_window_violations
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        grams = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("g")
+        )
+        bad = grams.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+        )
+        assert unbounded_window_violations(explain.formatted_plan(bad))
+        # a doc_id-partitioned window is entity-bounded — must pass
+        ok = grams.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("g")),
+        )
+        assert unbounded_window_violations(explain.formatted_plan(ok)) == []
+
+    def test_reworked_queries_pass(self, spark, queries, sf_dir):
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from tools.plan_audit import unbounded_window_violations
+
+        for name in [
+            # r12 reworks (partial-agg first-occurrence / banded ordinals
+            # / oversize anti join / grouped ordinal / agg+join-back)
+            "ngram_novelty",
+            "corpus_filter_report",
+            "token_gini",
+            "vocab_coverage",
+            "ppjoin_pairs",
+            "winnow_overlap",
+            "percent_rank_cume",
+            "cheapest_part_per_brand",
+            # bounded-input windows the rule must recognize, not flag
+            "compaction_plan",
+            "isotonic_calibration",
+            "rank_dense_ntile",
+            "asof_purchase_signup",
+        ]:
+            p = _plan(spark, queries, name, sf_dir)
+            assert unbounded_window_violations(p) == [], name
