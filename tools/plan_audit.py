@@ -728,6 +728,18 @@ AUDIT = {
         "candidates come from the prefix-token equi join, verify is "
         "array_intersect on rank arrays",
     ),
+    "percent_rank_cume": (
+        ["windowspecdefinition(o_orderstatus",
+         "__band#", "!CartesianProduct"],
+        "normalized ranks via banded_grouped_ordinal: order status is a "
+        "3-value ENUM, so the status-partitioned ranking window it "
+        "replaces serialized a third of the corpus through ONE task "
+        "(VERDICT r11 #4 class); the only window partitions by (status, "
+        "__band) — uniform ~n/n_bands fractions per task — and "
+        "percent_rank/cume_dist are closed forms of (pos, N) from "
+        "literal offset/total maps (one bounded |groups|xn_bands "
+        "collect)",
+    ),
     "rank_dense_ntile": (
         ["windowspecdefinition(__band#", "BroadcastNestedLoopJoin"],
         "global supplier ranking via banded_global_ordinal: per-band "
