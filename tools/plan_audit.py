@@ -728,6 +728,54 @@ AUDIT = {
         "candidates come from the prefix-token equi join, verify is "
         "array_intersect on rank arrays",
     ),
+    "semdedup_512": (
+        ["SortMergeJoin|BroadcastHashJoin", "HashAggregate",
+         "!CartesianProduct", "!Window"],
+        "SemDeDup at the paper-realistic k=512: the broadcast-frame "
+        "GEMM assign (k > 256 lane) rides centroids as one broadcast "
+        "row — argmin over a codebook, never a doc-pair join; the "
+        "survivor pick is an equi-keyed aggregate, no window anywhere",
+    ),
+    "kmeans_elbow": (
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+        "elbow curve: three nested-seed Lloyd runs whose per-k inertia "
+        "is a KEYLESS aggregate — the SinglePartition exchanges carry "
+        "one partial row per task, the blessed bounded shape; output "
+        "is |ks| rows",
+    ),
+    "phrase_search": (
+        ["TakeOrderedAndProject",
+         "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+         "!CartesianProduct"],
+        "positional phrase search: the query frame is the top-5 "
+        "bigrams via TakeOrderedAndProject (limit-bounded — its "
+        "downstream global windows run over 5 rows and broadcast); "
+        "the phrase join is term-keyed postings with a position "
+        "filter, never a text rescan per query",
+    ),
+    "fd_discovery": (
+        ["HashAggregate", "!Window", "!CartesianProduct"],
+        "TANE-style FD profiling: per candidate X->Y one (X)-keyed "
+        "count-distinct aggregate plus a keyless violation rollup "
+        "(1-row partials into SinglePartition — bounded); "
+        "determinant-cardinality work that scales with any fact volume",
+    ),
+    "frequent_triples": (
+        ["BroadcastHashJoin|SortMergeJoin", "HashAggregate",
+         "!CartesianProduct"],
+        "Apriori 3-itemset step: candidates ONLY from frequent-pair "
+        "self-extension (anti-monotonicity prune bounds volume by the "
+        "frequent-pair table, never items^3); the support recount is "
+        "basket-grained with <= 7-line order baskets bounding fan-out",
+    ),
+    "boilerplate_ngrams": (
+        ["WindowGroupLimit", "!CartesianProduct"],
+        "per-source boilerplate sweep: the only window is the "
+        "top-offender rank-1 pick, source-partitioned WITH a rank "
+        "filter so InferWindowGroupLimit caps per-group rows map-side; "
+        "the trigram df rollup is the map-side-combining shingle "
+        "aggregate, and the coverage join is (source, gram)-keyed",
+    ),
     "percent_rank_cume": (
         ["windowspecdefinition(o_orderstatus",
          "__band#", "!CartesianProduct"],
