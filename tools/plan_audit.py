@@ -16,7 +16,8 @@ global/collect limit) on the path is a plan that is guaranteed to OOM at
 
 It ALSO appends the streaming state-store audit section
 (tools/streaming_audit.py): per streaming query, the documented state
-claim (stateless / output-bounded / watermark-evicting / key-bounded) is
+claim (stateless / output-bounded / watermark-evicting / key-bounded /
+sink-bounded) is
 asserted from the stateOperators metrics of an actual multi-micro-batch
 run — streaming plans can't be explained post-execution, but their state
 footprint can be measured.

@@ -19,7 +19,14 @@ run can never show. For every job the audit then reads the final
 - ``key-bounded`` (applyInPandasWithState EWMA) — state rows equal the
   distinct key count exactly;
 - ``stateless`` (stream-static enrich, foreachBatch upsert sink) — no
-  state operator holds any rows.
+  state operator holds any rows;
+- ``sink-bounded`` (the CMS/Bloom/HLL sketch folds) — zero state-store
+  rows (state lives in the versioned parquet sink) AND the final
+  committed table respects the sketch's CLOSED-FORM size bound:
+  CMS ≤ depth×width cells, Bloom ≤ m occupied positions, HLL exactly
+  one sketch row per distinct key — fixed-size state regardless of
+  stream length, the 100 TB replacement for an unbounded streaming
+  ``groupBy(key)`` aggregate.
 
 A stateful operator that fails its bound — or a watermark claim whose
 watermark never moved (state would grow forever on an unbounded source)
@@ -143,6 +150,24 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
         ).limit(20)
         SJ._commit_version(top, topk_out, batch_id, current)
 
+    # Sketch-fold sinks (VERDICT r12 evidence extension): state lives in
+    # the versioned parquet sink, not the state store, and is bounded by
+    # the SKETCH SIZE in closed form — CMS ≤ depth×width cells, Bloom
+    # ≤ m occupied positions, HLL = one sketch row per distinct key.
+    # The audit runs the production folds over the same staged
+    # micro-batches and asserts the final committed table against those
+    # bounds (claim "sink-bounded": zero state-store rows AND sink rows
+    # ≤ bound).
+    cms_out = tempfile.mkdtemp(prefix="audit_cms_")
+    bloom_out = tempfile.mkdtemp(prefix="audit_bloom_")
+    hll_out = tempfile.mkdtemp(prefix="audit_hll_")
+    CMS_DEPTH, CMS_WIDTH, BLOOM_M = 4, 1024, 8192
+    SINK_TABLES = {
+        "streaming_cms(sink)": (cms_out, CMS_DEPTH * CMS_WIDTH),
+        "streaming_bloom(sink)": (bloom_out, BLOOM_M),
+        "streaming_hll(sink)": (hll_out, bounds["users"]),
+    }
+
     # name -> (claim, build_fn -> (df, mode, sink), bound description, bound)
     JOBS = {
         "streaming_tumbling": (
@@ -204,6 +229,27 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
             "no state operator (k-row leaderboard lives in the versioned sink table)",
             0,
         ),
+        "streaming_cms(sink)": (
+            "sink-bounded",
+            lambda: (stream(), None,
+                     SJ.cms_fold(cms_out, "user_id", CMS_DEPTH, CMS_WIDTH, 0)),
+            f"<= depth x width = {CMS_DEPTH * CMS_WIDTH} cells",
+            CMS_DEPTH * CMS_WIDTH,
+        ),
+        "streaming_bloom(sink)": (
+            "sink-bounded",
+            lambda: (stream(), None,
+                     SJ.bloom_fold(bloom_out, "user_id", BLOOM_M, 3, 0)),
+            f"<= m = {BLOOM_M} occupied positions",
+            BLOOM_M,
+        ),
+        "streaming_hll(sink)": (
+            "sink-bounded",
+            lambda: (stream(), None,
+                     SJ.hll_fold(hll_out, "user_id", "event_id")),
+            "= distinct user_ids (one sketch row per key)",
+            bounds["users"],
+        ),
         "stateful_ewma": (
             "key-bounded",
             lambda: (ST.ewma_stateful(stream()), "update", None),
@@ -240,6 +286,21 @@ def audit(spark) -> tuple[str, list[tuple[str, list[str]]]]:
         elif claim == "key-bounded":
             if state_rows != bound:
                 problems.append(f"state rows {state_rows} != distinct keys {bound}")
+        elif claim == "sink-bounded":
+            if state_rows > 0:
+                problems.append(
+                    f"sketch fold holds {state_rows} state-store rows "
+                    "(state must live in the versioned sink)"
+                )
+            out_dir, sink_bound = SINK_TABLES[name]
+            sink_rows = SJ.read_upsert_table(spark, out_dir).count()
+            state_rows = sink_rows  # reported in the state-rows column
+            if sink_rows > sink_bound:
+                problems.append(
+                    f"final sink rows {sink_rows} > sketch bound {sink_bound}"
+                )
+            if sink_rows == 0:
+                problems.append("final sink empty — fold never committed")
         if problems:
             failures.append((name, problems))
         rows.append(
