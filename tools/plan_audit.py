@@ -729,6 +729,42 @@ AUDIT = {
         "candidates come from the prefix-token equi join, verify is "
         "array_intersect on rank arrays",
     ),
+    "ann_pq": (
+        ["MapInPandas", "WindowGroupLimit", "!CartesianProduct"],
+        "product-quantization ANN: Arrow kernels encode/score codebook "
+        "cells (JVM-hashed inputs, batched — never per-row Python); the "
+        "per-query top-k is a rank-filtered window WindowGroupLimit caps "
+        "map-side, partitioned by the bounded query_id",
+    ),
+    "rbo_rankings": (
+        ["WindowGroupLimit", "BroadcastHashJoin|SortMergeJoin",
+         "!CartesianProduct"],
+        "rank-biased overlap: both ranking lists are rank-filtered "
+        "windows (WindowGroupLimit — per-query top-k capped map-side); "
+        "the depth-wise overlap is a (query, rank)-keyed join of two "
+        "k-bounded lists, and the geometric weights are literals",
+    ),
+    "kaplan_meier": (
+        ["HashAggregate", "!CartesianProduct"],
+        "survival curve: the cumulative-product windows run over the "
+        "lifetime-keyed aggregate (value-cardinality = distinct "
+        "lifetime days, corpus-independent), crossed only with 1-row "
+        "broadcast totals — never a window over raw events",
+    ),
+    "top_event_paths": (
+        ["TakeOrderedAndProject", "!CartesianProduct"],
+        "top event paths: the session path build is a user_id-keyed "
+        "window (entity-bounded groups), path frequencies are a "
+        "map-side-combining aggregate, and the report is a "
+        "TakeOrderedAndProject top-k — no global sort",
+    ),
+    "dsir_sample": (
+        ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct"],
+        "DSIR selection: n-gram importance weights come from hashed "
+        "feature aggregates joined broadcast-wise; the selected subset "
+        "is a bounded top-k (TakeOrderedAndProject), never a global "
+        "sort of the corpus by weight",
+    ),
     "semdedup_512": (
         ["SortMergeJoin|BroadcastHashJoin", "HashAggregate",
          "!CartesianProduct", "!Window"],
