@@ -548,3 +548,104 @@ def test_exact_substring_spans_prefilter_equals_bruteforce(spark, docs, min_len)
         for r in DD._exactsubstr_marked(df, "text", "doc_id", L, prefilter=False).collect()
     }
     assert marked_on == marked_off
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    descending=st.booleans(),
+    n_bands=st.integers(min_value=1, max_value=8),
+)
+def test_banded_global_ordinal_matches_window_property(
+    spark, vals, descending, n_bands
+):
+    """banded_global_ordinal == global row_number() for ARBITRARY value
+    multisets — heavy ties (the integer strategy collides constantly),
+    negatives, float extremes — at any band count including the
+    degenerate n_bands=1, in both directions. The deterministic
+    equality tests in test_ordering.py pin chosen edge cases; this
+    fuzzes the space between them."""
+    from pyspark.sql import Window
+
+    from sentiment_analysis_bigdata_spark.operators.ordering import (
+        banded_global_ordinal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "tid long, v double"
+    )
+    got = banded_global_ordinal(
+        df, "v", "tid", descending=descending, n_bands=n_bands
+    )
+    order = [
+        F.col("v").desc() if descending else F.col("v").asc(),
+        F.col("tid").asc(),
+    ]
+    exp = df.withColumn(
+        "wpos", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    )
+    mism = (
+        got.join(exp.select("tid", "wpos"), "tid")
+        .filter(F.col("pos") != F.col("wpos"))
+        .count()
+    )
+    assert mism == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    descending=st.booleans(),
+)
+def test_banded_grouped_ordinal_matches_window_property(
+    spark, rows, descending
+):
+    """banded_grouped_ordinal == per-group row_number() and group-count
+    for arbitrary (enum, tied-value) multisets in both directions."""
+    from pyspark.sql import Window
+
+    from sentiment_analysis_bigdata_spark.operators.ordering import (
+        banded_grouped_ordinal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "tid long, grp string, v double",
+    )
+    got = banded_grouped_ordinal(
+        df, ["grp"], "v", "tid", descending=descending, n_bands=4
+    )
+    order = [
+        F.col("v").desc() if descending else F.col("v").asc(),
+        F.col("tid").asc(),
+    ]
+    w = Window.partitionBy("grp").orderBy(*order)
+    wn = Window.partitionBy("grp")
+    exp = df.withColumn(
+        "wpos", F.row_number().over(w).cast("bigint")
+    ).withColumn("wn", F.count(F.lit(1)).over(wn).cast("bigint"))
+    mism = (
+        got.join(exp.select("tid", "wpos", "wn"), "tid")
+        .filter(
+            (F.col("pos") != F.col("wpos")) | (F.col("n_in_group") != F.col("wn"))
+        )
+        .count()
+    )
+    assert mism == 0
