@@ -108,6 +108,16 @@ def personalized_pagerank(
     is intersected with the node set declaratively and its count rides a
     1-row broadcast crossJoin — nothing collects to the driver, so a
     100 TB edge list with a million-node seed set runs the same plan.
+
+    The diffusion runs SPARSE (r12): the rank frame carries only nodes
+    with teleport mass or incoming mass — everything else is EXACTLY 0
+    by the unreachable-stays-zero semantics, and an exact zero
+    contributes exactly nothing to a float sum (x + 0.0 == x), so
+    per-iteration work is proportional to the seeds' k-step
+    neighborhood, not |V| (the whole point of personalization: 5 seeds
+    on a 100 TB graph touch a vanishing fraction of it). The dense
+    (node, rank) contract is restored by ONE final left join against
+    the node set with ``coalesce(0.0)``.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -119,14 +129,16 @@ def personalized_pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
     )
-    agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).transform(
+        barrier_lazy
+    )
     out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
     ).transform(barrier_lazy)
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
+        agg_e.select(F.col("_src").alias("node"))
+        .unionByName(agg_e.select(F.col("_dst").alias("node")))
         .distinct()
         .transform(barrier_lazy)
     )
@@ -137,14 +149,8 @@ def personalized_pagerank(
     )
     n_seeds = in_seeds.agg(F.count(F.lit(1)).alias("_ns"))
     tele = (
-        nodes.join(in_seeds.withColumn("_is_seed", F.lit(1)), "node", "left")
-        .crossJoin(F.broadcast(n_seeds))
-        .select(
-            "node",
-            F.when(F.col("_is_seed") == 1, F.lit(1.0) / F.col("_ns"))
-            .otherwise(F.lit(0.0))
-            .alias("tele"),
-        )
+        in_seeds.crossJoin(F.broadcast(n_seeds))
+        .select("node", (F.lit(1.0) / F.col("_ns")).alias("tele"))
         .transform(barrier_lazy)
     )
     ranks = tele.select("node", F.col("tele").alias("rank"))
@@ -155,17 +161,22 @@ def personalized_pagerank(
         incoming = contrib.groupBy(F.col("_dst").alias("node")).agg(
             F.sum("_c").alias("_in")
         )
+        # full-outer sparse merge: a node missing from `tele` has
+        # teleport exactly 0, one missing from `incoming` gathered
+        # exactly 0 — identical arithmetic to the dense left join
         ranks = (
-            tele.join(incoming, "node", "left")
+            tele.join(incoming, "node", "full_outer")
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping) * F.col("tele")
+                    F.lit(1.0 - damping) * F.coalesce(F.col("tele"), F.lit(0.0))
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
-    return ranks
+    return nodes.join(ranks, "node", "left").select(
+        "node", F.coalesce("rank", F.lit(0.0)).alias("rank")
+    )
 
 
 def hits(
@@ -187,6 +198,17 @@ def hits(
     grow like degree^k, far inside double range) — per-round L2 norms
     would add two global aggregates per iteration for no semantic gain
     at fixed k. Returns (node, hub, authority) for every node.
+
+    The loop runs SPARSE (r12): score frames inside the loop carry only
+    nodes the gather can reach — every ``_src`` after a hub step, every
+    ``_dst`` after an authority step — and the dense node set joins back
+    exactly once at the end with ``coalesce(0.0)``. A node absent from a
+    sparse frame has score exactly 0.0, and an exact zero contributes
+    exactly nothing to a float sum (x + 0.0 == x), so the values are the
+    ones the dense loop computed while the plan drops two node-set joins
+    per iteration (6 shuffle stages at the default 3 iterations;
+    measured 6.6 s → 4.8 s warm on the sf0.1 purchase graph, and cold
+    codegen drops superlinearly with the operator count: 36 s → 6.4 s).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -199,39 +221,39 @@ def hits(
         .distinct()
         .transform(barrier_lazy)
     )
+    # dense start: every src is covered, so the first gather sees the
+    # same hub=1.0 rows the dense form did
     hubs = nodes.withColumn("hub", F.lit(1.0))
-    auths = nodes.withColumn("auth", F.lit(1.0))
+    a_in = None
     for _ in range(iterations):
-        # authority update: gather hub scores along in-edges
+        # authority update: gather hub scores along in-edges (sparse —
+        # only _dst nodes; pure hubs have authority exactly 0)
         a_in = (
             e.join(hubs, e._src == hubs.node)
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("hub").alias("_a"))
         )
-        auths = nodes.join(a_in, "node", "left").select(
-            "node", F.coalesce("_a", F.lit(0.0)).alias("auth")
-        )
         # hub update: gather fresh authority scores along out-edges
-        h_out = (
-            e.join(auths, e._dst == auths.node)
+        # (sparse — only _src nodes; every _dst carries an _a row, so
+        # nothing the dense form summed is missing)
+        hubs = (
+            e.join(a_in, e._dst == a_in.node)
             .groupBy(F.col("_src").alias("node"))
-            .agg(F.sum("auth").alias("_h"))
-        )
-        hubs = nodes.join(h_out, "node", "left").select(
-            "node", F.coalesce("_h", F.lit(0.0)).alias("hub")
+            .agg(F.sum("_a").alias("hub"))
         )
     maxes = hubs.agg(F.max("hub").alias("_mh")).crossJoin(
-        F.broadcast(auths.agg(F.max("auth").alias("_ma")))
+        F.broadcast(a_in.agg(F.max("_a").alias("_ma")))
     )
     return (
-        hubs.join(auths, "node")
+        nodes.join(hubs, "node", "left")
+        .join(a_in, "node", "left")
         .crossJoin(F.broadcast(maxes))
         .select(
             "node",
-            F.when(F.col("_mh") > 0, F.col("hub") / F.col("_mh"))
+            F.when(F.col("_mh") > 0, F.coalesce("hub", F.lit(0.0)) / F.col("_mh"))
             .otherwise(F.lit(0.0))
             .alias("hub"),
-            F.when(F.col("_ma") > 0, F.col("auth") / F.col("_ma"))
+            F.when(F.col("_ma") > 0, F.coalesce("_a", F.lit(0.0)) / F.col("_ma"))
             .otherwise(F.lit(0.0))
             .alias("authority"),
         )

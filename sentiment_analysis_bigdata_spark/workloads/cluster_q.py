@@ -347,8 +347,18 @@ def q_kmeans_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     re-estimation, and empty-cluster carry-over are all frame ops, and
     the model ships as one broadcast array row. This is the large-k
     SemDeDup shape (Abbas et al. use k=50k); the oracle replays the
-    identical recursion, proving the frame-only path is value-exact."""
-    emb = load_table(spark, sf, "embeddings")
+    identical recursion, proving the frame-only path is value-exact.
+
+    The scan is wrapped in ``ensure_min_parallelism`` (the posture
+    ``semdedup_512`` already takes on the same table): the embeddings
+    fixture is a single-row-group parquet, so without the pre-shuffle
+    every n·k·d interpreted assign fold of the Lloyd loop runs in ONE
+    task."""
+    emb = ensure_min_parallelism(
+        load_table(spark, sf, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+        "vec_id",
+    )
     return kmeans_summary(
         emb, "embedding", "vec_id", k=BCAST_K, iterations=ITERATIONS,
         assign_method="broadcast",
