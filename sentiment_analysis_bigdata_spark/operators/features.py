@@ -403,10 +403,16 @@ def dsir_logweights(
     functionally dependent on ``id_col``).
 
     Plan shape: ONE corpus explode (uni+bi grams in a single array
-    concat), one (doc, bucket) agg, two m-row LM aggs that join back
-    UNHINTED (fixed m rows at any corpus scale — AQE broadcasts them at
-    runtime, per SCALING.md "broadcast policy"), a broadcast 1-row totals
-    frame, and one per-doc fold. LM state is O(m); no all-pairs work.
+    concat) into ONE (doc, bucket) partial aggregate, from which BOTH
+    m-row LM aggregates derive (r12: tgt/raw previously re-aggregated
+    the gram-level frame directly, so the tokenize+explode+md5 corpus
+    pass appeared under five plan consumers; summing the support-sized
+    per-doc counts is the identical integer total and lets ReuseExchange
+    run the corpus pass once — measured 4.4 s → 2.8 s warm at sf0.1).
+    The LM aggs join back UNHINTED (fixed m rows at any corpus scale —
+    AQE broadcasts them at runtime, per SCALING.md "broadcast policy"),
+    a broadcast 1-row totals frame, and one per-doc fold. LM state is
+    O(m); no all-pairs work.
 
     Returns ``(id_col, *keep_cols, n_grams, log_weight)`` with the weight
     rounded to 6dp (the cross-engine float contract). Selection (top-k /
@@ -423,13 +429,15 @@ def dsir_logweights(
         id_col, target_col, *keep,
         F.pmod(H.md5_hash64("g"), F.lit(m)).alias("bucket"),
     )
-    per_doc = b.groupBy(id_col, *keep, "bucket").agg(
+    # target_col rides the grouping (functionally dependent on id_col)
+    # so the LM aggregates can derive from this support-sized frame
+    per_doc = b.groupBy(id_col, target_col, *keep, "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tgt = b.filter(F.col(target_col)).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("t_cnt")
+    tgt = per_doc.filter(F.col(target_col)).groupBy("bucket").agg(
+        F.sum("n").alias("t_cnt")
     )
-    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    raw = per_doc.groupBy("bucket").agg(F.sum("n").alias("r_cnt"))
     totals = tgt.agg(F.sum("t_cnt").cast("double").alias("t_total")).crossJoin(
         F.broadcast(raw.agg(F.sum("r_cnt").cast("double").alias("r_total")))
     )
