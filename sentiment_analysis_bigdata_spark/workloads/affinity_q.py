@@ -540,10 +540,19 @@ def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     never a text rescan per query."""
     from pyspark.sql.window import Window
 
-    docs = _docs_phrase(spark, sf)
+    from sentiment_analysis_bigdata_spark.plans.barrier import barrier_lazy
+
+    # barrier the tokenized corpus and the postings ONCE (r12): the
+    # postings frame is consumed under four different join keys (term /
+    # term+doc+pos / two distincts) plus the bigram query derivation —
+    # exchange reuse cannot span differently-keyed consumers, so the
+    # tokenize+posexplode corpus pass used to run ~5x per query (first
+    # run 14.3 s → 3.5 s at sf0.1). Materializing postings is exactly
+    # what building a positional inverted index means in production.
+    docs = _docs_phrase(spark, sf).transform(barrier_lazy)
     post = docs.select(
         "doc_id", F.posexplode(F.col("toks")).alias("pos", "term")
-    )
+    ).transform(barrier_lazy)
     # top-5 bigrams by df = the deterministic query set. The size guard
     # matters beyond semantics: sequence(1, size-1) counts DOWN when
     # size < 2 (sequence(1, 0) = [1, 0]), and the resulting toks[-1] /

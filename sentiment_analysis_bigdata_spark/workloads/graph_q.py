@@ -20,6 +20,7 @@ from sentiment_analysis_bigdata_spark.operators.graph import (
     personalized_pagerank,
     triangle_count,
 )
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_lazy
 from sentiment_analysis_bigdata_spark.sources import load_table
 
 PR_ITERATIONS = 3
@@ -242,9 +243,15 @@ def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators.graph import bfs_hops
 
     li = load_table(spark, sf, "lineitem")
-    edges = affinity.co_occurrence_pairs(
-        li, "l_orderkey", "l_partkey", min_support=2
-    ).select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    # barrier the basket self-join ONCE: `edges` feeds both the operator
+    # (which checkpoints its own symmetrized copy) and the nodes→seeds
+    # derivation — without this the co-occurrence join executes twice
+    # (r12; the pair frame is support-capped, so the checkpoint is small)
+    edges = (
+        affinity.co_occurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+        .transform(barrier_lazy)
+    )
     nodes = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -505,12 +512,18 @@ def q_weighted_sssp(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
 
     li = load_table(spark, sf, "lineitem")
-    edges = affinity.co_occurrence_pairs(
-        li, "l_orderkey", "l_partkey", min_support=2
-    ).select(
-        F.col("item_a").alias("a"),
-        F.col("item_b").alias("b"),
-        F.greatest(F.lit(1), F.lit(6) - F.col("support").cast("int")).alias("w"),
+    # barrier the basket self-join ONCE (same reason as q_bfs_hops): the
+    # edge frame feeds the operator AND the nodes→seeds derivation, and
+    # the co-occurrence join alone measures ~2.2 s warm at sf0.1 — it
+    # used to execute twice per run (r12)
+    edges = (
+        affinity.co_occurrence_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .select(
+            F.col("item_a").alias("a"),
+            F.col("item_b").alias("b"),
+            F.greatest(F.lit(1), F.lit(6) - F.col("support").cast("int")).alias("w"),
+        )
+        .transform(barrier_lazy)
     )
     nodes = (
         edges.select(F.col("a").alias("node"))
