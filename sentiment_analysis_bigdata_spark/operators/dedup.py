@@ -1182,7 +1182,15 @@ def dedup_cascade(
         bands=bands,
         max_bucket=minhash_max_bucket,
     )
-    mh_removed = mh_pairs.select(F.col("b").alias(id_col)).distinct()
+    # barrier the removed-id frame (tiny: distinct removed ids), not just
+    # s2: the rm2 stage count below reads mh_removed AGAIN in the final
+    # plan, and without this barrier that re-executes the whole LSH
+    # banding/verification stage a second time
+    mh_removed = (
+        mh_pairs.select(F.col("b").alias(id_col))
+        .distinct()
+        .transform(barrier_eager)
+    )
     s2 = s1.join(mh_removed, [id_col], "left_anti").transform(barrier_eager)
     sem_base = emb.join(
         s2.select(F.col(id_col).alias(emb_id_col)), [emb_id_col], "left_semi"

@@ -49,18 +49,24 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
     )
-    # collapse parallel edges once; normalize by the source's total out-weight
-    agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    # collapse parallel edges once and BARRIER the collapsed frame: norm
+    # and nodes both derive from it, so without this the (possibly
+    # expensive) raw edge derivation executes once per derived frame —
+    # the same agg_e barrier personalized_pagerank already takes
+    agg_e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).transform(
+        barrier_lazy
+    )
     out_w = agg_e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
     # norm and nodes are reused by EVERY iteration's join — without a
-    # checkpoint the final plan replays the edge-derivation lineage
-    # (scan + collapse + out-weight join) once per round
+    # checkpoint the final plan replays their derivation once per round
     norm = agg_e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_share")
     ).transform(barrier_lazy)
+    # agg_e preserves the distinct (src, dst) pairs of e, so the node set
+    # derived from it is identical to the one derived from raw e
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
+        agg_e.select(F.col("_src").alias("node"))
+        .unionByName(agg_e.select(F.col("_dst").alias("node")))
         .distinct()
         .transform(barrier_lazy)
     )
@@ -420,13 +426,12 @@ def label_propagation(
                 F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("m")
         ).select("node", (-F.col("m.nl")).alias("label"))
-        labels = (
-            nodes.join(best, "node", "left")
-            .select(
-                "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
-            )
-            .transform(barrier_eager)
-        )
+        # best covers EVERY node: e is symmetric so each node in `nodes`
+        # has >= 1 neighbor, and labels covers all nodes inductively
+        # (base: labels = nodes; step: best's key set = distinct e.s =
+        # nodes) — so the former nodes-left-join + coalesce fallback was
+        # an identity and its per-round shuffle is dropped (r12)
+        labels = best.transform(barrier_eager)
     return labels.select("node", F.col("label").alias("community"))
 
 

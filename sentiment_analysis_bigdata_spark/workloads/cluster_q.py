@@ -22,6 +22,7 @@ from sentiment_analysis_bigdata_spark.operators.clustering import (
     knn_graph,
     semdedup,
 )
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_lazy
 from sentiment_analysis_bigdata_spark.sources import (
     ensure_min_parallelism,
     load_table,
@@ -465,6 +466,11 @@ def q_semdedup_4096(spark: SparkSession, sf: str) -> DataFrame:
     tiled = ensure_min_parallelism(
         tiled, spark.sparkContext.defaultParallelism, "vec_id"
     )
+    # barrier the tiled corpus ONCE (r12, "not yet optimized" #1): the
+    # explode-×9 + repartition lineage is otherwise re-executed by every
+    # consumer inside semdedup (kmeans seed collect, the Lloyd GEMM pass,
+    # the final assign, and the pair-join base — 4 executions measured)
+    tiled = barrier_lazy(tiled)
     rep = semdedup(
         tiled, "v", "vec_id", k=SEM4096_K, iterations=1,
         threshold=SEM4096_THRESHOLD, assign_method="gemm",

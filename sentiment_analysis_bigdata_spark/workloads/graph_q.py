@@ -317,9 +317,21 @@ def q_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b").where(F.col("a") != F.col("b"))
-    edges = bi.unionByName(bi.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # pre-aggregate bigram counts BEFORE symmetrizing: the union's two
+    # branches then share one corpus tokenize+explode pass (identical
+    # aggregate subtree → the exchange is reused; the un-aggregated form
+    # exploded the corpus once per branch), and pagerank's own edge
+    # collapse sums the per-direction counts to the exact same per-edge
+    # weights (integer-valued doubles — both sum orders are exact)
+    bi_w = bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    edges = bi_w.unionByName(
+        bi_w.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
     ranks = pagerank(
-        edges, src_col="a", dst_col="b", iterations=PR_ITERATIONS, damping=PR_DAMPING
+        edges, src_col="a", dst_col="b", weight_col="w",
+        iterations=PR_ITERATIONS, damping=PR_DAMPING,
     )
     # rank on the ROUNDED value so the cutoff ordering is identical in
     # both engines even at float-drift ties; keyword breaks exact ties
