@@ -2571,8 +2571,17 @@ def q_image_ahash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     docs = ensure_min_parallelism(
         _docs(spark, sf), spark.sparkContext.defaultParallelism, "doc_id"
     )
-    hashed = MM.ahash_64(MM.attach_gradient_payloads(docs)).filter(
-        F.col("ahash_hi").isNotNull()
+    from sentiment_analysis_bigdata_spark.plans.barrier import barrier_lazy
+
+    # barrier the 3-column hash frame (projected FIRST so the persisted
+    # blocks never carry the PNG payload): the band self-join consumes it
+    # on both sides, and the executed plan otherwise runs the
+    # synthesize+decode+hash Arrow kernel once per side (r12 third
+    # session; paired prototype 7.2/4.5 -> 4.0/3.2 s with identical rows)
+    hashed = barrier_lazy(
+        MM.ahash_64(MM.attach_gradient_payloads(docs))
+        .filter(F.col("ahash_hi").isNotNull())
+        .select("doc_id", "ahash_hi", "ahash_lo")
     )
     bands = hashed.select(
         "doc_id",
