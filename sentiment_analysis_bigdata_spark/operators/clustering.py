@@ -500,6 +500,201 @@ def kmeans_summary(
     )
 
 
+# Row-chunk size for the in-cluster pair kernels: bounds kernel memory at
+# chunk × block_size cosines regardless of cluster size (the join-based
+# shape this replaces streamed its n²/k pairs; the kernel must not trade
+# that for an n²-sized allocation).
+_PAIR_CHUNK_ROWS = 1024
+
+
+def _cluster_base(
+    emb: DataFrame, vec_col: str, id_col: str, assigned: DataFrame
+) -> DataFrame:
+    """(id, v, nrm, cluster_id) — the pair-kernel input frame. Projected
+    to exactly the four columns the kernel touches (guide §4: an opaque
+    Python op over wider rows would ship, and read, the extra columns)."""
+    from sentiment_analysis_bigdata_spark.functions import vector as V
+
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    ).join(assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id")
+
+
+def _pair_cos_chunks(pdf, chunk: int = _PAIR_CHUNK_ROWS):
+    """Yield ``(lo, hi, cos_block)`` for one id-SORTED cluster block:
+    ``cos_block[i - lo, j]`` = cosine(row i, row j), **bit-identical** to
+    the interpreted HOF formulation it replaces
+    (``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, +)`` then
+    ``dot / (nrm_a * nrm_b)`` with a 0.0 zero-norm guard):
+
+    - the dot accumulates per DIMENSION in ascending order
+      (``acc += V[:, j_l] * V[:, j_r]``) — the same left-to-right IEEE
+      double adds as the zip_with fold and as DuckDB's ``list_sum``;
+      float32 inputs widen exactly, each product/add is one double op in
+      both engines, so every partial sum matches bit for bit;
+    - the denominator is the same single multiply of the JVM-computed
+      norms (passed through, NOT recomputed), the division the same
+      IEEE divide, and D > 0 the same guard — so downstream threshold
+      compares and orderings see identical bits.
+    """
+    import numpy as np
+
+    Vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    n, d = Vm.shape
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        G = np.zeros((hi - lo, n), dtype=np.float64)
+        for j in range(d):
+            G += Vm[lo:hi, j][:, None] * Vm[:, j][None, :]
+        D = nrm[lo:hi, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(D > 0, G / D, 0.0)
+        yield lo, hi, cos
+
+
+def _iter_cluster_blocks(batches):
+    """Iterate complete id-sorted cluster blocks out of a mapInPandas
+    batch stream whose rows arrive sorted by (cluster_id, id) within the
+    partition (``repartition(cluster_id)`` + ``sortWithinPartitions``).
+
+    Yields one pandas DataFrame per cluster. A cluster spanning batch
+    boundaries is carried until its last row arrives, so kernel memory
+    is bounded by ONE block (the operator's existing k-scales-with-n
+    block bound) plus one Arrow batch — never by the partition. This
+    amortizes the per-call Python/Arrow overhead across every cluster in
+    the partition, which per-group applyInPandas pays per cluster
+    (measured 3× regression at k=4096 with ~4-row groups)."""
+    import pandas as pd
+
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        n = len(pdf)
+        if n == 0:
+            continue
+        cids = pdf["cluster_id"]
+        # rows are sorted by cluster_id: the last cluster may continue in
+        # the next batch, so hold it back
+        cut = cids.searchsorted(cids.iloc[-1], side="left")
+        if cut == 0:
+            carry = pdf
+            continue
+        head, carry = pdf.iloc[:cut], pdf.iloc[cut:].reset_index(drop=True)
+        bounds = head["cluster_id"].drop_duplicates(keep="first").index
+        for lo, hi in zip(bounds, list(bounds[1:]) + [cut]):
+            yield head.iloc[lo:hi]
+    if carry is not None and len(carry):
+        yield carry
+
+
+def _semdedup_report_kernel(threshold: float):
+    """mapInPandas kernel: (id, v, nrm, cluster_id) rows, sorted by
+    (cluster_id, id) per partition → ONE row per cluster
+    (cluster_id, n_points, n_removed, n_kept)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        # one output row per cluster, accumulated and yielded as ONE
+        # frame per task: k-bounded output, and it avoids paying the
+        # per-Arrow-batch overhead once per (possibly tiny) cluster
+        cids, n_pts, n_rm = [], [], []
+        for pdf in _iter_cluster_blocks(batches):
+            n = len(pdf)
+            if n == 1:
+                n_removed = 0
+            else:
+                removed = np.zeros(n, dtype=bool)
+                for lo, hi, cos in _pair_cos_chunks(pdf):
+                    hit = cos >= threshold
+                    # pair (i, j) exists for i < j (ids ascend with
+                    # position); mask out j <= i within this row chunk
+                    cols = np.arange(n)[None, :]
+                    rows = np.arange(lo, hi)[:, None]
+                    removed |= (hit & (cols > rows)).any(axis=0)
+                n_removed = int(removed.sum())
+            cids.append(pdf["cluster_id"].iat[0])
+            n_pts.append(n)
+            n_rm.append(n_removed)
+        if cids:
+            pts = np.asarray(n_pts, dtype=np.int64)
+            rm = np.asarray(n_rm, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(cids),
+                    "n_points": pts,
+                    "n_removed": rm,
+                    "n_kept": pts - rm,
+                }
+            )
+
+    return kernel
+
+
+def _knn_edges_kernel(n_neighbors: int):
+    """mapInPandas kernel: cluster blocks → top-``n_neighbors`` edges
+    per row by (cos desc, neighbor id asc). The tie-break rides a STABLE
+    argsort over the id-sorted block (equal cosines keep ascending-id
+    positional order — exactly the row_number ordering it replaces), so
+    any id type the old window supported still orders identically."""
+    import numpy as np
+    import pandas as pd
+
+    # flush accumulated edges at ~this many rows so task memory stays
+    # bounded for huge partitions while tiny clusters still share batches
+    _FLUSH_EDGES = 100_000
+
+    def kernel(batches):
+        out_id, out_nb = [], []
+        out_cos: list[float] = []
+        out_rank: list[int] = []
+
+        def flush():
+            frame = pd.DataFrame(
+                {
+                    "id": pd.concat(out_id, ignore_index=True),
+                    "neighbor": pd.concat(out_nb, ignore_index=True),
+                    "cos": pd.Series(out_cos, dtype="float64"),
+                    "rank": pd.Series(out_rank, dtype="int32"),
+                }
+            )
+            out_id.clear()
+            out_nb.clear()
+            out_cos.clear()
+            out_rank.clear()
+            return frame
+
+        for pdf in _iter_cluster_blocks(batches):
+            n = len(pdf)
+            if n <= 1:
+                continue
+            ids = pdf["id"].reset_index(drop=True)
+            src_pos: list[int] = []
+            nb_pos: list[int] = []
+            for lo, hi, cos in _pair_cos_chunks(pdf):
+                for i in range(lo, hi):
+                    row = np.delete(cos[i - lo], i)
+                    others = np.delete(np.arange(n), i)
+                    order = np.argsort(-row, kind="stable")[:n_neighbors]
+                    src_pos.extend([i] * len(order))
+                    nb_pos.extend(others[order])
+                    out_cos.extend(row[order])
+                    out_rank.extend(range(1, len(order) + 1))
+            out_id.append(ids.iloc[src_pos])
+            out_nb.append(ids.iloc[nb_pos])
+            if len(out_cos) >= _FLUSH_EDGES:
+                yield flush()
+        if out_cos:
+            yield flush()
+
+    return kernel
+
+
 def semdedup(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -521,58 +716,36 @@ def semdedup(
     :func:`~..operators.dedup.dedup_cascade`. Returns the per-cluster
     report ``(cluster_id, n_points, n_removed, n_kept)``.
 
-    Per-pair cost: the L2 norms are precomputed ONCE per row (HOF folds
-    are interpreted, no CSE — evaluating them per pair multiplies the
-    in-cluster block cost ~5×), so each candidate pair pays exactly one
-    dot-product fold; the cosine value ``dot/(na·nb)`` is IEEE-identical
-    to the per-pair formulation, so the oracle is unchanged.
+    Pair stage (r13): ONE Arrow kernel per cluster block
+    (:func:`_semdedup_report_kernel`) replaces the cluster self-join +
+    per-pair interpreted HOF dot + distinct + join-back + agg — four
+    shuffles and ~n²/k interpreted folds collapse into a groupBy
+    exchange plus vectorized numpy (guide §4.2). Cosines are
+    bit-identical to the HOF formulation (see
+    :func:`_pair_cos_chunks` — same per-dimension left-to-right IEEE
+    accumulation), the norms still compute JVM-side exactly as before,
+    so the removal decisions and the oracle are unchanged (prototype
+    full-collect diff: zero; oracle re-proven at sf0.001/0.01).
+    Kernel memory is chunk-bounded (``_PAIR_CHUNK_ROWS`` × block); the
+    group bound is the operator's existing block bound (k scales with
+    the corpus).
     """
-    from sentiment_analysis_bigdata_spark.functions import vector as V
-
     assigned = kmeans_lloyd(
         emb, vec_col, id_col, k=k, iterations=iterations,
         assign_method=assign_method, strict=strict,
     )
-    base = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            V.norm(F.col(vec_col)).alias("nrm"),
+    base = _cluster_base(emb, vec_col, id_col, assigned)
+    cid_t = assigned.schema["cluster_id"].dataType.simpleString()
+    return (
+        base.repartition("cluster_id")
+        .sortWithinPartitions("cluster_id", "id")
+        .mapInPandas(
+            _semdedup_report_kernel(threshold),
+            schema=(
+                f"cluster_id {cid_t}, n_points bigint,"
+                " n_removed bigint, n_kept bigint"
+            ),
         )
-        .join(
-            assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id"
-        )
-        .transform(barrier_eager)
-    )
-    l, r = base.alias("l"), base.alias("r")
-    denom = F.col("l.nrm") * F.col("r.nrm")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.cluster_id") == F.col("r.cluster_id"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.when(
-                denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom
-            )
-            .otherwise(F.lit(0.0))
-            .alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-    )
-    removed = pairs.select(F.col("b").alias("id")).distinct().withColumn(
-        "_rm", F.lit(1)
-    )
-    flagged = base.join(removed, "id", "left")
-    return flagged.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum(F.coalesce(F.col("_rm"), F.lit(0))).alias("n_removed"),
-        F.sum(
-            F.when(F.col("_rm").isNull(), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_kept"),
     )
 
 
@@ -593,44 +766,32 @@ def knn_graph(
     Deterministic cut: (cosine desc, neighbor id asc) row_number.
 
     Same scale shape as :func:`semdedup`: per-cluster blocks bound the
-    pair work at n²/k, row norms precomputed once, one window per
-    cluster-blocked pair frame. Recall vs exact kNN is a measurable
-    trade (raise k and probe adjacent clusters to improve it — see
-    ``similarity.ivf_topk`` for the multi-probe variant).
+    pair work at n²/k. Pair stage (r13): one Arrow kernel per block
+    (:func:`_knn_edges_kernel`) replaces the cluster self-join +
+    interpreted per-pair HOF dot + ranking window — the top-k cut is
+    cluster-local (every candidate edge lives inside one block), so the
+    window's extra shuffle disappears with it (guide §2.4/§4.2).
+    Cosines are bit-identical to the HOF fold (:func:`_pair_cos_chunks`)
+    and the 6dp rounding still applies JVM-side via ``F.round`` (Java
+    HALF_UP ≠ numpy half-even on exact-tie doubles, which exist — e.g.
+    1/128 — so rounding must stay in the JVM). Recall vs exact kNN is a
+    measurable trade (raise k and probe adjacent clusters to improve
+    it — see ``similarity.ivf_topk`` for the multi-probe variant).
     """
-    from pyspark.sql import Window
-
-    from sentiment_analysis_bigdata_spark.functions import vector as V
-
     assigned = kmeans_lloyd(
         emb, vec_col, id_col, k=k, iterations=iterations,
         assign_method=assign_method, strict=strict,
     )
-    base = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            V.norm(F.col(vec_col)).alias("nrm"),
+    base = _cluster_base(emb, vec_col, id_col, assigned)
+    id_t = emb.schema[id_col].dataType.simpleString()
+    edges = (
+        base.repartition("cluster_id")
+        .sortWithinPartitions("cluster_id", "id")
+        .mapInPandas(
+            _knn_edges_kernel(n_neighbors),
+            schema=f"id {id_t}, neighbor {id_t}, cos double, rank int",
         )
-        .join(assigned.select(F.col(id_col).alias("id"), "cluster_id"), "id")
-        .transform(barrier_eager)
     )
-    l, r = base.alias("l"), base.alias("r")
-    denom = F.col("l.nrm") * F.col("r.nrm")
-    pairs = l.join(
-        r,
-        (F.col("l.cluster_id") == F.col("r.cluster_id"))
-        & (F.col("l.id") != F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id"),
-        F.col("r.id").alias("neighbor"),
-        F.when(denom > 0, V.dot(F.col("l.v"), F.col("r.v")) / denom)
-        .otherwise(F.lit(0.0))
-        .alias("cos"),
-    )
-    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n_neighbors)
-        .select("id", "neighbor", F.round("cos", 6).alias("cosine"), "rank")
+    return edges.select(
+        "id", "neighbor", F.round("cos", 6).alias("cosine"), "rank"
     )
