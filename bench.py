@@ -323,6 +323,28 @@ def main() -> None:
         F.aggregate(F.array(F.col("id")), F.lit(0).cast("bigint"), lambda a, b: a + b)
     ).count()
 
+    # r13 warmup-completeness fix (same contract as the JVM warmup above:
+    # machinery startup must not be billed to whichever query runs first).
+    # The Python/Arrow worker pool was the one piece of fixed machinery the
+    # warmup did not cover: the FIRST Arrow-kernel query in headline order
+    # (minhash_signatures) paid ~2 s of one-off worker spawn + pandas/numpy
+    # import per worker (isolated decomposition: a trivial mapInPandas
+    # costs 3.1 s on a cold pool and minhash's first run drops 3.2 → 1.4 s
+    # once the pool exists; the surrounding pure-JVM queries are
+    # unaffected). One worker per core is primed, scale-adaptively.
+    # Methodology change recorded in OPTIMIZATION_r13.md; the committed
+    # idle-host snapshot under the OLD warmup is bench_results/r13_rerun.json.
+    def _prime_arrow_pool(batches):
+        import numpy as np  # noqa: F401 — the import cost is the point
+        import pandas as pd  # noqa: F401
+
+        yield from batches
+
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(ncores, numPartitions=ncores).mapInPandas(
+        _prime_arrow_pool, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     # noop sink materializes EVERY output column (count(1) would let Catalyst
     # prune deterministic projections, under-measuring projection-heavy queries)
     def run(df) -> None:

@@ -610,7 +610,7 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("degree"))
         )
 
-    removed_last = None
+    before = e
     for _ in range(rounds):
         deg = degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("node")
@@ -621,7 +621,11 @@ def kcore_peel(
             .select("a", "b")
             .transform(barrier_eager)
         )
-        removed_last = before.count() - e.count()
+    # only the LAST round's removal count feeds `converged`; counting
+    # every round paid 2 driver actions/round for values that were
+    # discarded (both frames are barriered, so these two counts are
+    # metadata-cheap)
+    removed_last = before.count() - e.count() if rounds else None
     # output = the induced subgraph's degree table after the final peel
     # (nodes whose every edge vanished with dropped neighbors disappear
     # with it); no extra filter, so the oracle replays rounds verbatim

@@ -344,10 +344,6 @@ def train_bpe_from_word_counts(
             if not contains:
                 continue
             f = freqs[idx]
-            d: dict[tuple[str, str], int] = {}
-            for j in range(len(syms) - 1):
-                p = (syms[j], syms[j + 1])
-                d[p] = d.get(p, 0) - 1
             out: list[str] = []
             i = 0
             while i < len(syms):
@@ -361,10 +357,33 @@ def train_bpe_from_word_counts(
                 else:
                     out.append(syms[i])
                     i += 1
-            words[idx] = out
-            for j in range(len(out) - 1):
+            # pair-count delta over the DIFFERING window only (r13): pairs
+            # inside the common prefix/suffix are identical before and
+            # after the merge and cancel exactly, so subtracting/adding
+            # them was pure dict churn — extend one position past the
+            # window on each side so the boundary pairs (prefix_end,
+            # first_changed) are still accounted. Provably the same delta
+            # as the full old-bag/new-bag difference; merge-for-merge
+            # equality is pinned by tests/test_train_ops.py.
+            lo, ln = len(syms), len(out)
+            m = min(lo, ln)
+            p0 = 0
+            while p0 < m and syms[p0] == out[p0]:
+                p0 += 1
+            s0 = 0
+            while s0 < m - p0 and syms[lo - 1 - s0] == out[ln - 1 - s0]:
+                s0 += 1
+            d: dict[tuple[str, str], int] = {}
+            a = p0 - 1 if p0 else 0
+            old_end = (lo - s0) if s0 else lo - 1
+            new_end = (ln - s0) if s0 else ln - 1
+            for j in range(a, old_end):
+                p = (syms[j], syms[j + 1])
+                d[p] = d.get(p, 0) - 1
+            for j in range(a, new_end):
                 p = (out[j], out[j + 1])
                 d[p] = d.get(p, 0) + 1
+            words[idx] = out
             for p, dd in d.items():
                 if dd:
                     delta[p] = delta.get(p, 0) + dd * f

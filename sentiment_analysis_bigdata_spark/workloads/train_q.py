@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sentiment_analysis_bigdata_spark.operators import layout, regression, tokenizer_train
+from sentiment_analysis_bigdata_spark.plans.barrier import barrier_lazy
 from sentiment_analysis_bigdata_spark.sources import load_table
 
 
@@ -359,7 +360,11 @@ def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
     from sentiment_analysis_bigdata_spark.sources import ensure_min_parallelism
 
     tri = _trigram_corpus(spark, sf)
-    wf = tokenizer_train.word_frequencies(tri)
+    # barrier the VOCAB-sized word-count frame (r13, guide §2.3/§5): it
+    # is consumed twice (the training collect and the n_tokens total) and
+    # each execution replays the full corpus tokenize+explode+agg pass;
+    # ~30k rows at sf0.1, Heaps-sublinear at scale (max_rows-capped)
+    wf = barrier_lazy(tokenizer_train.word_frequencies(tri))
     merges = tokenizer_train.train_bpe_from_word_counts(
         wf, n_merges=BPE_ENC_1K_MERGES
     )
@@ -373,11 +378,15 @@ def q_bpe_encode_1k(spark: SparkSession, sf: str) -> DataFrame:
     per_row = enc.select(
         F.explode(F.element_at("subwords", 1)).alias("sub")
     )
+    # n_tokens = Σ freq over the barriered word counts: every trigram row
+    # is exactly one whitespace-free non-empty token, so this equals the
+    # third full-corpus count(1) pass it replaces row-for-row (and the
+    # golden-witness assert below fails loud on any drift)
     summary = per_row.agg(
         F.count(F.lit(1)).alias("n_subwords"),
         F.count_distinct("sub").alias("n_subword_types"),
     ).crossJoin(
-        F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_tokens")))
+        F.broadcast(wf.agg(F.sum("freq").alias("n_tokens")))
     ).select(
         "n_tokens",
         "n_subwords",
