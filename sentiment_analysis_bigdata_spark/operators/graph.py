@@ -504,13 +504,21 @@ def sssp_weighted(
     edges and taking ``min(dist)`` computes the identical relaxation
     closure.
 
-    Scale shape: per round ONE equi join of the IMPROVED frontier (not
-    the full distance table) against the edge list plus one min-merge agg
-    — the delta-relaxation form, so work per round is proportional to the
-    set of nodes whose distance actually changed; ``localCheckpoint``
-    per round keeps lineage flat and an empty frontier stops early. The
-    symmetrized edge frame collapses parallel edges to their min weight
-    once, up front.
+    Scale shape: relaxations run in UNROLLED PAIRS (r13): per outer
+    round, TWO chained frontier⋈edges relaxations feed ONE min-merge
+    against the distance table and ONE improved-frontier derivation —
+    halving the per-round barrier/action cadence (two
+    ``localCheckpoint`` materializations + one isEmpty per TWO edge
+    relaxations instead of per one). Values are provably unchanged: the
+    second relaxation extends the UN-merged first-step candidates, a
+    superset of what the per-round delta form would extend, and any
+    inflated intermediate candidate is absorbed by the min-merge (every
+    candidate is a real ≤k-edge path weight; min over a superset of the
+    same path set is identical — fuzz-pinned old-vs-new in
+    tests/test_graph_ops.py and replayed exactly by the ≤rounds-edge
+    oracle CTE). Work per relaxation stays proportional to the changed
+    set; an empty improved frontier stops early. The symmetrized edge
+    frame collapses parallel edges to their min weight once, up front.
     """
     fwd = edges.select(
         F.col(a_col).alias("s"), F.col(b_col).alias("d"), F.col(w_col).alias("w")
@@ -534,16 +542,31 @@ def sssp_weighted(
         .transform(barrier_eager)
     )
     frontier = dist
-    for _ in range(rounds):
-        cand = (
-            frontier.join(e, frontier["node"] == e["s"])
-            .select(e["d"].alias("node"), (frontier["dist"] + e["w"]).alias("dist"))
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+    left = rounds
+    while left > 0:
+        steps = 2 if left >= 2 else 1
+        cur = frontier
+        cands = []
+        for si in range(steps):
+            # per-step alias: the second relaxation joins a frame whose
+            # lineage already contains `e`
+            tag = f"_e{left}_{si}"
+            ei = e.alias(tag)
+            cur = (
+                cur.join(ei, cur["node"] == F.col(f"{tag}.s"))
+                .select(
+                    F.col(f"{tag}.d").alias("node"),
+                    (cur["dist"] + F.col(f"{tag}.w")).alias("dist"),
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            cands.append(cur)
+        merged = dist
+        for c in cands:
+            merged = merged.unionByName(c)
         merged = (
-            dist.unionByName(cand)
-            .groupBy("node")
+            merged.groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .transform(barrier_eager)
         )
@@ -556,6 +579,7 @@ def sssp_weighted(
             .transform(barrier_eager)
         )
         dist = merged
+        left -= steps
         if improved.isEmpty():
             break
         frontier = improved

@@ -554,6 +554,53 @@ class TestSsspWeighted:
         # the symmetrized frame keeps min(w) per direction
         assert got == {1: 0, 2: 1}
 
+    def test_fuzz_matches_reference_closure(self, spark):
+        """r13 unrolled-pair relaxation: random graphs (odd AND even
+        round budgets) against a pure-Python min-over-≤rounds-edge-paths
+        Bellman-Ford — the semantics the oracle CTE replays. Guards the
+        2-step unroll's coverage argument (the second relaxation extends
+        UN-merged candidates; min-merge must absorb every inflation)."""
+        import random
+
+        from sentiment_analysis_bigdata_spark.operators.graph import sssp_weighted
+
+        def reference(es, seeds_l, rounds):
+            # symmetrize + min-collapse, then bounded relaxation over the
+            # FULL table (textbook Bellman-Ford ≤rounds-edge closure)
+            em = {}
+            for a, b, w in es:
+                em[(a, b)] = min(em.get((a, b), w), w)
+                em[(b, a)] = min(em.get((b, a), w), w)
+            dist = {s: 0 for s in seeds_l}
+            for _ in range(rounds):
+                nxt = dict(dist)
+                for (s, d), w in em.items():
+                    if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                        nxt[d] = dist[s] + w
+                dist = nxt
+            return dist
+
+        for trial in range(4):
+            rnd = random.Random(100 + trial)
+            n = rnd.randint(4, 18)
+            es = [
+                (rnd.randint(0, n - 1), rnd.randint(0, n - 1), rnd.randint(1, 9))
+                for _ in range(rnd.randint(4, 40))
+            ]
+            es = [x for x in es if x[0] != x[1]]
+            if not es:
+                continue
+            seeds_l = sorted({rnd.randint(0, n - 1) for _ in range(rnd.randint(1, 3))})
+            rounds = rnd.choice([1, 2, 3, 5, 6])
+            edf = spark.createDataFrame(es, "a long, b long, w long")
+            sdf = spark.createDataFrame([(s,) for s in seeds_l], "node long")
+            got = {
+                r.node: r.dist
+                for r in sssp_weighted(edf, sdf, rounds=rounds).collect()
+            }
+            want = reference(es, seeds_l, rounds)
+            assert got == want, f"trial {trial}: {got} != {want}"
+
 
 class TestTransitionMatrix:
     def test_hand_counts_and_probs(self, spark):

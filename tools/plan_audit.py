@@ -231,15 +231,21 @@ AUDIT = {
         "lag window — never all-pairs, never per-position explode",
     ),
     "semdedup": (
-        ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
-        "SemDeDup: the cosine pair check is an equi join on the k-means "
-        "cluster id (blocks bound pair work at n²/k); the Lloyd rounds "
-        "behind it are one posexplode agg per iteration",
+        ["MapInPandas", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+        "SemDeDup: the cosine pair check runs as ONE Arrow kernel per "
+        "id-sorted k-means block (r13 — blocks bound pair work at n²/k; "
+        "the kernel's per-dimension accumulation is bit-identical to the "
+        "HOF fold it replaced); the Lloyd rounds behind it are one "
+        "posexplode agg per iteration",
     ),
     "knn_graph": (
-        ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
-        "kNN graph: in-cluster equi join + one per-vector ranking window "
-        "— the IVF-nprobe=1 serving shape, never a full pairwise scan",
+        ["MapInPandas", "!Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
+        "kNN graph: in-cluster pair scan + per-vector top-k as ONE Arrow "
+        "kernel per id-sorted cluster block (r13 — the top-k cut is "
+        "cluster-local, so the former ranking window and its shuffle are "
+        "gone) — the IVF-nprobe=1 serving shape, never a full pairwise "
+        "scan",
     ),
     "dedup_cascade": (
         ["LeftSemi|LeftAnti", "!CartesianProduct"],
@@ -447,8 +453,8 @@ AUDIT = {
         "audited plan because semdedup localCheckpoints the assigned "
         "frame, same lineage cut as kmeans_broadcast) with plan size and "
         "jobs O(1) in k, the k×d matrix model-sized in the kernel; the "
-        "pair scan is an equi-join on cluster_id (blocks bound pair work "
-        "to n²/k), never a cartesian",
+        "pair scan is the r13 per-block Arrow kernel keyed on cluster_id "
+        "(blocks bound pair work to n²/k), never a cartesian",
     ),
     "gopher_quality_gate": (
         ["HashAggregate", "!CartesianProduct", "!Window", "!SortMergeJoin",
@@ -578,10 +584,14 @@ AUDIT = {
         "final join is d rows vs d rows",
     ),
     "image_ahash_near_dup": (
-        ["MapInPandas", "!CartesianProduct", "HashAggregate"],
+        ["ExistingRDD", "!CartesianProduct", "HashAggregate"],
         "hamming-banded near-dup: the pair source is a (band_id, "
-        "band_val) equi self-join over the hash frame — never all-pairs "
-        "— and the output is the bounded per-distance histogram",
+        "band_val) equi self-join over the BARRIERED hash frame (r12 — "
+        "the Arrow decode+hash kernel runs once and sits behind the "
+        "lazy-checkpoint lineage cut, visible as the Scan ExistingRDD "
+        "both join sides share; the kernel's plan shape stays pinned by "
+        "image_ahash_dedup) — never all-pairs — and the output is the "
+        "bounded per-distance histogram",
     ),
     "cuped_uplift": (
         ["HashAggregate", "BroadcastNestedLoopJoin", "!Window"],
@@ -769,9 +779,10 @@ AUDIT = {
         ["SortMergeJoin|BroadcastHashJoin", "HashAggregate",
          "!CartesianProduct", "!Window"],
         "SemDeDup at the paper-realistic k=512: the broadcast-frame "
-        "GEMM assign (k > 256 lane) rides centroids as one broadcast "
+        "assign (k > 256 lane) rides centroids as one broadcast "
         "row — argmin over a codebook, never a doc-pair join; the "
-        "survivor pick is an equi-keyed aggregate, no window anywhere",
+        "survivor pick is the r13 per-block Arrow kernel, no window "
+        "anywhere",
     ),
     "kmeans_elbow": (
         ["HashAggregate", "!Window", "!CartesianProduct"],
